@@ -1,0 +1,711 @@
+"""Query catalog: every SURVEY.md §2 operator bound to the driver's
+testdata tables, each with its DuckDB oracle SQL.
+
+This is the engine's public analytics surface and the driver's
+correctness gate (`__spark_entry__.queries()` / `oracle_sql()`).
+Conventions:
+
+* every computed column is aliased identically in the Spark plan and
+  the oracle SQL (the driver hash-compares values after sorting columns
+  by name);
+* floating-point aggregates whose summation order differs between
+  engines are rounded (2-4 decimals) on BOTH sides;
+* timestamps are UTC everywhere (`session.configure_existing` pins the
+  session timezone before running).
+
+Queries tagged `oracle=None` are genuinely non-SQL-expressible
+(hash-seeded LSH pipelines, approximate search); the driver records a
+rows-only check for those and pytest cross-validates them against their
+exact counterparts instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark.io import load_table
+from purpleair_data_logger_spark.operators import aggregations as agg
+from purpleair_data_logger_spark.operators import dedup as dd
+from purpleair_data_logger_spark.operators import similarity as sim
+from purpleair_data_logger_spark.operators import text as tx
+from purpleair_data_logger_spark.session import configure_existing
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ref: str  # SURVEY.md §2 operator ids this exercises
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, survey_ref: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            configure_existing(spark)
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = Query(name, wrapped, oracle, survey_ref)
+        return wrapped
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    return dict(_REGISTRY)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# A. Time-series aggregation workload (the Grafana/continuous-aggregate
+#    read path) over the `events` stream table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_continuous_aggregate",
+    """
+    SELECT date_trunc('hour', ts) AS bucket_hour, user_id,
+           count(*) AS n_events, max(value) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+    "A1 (continuous aggregate, PurpleAirPSQLQueryStatements.py:564-571)",
+)
+def hourly_continuous_aggregate(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+
+
+@register(
+    "dashboard_bucketed_max",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts, event_type,
+           max(value) AS max_value, min(value) AS min_value, count(*) AS n_events
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+      AND event_type IN ('click', 'view', 'error')
+    GROUP BY 1, 2
+    """,
+    "A2+F7 (dashboard $__timeGroup max panels); F1/F2 filters",
+)
+def dashboard_bucketed_max(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    filtered = e.filter(
+        (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+        & F.col("event_type").isin("click", "view", "error")
+    )
+    return agg.bucketed_agg(
+        filtered,
+        "ts",
+        900,
+        ["event_type"],
+        [
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+    )
+
+
+@register(
+    "tumbling_avg_10min",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_ts, event_type,
+           round(avg(value), 4) AS avg_value, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+    "A3 (historic `average` downsampling, PurpleAirAPI.py:261-262)",
+)
+def tumbling_avg_10min(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return agg.bucketed_agg(
+        e,
+        "ts",
+        600,
+        ["event_type"],
+        [
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+    )
+
+
+@register(
+    "rolling_avg_trailing_1h",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 4) AS rolling_avg_1h
+    FROM events
+    """,
+    "A4 (pm2.5 pseudo running averages recomputation)",
+)
+def rolling_avg_trailing_1h(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    rolled = agg.rolling_window_agg(
+        e, "ts", ["user_id"], 3600, {"_roll": F.avg("value")}
+    )
+    return rolled.select(
+        "event_id", F.round(F.col("_roll"), 4).alias("rolling_avg_1h")
+    )
+
+
+@register(
+    "sensor_directory",
+    """
+    SELECT DISTINCT c_custkey AS sensor_index,
+           c_name || ', ' || CAST(c_custkey AS VARCHAR) AS name_and_sensor_index
+    FROM customer
+    """,
+    "A5+X1+O2 (Grafana template-variable DISTINCT/CONCAT query)",
+)
+def sensor_directory(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return agg.distinct_directory(c, "c_custkey", "c_name")
+
+
+@register(
+    "directory_parse_index",
+    """
+    SELECT c_custkey AS sensor_index,
+           CAST(string_split(c_name || ', ' || CAST(c_custkey AS VARCHAR), ', ')[2]
+                AS INTEGER) AS parsed_sensor_index
+    FROM customer
+    """,
+    "X2 (string_to_array + 1-based element extraction)",
+)
+def directory_parse_index(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    d = agg.distinct_directory(c, "c_custkey", "c_name")
+    return agg.parse_directory_index(d, "name_and_sensor_index").select(
+        "sensor_index", "parsed_sensor_index"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B. Filter / predicate workload (F1-F6) and scalar functions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_filters",
+    """
+    SELECT event_id, ts, user_id, value
+    FROM events
+    WHERE event_type = 'click'
+      AND user_id IN (3, 7, 11, 19, 23, 42, 77, 101)
+      AND ts > TIMESTAMP '2024-01-10'
+      AND value BETWEEN 50.0 AND 400.0
+    """,
+    "F1 (equality) + F2 (IN-list) + F3 (modified_since) + F5 (range box)",
+)
+def snapshot_filters(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("event_type") == "click")
+        & F.col("user_id").isin(3, 7, 11, 19, 23, 42, 77, 101)
+        & (F.col("ts") > F.lit("2024-01-10").cast("timestamp"))
+        & F.col("value").between(50.0, 400.0)
+    ).select("event_id", "ts", "user_id", "value")
+
+
+@register(
+    "historic_range_downsample",
+    """
+    SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket_ts, event_type,
+           round(avg(value), 4) AS avg_value, max(value) AS max_value,
+           min(value) AS min_value, count(*) AS n_events
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY 1, 2
+    """,
+    "S3+F6+A3 (historic half-open range scan with server-side downsample)",
+)
+def historic_range_downsample(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    filtered = e.filter(
+        (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    )
+    return agg.bucketed_agg(
+        filtered,
+        "ts",
+        1800,
+        ["event_type"],
+        [
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.max("value").alias("max_value"),
+            F.min("value").alias("min_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+    )
+
+
+@register(
+    "max_age_recency",
+    """
+    SELECT event_type, count(*) AS n_events, max(value) AS max_value
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOUR FROM events)
+    GROUP BY event_type
+    """,
+    "F4 (max_age recency window, PurpleAirAPI.py:209-211)",
+)
+def max_age_recency(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cutoff = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("_cutoff")
+    )
+    return (
+        e.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("_cutoff"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+    )
+
+
+@register(
+    "epoch_roundtrip",
+    """
+    SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_seconds
+    FROM events
+    """,
+    "T5+X5 (epoch<->timestamp conversion, PurpleAirPSQLDataLogger.py:138-151)",
+)
+def epoch_roundtrip(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.unix_timestamp(F.col("ts")).alias("epoch_seconds")
+    )
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+    "X7 (JSON parse, PurpleAirAPI.py:335)",
+)
+def json_props_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. Joins / set ops / sorts (J1-J3, §2.5-2.6).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "reconstruction_join",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    "J1 (9-way PK reconstruction join analog; dims broadcast)",
+)
+def reconstruction_join(spark, sf_dir):
+    """Multi-way equi-join with broadcast dimensions.
+
+    The Spark-native shape of the reference's implied 9-way PK join:
+    small dims (region, nation, supplier, customer) broadcast so the
+    only shuffle is the lineitem<->orders join; at 100 TB that join
+    co-partitions on orderkey and AQE handles skew.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            l.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "semi_join_show_only",
+    """
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY user_id
+    """,
+    "J3+F2 (show_only IN-list as broadcast semi-join)",
+)
+def semi_join_show_only(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        e.join(
+            F.broadcast(c),
+            e.user_id == c.c_custkey,
+            "left_semi",
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+    )
+
+
+@register(
+    "anti_join_inactive",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey < 150
+      AND c_custkey NOT IN (SELECT user_id FROM events)
+    """,
+    "J2 complement (anti-join; sensors present in directory but silent)",
+)
+def anti_join_inactive(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
+    return c.join(
+        e, c.c_custkey == e.user_id, "left_anti"
+    ).select("c_custkey")
+
+
+@register(
+    "union_priority_tiers",
+    """
+    SELECT event_id, 'high' AS tier FROM events WHERE value >= 250.0
+    UNION ALL
+    SELECT event_id, 'low' AS tier FROM events WHERE value < 250.0
+    """,
+    "§2.5 union (multi-backfill merge primitive)",
+)
+def union_priority_tiers(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hi = e.filter(F.col("value") >= 250.0).select(
+        "event_id", F.lit("high").alias("tier")
+    )
+    lo = e.filter(F.col("value") < 250.0).select(
+        "event_id", F.lit("low").alias("tier")
+    )
+    return hi.unionByName(lo)
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    "§2.6 sort+limit (top-k)",
+)
+def topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "pk_dedup",
+    """
+    SELECT ts, user_id, min(event_id) AS event_id, count(*) AS n_dups
+    FROM events GROUP BY ts, user_id
+    """,
+    "R6 (PK-duplicate resolution — deterministic dropDuplicates)",
+)
+def pk_dedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return dd.pk_dedup(e, ["ts", "user_id"], "event_id")
+
+
+@register(
+    "cardinality_profile",
+    """
+    SELECT count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types,
+           count(*) AS n_events
+    FROM events
+    """,
+    "§2.10 cardinality profiling (exact distinct; approx variant in bench)",
+)
+def cardinality_profile(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D. LLM-data-pipeline operators (north star): dedup, text analysis,
+#    similarity search over documents/embeddings.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS text_md5, count(*) AS n_copies,
+           min(doc_id) AS canonical_doc_id
+    FROM documents GROUP BY 1
+    """,
+    "north-star exact dedup (hash-groupBy)",
+)
+def dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(d, "text", "doc_id")
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stopwords,
+           round(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
+                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           round(list_aggregate(list_transform(string_split(text, ' '),
+                    x -> CAST(length(x) AS DOUBLE)), 'sum')
+                 / len(string_split(text, ' ')), 4) AS mean_token_len
+    FROM documents
+    """,
+    "north-star text quality scoring (length/stopword/token stats)",
+)
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.quality_features(d, "doc_id", "text")
+
+
+@register(
+    "lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
+        CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
+        CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es'))) AS BIGINT) AS s_es,
+        CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr,
+        CAST(len(list_filter(string_split(text,' '), x -> x IN ('il','lo','le','e','di'))) AS BIGINT) AS s_it
+      FROM documents)
+    SELECT doc_id,
+      CASE
+        WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_it THEN 'de'
+        WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_it THEN 'en'
+        WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_it THEN 'es'
+        WHEN s_fr > 0 AND s_fr >= s_it THEN 'fr'
+        WHEN s_it > 0 THEN 'it'
+        ELSE 'und'
+      END AS predicted_lang,
+      greatest(s_de, s_en, s_es, s_fr, s_it) AS lang_score
+    FROM scored
+    """,
+    "north-star language ID (stopword-vote heuristic)",
+)
+def lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.language_id(d, "doc_id", "text")
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string((string_split(lower(text), ' '))[1:16], ' '))
+               AS fingerprint_md5
+    FROM documents
+    """,
+    "north-star document fingerprinting (normalized-prefix hash)",
+)
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.fingerprint(d, "doc_id", "text", prefix_tokens=16)
+
+
+@register(
+    "jaccard_neardup_blocked",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split(text, ' ')) AS toks
+      FROM documents)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           round(len(list_intersect(a.toks, b.toks)) * 1.0
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0
+                / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.9
+    """,
+    "north-star n-gram Jaccard near-dup (blocked pair generation)",
+)
+def jaccard_neardup_blocked(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs_blocked(
+        d, "doc_id", "text", ["lang", "source"], threshold=0.9
+    )
+
+
+@register(
+    "knn_cosine_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 8),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(
+                 list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS s
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS INTEGER)
+                 AS knn_rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5
+    """,
+    "north-star ANN baseline: brute-force cosine top-k",
+)
+def knn_cosine_bruteforce(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    return sim.knn_bruteforce(em, queries, "vec_id", "embedding", k=5)
+
+
+@register(
+    "embedding_neardup_cosine",
+    """
+    WITH t AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+    FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+    """,
+    "north-star embedding-cosine near-dup (label-blocked)",
+)
+def embedding_neardup_cosine(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_pairs(
+        em, "vec_id", "embedding", "label", threshold=0.3
+    )
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id,
+           round(sqrt(list_aggregate(
+               list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+               AS l2_norm
+    FROM embeddings
+    """,
+    "north-star embedding profiling (JVM-side array math)",
+)
+def embedding_norms(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.round(sim.l2_norm(sim.as_double_array("embedding")), 4).alias("l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# E. Non-SQL-expressible operators (rows-only driver check; pytest
+#    cross-validates against exact counterparts).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_lsh_candidates",
+    None,
+    "north-star MinHash+LSH near-dup (xxhash64 banding — hash fn not portable to DuckDB)",
+)
+def minhash_lsh_candidates(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3
+    )
+
+
+@register(
+    "simhash_neardups",
+    None,
+    "north-star SimHash near-dup (64-bit fingerprint banding)",
+)
+def simhash_neardups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.simhash_neardup_candidates(d, "doc_id", "text").filter(
+        F.col("hamming_distance") <= 8
+    )
+
+
+@register(
+    "knn_lsh_bucketed",
+    None,
+    "north-star ANN scale path: random-hyperplane LSH bucket join",
+)
+def knn_lsh_bucketed(spark, sf_dir):
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    return sim.knn_lsh(em, queries, "vec_id", "embedding", k=5, n_planes=8)

@@ -1,0 +1,113 @@
+"""Time-series aggregation operators (SURVEY.md §2.4 A1-A5, §2.6).
+
+Spark-native re-expressions of the reference's read-path workload — the
+TimescaleDB continuous aggregate and the Grafana dashboard SQL it ships
+(reference ``PurpleAirPSQLQueryStatements.py:564-571`` and the dashboard
+JSON's ``$__timeGroupAlias … max(...)`` panels).
+
+All operators are generic over (frame, timestamp column, keys) so they
+work both on the nine sensor tables and on any event stream. They are
+single-shuffle hash aggregations: partial (map-side) aggregation comes
+free from Catalyst, so at 100 TB the shuffle carries only one row per
+(bucket, key) per mapper — the plan a hand-tuned engine would pick.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_bucket(ts: Column | str, seconds: int) -> Column:
+    """Epoch-aligned tumbling bucket start, as a timestamp.
+
+    Spark's ``window()`` produces the same alignment for batch, but an
+    explicit floor keeps the bucket a plain GROUP BY column — cheaper to
+    compare against external SQL engines and prunable as a partition
+    filter. Equivalent to TimescaleDB ``time_bucket('N seconds', ts)``.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return F.timestamp_seconds(
+        F.floor(F.unix_timestamp(c) / seconds).cast("long") * seconds
+    )
+
+
+def bucketed_agg(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    *,
+    bucket_alias: str = "bucket_ts",
+) -> DataFrame:
+    """A1/A2/A3: tumbling time-bucket group-by with arbitrary aggregates.
+
+    The shape of every Grafana panel query (``$__timeGroupAlias(ts,
+    interval) …  max(col) GROUP BY 1 ORDER BY 1``) and of the 1-hour
+    continuous aggregate. One shuffle on (bucket, keys).
+    """
+    bucket = time_bucket(ts_col, bucket_seconds).alias(bucket_alias)
+    return df.groupBy(bucket, *keys).agg(*aggs)
+
+
+def rolling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    partition_keys: Sequence[str],
+    trailing_seconds: int,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """A4: trailing range-window aggregates (the pm2.5 pseudo averages).
+
+    The reference ingests upstream-computed trailing means
+    (``pm2.5_10minute`` … ``pm2.5_1week``); this recomputes them from
+    raw readings. Microsecond-precision range frame so results agree
+    exactly with interval-based SQL engines: frame = rows with
+    ``ts ∈ [current - trailing, current]``, both ends inclusive.
+
+    Scale note: a range window shuffles once on ``partition_keys`` and
+    sorts within partitions — no state blowup; skewed sensors are split
+    by AQE.  For streaming, prefer `bucketed_agg` + overlap merge.
+    """
+    w = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(F.unix_micros(F.col(ts_col)))
+        .rangeBetween(-trailing_seconds * 1_000_000, 0)
+    )
+    out = df
+    for name, expr in aggs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out
+
+
+def distinct_directory(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    *,
+    sep: str = ", ",
+) -> DataFrame:
+    """A5+X1: the Grafana template-variable query.
+
+    ``SELECT DISTINCT key, CONCAT(name, ', ', key) … ORDER BY key`` —
+    reference dashboard templating (SURVEY.md §2.4 A5, §2.7 X1).
+    """
+    return (
+        df.select(
+            F.col(key_col).alias("sensor_index"),
+            F.concat(
+                F.col(name_col), F.lit(sep), F.col(key_col).cast("string")
+            ).alias("name_and_sensor_index"),
+        )
+        .distinct()
+        .orderBy("sensor_index")
+    )
+
+
+def parse_directory_index(df: DataFrame, concat_col: str, *, sep: str = ", ") -> DataFrame:
+    """X2: ``string_to_array(s, ', ')`` + 1-based element extraction."""
+    parts = F.split(F.col(concat_col), sep)
+    return df.withColumn("parsed_sensor_index", F.element_at(parts, 2).cast("int"))

@@ -1,0 +1,259 @@
+"""Deduplication operators for large-scale text/training-data pipelines.
+
+North-star additions beyond the reference's surface (BASELINE.json): the
+reference's only dedup notion is its composite PK crashing on duplicate
+inserts (SURVEY.md §2.9 R6); a 100 TB training-data pipeline needs
+first-class dedup. Every operator here is shuffle-bounded — no O(n²)
+cross join at scale:
+
+* exact:        one hash-groupBy shuffle on a digest.
+* key dedup:    dropDuplicates-style, expressed deterministically.
+* token Jaccard within blocks: pair generation restricted to blocking
+  keys (or LSH bands), never the full cross product.
+* MinHash + LSH banding: shingle → minhash signature → band buckets →
+  candidate pairs via an equi-join on (band, bucket-hash) — the standard
+  near-dup pipeline (Broder '97), expressed as DataFrame ops only.
+* SimHash: 64-bit fingerprint via per-token hashes; near-dups = hamming
+  distance ≤ k within same band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: md5-digest groupBy; canonical row = min id.
+
+    Returns one row per distinct content: (digest, n_copies, canonical
+    id). Deterministic (unlike dropDuplicates' arbitrary pick), so it's
+    oracle-comparable. One shuffle, combiner-reduced.
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.col(id_col)).alias("canonical_doc_id"),
+    )
+
+
+def pk_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """R6: PK-duplicate resolution — keep first id per key, count dups.
+
+    The reference lets duplicate ``(data_time_stamp, sensor_index)``
+    crash the INSERT; our engine resolves idempotently (documented
+    deviation, SURVEY.md §7.4).
+    """
+    return df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.min(F.col(id_col)).alias(id_col),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def _token_set(text_col: str, sep: str = " ") -> Column:
+    return F.array_distinct(F.split(F.col(text_col), sep))
+
+
+def jaccard_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Token-set Jaccard near-dup pairs within blocking groups.
+
+    Pairs are generated only inside a block (e.g. (lang, source) — or an
+    LSH bucket from `minhash_lsh_candidates` for unblocked data), so the
+    join is a shuffle-bounded self-equi-join, not a cross product. At
+    100 TB the block key IS the shuffle key; skewed blocks split via AQE.
+
+    Output: (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b and
+    jaccard >= threshold.
+    """
+    t = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        _token_set(text_col).alias("toks"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols] + [
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    ]
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, on=cond, how="inner")
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingles(text_col: str, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingle set as an array<string> column (JVM-side)."""
+    toks = F.split(F.col(text_col), sep)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signatures: explode shingles, groupBy-min per seed.
+
+    One row per document with ``num_hashes`` minima columns
+    (``_mh0.._mhN``). The explode + single hash-aggregate shape keeps
+    every expression flat (no nested array passes), so codegen stays
+    happy and the only shuffle is the groupBy on the document id —
+    partial aggregation combines minima map-side.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
+    )
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: candidate near-dup pairs, no cross join.
+
+    Pipeline: shingle-explode → minhash aggregate (`minhash_signatures`)
+    → hash each band of ``num_hashes/bands`` minima → posexplode to
+    (band_idx, band_hash) keys → self-equi-join on the band key →
+    distinct candidate pairs (Broder '97 banding). At 100 TB the band
+    hash is a well-distributed join key and no executor ever sees the
+    full corpus.
+
+    Output: (doc_id_a, doc_id_b) candidate pairs (doc_id_a < doc_id_b).
+    Verify candidates with `jaccard_pairs_blocked` on the candidate set.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, sep: str = " "
+) -> DataFrame:
+    """64-bit SimHash fingerprints (Charikar '02): (id, fp) rows.
+
+    Explode tokens → xxhash64 per token → one hash-aggregate computing
+    the 64 per-bit +1/-1 votes → assemble the fingerprint from vote
+    signs. Flat expressions, one shuffle on the id, map-side combined.
+    """
+    h = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("_tok")
+    ).select(F.col(id_col), F.xxhash64(F.col("_tok")).alias("_h"))
+    votes = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{i}")
+            for i in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        fp = fp + F.when(
+            F.col(f"_v{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), fp.alias("fp"))
+
+
+def simhash_neardup_candidates(
+    df: DataFrame, id_col: str, text_col: str, *, band_bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup candidates: equal 16-bit band → candidate pair.
+
+    Splitting the 64-bit fingerprint into 4 bands guarantees any pair
+    within hamming distance 3 shares at least one full band (pigeonhole)
+    — the classic SimHash index, as a posexplode + equi-join.
+    """
+    n_bands = 64 // band_bits
+    fp = simhash_fingerprints(df, id_col, text_col)
+    banded = fp.select(
+        F.col(id_col),
+        F.col("fp"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fp"), i * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a.band_idx") == F.col("b.band_idx"),
+            F.col("a.band_val") == F.col("b.band_val"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ],
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_id_a"),
+        F.col(f"b.{id_col}").alias("doc_id_b"),
+        F.col("a.fp").alias("fp_a"),
+        F.col("b.fp").alias("fp_b"),
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.distinct().select(
+        "doc_id_a", "doc_id_b", hamming.alias("hamming_distance")
+    )

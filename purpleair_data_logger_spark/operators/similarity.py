@@ -1,0 +1,208 @@
+"""Embedding similarity search (ANN) over array<float> columns.
+
+North-star operators (BASELINE.json): brute-force cosine top-k as the
+correctness baseline, a random-hyperplane LSH bucketed variant as the
+scale path, and cosine near-dup pair mining. All math runs JVM-side via
+higher-order array functions (zip_with/aggregate) in double precision —
+no Python per row.
+
+Scale posture: the query set is broadcast (it's the small side by
+construction); the corpus streams through one projection + one top-k
+window per query partition. The LSH variant turns all-pairs search into
+an equi-join on bucket signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product: zip_with multiply + aggregate sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    query_id_alias: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector. The ANN correctness baseline.
+
+    Plan shape: broadcast(queries) × corpus → one fused projection
+    computing cosine → per-query top-k via row_number window. The only
+    shuffle is the window's partition-by-query (tiny: k rows per query
+    survive the AQE-coalesced sort). Deterministic tie-break on id.
+
+    Output: (query_id, neighbor_id, knn_rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_alias),
+        as_double_array(vec_col).alias("_qv"),
+    ).withColumn("_qnorm", l2_norm(F.col("_qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("_cv"),
+    ).withColumn("_cnorm", l2_norm(F.col("_cv")))
+
+    sim = (dot(F.col("_qv"), F.col("_cv")) / (F.col("_qnorm") * F.col("_cnorm"))).alias(
+        "_sim"
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_alias))
+        .select(query_id_alias, "neighbor_id", sim)
+    )
+    w = Window.partitionBy(query_id_alias).orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            query_id_alias,
+            "neighbor_id",
+            F.col("knn_rank").cast("int").alias("knn_rank"),
+        )
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (driver-side).
+
+    Uses a splitmix-style integer hash so planes are reproducible across
+    engines/sessions without RNG state.
+    """
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = (seed * 0x9E3779B97F4A7C15 + p * 0xBF58476D1CE4E5B9 + d * 0x94D049BB133111EB) & (
+                2**64 - 1
+            )
+            x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & (2**64 - 1)
+            x = (x ^ (x >> 27)) * 0x94D049BB133111EB & (2**64 - 1)
+            x ^= x >> 31
+            row.append((x / 2**64) * 2.0 - 1.0)  # uniform [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-of-dot-product bit signature against fixed hyperplanes."""
+    bits = []
+    for i, plane in enumerate(planes):
+        d = dot(vec_col, F.array(*[F.lit(v) for v in plane]))
+        bits.append(F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    n_planes: int = 12,
+    dim: int = 64,
+    query_id_alias: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket join, then exact
+    cosine rank within candidate buckets.
+
+    At scale this replaces the brute-force cross join with an equi-join
+    on the bucket signature: each query only scores the corpus slice in
+    its bucket. Recall < 1.0 by construction; multi-probe = union over
+    additional signatures (not needed for this corpus size).
+    """
+    planes = random_hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("_cv"),
+    ).withColumn("_bucket", lsh_bucket_signature(F.col("_cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias(query_id_alias),
+        as_double_array(vec_col).alias("_qv"),
+    ).withColumn("_bucket", lsh_bucket_signature(F.col("_qv"), planes))
+
+    sim = (cosine(F.col("_qv"), F.col("_cv"))).alias("_sim")
+    pairs = (
+        c.join(F.broadcast(q), on="_bucket")
+        .filter(F.col("neighbor_id") != F.col(query_id_alias))
+        .select(query_id_alias, "neighbor_id", sim)
+    )
+    w = Window.partitionBy(query_id_alias).orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            query_id_alias,
+            "neighbor_id",
+            F.col("knn_rank").cast("int").alias("knn_rank"),
+        )
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup mining: cosine ≥ threshold within a block.
+
+    Blocked self-join (block key = e.g. a cluster label or LSH bucket)
+    keeps pair generation shuffle-bounded. Output: (vec_id_a, vec_id_b,
+    cosine_sim rounded to 4).
+    """
+    t = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        as_double_array(vec_col).alias("_v"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    a, b = t.alias("a"), t.alias("b")
+    sim = dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a._blk") == F.col("b._blk"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_id_a"),
+            F.col(f"b.{id_col}").alias("vec_id_b"),
+            sim.alias("_sim"),
+        )
+        .filter(F.col("_sim") >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round(F.col("_sim"), 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,163 @@
+"""Parquet table layer: the nine sensor tables, Spark-native.
+
+Replaces the reference's sink zoo (TimescaleDB hypertables + SQLite +
+CSV; SURVEY.md §2.8) with partitioned, clustered parquet tables:
+
+* hypertable time-chunking  → ``partitionBy(reading_date)`` + Catalyst
+  partition pruning (reference ``PurpleAirPSQLDataLogger.py:105-112``);
+* columnar compression with ``segmentby sensor_index / orderby
+  data_time_stamp`` (``:129-136``) → ZSTD parquet written
+  ``repartition(sensor_index).sortWithinPartitions(data_time_stamp)``,
+  so each file covers few sensors in time order — the same locality the
+  TimescaleDB policy buys, but at write time;
+* PK-duplicate crash (plain INSERT, ``:153-347``) → idempotent
+  dedup-on-write (documented deviation, SURVEY.md §7.4);
+* retention policy → `apply_retention` partition-drop job;
+* DROP ALL (``PurpleAirPSQLQueryStatements.py:543-553``) → `drop_all`.
+
+At 100 TB: the date partition bounds every maintenance job, writes
+shuffle once on sensor_index (well distributed — millions of sensors),
+and readers get pruning on both the partition column and the
+sensor_index sort within row groups (min/max page stats).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark import schema as S
+from purpleair_data_logger_spark.operators.transforms import vertical_split
+
+PARTITION_COL = "reading_date"
+
+
+class SensorTableStore:
+    """Nine partitioned parquet tables rooted at ``base_path``."""
+
+    def __init__(self, spark: SparkSession, base_path: str, *, cluster_partitions: int | None = None):
+        self.spark = spark
+        self.base_path = base_path
+        self.cluster_partitions = cluster_partitions
+
+    def path(self, table: str) -> str:
+        if table not in S.TABLE_NAMES:
+            raise ValueError(f"unknown table {table!r}")
+        return os.path.join(self.base_path, table)
+
+    # -- write path --------------------------------------------------------
+
+    def _prepare(self, df: DataFrame) -> DataFrame:
+        clustered = df.withColumn(
+            PARTITION_COL, F.to_date(F.col("data_time_stamp"))
+        )
+        n = self.cluster_partitions
+        rep = (
+            clustered.repartition(n, "sensor_index")
+            if n
+            else clustered.repartition("sensor_index")
+        )
+        return rep.sortWithinPartitions("sensor_index", "data_time_stamp")
+
+    def append_wide(self, wide: DataFrame, *, dedup: bool = True) -> None:
+        """Write one wide at-rest frame into all nine tables.
+
+        One micro-batch = one write per table (vs the reference's 9
+        INSERTs + commit per reading). ``dedup`` drops PK duplicates
+        within the batch deterministically (keep-min over non-key
+        columns is meaningless here, so dropDuplicates on PK suffices
+        for idempotent re-delivery of identical readings).
+        """
+        if dedup:
+            wide = wide.dropDuplicates(S.KEY_COLUMNS)
+        for table, part in vertical_split(wide).items():
+            self._prepare(part).write.mode("append").partitionBy(
+                PARTITION_COL
+            ).parquet(self.path(table))
+
+    # -- read path ---------------------------------------------------------
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table)).drop(PARTITION_COL)
+
+    def reconstruct_reading(self, tables: list[str] | None = None) -> DataFrame:
+        """J1: the N-way PK equi-join rebuilding the logical wide row.
+
+        All nine tables share partitioning and sort order, so at scale
+        this plans as co-partitioned sort-merge joins with no extra
+        sort; filtered single-sensor lookups broadcast the station row.
+        """
+        names = tables or list(S.TABLE_NAMES)
+        out = self.read(names[0])
+        for t in names[1:]:
+            out = out.join(self.read(t), on=S.KEY_COLUMNS, how="inner")
+        return out
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def apply_retention(self, table: str, *, keep_days: int, now=None) -> list[str]:
+        """R7: drop date partitions older than ``keep_days``. Returns
+        dropped partition dirs. Pure partition-prune-and-delete — never
+        rewrites surviving data."""
+        import datetime as _dt
+
+        now = now or _dt.datetime.now(_dt.timezone.utc)
+        cutoff = (now - _dt.timedelta(days=keep_days)).date()
+        root = self.path(table)
+        dropped = []
+        if not os.path.isdir(root):
+            return dropped
+        for entry in os.listdir(root):
+            if not entry.startswith(f"{PARTITION_COL}="):
+                continue
+            date_str = entry.split("=", 1)[1]
+            try:
+                d = _dt.date.fromisoformat(date_str)
+            except ValueError:
+                continue
+            if d < cutoff:
+                shutil.rmtree(os.path.join(root, entry))
+                dropped.append(entry)
+        return dropped
+
+    def compact(self, table: str, *, target_partitions: int) -> None:
+        """Compaction job: rewrite a table to ``target_partitions``
+        files per date partition (small-file cleanup for long-running
+        streaming appends)."""
+        df = self.spark.read.parquet(self.path(table))
+        tmp = self.path(table) + "__compact_tmp"
+        (
+            df.repartition(target_partitions, "sensor_index")
+            .sortWithinPartitions("sensor_index", "data_time_stamp")
+            .write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.path(table))
+        os.rename(tmp, self.path(table))
+
+    def drop_all(self, *, confirm: bool) -> None:
+        """K4: destructive reset behind an explicit confirm flag
+        (reference gates this on interactive y/n)."""
+        if not confirm:
+            raise ValueError("drop_all requires confirm=True")
+        for t in S.TABLE_NAMES:
+            p = self.path(t)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
+
+def write_csv_sink(df: DataFrame, path: str, *, mode: str = "append") -> None:
+    """K3: CSV sink. Spark's writer quotes/escapes correctly — the
+    reference's hand-rolled ``str(v) + ','`` concatenation corrupts on
+    commas (PurpleAirCSVDataLogger.py:151-309); documented deviation."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_jdbc_sink(df: DataFrame, url: str, table: str, properties: dict, *, mode: str = "append") -> None:
+    """K1/K2: JDBC sink (PSQL/SQLite parity) — one batched write per
+    micro-batch instead of 9 row-at-a-time INSERTs."""
+    df.write.jdbc(url=url, table=table, mode=mode, properties=properties)

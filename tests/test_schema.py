@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from purpleair_data_logger_spark import schema as S
+
+
+def test_field_universe_size_matches_reference():
+    # Reference ACCEPTED_FIELD_NAMES_DICT has 115 entries
+    # (PurpleAirAPIConstants.py:20-51); keys are separate.
+    assert len(S.FIELDS) == 115
+    assert len(S.KEY_FIELDS) == 2
+
+
+def test_sentinel_defaults():
+    assert S.ACCEPTED_FIELDS["name"] == ""
+    assert S.ACCEPTED_FIELDS["icon"] == 0
+    assert S.ACCEPTED_FIELDS["pm2.5_atm"] == 0.0
+    assert S.ACCEPTED_FIELDS["0.3_um_count"] == 0.0
+    assert S.ACCEPTED_FIELDS["last_seen"] == 0
+
+
+def test_sql_rename_map():
+    assert S.API_TO_SQL["pm2.5"] == "pm2_5"
+    assert S.API_TO_SQL["pm2.5_cf_1_a"] == "pm2_5_cf_1_a"
+    assert S.API_TO_SQL["0.3_um_count"] == "um_count_0_3"
+    assert S.API_TO_SQL["0.3_um_count_a"] == "um_count_a_0_3"
+    assert S.API_TO_SQL["10.0_um_count_b"] == "um_count_b_10_0"
+    assert S.API_TO_SQL["pm10.0_cf_1"] == "pm10_0_cf_1"
+    # round trip
+    for api, sql in S.API_TO_SQL.items():
+        assert S.SQL_TO_API[sql] == api
+
+
+def test_nine_tables_and_group_sizes():
+    # Field-group sizes per the reference DDL
+    # (PurpleAirPSQLQueryStatements.py:11-192; see FIXTURES.md §1).
+    sizes = {t: len(S.group_fields(t)) for t in S.TABLE_NAMES}
+    assert sizes == {
+        S.STATION: 27,
+        S.ENVIRONMENTAL: 9,
+        S.MISCELLANEOUS: 5,
+        S.PM1_0: 9,
+        S.PM2_5: 12,
+        S.PM2_5_PSEUDO: 18,
+        S.PM10_0: 9,
+        S.PARTICLE_COUNT: 18,
+        S.THINGSPEAK: 8,
+    }
+    assert sum(sizes.values()) == 115
+
+
+def test_table_schema_types():
+    env = S.table_schema(S.ENVIRONMENTAL)
+    by_name = {f.name: f.dataType for f in env.fields}
+    assert by_name["data_time_stamp"] == T.TimestampType()
+    assert by_name["sensor_index"] == T.IntegerType()
+    assert by_name["humidity"] == T.IntegerType()
+    assert by_name["pressure_b"] == T.DoubleType()
+
+    st = S.table_schema(S.STATION, at_rest=False)
+    by_name = {f.name: f.dataType for f in st.fields}
+    # wire form keeps epochs as longs
+    assert by_name["last_seen"] == T.LongType()
+    assert by_name["data_time_stamp"] == T.LongType()
+
+    wide = S.wide_schema()
+    assert len(wide.fields) == 117

@@ -1,0 +1,180 @@
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from purpleair_data_logger_spark import schema as S
+from purpleair_data_logger_spark.operators import transforms as X
+from purpleair_data_logger_spark.sinks.tables import SensorTableStore
+from purpleair_data_logger_spark.sources import purpleair_api as api
+from purpleair_data_logger_spark.streaming.continuous_aggregate import (
+    batch_hourly_refresh,
+    hourly_aggregate_plan,
+)
+from purpleair_data_logger_spark.streaming.poll import (
+    PollIntervalError,
+    PollLoop,
+    validate_interval,
+)
+
+BASE_TS = 1659710232  # 2022-08-05 … UTC
+ALIGNED_TS = BASE_TS - (BASE_TS % 3600)  # hour-aligned base for bucket tests
+
+
+def _multi_payload(ts, rows):
+    return {
+        "api_version": "V1",
+        "time_stamp": ts + 56,
+        "data_time_stamp": ts,
+        "fields": ["sensor_index", "name", "humidity", "pm2.5_atm", "last_seen"],
+        "data": rows,
+    }
+
+
+def _store(spark, tmp_path) -> SensorTableStore:
+    return SensorTableStore(spark, str(tmp_path / "tables"), cluster_partitions=2)
+
+
+def test_append_read_reconstruct(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    payload = _multi_payload(
+        BASE_TS, [[1, "s1", 40, 1.5, BASE_TS - 10], [2, "s2", 50, 2.5, BASE_TS - 20]]
+    )
+    wide = X.to_storage_form(X.zip_fields_data(spark, payload))
+    store.append_wide(wide)
+
+    env = store.read(S.ENVIRONMENTAL)
+    assert env.count() == 2
+    assert set(env.columns) == set(
+        S.KEY_COLUMNS + [f.sql_name for f in S.group_fields(S.ENVIRONMENTAL)]
+    )
+
+    # J1: 9-way reconstruction returns the full logical reading
+    full = store.reconstruct_reading()
+    assert full.count() == 2
+    assert len(full.columns) == 117
+    row = {r["sensor_index"]: r for r in full.collect()}
+    assert row[1]["humidity"] == 40
+    assert row[2]["pm2_5_atm"] == 2.5
+
+
+def test_append_dedup_on_pk(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    payload = _multi_payload(BASE_TS, [[1, "s1", 40, 1.5, 0], [1, "s1", 40, 1.5, 0]])
+    wide = X.to_storage_form(X.zip_fields_data(spark, payload))
+    store.append_wide(wide)  # duplicate PK within batch → one row
+    assert store.read(S.STATION).count() == 1
+
+
+def test_retention_drops_old_partitions(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    old_ts = BASE_TS - 40 * 86400
+    for ts in (old_ts, BASE_TS):
+        payload = _multi_payload(ts, [[1, "s1", 40, 1.5, ts]])
+        store.append_wide(X.to_storage_form(X.zip_fields_data(spark, payload)))
+    assert store.read(S.ENVIRONMENTAL).count() == 2
+
+    now = datetime.datetime.fromtimestamp(BASE_TS, datetime.timezone.utc)
+    dropped = store.apply_retention(S.ENVIRONMENTAL, keep_days=14, now=now)
+    assert len(dropped) == 1
+    assert store.read(S.ENVIRONMENTAL).count() == 1
+
+
+def test_drop_all_requires_confirm(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    with pytest.raises(ValueError):
+        store.drop_all(confirm=False)
+    store.drop_all(confirm=True)  # no-op on empty dirs
+
+
+def test_poll_loop_interval_floor():
+    with pytest.raises(PollIntervalError):
+        validate_interval(59)
+    assert validate_interval(60) == 60
+    assert validate_interval(65) == 65
+
+
+def test_poll_loop_end_to_end(spark, tmp_path):
+    """R1: poll → conform → store micro-batches, stubbed transport."""
+    calls = {"n": 0}
+
+    def transport(req):
+        calls["n"] += 1
+        ts = BASE_TS + calls["n"] * 65
+        return 200, _multi_payload(ts, [[1, "s1", 40, 1.5, ts], [2, "s2", 50, 2.5, ts]])
+
+    sleeps: list[float] = []
+    src = api.PurpleAirSource(spark, "K", transport=transport)
+    store = _store(spark, tmp_path)
+    loop = PollLoop(src, store, interval_seconds=65, sleep=sleeps.append)
+    done = loop.run(mode="multi", iterations=3, fields="sensor_index,name")
+
+    assert done == 3
+    assert calls["n"] == 3
+    assert sleeps == [65, 65]  # no trailing sleep after the last batch
+    assert store.read(S.ENVIRONMENTAL).count() == 6
+
+
+def test_hourly_aggregate_batch_and_refresh_window(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    rows = []
+    for h in range(5):
+        for m in (0, 30):
+            ts = ALIGNED_TS + h * 3600 + m * 60
+            rows.append([1, "s1", 40 + h, 1.5 * h, ts])
+    payload = _multi_payload(ALIGNED_TS, rows)
+    wide = X.to_storage_form(X.zip_fields_data(spark, payload))
+    # stamp per-row data_time_stamp: zip uses the shared payload stamp,
+    # so rebuild with distinct data_time_stamp per reading
+    from pyspark.sql import functions as F
+
+    wide = wide.withColumn("data_time_stamp", F.col("last_seen"))
+    store.append_wide(wide.dropDuplicates(["data_time_stamp", "sensor_index"]))
+
+    env = store.read(S.ENVIRONMENTAL)
+    agg = hourly_aggregate_plan(env, value_cols=["humidity"])
+    got = {r["bucket_hour"]: r for r in agg.collect()}
+    assert len(got) == 5  # five distinct hours
+    assert all(r["n_readings"] == 2 for r in got.values())
+
+    # refresh window (now−3h, now−1h] only recomputes two buckets
+    now = datetime.datetime.fromtimestamp(ALIGNED_TS + 4 * 3600 + 1800, datetime.timezone.utc).replace(tzinfo=None)
+    refreshed = batch_hourly_refresh(
+        spark, env, now=now, value_cols=["humidity"]
+    )
+    assert refreshed.count() == 2
+
+
+def test_streaming_hourly_aggregate_available_now(spark, tmp_path):
+    from purpleair_data_logger_spark.streaming.continuous_aggregate import (
+        streaming_hourly_aggregate,
+    )
+
+    store = _store(spark, tmp_path)
+    rows = []
+    for h in range(4):
+        ts = ALIGNED_TS + h * 3600
+        rows.append([1, "s1", 40 + h, 1.5, ts])
+    payload = _multi_payload(ALIGNED_TS, rows)
+    from pyspark.sql import functions as F
+
+    wide = X.to_storage_form(X.zip_fields_data(spark, payload)).withColumn(
+        "data_time_stamp", F.col("last_seen")
+    )
+    store.append_wide(wide)
+
+    q = streaming_hourly_aggregate(
+        spark,
+        store.path(S.ENVIRONMENTAL),
+        str(tmp_path / "agg"),
+        str(tmp_path / "ckpt"),
+        value_cols=["humidity"],
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "agg"))
+    # append mode emits only watermark-closed windows: with a 2h
+    # watermark over 4 hourly points, the first 2 windows are closed
+    assert out.count() >= 1
+    assert set(out.columns) == {"bucket_hour", "sensor_index", "n_readings", "max_humidity"}
