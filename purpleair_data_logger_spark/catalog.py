@@ -488,6 +488,77 @@ def cardinality_profile(spark, sf_dir):
     )
 
 
+@register(
+    "vertical_split_rejoin",
+    """
+    WITH keyed AS (SELECT event_id, ts, user_id FROM events),
+         grp_a AS (SELECT event_id, event_type FROM events),
+         grp_b AS (SELECT event_id, value FROM events)
+    SELECT k.event_id, k.ts, k.user_id, a.event_type, b.value
+    FROM keyed k
+    JOIN grp_a a ON a.event_id = k.event_id
+    JOIN grp_b b ON b.event_id = k.event_id
+    """,
+    "T4+J1 (vertical partition projection and the PK reconstruction join)",
+)
+def vertical_split_rejoin(spark, sf_dir):
+    """The reference's core storage shape: one wide record vertically
+    split into field groups (T4), then reconstructed with PK equi-joins
+    (J1). At scale the N frames share partitioning (they were split
+    from one scan), so Catalyst plans co-partitioned joins — no extra
+    shuffle beyond the first."""
+    e = _t(spark, sf_dir, "events")
+    keyed = e.select("event_id", "ts", "user_id")
+    grp_a = e.select("event_id", "event_type")
+    grp_b = e.select("event_id", "value")
+    return keyed.join(grp_a, "event_id").join(grp_b, "event_id").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS media_id, 'text/plain' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    "north-star multimodal: binary payload + typed metadata (JVM-only pass)",
+)
+def multimodal_metadata(spark, sf_dir):
+    from purpleair_data_logger_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    return mm.payload_metadata(mm.attach_binary_payload(d, "doc_id", "text"))
+
+
+@register(
+    "multimodal_features",
+    None,
+    "north-star multimodal: mapInPandas decode/featurize (stub decoder)",
+)
+def multimodal_features(spark, sf_dir):
+    from purpleair_data_logger_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = mm.attach_binary_payload(d, "doc_id", "text")
+    return mm.extract_features(media, decoder=mm.fake_decoder)
+
+
+@register(
+    "approx_distinct_profile",
+    None,
+    "§2.10 approx_count_distinct cardinality profiling (HLL estimate)",
+)
+def approx_distinct_profile(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_type").alias("approx_types"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # D. LLM-data-pipeline operators (north star): dedup, text analysis,
 #    similarity search over documents/embeddings.

