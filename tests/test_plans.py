@@ -1,0 +1,89 @@
+"""Plan-quality gates: the physical plans must show the shapes a
+100 TB deployment depends on — pushdown, pruning, broadcasts, map-side
+combine, no Python in JVM-only paths (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from purpleair_data_logger_spark import catalog
+from purpleair_data_logger_spark.plans import explain as E
+
+QS = catalog.all_queries()
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def _plan(spark, sf, name):
+    return E.formatted_plan(QS[name].fn(spark, sf))
+
+
+def test_snapshot_filters_pushdown_and_pruning(spark, sf):
+    df = QS["snapshot_filters"].fn(spark, sf)
+    plan = E.formatted_plan(df)
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "EqualTo(event_type" in pushed
+    assert "In(user_id" in pushed
+    assert "GreaterThanOrEqual(value" in pushed or "value" in pushed
+    # props never read; zero shuffles for a pure filter+project
+    assert all("props" not in s for s in E.read_schemas(plan))
+    assert E.count(plan, "Exchange") == 0
+
+
+def test_reconstruction_join_broadcasts_dims(spark, sf):
+    plan = _plan(spark, sf, "reconstruction_join")
+    # customer, supplier, nation, region broadcast (orders may also be,
+    # at test scale); the date filter reaches the orders scan
+    assert E.count(plan, "BroadcastHashJoin") >= 4
+    assert "GreaterThanOrEqual(o_orderdate" in " ".join(E.pushed_filters(plan))
+    assert E.count(plan, "HashAggregate") == 2  # partial + final
+
+
+def test_hourly_aggregate_single_shuffle_partial_agg(spark, sf):
+    plan = _plan(spark, sf, "hourly_continuous_aggregate")
+    assert E.count(plan, "HashAggregate") == 2
+    assert E.count(plan, "Exchange") == 1
+
+
+def test_semi_join_broadcasts_filter_table(spark, sf):
+    plan = _plan(spark, sf, "semi_join_show_only")
+    assert E.count(plan, "BroadcastHashJoin") >= 1
+    assert "EqualTo(c_mktsegment,BUILDING)" in ",".join(E.pushed_filters(plan)).replace(", ", ",")
+
+
+def test_text_ops_stay_jvm_side(spark, sf):
+    """No Python evaluation nodes in any text/dedup pipeline — they
+    must run in whole-stage codegen."""
+    for name in ["text_quality", "lang_id", "doc_fingerprint", "dedup_exact_docs",
+                 "minhash_lsh_candidates", "simhash_neardups", "jaccard_neardup_blocked"]:
+        plan = _plan(spark, sf, name)
+        # JVM-side only: no Python evaluation nodes anywhere. (Whole-stage
+        # codegen coverage varies — higher-order lambdas and pre-AQE
+        # formatted plans omit codegen ids — so absence-of-Python is the
+        # invariant worth pinning.)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
+
+
+def test_multimodal_features_uses_arrow(spark, sf):
+    plan = _plan(spark, sf, "multimodal_features")
+    # mapInPandas shows up as MapInPandas (Arrow), never row-pickling
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_knn_broadcasts_queries(spark, sf):
+    plan = _plan(spark, sf, "knn_cosine_bruteforce")
+    assert "BroadcastExchange" in plan
+    # one shuffle for the per-query top-k window at most
+    assert E.count(plan, "Exchange") <= 2
+
+
+def test_groupby_dedup_partial_agg(spark, sf):
+    for name in ["pk_dedup", "dedup_exact_docs"]:
+        plan = _plan(spark, sf, name)
+        assert E.count(plan, "HashAggregate") == 2, name
+        assert E.count(plan, "Exchange") == 1, name
