@@ -167,6 +167,67 @@ def rolling_avg_trailing_1h(spark, sf_dir):
 
 
 @register(
+    "rolling_pseudo_averages",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW), 4)
+               AS avg_10minute,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW), 4)
+               AS avg_30minute,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW), 4)
+               AS avg_60minute,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW), 4)
+               AS avg_6hour
+    FROM events
+    """,
+    "A4 (pm2.5 pseudo running averages: 10m/30m/60m/6h trailing frames "
+    "recomputed from raw readings, PurpleAirAPIConstants.py:40-41)",
+)
+def rolling_pseudo_averages(spark, sf_dir):
+    """All trailing frames share one partition+sort (same window spec
+    family), so Spark evaluates them in a single Window operator: one
+    shuffle on user_id, one sort, four frame scans."""
+    e = _t(spark, sf_dir, "events")
+    rolled = agg.rolling_window_agg(
+        e,
+        "ts",
+        ["user_id"],
+        600,
+        {"_r10": F.avg("value")},
+    )
+    # add the remaining frames on the same window family
+    from pyspark.sql import Window
+
+    def frame(seconds):
+        return (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros(F.col("ts")))
+            .rangeBetween(-seconds * 1_000_000, 0)
+        )
+
+    return (
+        rolled.withColumn("_r30", F.avg("value").over(frame(1800)))
+        .withColumn("_r60", F.avg("value").over(frame(3600)))
+        .withColumn("_r6h", F.avg("value").over(frame(21600)))
+        .select(
+            "event_id",
+            F.round("_r10", 4).alias("avg_10minute"),
+            F.round("_r30", 4).alias("avg_30minute"),
+            F.round("_r60", 4).alias("avg_60minute"),
+            F.round("_r6h", 4).alias("avg_6hour"),
+        )
+    )
+
+
+@register(
     "sensor_directory",
     """
     SELECT DISTINCT c_custkey AS sensor_index,
