@@ -28,6 +28,8 @@ HEADLINE = [
     "dashboard_bucketed_max",
     "tumbling_avg_10min",
     "rolling_avg_trailing_1h",
+    "rolling_pseudo_averages",
+    "vertical_split_rejoin",
     "historic_range_downsample",
     "semi_join_show_only",
     "pk_dedup",
@@ -40,6 +42,8 @@ HEADLINE = [
     "knn_cosine_bruteforce",
     "knn_lsh_bucketed",
     "embedding_neardup_cosine",
+    "multimodal_metadata",
+    "multimodal_features",
 ]
 
 

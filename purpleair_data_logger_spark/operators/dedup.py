@@ -122,9 +122,17 @@ def minhash_signatures(
     ex = df.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
     )
-    return ex.groupBy(id_col).agg(
+    # One string hash per shingle, then num_hashes re-hashes of that
+    # 8-byte long (xxhash64(h, seed)) — variable-length string hashing
+    # happens once instead of num_hashes times per shingle. (An affine
+    # a*h+b permutation family would be cheaper still, but ANSI mode
+    # rejects the wrapping multiply.)
+    hashed = ex.select(
+        F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h")
+    )
+    return hashed.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"_mh{i}")
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_mh{i}")
             for i in range(num_hashes)
         ]
     )

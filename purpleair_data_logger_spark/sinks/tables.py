@@ -62,17 +62,40 @@ class SensorTableStore:
         )
         return rep.sortWithinPartitions("sensor_index", "data_time_stamp")
 
-    def append_wide(self, wide: DataFrame, *, dedup: bool = True) -> None:
+    def append_wide(
+        self,
+        wide: DataFrame,
+        *,
+        dedup: bool = True,
+        dedup_against_existing: bool = False,
+    ) -> None:
         """Write one wide at-rest frame into all nine tables.
 
         One micro-batch = one write per table (vs the reference's 9
         INSERTs + commit per reading). ``dedup`` drops PK duplicates
-        within the batch deterministically (keep-min over non-key
-        columns is meaningless here, so dropDuplicates on PK suffices
-        for idempotent re-delivery of identical readings).
+        within the batch deterministically. ``dedup_against_existing``
+        additionally anti-joins the batch against already-stored keys
+        (R6 exactly-once on re-delivery): the anti-join probes only the
+        date partitions the batch touches — partition pruning keeps it
+        O(batch), not O(table), at any scale.
         """
         if dedup:
             wide = wide.dropDuplicates(S.KEY_COLUMNS)
+        if dedup_against_existing and os.path.isdir(self.path(S.STATION)):
+            batch_dates = [
+                r[0]
+                for r in wide.select(
+                    F.to_date(F.col("data_time_stamp")).alias("d")
+                )
+                .distinct()
+                .collect()
+            ]
+            existing = (
+                self.spark.read.parquet(self.path(S.STATION))
+                .filter(F.col(PARTITION_COL).isin(batch_dates))
+                .select(*S.KEY_COLUMNS)
+            )
+            wide = wide.join(existing, on=S.KEY_COLUMNS, how="left_anti")
         for table, part in vertical_split(wide).items():
             self._prepare(part).write.mode("append").partitionBy(
                 PARTITION_COL

@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark import schema as S
+from purpleair_data_logger_spark.functions import scalar as fx
+from purpleair_data_logger_spark.operators import transforms as X
+from purpleair_data_logger_spark.sinks.tables import SensorTableStore
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("BRSKBV-outside", 131079, 1659710232, '{"k": 7}')],
+        "name string, sensor_index int, epoch long, props string",
+    )
+    row = df.select(
+        fx.concat_name_index("name", "sensor_index").alias("c"),
+        fx.epoch_to_timestamp("epoch").alias("ts"),
+        fx.time_bucket_expr(fx.epoch_to_timestamp("epoch"), 3600).alias("bucket"),
+        fx.json_get("props", "$.k").cast("int").alias("k"),
+    ).collect()[0]
+    assert row["c"] == "BRSKBV-outside, 131079"
+    assert row["ts"].year == 2022
+    assert row["bucket"].minute == 0 and row["bucket"].second == 0
+    assert row["k"] == 7
+
+    parsed = df.select(
+        fx.split_part(fx.concat_name_index("name", "sensor_index")).cast("int").alias("i")
+    ).collect()[0]
+    assert parsed["i"] == 131079
+
+    back = df.select(
+        fx.timestamp_to_epoch(fx.epoch_to_timestamp("epoch")).alias("e")
+    ).collect()[0]
+    assert back["e"] == 1659710232
+
+
+def test_cross_batch_idempotent_append(spark, tmp_path):
+    """R6: re-delivering the same reading across micro-batches must not
+    duplicate rows when dedup_against_existing is on."""
+    store = SensorTableStore(spark, str(tmp_path / "t"), cluster_partitions=2)
+    payload = {
+        "data_time_stamp": 1659710232,
+        "fields": ["sensor_index", "name", "humidity"],
+        "data": [[1, "s1", 40], [2, "s2", 50]],
+    }
+    wide = X.to_storage_form(X.zip_fields_data(spark, payload))
+    store.append_wide(wide, dedup_against_existing=True)
+    # same batch re-delivered + one genuinely new reading
+    payload2 = {
+        "data_time_stamp": 1659710232,
+        "fields": ["sensor_index", "name", "humidity"],
+        "data": [[1, "s1", 40], [2, "s2", 50], [3, "s3", 60]],
+    }
+    wide2 = X.to_storage_form(X.zip_fields_data(spark, payload2))
+    store.append_wide(wide2, dedup_against_existing=True)
+
+    env = store.read(S.ENVIRONMENTAL)
+    assert env.count() == 3
+    assert env.filter(F.col("sensor_index") == 3).count() == 1
