@@ -30,6 +30,7 @@ HEADLINE = [
     "rolling_avg_trailing_1h",
     "rolling_pseudo_averages",
     "vertical_split_rejoin",
+    "asof_last_click",
     "historic_range_downsample",
     "semi_join_show_only",
     "pk_dedup",
@@ -70,6 +71,39 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+
+    # Write path: events mapped onto the sensor reading shape, conformed
+    # to the full 115-field schema, vertically split and written to all
+    # nine clustered parquet tables — the ingestion pipeline the
+    # reference does with 9 INSERTs + commit per reading.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from purpleair_data_logger_spark.io import load_table  # noqa: PLC0415
+    from purpleair_data_logger_spark.operators import transforms as X  # noqa: PLC0415
+    from purpleair_data_logger_spark.sinks.tables import SensorTableStore  # noqa: PLC0415
+
+    tmp = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        as_readings = events.select(
+            F.unix_timestamp("ts").alias("data_time_stamp"),
+            F.col("event_id").cast("int").alias("sensor_index"),
+            F.concat(F.lit("user-"), F.col("user_id").cast("string")).alias("name"),
+            F.col("value").alias("pm2.5_atm"),
+            (F.col("value") / 2).alias("temperature"),
+        )
+        t0 = time.perf_counter()
+        wide = X.to_storage_form(as_readings)
+        store = SensorTableStore(spark, tmp, cluster_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
+        store.append_wide(wide)
+        dt = time.perf_counter() - t0
+        timings["ingest_events_9tables"] = round(dt, 3)
+        total += dt
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     print(
         json.dumps(

@@ -518,6 +518,41 @@ def topk_orders(spark, sf_dir):
 
 
 @register(
+    "asof_last_click",
+    """
+    SELECT e.event_id, e.user_id, e.ts, c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    "as-of join (time-series most-recent-match; merge-scan, no range blowup)",
+)
+def asof_last_click(spark, sf_dir):
+    """For each error event, the user's most recent click at-or-before
+    it. Spark lacks a native as-of join; `operators.asof.asof_join`
+    implements the merge-scan formulation (one shuffle + one sort)."""
+    from purpleair_data_logger_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts", "value"],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts"),
+        F.col("asof_value"),
+    )
+
+
+@register(
     "pk_dedup",
     """
     SELECT ts, user_id, min(event_id) AS event_id, count(*) AS n_dups

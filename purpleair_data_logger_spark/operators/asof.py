@@ -1,0 +1,88 @@
+"""As-of (most-recent-match) join — a time-series operator Spark lacks
+natively.
+
+For each left row, find the single right row with the greatest
+``right.ts <= left.ts`` within the same key — the standard way to
+attach the latest sensor/station state to a reading, or the last click
+to an error event. TimescaleDB users write ``LATERAL ... ORDER BY ts
+DESC LIMIT 1``; DuckDB has ``ASOF JOIN``; Spark has neither, so this
+implements the **merge-scan formulation**:
+
+    union(right tagged 0, left tagged 1)
+      → window over (key) ordered by (ts, tag)
+      → last non-null right-payload at or before each row
+      → keep left rows
+
+One shuffle on the key, one sort — O(n log n), no range explosion, no
+per-row subquery. Ties (right.ts == left.ts) match, because the right
+row sorts first at equal ts (tag 0 < 1) — the same inclusive semantics
+as DuckDB's ``ON right.ts <= left.ts``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_payload: Sequence[str],
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the latest right payload
+    at-or-before its timestamp (NULLs when no prior right row).
+
+    ``on``: equi-key columns (must exist in both frames).
+    ``right_payload``: right columns to carry (renamed with prefix).
+    """
+    keys = list(on)
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    tagged_right = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"{payload_prefix}{c}") for c in right_payload],
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+    )
+    tagged_left = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{payload_prefix}{c}")
+            for c in right_payload
+        ],
+        *lcols,
+    )
+    merged = tagged_right.unionByName(tagged_left)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_micros(F.col("_ts")), F.col("_tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        *keys,
+        "_ts",
+        "_tag",
+        *lcols,
+        *[
+            F.last(F.col(f"{payload_prefix}{c}"), ignorenulls=True)
+            .over(w)
+            .alias(f"{payload_prefix}{c}")
+            for c in right_payload
+        ],
+    )
+    return filled.filter(F.col("_tag") == 1).select(
+        *keys,
+        F.col("_ts").alias(left_ts),
+        *lcols,
+        *[f"{payload_prefix}{c}" for c in right_payload],
+    )

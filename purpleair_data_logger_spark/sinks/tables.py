@@ -96,6 +96,12 @@ class SensorTableStore:
                 .select(*S.KEY_COLUMNS)
             )
             wide = wide.join(existing, on=S.KEY_COLUMNS, how="left_anti")
+        # Nine narrow pipelines, NOT one cached wide one: Catalyst prunes
+        # each table's pipeline down to its own ~15 columns end-to-end
+        # (scan → transform → shuffle → sort → write all narrow), so the
+        # nine "recomputations" collectively do about one wide frame of
+        # work. Caching the clustered wide frame instead materializes all
+        # 117 columns and defeats pruning — measured 3x slower at sf0.1.
         for table, part in vertical_split(wide).items():
             self._prepare(part).write.mode("append").partitionBy(
                 PARTITION_COL

@@ -1,0 +1,45 @@
+from __future__ import annotations
+
+import datetime
+
+from purpleair_data_logger_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100),  # after right@09:00 → match
+            (1, _ts("2024-01-01T09:00:00"), 101),  # tie with right@09:00 → match (inclusive)
+            (1, _ts("2024-01-01T08:00:00"), 102),  # before any right → NULL
+            (2, _ts("2024-01-01T10:00:00"), 103),  # other key, no right rows → NULL
+        ],
+        "user_id int, ts timestamp, event_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:00:00"), 9.0),
+            (1, _ts("2024-01-01T09:30:00"), 9.5),
+        ],
+        "user_id int, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left,
+            right,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["ts", "value"],
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[100]["asof_value"] == 9.5  # latest at-or-before 10:00
+    assert out[100]["asof_ts"] == _ts("2024-01-01T09:30:00")
+    assert out[101]["asof_value"] == 9.0  # equal-ts tie matches
+    assert out[102]["asof_value"] is None
+    assert out[103]["asof_value"] is None
