@@ -58,3 +58,20 @@ def test_cross_batch_idempotent_append(spark, tmp_path):
     env = store.read(S.ENVIRONMENTAL)
     assert env.count() == 3
     assert env.filter(F.col("sensor_index") == 3).count() == 1
+
+
+def test_csv_sink_quotes_commas(spark, tmp_path):
+    """K3 fidelity: the reference's hand-rolled CSV writer corrupts on
+    commas in `name` (PurpleAirCSVDataLogger.py:151-309); Spark's
+    writer must round-trip them (documented deviation: correct-by-default)."""
+    from purpleair_data_logger_spark.sinks.tables import write_csv_sink
+
+    df = spark.createDataFrame(
+        [(1, "comma, name", 40), (2, 'quote " name', 50)],
+        "sensor_index int, name string, humidity int",
+    )
+    path = str(tmp_path / "csv")
+    write_csv_sink(df, path)
+    back = spark.read.option("header", True).csv(path)
+    names = {r["name"] for r in back.collect()}
+    assert names == {"comma, name", 'quote " name'}
