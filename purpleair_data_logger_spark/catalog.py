@@ -9,7 +9,13 @@ Conventions:
   the oracle SQL (the driver hash-compares values after sorting columns
   by name);
 * floating-point aggregates whose summation order differs between
-  engines are rounded (2-4 decimals) on BOTH sides;
+  engines are rounded on BOTH sides — at the data's decimal
+  granularity, never coarser: `round()` itself is cross-engine
+  nondeterministic on half-boundary values (Spark rounds the shortest
+  decimal representation — 200.17/8 → "25.02125" → HALF_UP → 25.0213 —
+  while DuckDB rounds the binary value 25.021249999… down), so means
+  are expressed as `round(sum, granularity) / n` with NO outer round:
+  identical dividends give bit-identical IEEE quotients;
 * timestamps are UTC everywhere (`session.configure_existing` pins the
   session timezone before running).
 
@@ -125,20 +131,24 @@ def dashboard_bucketed_max(spark, sf_dir):
     "tumbling_avg_10min",
     """
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_ts, event_type,
-           round(avg(value), 4) AS avg_value, count(*) AS n_events
+           round(sum(value), 2) / count(*) AS avg_value, count(*) AS n_events
     FROM events GROUP BY 1, 2
     """,
     "A3 (historic `average` downsampling, PurpleAirAPI.py:261-262)",
 )
 def tumbling_avg_10min(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
+    # mean = round(sum, data-granularity) / n, no outer round: the
+    # 2-decimal-granular sum rounds to a bit-identical double in any
+    # engine, and identical dividends divide to identical quotients
+    # (see module docstring on cross-engine round() divergence).
     return agg.bucketed_agg(
         e,
         "ts",
         600,
         ["event_type"],
         [
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
             F.count(F.lit(1)).alias("n_events"),
         ],
     )
@@ -148,21 +158,25 @@ def tumbling_avg_10min(spark, sf_dir):
     "rolling_avg_trailing_1h",
     """
     SELECT event_id,
-           round(avg(value) OVER (
-               PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-           ), 4) AS rolling_avg_1h
+           round(sum(value) OVER w, 2) / count(*) OVER w AS rolling_avg_1h
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
     """,
     "A4 (pm2.5 pseudo running averages recomputation)",
 )
 def rolling_avg_trailing_1h(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     rolled = agg.rolling_window_agg(
-        e, "ts", ["user_id"], 3600, {"_roll": F.avg("value")}
+        e,
+        "ts",
+        ["user_id"],
+        3600,
+        {"_sum": F.sum("value"), "_n": F.count(F.lit(1))},
     )
     return rolled.select(
-        "event_id", F.round(F.col("_roll"), 4).alias("rolling_avg_1h")
+        "event_id",
+        (F.round(F.col("_sum"), 2) / F.col("_n")).alias("rolling_avg_1h"),
     )
 
 
@@ -170,23 +184,20 @@ def rolling_avg_trailing_1h(spark, sf_dir):
     "rolling_pseudo_averages",
     """
     SELECT event_id,
-           round(avg(value) OVER (
-               PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW), 4)
-               AS avg_10minute,
-           round(avg(value) OVER (
-               PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW), 4)
-               AS avg_30minute,
-           round(avg(value) OVER (
-               PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW), 4)
-               AS avg_60minute,
-           round(avg(value) OVER (
-               PARTITION BY user_id ORDER BY ts
-               RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW), 4)
-               AS avg_6hour
+           round(sum(value) OVER w10, 2) / count(*) OVER w10 AS avg_10minute,
+           round(sum(value) OVER w30, 2) / count(*) OVER w30 AS avg_30minute,
+           round(sum(value) OVER w60, 2) / count(*) OVER w60 AS avg_60minute,
+           round(sum(value) OVER w6h, 2) / count(*) OVER w6h AS avg_6hour
     FROM events
+    WINDOW
+      w10 AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW),
+      w30 AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW),
+      w60 AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW),
+      w6h AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
     """,
     "A4 (pm2.5 pseudo running averages: 10m/30m/60m/6h trailing frames "
     "recomputed from raw readings, PurpleAirAPIConstants.py:40-41)",
@@ -196,15 +207,6 @@ def rolling_pseudo_averages(spark, sf_dir):
     family), so Spark evaluates them in a single Window operator: one
     shuffle on user_id, one sort, four frame scans."""
     e = _t(spark, sf_dir, "events")
-    rolled = agg.rolling_window_agg(
-        e,
-        "ts",
-        ["user_id"],
-        600,
-        {"_r10": F.avg("value")},
-    )
-    # add the remaining frames on the same window family
-    from pyspark.sql import Window
 
     def frame(seconds):
         return (
@@ -213,17 +215,16 @@ def rolling_pseudo_averages(spark, sf_dir):
             .rangeBetween(-seconds * 1_000_000, 0)
         )
 
-    return (
-        rolled.withColumn("_r30", F.avg("value").over(frame(1800)))
-        .withColumn("_r60", F.avg("value").over(frame(3600)))
-        .withColumn("_r6h", F.avg("value").over(frame(21600)))
-        .select(
-            "event_id",
-            F.round("_r10", 4).alias("avg_10minute"),
-            F.round("_r30", 4).alias("avg_30minute"),
-            F.round("_r60", 4).alias("avg_60minute"),
-            F.round("_r6h", 4).alias("avg_6hour"),
-        )
+    def rolled_avg(seconds):
+        w = frame(seconds)
+        return F.round(F.sum("value").over(w), 2) / F.count(F.lit(1)).over(w)
+
+    return e.select(
+        "event_id",
+        rolled_avg(600).alias("avg_10minute"),
+        rolled_avg(1800).alias("avg_30minute"),
+        rolled_avg(3600).alias("avg_60minute"),
+        rolled_avg(21600).alias("avg_6hour"),
     )
 
 
@@ -290,7 +291,7 @@ def snapshot_filters(spark, sf_dir):
     "historic_range_downsample",
     """
     SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket_ts, event_type,
-           round(avg(value), 4) AS avg_value, max(value) AS max_value,
+           round(sum(value), 2) / count(*) AS avg_value, max(value) AS max_value,
            min(value) AS min_value, count(*) AS n_events
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
@@ -310,7 +311,7 @@ def historic_range_downsample(spark, sf_dir):
         1800,
         ["event_type"],
         [
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
             F.max("value").alias("max_value"),
             F.min("value").alias("min_value"),
             F.count(F.lit(1)).alias("n_events"),
@@ -381,7 +382,7 @@ def json_props_extract(spark, sf_dir):
     "reconstruction_join",
     """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
            count(*) AS n_lineitems
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -430,7 +431,7 @@ def reconstruction_join(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
@@ -728,6 +729,23 @@ def text_quality(spark, sf_dir):
 def lang_id(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return tx.language_id(d, "doc_id", "text")
+
+
+@register(
+    "text_normalize",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g')) AS normalized_text,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                ' +', ' ', 'g'))) AS normalized_md5
+    FROM documents
+    """,
+    "north-star text normalization (dedup pre-pass: lowercase/strip/collapse)",
+)
+def text_normalize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.normalize(d, "doc_id", "text")
 
 
 @register(

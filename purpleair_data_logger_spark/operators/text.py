@@ -92,6 +92,28 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def normalize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Text normalization for dedup/training prep: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace runs, trim.
+
+    The canonical pre-pass before exact/minhash dedup — normalizing
+    first turns case/punctuation variants into exact duplicates. Pure
+    regexp pipeline, one narrow projection.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias("normalized_text"),
+        F.md5(norm).alias("normalized_md5"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str, *, prefix_tokens: int = 16) -> DataFrame:
     """Document fingerprint: md5 over the normalized token prefix.
 
