@@ -554,6 +554,38 @@ def asof_last_click(spark, sf_dir):
 
 
 @register(
+    "sessionize_users",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    "sessionization (gap-based session windows, 30 min; gaps-and-islands)",
+)
+def sessionize_users(spark, sf_dir):
+    from purpleair_data_logger_spark.operators.sessionize import session_stats
+
+    e = _t(spark, sf_dir, "events")
+    return session_stats(e, "user_id", "ts", gap_seconds=1800)
+
+
+@register(
     "pk_dedup",
     """
     SELECT ts, user_id, min(event_id) AS event_id, count(*) AS n_dups

@@ -125,6 +125,50 @@ class SensorTableStore:
                 PARTITION_COL
             ).parquet(self.path(table))
 
+    def upsert_wide(self, wide: DataFrame) -> None:
+        """Upsert: new readings insert, existing PKs take the batch's
+        values — partition-scoped MERGE on plain parquet.
+
+        Only the date partitions the batch touches are rewritten
+        (dynamic partition overwrite): stored rows from those partitions
+        that are NOT in the batch survive via anti-join + union. Work is
+        O(touched partitions), never O(table) — the parquet equivalent
+        of Delta MERGE for this PK shape.
+        """
+        wide = wide.dropDuplicates(S.KEY_COLUMNS)
+        batch_dates = [
+            r[0]
+            for r in wide.select(F.to_date(F.col("data_time_stamp")).alias("d"))
+            .distinct()
+            .collect()
+        ]
+        prev_mode = self.spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            for table, part in vertical_split(wide).items():
+                out = part
+                if os.path.isdir(self.path(table)):
+                    survivors = (
+                        self.spark.read.parquet(self.path(table))
+                        .filter(F.col(PARTITION_COL).isin(batch_dates))
+                        .drop(PARTITION_COL)
+                        .join(
+                            part.select(*S.KEY_COLUMNS),
+                            on=S.KEY_COLUMNS,
+                            how="left_anti",
+                        )
+                    )
+                    out = part.unionByName(survivors)
+                self._prepare(out).write.mode("overwrite").partitionBy(
+                    PARTITION_COL
+                ).parquet(self.path(table))
+        finally:
+            self.spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
     # -- read path ---------------------------------------------------------
 
     def read(self, table: str) -> DataFrame:

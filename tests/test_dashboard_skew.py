@@ -105,3 +105,22 @@ def test_replicated_skew_join_matches_broadcast(spark, sf_dir):
     plain = e.join(c, "user_id").count()
     salted = skew.replicated_skew_join(e, c, "user_id").count()
     assert plain == salted
+
+
+def test_sessionize_operator(spark):
+    import datetime
+
+    def t(m):
+        return datetime.datetime(2024, 1, 1, 10, m)
+
+    from purpleair_data_logger_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(1, t(0)), (1, t(10)), (1, t(50)), (2, t(0))],
+        "user_id int, ts timestamp",
+    )
+    out = {(r["user_id"], r["ts"].minute): r["session_id"] for r in sessionize(df, "user_id", "ts", gap_seconds=1800).collect()}
+    assert out[(1, 0)] == 1
+    assert out[(1, 10)] == 1  # within 30 min gap
+    assert out[(1, 50)] == 2  # 40 min gap → new session
+    assert out[(2, 0)] == 1

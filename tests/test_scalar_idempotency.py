@@ -75,3 +75,43 @@ def test_csv_sink_quotes_commas(spark, tmp_path):
     back = spark.read.option("header", True).csv(path)
     names = {r["name"] for r in back.collect()}
     assert names == {"comma, name", 'quote " name'}
+
+
+def test_upsert_wide_replaces_existing_keys(spark, tmp_path):
+    """Partition-scoped MERGE: existing PKs take new values, new PKs
+    insert, untouched rows survive."""
+    store = SensorTableStore(spark, str(tmp_path / "u"), cluster_partitions=2)
+    day1 = {
+        "data_time_stamp": 1659710232,
+        "fields": ["sensor_index", "name", "humidity"],
+        "data": [[1, "s1", 40], [2, "s2", 50]],
+    }
+    day2 = {
+        "data_time_stamp": 1659710232 + 86400,
+        "fields": ["sensor_index", "name", "humidity"],
+        "data": [[1, "s1", 70]],
+    }
+    store.append_wide(X.to_storage_form(X.zip_fields_data(spark, day1)))
+    store.append_wide(X.to_storage_form(X.zip_fields_data(spark, day2)))
+
+    # upsert into day1: sensor 1 gets humidity 99, sensor 3 is new
+    patch = {
+        "data_time_stamp": 1659710232,
+        "fields": ["sensor_index", "name", "humidity"],
+        "data": [[1, "s1-renamed", 99], [3, "s3", 60]],
+    }
+    store.upsert_wide(X.to_storage_form(X.zip_fields_data(spark, patch)))
+
+    env = {
+        (r["sensor_index"], r["data_time_stamp"].day): r
+        for r in store.read(S.ENVIRONMENTAL).collect()
+    }
+    assert len(env) == 4  # day1: sensors 1,2,3; day2: sensor 1
+    day = X.zip_fields_data(spark, day1)  # noqa: F841 (shape reference)
+    d1 = 5  # 2022-08-05
+    assert env[(1, d1)]["humidity"] == 99  # replaced
+    assert env[(2, d1)]["humidity"] == 50  # survived
+    assert env[(3, d1)]["humidity"] == 60  # inserted
+    assert env[(1, 6)]["humidity"] == 70  # other partition untouched
+    station = {r["sensor_index"]: r for r in store.read(S.STATION).collect() if r["data_time_stamp"].day == d1}
+    assert station[1]["name"] == "s1-renamed"
