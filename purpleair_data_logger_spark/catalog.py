@@ -764,6 +764,59 @@ def lang_id(spark, sf_dir):
 
 
 @register(
+    "top_docs_per_lang",
+    """
+    SELECT lang, doc_id, n_chars, lang_rank FROM (
+      SELECT lang, doc_id, n_chars,
+             CAST(row_number() OVER (
+                 PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INTEGER)
+                 AS lang_rank
+      FROM documents)
+    WHERE lang_rank <= 5
+    """,
+    "north-star stratified selection: top-k per group (longest docs per language)",
+)
+def top_docs_per_lang(spark, sf_dir):
+    """Generic per-group top-k (one shuffle on the group key; AQE
+    coalesces the tiny post-filter output) — the selection primitive
+    for per-stratum training-data curation."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).cast("int").alias("lang_rank"),
+        )
+        .filter(F.col("lang_rank") <= 5)
+    )
+
+
+@register(
+    "corpus_token_accounting",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_doc_tokens
+    FROM documents GROUP BY lang
+    """,
+    "north-star corpus accounting: token/char budgets per stratum (exact int aggs)",
+)
+def corpus_token_accounting(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_toks).alias("total_tokens"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.max(n_toks).alias("max_doc_tokens"),
+    )
+
+
+@register(
     "text_normalize",
     """
     SELECT doc_id,
