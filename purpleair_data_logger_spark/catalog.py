@@ -817,6 +817,40 @@ def corpus_token_accounting(spark, sf_dir):
 
 
 @register(
+    "doc_repetition_ratio",
+    """
+    SELECT doc_id,
+           CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_token_share,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens
+    FROM (
+      SELECT doc_id, tok, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok)
+    GROUP BY doc_id
+    """,
+    "north-star repetition quality signal (Gopher-style top-token share)",
+)
+def doc_repetition_ratio(spark, sf_dir):
+    """Per-document repetition signal: share of the single most frequent
+    token, plus exact token/distinct-token counts. A high top-token share
+    flags boilerplate/spam for corpus filtering (the duplicate-fraction
+    family of quality rules). Two hash aggregations keyed by doc_id —
+    the second reuses the first's partitioning (no extra shuffle, AQE
+    coalesces); the ratio is exact-int division so it hashes
+    bit-identically cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("doc_id").agg(
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_token_share"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+    )
+
+
+@register(
     "text_normalize",
     """
     SELECT doc_id,
