@@ -38,6 +38,9 @@ HEADLINE = [
     "dedup_exact_docs",
     "text_quality",
     "lang_id",
+    "top_docs_per_lang",
+    "corpus_token_accounting",
+    "doc_repetition_ratio",
     "jaccard_neardup_blocked",
     "minhash_lsh_candidates",
     "knn_cosine_bruteforce",
