@@ -662,17 +662,52 @@ def multimodal_metadata(spark, sf_dir):
     return mm.payload_metadata(mm.attach_binary_payload(d, "doc_id", "text"))
 
 
+_MM_FEATURE_ORACLE = """
+    WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
+    b AS (SELECT media_id,
+            list_transform(range(0,10), i ->
+              (strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16 +
+              (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1)) AS bs
+          FROM h)
+    SELECT media_id,
+           CAST(bs[9] %% 64 + 1 AS INT) AS width,
+           CAST(bs[10] %% 64 + 1 AS INT) AS height,
+           %s
+    FROM b
+    """ % ",\n           ".join(
+    f"CAST(bs[{i + 1}] AS INT) AS f{i}" for i in range(8)
+)
+
+
 @register(
     "multimodal_features",
-    None,
+    _MM_FEATURE_ORACLE,
     "north-star multimodal: mapInPandas decode/featurize (stub decoder)",
 )
 def multimodal_features(spark, sf_dir):
+    """Arrow-batched decode/featurize, projected to driver-hashable
+    scalars. The mapInPandas operator emits ``features: array<float>``
+    (kept raw for the ANN feed and pytest determinism checks); the gate
+    query recovers each float32 feature back to its source digest byte
+    (``round(f * 255)`` — float32(b/255)·255 is within 1e-5 of b, so the
+    round is exact), making every column canonicalizable. The DuckDB
+    oracle replays `fake_decoder` arithmetic from `sha256(text)` hex."""
     from purpleair_data_logger_spark.operators import multimodal as mm
 
     d = _t(spark, sf_dir, "documents")
     media = mm.attach_binary_payload(d, "doc_id", "text")
-    return mm.extract_features(media, decoder=mm.fake_decoder)
+    feats = mm.extract_features(media, decoder=mm.fake_decoder)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        *[
+            F.round(F.element_at("features", i + 1) * 255, 0)
+            .cast("int")
+            .alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
 
 
 @register(
