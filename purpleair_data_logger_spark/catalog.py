@@ -1010,32 +1010,123 @@ def embedding_norms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# E. Non-SQL-expressible operators (rows-only driver check; pytest
-#    cross-validates against exact counterparts).
+# E. LSH pipelines — run in the portable md5 hash family so the FULL
+#    pipeline (shingle → minhash → bands → candidate join) is replayed
+#    by DuckDB oracle SQL, generated below. Production keeps the
+#    xxhash64 default in operators.dedup; pytest covers that config
+#    with recall assertions instead.
 # ---------------------------------------------------------------------------
+
+
+def _hex60_sql(expr: str) -> str:
+    """DuckDB replica of `operators.dedup.md5_long` applied to a 32-char
+    md5 hex expression: nibble-parse the first 15 hex digits to int64."""
+    return (
+        "CAST(list_sum(list_transform(range(1,16), j -> "
+        f"CAST(strpos('0123456789abcdef', substr({expr}, j, 1))-1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4*(15-j))))) AS BIGINT)"
+    )
+
+
+def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
+    rpb = num_hashes // bands
+    mh_cols = ",\n           ".join(
+        f"min({_hex60_sql(f'''md5(_h || '#{i}')''')}) AS _mh{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, %d AS band_idx, md5(concat_ws(',', %s)) AS band_hash FROM mh"
+        % (b, ", ".join(f"_mh{b * rpb + r}" for r in range(rpb)))
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t)-{shingle_n - 1}, 1)+1),
+               i -> array_to_string(t[i:i+{shingle_n - 1}], ' '))) AS shing
+           FROM toks),
+    ex AS (SELECT doc_id, unnest(shing) AS s FROM sh),
+    exh AS (SELECT doc_id, md5(s) AS _h FROM ex),
+    mh AS (SELECT doc_id,
+           {mh_cols}
+           FROM exh GROUP BY doc_id),
+    bnd AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM bnd a JOIN bnd b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """
+
+
+def _simhash_oracle(n_bits: int, band_bits: int, max_hamming: int) -> str:
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (_h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS _v{i}"
+        for i in range(n_bits)
+    )
+    fp_expr = "\n             + ".join(
+        f"(CASE WHEN _v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(n_bits)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, fp, {b} AS band_idx,"
+        f" (fp >> {b * band_bits}) & {mask} AS band_val FROM fp"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents),
+    h AS (SELECT doc_id, {_hex60_sql("md5(s)")} AS _h FROM tok),
+    v AS (SELECT doc_id,
+           {votes}
+          FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id,
+             {fp_expr}
+             AS fp
+           FROM v),
+    bnd AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             a.fp AS fp_a, b.fp AS fp_b
+      FROM bnd a JOIN bnd b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_id_a, doc_id_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming_distance
+    FROM pairs
+    WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    """
 
 
 @register(
     "minhash_lsh_candidates",
-    None,
-    "north-star MinHash+LSH near-dup (xxhash64 banding — hash fn not portable to DuckDB)",
+    _minhash_lsh_oracle(num_hashes=64, bands=16, shingle_n=3),
+    "north-star MinHash+LSH near-dup (portable md5 banding, full-pipeline oracle)",
 )
 def minhash_lsh_candidates(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dd.minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3,
+        hash_family="md5",
     )
 
 
 @register(
     "simhash_neardups",
-    None,
-    "north-star SimHash near-dup (64-bit fingerprint banding)",
+    _simhash_oracle(n_bits=60, band_bits=15, max_hamming=8),
+    "north-star SimHash near-dup (portable 60-bit fingerprint banding, full-pipeline oracle)",
 )
 def simhash_neardups(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dd.simhash_neardup_candidates(d, "doc_id", "text").filter(
-        F.col("hamming_distance") <= 8
+    return (
+        dd.simhash_neardup_candidates(d, "doc_id", "text", hash_family="md5")
+        .filter(F.col("hamming_distance") <= 8)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("hamming_distance").cast("int").alias("hamming_distance"),
+        )
     )
 
 

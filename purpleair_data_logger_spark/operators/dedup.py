@@ -94,6 +94,16 @@ def jaccard_pairs_blocked(
     )
 
 
+def md5_long(col: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5, as a long.
+
+    The cross-engine member of the hash family: DuckDB reproduces it
+    bit-for-bit by nibble-parsing ``substr(md5(x), 1, 15)``, which is
+    what the LSH oracle SQL does. 60 bits keeps the value non-negative
+    in an int64 on both engines (no sign-extension mismatches)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def shingles(text_col: str, n: int = 3, sep: str = " ") -> Column:
     """Word n-gram shingle set as an array<string> column (JVM-side)."""
     toks = F.split(F.col(text_col), sep)
@@ -110,6 +120,7 @@ def minhash_signatures(
     *,
     num_hashes: int = 64,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures: explode shingles, groupBy-min per seed.
 
@@ -118,24 +129,39 @@ def minhash_signatures(
     every expression flat (no nested array passes), so codegen stays
     happy and the only shuffle is the groupBy on the document id —
     partial aggregation combines minima map-side.
+
+    ``hash_family`` picks the seeded family:
+
+    * ``"xxhash64"`` (default, fastest): one string hash per shingle,
+      then ``num_hashes`` cheap re-hashes of that 8-byte long
+      (``xxhash64(h, seed)``) — variable-length string hashing happens
+      once instead of num_hashes times per shingle. (An affine a*h+b
+      permutation family would be cheaper still, but ANSI mode rejects
+      the wrapping multiply.) Not reproducible outside Spark.
+    * ``"md5"`` (portable): seed i = 60-bit slice of
+      ``md5(md5(shingle) || '#i')`` — the exact arithmetic DuckDB can
+      replay, so the whole LSH pipeline is oracle-checkable. The inner
+      md5 runs once per shingle; the seeded re-hashes operate on the
+      fixed 32-char hex, like the xxhash64 re-hash trick.
     """
     ex = df.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
     )
-    # One string hash per shingle, then num_hashes re-hashes of that
-    # 8-byte long (xxhash64(h, seed)) — variable-length string hashing
-    # happens once instead of num_hashes times per shingle. (An affine
-    # a*h+b permutation family would be cheaper still, but ANSI mode
-    # rejects the wrapping multiply.)
-    hashed = ex.select(
-        F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h")
-    )
-    return hashed.groupBy(id_col).agg(
-        *[
+    if hash_family == "md5":
+        hashed = ex.select(F.col(id_col), F.md5(F.col("_sh")).alias("_h"))
+        seeded = [
+            F.min(md5_long(F.concat(F.col("_h"), F.lit(f"#{i}")))).alias(f"_mh{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_family == "xxhash64":
+        hashed = ex.select(F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h"))
+        seeded = [
             F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_mh{i}")
             for i in range(num_hashes)
         ]
-    )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    return hashed.groupBy(id_col).agg(*seeded)
 
 
 def minhash_lsh_candidates(
@@ -146,6 +172,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding: candidate near-dup pairs, no cross join.
 
@@ -156,25 +183,40 @@ def minhash_lsh_candidates(
     hash is a well-distributed join key and no executor ever sees the
     full corpus.
 
+    ``hash_family="md5"`` makes the whole pipeline DuckDB-reproducible
+    (band key = md5 of the comma-joined minima); ``"xxhash64"`` is the
+    fast default for production runs.
+
     Output: (doc_id_a, doc_id_b) candidate pairs (doc_id_a < doc_id_b).
     Verify candidates with `jaccard_pairs_blocked` on the candidate set.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
-        df, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
     )
+    if hash_family == "md5":
+        def band_key(b: int) -> Column:
+            return F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            )
+    else:
+        def band_key(b: int) -> Column:
+            return F.xxhash64(
+                *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
     banded = sig.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -195,44 +237,76 @@ def minhash_lsh_candidates(
 
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, sep: str = " "
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = " ",
+    *,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash fingerprints (Charikar '02): (id, fp) rows.
+    """SimHash fingerprints (Charikar '02): (id, fp) rows.
 
-    Explode tokens → xxhash64 per token → one hash-aggregate computing
-    the 64 per-bit +1/-1 votes → assemble the fingerprint from vote
-    signs. Flat expressions, one shuffle on the id, map-side combined.
+    Explode tokens → hash per token → one hash-aggregate computing the
+    per-bit +1/-1 votes → assemble the fingerprint from vote signs.
+    Flat expressions, one shuffle on the id, map-side combined.
+
+    ``hash_family="xxhash64"`` (default) gives a 64-bit fingerprint;
+    ``"md5"`` gives a 60-bit fingerprint from the portable `md5_long`
+    hash — non-negative on both engines, so the whole pipeline
+    (fingerprint, bands, hamming distance) is DuckDB-reproducible.
     """
-    h = df.select(
+    n_bits = simhash_bits(hash_family)
+    ex = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("_tok")
-    ).select(F.col(id_col), F.xxhash64(F.col("_tok")).alias("_h"))
+    )
+    if hash_family == "md5":
+        h = ex.select(F.col(id_col), md5_long(F.col("_tok")).alias("_h"))
+    elif hash_family == "xxhash64":
+        h = ex.select(F.col(id_col), F.xxhash64(F.col("_tok")).alias("_h"))
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     votes = h.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"_v{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     fp = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         fp = fp + F.when(
             F.col(f"_v{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return votes.select(F.col(id_col), fp.alias("fp"))
 
 
-def simhash_neardup_candidates(
-    df: DataFrame, id_col: str, text_col: str, *, band_bits: int = 16
-) -> DataFrame:
-    """SimHash near-dup candidates: equal 16-bit band → candidate pair.
+def simhash_bits(hash_family: str) -> int:
+    """Fingerprint width per family: 64 for xxhash64, 60 for md5 (15
+    hex digits keep the value non-negative in an int64 cross-engine)."""
+    return 60 if hash_family == "md5" else 64
 
-    Splitting the 64-bit fingerprint into 4 bands guarantees any pair
-    within hamming distance 3 shares at least one full band (pigeonhole)
-    — the classic SimHash index, as a posexplode + equi-join.
+
+def simhash_neardup_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    band_bits: int = 16,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SimHash near-dup candidates: equal fingerprint band → candidate.
+
+    Splitting the fingerprint into 4 bands (16 bits each at 64-bit, 15
+    at the portable 60-bit width) guarantees any pair within hamming
+    distance 3 shares at least one full band (pigeonhole) — the classic
+    SimHash index, as a posexplode + equi-join.
     """
-    n_bands = 64 // band_bits
-    fp = simhash_fingerprints(df, id_col, text_col)
+    n_bits = simhash_bits(hash_family)
+    if n_bits == 60 and band_bits == 16:
+        band_bits = 15
+    n_bands = n_bits // band_bits
+    fp = simhash_fingerprints(df, id_col, text_col, hash_family=hash_family)
     banded = fp.select(
         F.col(id_col),
         F.col("fp"),
