@@ -1028,7 +1028,10 @@ def _hex60_sql(expr: str) -> str:
     )
 
 
-def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
+def _minhash_lsh_cte(num_hashes: int, bands: int, shingle_n: int) -> str:
+    """Shared CTE chain replaying the portable-md5 MinHash+LSH pipeline
+    up to the distinct candidate-pair set (`cand`); `sh` exposes the
+    per-doc distinct shingle sets for verify-stage reuse."""
     rpb = num_hashes // bands
     mh_cols = ",\n           ".join(
         f"min({_hex60_sql(f'''md5(_h || '#{i}')''')}) AS _mh{i}"
@@ -1051,12 +1054,39 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
     mh AS (SELECT doc_id,
            {mh_cols}
            FROM exh GROUP BY doc_id),
-    bnd AS ({band_selects})
-    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-    FROM bnd a JOIN bnd b
-      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-     AND a.doc_id < b.doc_id
+    bnd AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bnd a JOIN bnd b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id)
     """
+
+
+def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
+    return (
+        _minhash_lsh_cte(num_hashes, bands, shingle_n)
+        + "SELECT doc_id_a, doc_id_b FROM cand"
+    )
+
+
+def _neardup_lsh_verified_oracle(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float
+) -> str:
+    jac = (
+        "round(len(list_intersect(sa.shing, sb.shing)) * 1.0"
+        " / len(list_distinct(list_concat(sa.shing, sb.shing))), 4)"
+    )
+    return (
+        _minhash_lsh_cte(num_hashes, bands, shingle_n)
+        + f"""
+    SELECT c.doc_id_a, c.doc_id_b, {jac} AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_id_a
+    JOIN sh sb ON sb.doc_id = c.doc_id_b
+    WHERE {jac} >= {threshold}
+    """
+    )
 
 
 def _simhash_oracle(n_bits: int, band_bits: int, max_hamming: int) -> str:
@@ -1109,6 +1139,23 @@ def minhash_lsh_candidates(spark, sf_dir):
     return dd.minhash_lsh_candidates(
         d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3,
         hash_family="md5",
+    )
+
+
+@register(
+    "neardup_lsh_verified",
+    _neardup_lsh_verified_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
+    "north-star scale-safe near-dup: LSH candidates -> exact Jaccard verify (retires quadratic blocking)",
+)
+def neardup_lsh_verified(spark, sf_dir):
+    """The 100 TB near-dup composition: banded MinHash candidates, then
+    exact shingle-Jaccard on candidates only — pair generation is
+    O(band collisions), never O(block²) like a blocked self-join on a
+    low-cardinality key."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.neardup_lsh_verified(
+        d, "doc_id", "text", threshold=0.8,
+        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
     )
 
 

@@ -236,6 +236,64 @@ def minhash_lsh_candidates(
     )
 
 
+def neardup_lsh_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """The scale-safe near-dup pipeline: LSH candidates → exact verify.
+
+    Composition of `minhash_lsh_candidates` (banded equi-join, never
+    all-pairs) with an exact shingle-Jaccard check on the candidate set
+    only. This is the 100 TB shape: pair generation is bounded by band
+    collisions (O(near-dups), not O(block²)), and the verify is two
+    equi-joins on doc id to fetch shingle sets for candidate rows only.
+    Use this instead of `jaccard_pairs_blocked` whenever no natural
+    high-cardinality blocking key exists.
+
+    Output: (doc_id_a, doc_id_b, jaccard) with jaccard ≥ threshold,
+    where jaccard is the exact distinct-shingle Jaccard (the quantity
+    MinHash estimates, so candidate recall maps directly to it).
+    """
+    cands = minhash_lsh_candidates(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
+    )
+    s = df.select(
+        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh")
+    )
+    j = (
+        cands.join(
+            s.select(F.col("_sid"), F.col("_sh").alias("_sh_a")),
+            on=F.col("doc_id_a") == F.col("_sid"),
+        )
+        .drop("_sid")
+        .join(
+            s.select(F.col("_sid"), F.col("_sh").alias("_sh_b")),
+            on=F.col("doc_id_b") == F.col("_sid"),
+        )
+        .drop("_sid")
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return (
+        j.select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str,

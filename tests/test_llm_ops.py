@@ -64,6 +64,29 @@ def test_minhash_lsh_recall(spark, sf_dir):
     )
 
 
+def test_neardup_lsh_verified_vs_allpairs_truth(spark, sf_dir):
+    """The composed candidates→verify pipeline must agree with the
+    unblocked all-pairs truth: every returned pair is a true near-dup
+    (exact verify ⇒ precision 1.0 up to rounding) and recall ≥ 90%
+    (banding at r=4/b=16 keeps miss probability ≈ 0 at J ≥ 0.8)."""
+    truth = _exact_shingle_jaccard_pairs(sf_dir, 0.8)
+    loose = _exact_shingle_jaccard_pairs(sf_dir, 0.7995)  # rounding margin
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dd.neardup_lsh_verified(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert got <= loose, f"false positives: {sorted(got - loose)[:5]}"
+    if not truth:
+        pytest.skip("no shingle-level near-dups at this sf")
+    missed = truth - got
+    assert len(missed) <= max(1, len(truth) // 10), (
+        f"missed {len(missed)}/{len(truth)} true near-dups: {sorted(missed)[:5]}"
+    )
+
+
 def test_simhash_identical_text_collides(spark, sf_dir):
     """Exact duplicate text ⇒ identical simhash fingerprint (hamming 0),
     regardless of corpus statistics — checked by unioning a copied

@@ -75,6 +75,18 @@ def test_multimodal_features_uses_arrow(spark, sf):
     assert "BatchEvalPython" not in plan
 
 
+def test_neardup_lsh_verified_no_quadratic_join(spark, sf):
+    """The scale-safe near-dup pipeline must generate pairs only via the
+    banded equi-join — no cartesian/nested-loop node anywhere, and the
+    self-join key is the (band_idx, band_hash) pair, never a
+    low-cardinality blocking column."""
+    plan = _plan(spark, sf, "neardup_lsh_verified")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_hash" in plan  # the equi-join key that bounds pair generation
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
 def test_knn_broadcasts_queries(spark, sf):
     plan = _plan(spark, sf, "knn_cosine_bruteforce")
     assert "BroadcastExchange" in plan
