@@ -1180,9 +1180,12 @@ def simhash_neardups(spark, sf_dir):
 @register(
     "knn_lsh_bucketed",
     None,
-    "north-star ANN scale path: random-hyperplane LSH bucket join",
+    "north-star ANN scale path: banded random-hyperplane LSH join (recall floor pinned in pytest)",
 )
 def knn_lsh_bucketed(spark, sf_dir):
+    """OR-amplified hyperplane LSH (3 bits × 12 bands) + exact rank on
+    candidates. Hash-seeded (no SQL oracle); recall ≥ 0.8 vs the
+    brute-force baseline is asserted in tests/test_llm_ops.py."""
     em = _t(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 8)
-    return sim.knn_lsh(em, queries, "vec_id", "embedding", k=5, n_planes=8)
+    return sim.knn_lsh(em, queries, "vec_id", "embedding", k=5, n_planes=36, bands=12)

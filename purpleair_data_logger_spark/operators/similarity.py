@@ -122,6 +122,30 @@ def lsh_bucket_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def lsh_band_signatures(vec_col: Column, planes: list[list[float]], bands: int) -> Column:
+    """Array of per-band sign signatures (OR-amplified LSH index).
+
+    ``n_planes`` hyperplanes split into ``bands`` groups of
+    ``n_planes/bands`` bits; element b = the integer signature of band
+    b's bits. Two vectors are candidates iff any band matches — the
+    same band-OR construction `dedup.minhash_lsh_candidates` uses.
+    """
+    per_band = len(planes) // bands
+    vals = []
+    for b in range(bands):
+        bits = []
+        for i in range(per_band):
+            d = dot(vec_col, F.array(*[F.lit(v) for v in planes[b * per_band + i]]))
+            bits.append(
+                F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            )
+        sig = bits[0]
+        for x in bits[1:]:
+            sig = sig + x
+        vals.append(sig)
+    return F.array(*vals)
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -129,33 +153,58 @@ def knn_lsh(
     vec_col: str,
     *,
     k: int = 5,
-    n_planes: int = 12,
+    n_planes: int = 36,
+    bands: int = 12,
     dim: int = 64,
     query_id_alias: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH bucket join, then exact
-    cosine rank within candidate buckets.
+    """Approximate top-k: banded random-hyperplane LSH candidate join,
+    then exact cosine rank within the candidate set.
 
-    At scale this replaces the brute-force cross join with an equi-join
-    on the bucket signature: each query only scores the corpus slice in
-    its bucket. Recall < 1.0 by construction; multi-probe = union over
-    additional signatures (not needed for this corpus size).
+    OR-amplification (Indyk–Motwani style banding): each vector gets
+    ``bands`` signatures of ``n_planes/bands`` sign bits; query and
+    corpus rows are candidates iff some band matches, via a
+    (band_idx, band_val) equi-join — the same band-OR shape as the
+    MinHash pipeline. A pair at angular agreement p per bit collides
+    with probability 1-(1-p^r)^b (r = bits/band), so recall is tuned by
+    (r, b): more bits/band → sparser candidates, more bands → higher
+    recall. The 3-bit × 12-band default holds recall ≥ 0.8 even for
+    weakly-similar neighbors (cos ≈ 0.3, p ≈ 0.6 → 0.94); corpora with
+    real cluster structure (neighbor cos ≥ 0.7, p ≥ 0.85) should widen
+    bands to 8–16 bits for sparse candidate sets at the same recall.
+    Candidates are deduped per (query, neighbor) before scoring so a
+    multi-band hit is scored once.
     """
     planes = random_hyperplanes(dim, n_planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("_cv"),
-    ).withColumn("_bucket", lsh_bucket_signature(F.col("_cv"), planes))
+    ).select(
+        "neighbor_id",
+        "_cv",
+        F.posexplode(lsh_band_signatures(F.col("_cv"), planes, bands)).alias(
+            "band_idx", "band_val"
+        ),
+    )
     q = queries.select(
         F.col(id_col).alias(query_id_alias),
         as_double_array(vec_col).alias("_qv"),
-    ).withColumn("_bucket", lsh_bucket_signature(F.col("_qv"), planes))
+    ).select(
+        query_id_alias,
+        "_qv",
+        F.posexplode(lsh_band_signatures(F.col("_qv"), planes, bands)).alias(
+            "band_idx", "band_val"
+        ),
+    )
 
-    sim = (cosine(F.col("_qv"), F.col("_cv"))).alias("_sim")
-    pairs = (
-        c.join(F.broadcast(q), on="_bucket")
+    cand = (
+        c.join(F.broadcast(q), on=["band_idx", "band_val"])
         .filter(F.col("neighbor_id") != F.col(query_id_alias))
-        .select(query_id_alias, "neighbor_id", sim)
+        .select(query_id_alias, "neighbor_id", "_qv", "_cv")
+        .dropDuplicates([query_id_alias, "neighbor_id"])
+    )
+    pairs = cand.select(
+        query_id_alias, "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("_sim")
     )
     w = Window.partitionBy(query_id_alias).orderBy(F.desc("_sim"), F.asc("neighbor_id"))
     return (

@@ -104,16 +104,19 @@ def test_simhash_identical_text_collides(spark, sf_dir):
 
 
 def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """The ANN scale path must hold a recall floor against the exact
+    baseline: with 3-bit bands × 12, a neighbor at cos ≈ 0.3 (bit
+    agreement p ≈ 0.6) collides in some band with prob
+    1-(1-0.6³)^12 ≈ 0.94, so ≥ 0.8 recall has real margin."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 8)
     exact = sim.knn_bruteforce(em, queries, "vec_id", "embedding", k=5)
-    approx = sim.knn_lsh(em, queries, "vec_id", "embedding", k=5, n_planes=8)
+    approx = sim.knn_lsh(em, queries, "vec_id", "embedding", k=5, n_planes=36, bands=12)
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
-    # 8 hyperplanes on near-orthogonal random vectors is a coarse index;
-    # just require genuine overlap and correct shape
-    assert len(a) <= len(e)
     assert len(e) == 40
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"knn_lsh recall {recall:.2f} < 0.8 (hit {len(e & a)}/{len(e)})"
 
 
 def test_multimodal_fake_decode_deterministic(spark, sf_dir):
