@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from purpleair_data_logger_spark import schema as S
 from purpleair_data_logger_spark.operators.transforms import vertical_split
+from purpleair_data_logger_spark.sinks import atomic
 
 PARTITION_COL = "reading_date"
 
@@ -50,6 +51,19 @@ class SensorTableStore:
         self.base_path = base_path
         self.cluster_partitions = cluster_partitions
         self.files_per_partition = files_per_partition
+        self.heal()
+
+    def heal(self) -> dict[str, str]:
+        """Recover any rewrite a crash interrupted (see `sinks.atomic`).
+        Run on construction and before/after every destructive rewrite;
+        returns {table: action} for the tables that needed repair."""
+        actions = {}
+        for t in S.TABLE_NAMES:
+            p = os.path.join(self.base_path, t)
+            action = atomic.heal(p)
+            if action:
+                actions[t] = action
+        return actions
 
     def path(self, table: str) -> str:
         if table not in S.TABLE_NAMES:
@@ -127,14 +141,20 @@ class SensorTableStore:
 
     def upsert_wide(self, wide: DataFrame) -> None:
         """Upsert: new readings insert, existing PKs take the batch's
-        values — partition-scoped MERGE on plain parquet.
+        values — partition-scoped, crash-safe MERGE on plain parquet.
 
-        Only the date partitions the batch touches are rewritten
-        (dynamic partition overwrite): stored rows from those partitions
-        that are NOT in the batch survive via anti-join + union. Work is
-        O(touched partitions), never O(table) — the parquet equivalent
-        of Delta MERGE for this PK shape.
+        Only the date partitions the batch touches are rewritten:
+        stored rows from those partitions that are NOT in the batch
+        survive via anti-join + union. Work is O(touched partitions),
+        never O(table) — the parquet equivalent of Delta MERGE for this
+        PK shape. The rewrite goes through `sinks.atomic`: replacement
+        partitions are staged to a sibling dir (readers never see
+        them), then rename-swapped in only after Spark's _SUCCESS
+        commit record exists; a crash at any point leaves every
+        partition wholly old or wholly new, and `heal` finishes or
+        discards the interrupted rewrite.
         """
+        self.heal()
         wide = wide.dropDuplicates(S.KEY_COLUMNS)
         batch_dates = [
             r[0]
@@ -142,32 +162,26 @@ class SensorTableStore:
             .distinct()
             .collect()
         ]
-        prev_mode = self.spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            for table, part in vertical_split(wide).items():
-                out = part
-                if os.path.isdir(self.path(table)):
-                    survivors = (
-                        self.spark.read.parquet(self.path(table))
-                        .filter(F.col(PARTITION_COL).isin(batch_dates))
-                        .drop(PARTITION_COL)
-                        .join(
-                            part.select(*S.KEY_COLUMNS),
-                            on=S.KEY_COLUMNS,
-                            how="left_anti",
-                        )
+        for table, part in vertical_split(wide).items():
+            out = part
+            if os.path.isdir(self.path(table)):
+                survivors = (
+                    self.spark.read.parquet(self.path(table))
+                    .filter(F.col(PARTITION_COL).isin(batch_dates))
+                    .drop(PARTITION_COL)
+                    .join(
+                        part.select(*S.KEY_COLUMNS),
+                        on=S.KEY_COLUMNS,
+                        how="left_anti",
                     )
-                    out = part.unionByName(survivors)
-                self._prepare(out).write.mode("overwrite").partitionBy(
-                    PARTITION_COL
-                ).parquet(self.path(table))
-        finally:
-            self.spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev_mode
-            )
+                )
+                out = part.unionByName(survivors)
+            # Stage (reads live lazily while writing the sibling), then
+            # rename-swap the touched partitions into place.
+            self._prepare(out).write.mode("overwrite").partitionBy(
+                PARTITION_COL
+            ).parquet(atomic.staging_path(self.path(table)))
+            atomic.commit(self.path(table))
 
     # -- read path ---------------------------------------------------------
 
@@ -217,28 +231,32 @@ class SensorTableStore:
     def compact(self, table: str, *, target_partitions: int) -> None:
         """Compaction job: rewrite a table to ``target_partitions``
         files per date partition (small-file cleanup for long-running
-        streaming appends)."""
+        streaming appends). Crash-safe via `sinks.atomic`: the full
+        rewrite is staged to a sibling dir, then every date partition is
+        rename-swapped in — an interrupted compaction is healed forward
+        (staging complete) or backward (old files intact), never a loss.
+        """
+        self.heal()
         df = self.spark.read.parquet(self.path(table))
-        tmp = self.path(table) + "__compact_tmp"
         (
             df.repartition(target_partitions, "sensor_index")
             .sortWithinPartitions("sensor_index", "data_time_stamp")
             .write.mode("overwrite")
             .partitionBy(PARTITION_COL)
-            .parquet(tmp)
+            .parquet(atomic.staging_path(self.path(table)))
         )
-        shutil.rmtree(self.path(table))
-        os.rename(tmp, self.path(table))
+        atomic.commit(self.path(table))
 
     def drop_all(self, *, confirm: bool) -> None:
         """K4: destructive reset behind an explicit confirm flag
-        (reference gates this on interactive y/n)."""
+        (reference gates this on interactive y/n). Also clears any
+        staging/retired leftovers from interrupted rewrites."""
         if not confirm:
             raise ValueError("drop_all requires confirm=True")
         for t in S.TABLE_NAMES:
-            p = self.path(t)
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+            for p in (self.path(t), atomic.staging_path(self.path(t))):
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
 
 
 def write_csv_sink(df: DataFrame, path: str, *, mode: str = "append") -> None:
