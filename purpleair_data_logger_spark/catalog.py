@@ -559,7 +559,7 @@ def asof_last_click(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)

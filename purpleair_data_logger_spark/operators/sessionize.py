@@ -27,7 +27,13 @@ def sessionize(
     gap_seconds: int,
 ) -> DataFrame:
     """Assign a session id per key: a new session starts when the gap
-    from the previous event exceeds ``gap_seconds``.
+    from the previous event reaches ``gap_seconds``.
+
+    Boundary semantics match Spark's native ``session_window`` (an
+    event exactly ``gap_seconds`` after the latest one falls OUTSIDE
+    the session: sessions are half-open ``[start, last+gap)``), so the
+    batch and streaming formulations agree row-for-row —
+    `streaming.sessionize` pins that equality in tests.
 
     Output: input columns + ``session_id`` (1-based per key, ordered by
     time). Deterministic for unique (key, ts) pairs.
@@ -36,7 +42,7 @@ def sessionize(
     prev_ts = F.lag(F.unix_micros(F.col(ts_col))).over(w)
     new_session = F.when(
         prev_ts.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - prev_ts) > gap_seconds * 1_000_000),
+        | ((F.unix_micros(F.col(ts_col)) - prev_ts) >= gap_seconds * 1_000_000),
         1,
     ).otherwise(0)
     return df.withColumn(

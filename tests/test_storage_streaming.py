@@ -146,6 +146,56 @@ def test_hourly_aggregate_batch_and_refresh_window(spark, tmp_path):
     assert refreshed.count() == 2
 
 
+def _session_rows(df):
+    return sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["duration_us"])
+        for r in df.collect()
+    )
+
+
+def test_session_window_batch_equals_gaps_and_islands(spark, sf_dir):
+    """Native session_window (batch run) must reproduce the oracled
+    gaps-and-islands sessionization exactly — same half-open gap
+    semantics, same per-session aggregates."""
+    from purpleair_data_logger_spark.io import load_table
+    from purpleair_data_logger_spark.operators.sessionize import session_stats
+    from purpleair_data_logger_spark.streaming.sessionize import session_window_stats
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    batch = session_stats(e, "user_id", "ts", gap_seconds=1800).drop("session_id")
+    native = session_window_stats(e, "user_id", "ts", gap_seconds=1800)
+    assert _session_rows(batch) == _session_rows(native)
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming formulation over a file source must emit the same
+    sessions the batch gaps-and-islands computes on the same data."""
+    from purpleair_data_logger_spark.io import load_table
+    from purpleair_data_logger_spark.operators.sessionize import session_stats
+    from purpleair_data_logger_spark.streaming.sessionize import streaming_session_stats
+
+    src = str(tmp_path / "events_src")
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # several files so the stream sees multiple input splits
+    e.repartition(4).write.parquet(src)
+
+    q = streaming_session_stats(
+        spark,
+        src,
+        key_col="user_id",
+        ts_col="ts",
+        gap_seconds=1800,
+        output_mode="complete",
+        query_name="sess_cmp",
+    )
+    q.awaitTermination(120)
+    got = _session_rows(spark.table("sess_cmp"))
+    want = _session_rows(
+        session_stats(e, "user_id", "ts", gap_seconds=1800).drop("session_id")
+    )
+    assert got == want
+
+
 def test_streaming_hourly_aggregate_available_now(spark, tmp_path):
     from purpleair_data_logger_spark.streaming.continuous_aggregate import (
         streaming_hourly_aggregate,
