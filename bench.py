@@ -115,6 +115,48 @@ def main() -> None:
     timings["ingest_events_9tables"] = round(best, 3)
     total += best
 
+    # Skew leg: the same aggregation on a hot-key variant of events
+    # (one user_id owning ~30% of rows), plain vs two-phase salted.
+    # On local[N] with small data the two are close; the row exists so
+    # regressions in the salted plan (extra shuffles, lost partial
+    # aggregation) show up as a widening gap.
+    from purpleair_data_logger_spark.operators import skew  # noqa: PLC0415
+    from purpleair_data_logger_spark.operators.sessionize import session_stats  # noqa: PLC0415
+
+    skew_tmp = tempfile.mkdtemp(prefix="bench_skew_")
+    try:
+        skewed = skew.skewed_variant(
+            events.select("event_id", "user_id", "ts", "value", "props"),
+            "user_id",
+            hot_value=7,
+            hot_fraction=0.3,
+            seed_col="event_id",
+        )
+        skewed.write.mode("overwrite").parquet(skew_tmp)  # untimed setup
+        sk = spark.read.parquet(skew_tmp)
+        skew_legs = {
+            "skew_agg_plain": lambda: sk.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum"),
+                F.min("value").alias("min"),
+                F.max("value").alias("max"),
+            ),
+            "skew_agg_salted": lambda: skew.salted_agg(sk, ["user_id"], "value"),
+            "skew_sessionize": lambda: session_stats(
+                sk, "user_id", "ts", gap_seconds=1800
+            ),
+        }
+        for name, build in skew_legs.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+            total += best
+    finally:
+        shutil.rmtree(skew_tmp, ignore_errors=True)
+
     print(
         json.dumps(
             {

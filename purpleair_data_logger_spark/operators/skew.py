@@ -15,6 +15,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def skewed_variant(
+    df: DataFrame,
+    key_col: str,
+    *,
+    hot_value,
+    hot_fraction: float = 0.3,
+    seed_col: str,
+) -> DataFrame:
+    """Deterministic hot-key rewrite for skew benchmarking.
+
+    Rewrites ``key_col`` to ``hot_value`` on a deterministic
+    ``hot_fraction`` of rows (selected by hashing ``seed_col``, so the
+    same input always yields the same skewed table). Models the
+    one-sensor-dominates / one-user-dominates shape that breaks naive
+    hash partitioning at scale.
+    """
+    pct = F.pmod(F.xxhash64(F.col(seed_col)), F.lit(1000))
+    return df.withColumn(
+        key_col,
+        F.when(pct < int(hot_fraction * 1000), F.lit(hot_value)).otherwise(
+            F.col(key_col)
+        ),
+    )
+
+
 def salted_count(
     df: DataFrame, keys: Sequence[str], *, salt_buckets: int = 16
 ) -> DataFrame:

@@ -23,9 +23,27 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def executed_plan(df: DataFrame) -> str:
-    """Plan after AQE finalization (run the query, then read the plan)."""
-    df.write.format("noop").mode("overwrite").save()
+    """Plan after AQE finalization.
+
+    A `noop` write runs a *separate* QueryExecution, leaving the
+    DataFrame's own plan at ``isFinalPlan=false`` — so instead execute
+    the df's own physical plan JVM-side (no rows ship to the driver)
+    and read it back once AQE has re-planned.
+    """
+    df._jdf.queryExecution().executedPlan().execute().count()
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_skew_split(df: DataFrame) -> str:
+    """Assert AQE's OptimizeSkewedJoin split a skewed partition
+    (``AQEShuffleRead skewed`` in the finalized plan). Returns the plan
+    for further inspection."""
+    plan = executed_plan(df)
+    assert "isFinalPlan=true" in plan, f"AQE did not finalize\n{plan[:2000]}"
+    assert re.search(r"AQEShuffleRead .*skewed", plan), (
+        f"no skew-split AQEShuffleRead in executed plan\n{plan[:3000]}"
+    )
+    return plan
 
 
 def pushed_filters(plan: str) -> list[str]:
