@@ -27,3 +27,23 @@ def test_rows_only_runs(spark, sf_dir, query):
     df = query.fn(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_distinct_within_hll_error_bounds(spark, sf_dir):
+    """`approx_distinct_profile` has no SQL oracle (HLL sketches aren't
+    portable across engines) — pin its correctness against the exact
+    `cardinality_profile` instead. Spark's approx_count_distinct
+    defaults to rsd=0.05; assert each estimate within 3x that relative
+    error (HLL's error is Gaussian-ish; 3 sigma is a deterministic-in-
+    practice bound for a fixed dataset since the sketch itself is
+    deterministic for identical input)."""
+    q = catalog.all_queries()
+    exact = q["cardinality_profile"].fn(spark, sf_dir).first()
+    approx = q["approx_distinct_profile"].fn(spark, sf_dir).first()
+    for est, true in [
+        (approx["approx_users"], exact["n_users"]),
+        (approx["approx_types"], exact["n_types"]),
+    ]:
+        assert true > 0
+        rel_err = abs(est - true) / true
+        assert rel_err <= 0.15, f"HLL estimate {est} vs exact {true}: rel err {rel_err:.3f}"
