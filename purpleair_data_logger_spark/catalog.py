@@ -753,12 +753,12 @@ def dedup_exact_docs(spark, sf_dir):
                AS n_bpe_tokens,
            CAST(len(list_filter(string_split(text, ' '),
                     x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stopwords,
-           round(len(list_filter(string_split(text, ' '),
+           len(list_filter(string_split(text, ' '),
                     x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
-                 / len(string_split(text, ' ')), 4) AS stopword_ratio,
-           round(list_aggregate(list_transform(string_split(text, ' '),
+                 / len(string_split(text, ' ')) AS stopword_ratio,
+           list_aggregate(list_transform(string_split(text, ' '),
                     x -> CAST(length(x) AS DOUBLE)), 'sum')
-                 / len(string_split(text, ' ')), 4) AS mean_token_len
+                 / len(string_split(text, ' ')) AS mean_token_len
     FROM documents
     """,
     "north-star text quality scoring (length/stopword/token stats)",
@@ -871,12 +871,19 @@ def doc_repetition_ratio(spark, sf_dir):
     """Per-document repetition signal: share of the single most frequent
     token, plus exact token/distinct-token counts. A high top-token share
     flags boilerplate/spam for corpus filtering (the duplicate-fraction
-    family of quality rules). Two hash aggregations keyed by doc_id —
-    the second reuses the first's partitioning (no extra shuffle, AQE
-    coalesces); the ratio is exact-int division so it hashes
-    bit-identically cross-engine."""
+    family of quality rules). ONE shuffle total, placed before the
+    explode: repartitioning by doc_id moves compact document rows (not
+    exploded token pairs), and hashpartitioning(doc_id) satisfies the
+    clustering requirement of BOTH aggregations — (doc_id, tok) and
+    (doc_id) — so neither adds an Exchange (pinned in test_plans). The
+    ratio is exact-int division so it hashes bit-identically
+    cross-engine."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    toks = (
+        d.select("doc_id", "text")
+        .repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
     counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.groupBy("doc_id").agg(
         (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_token_share"),

@@ -64,8 +64,13 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_toks.alias("n_tokens"),
         bpe_token_count(text_col).alias("n_bpe_tokens"),
         n_stop.alias("n_stopwords"),
-        F.round(n_stop.cast("double") / n_toks.cast("double"), 4).alias("stopword_ratio"),
-        F.round(mean_len, 4).alias("mean_token_len"),
+        # No outer round(): both operands are exactly representable
+        # integers, so the IEEE-754 quotient is bit-identical in any
+        # engine — while round()-of-a-quotient differs between engines
+        # on half-boundary values (Spark rounds the shortest decimal
+        # repr, DuckDB the binary value).
+        (n_stop.cast("double") / n_toks.cast("double")).alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
     )
 
 

@@ -76,8 +76,14 @@ def _payload_to_rows(payload: dict) -> list[tuple]:
         rec = {"data_time_stamp": stamp}
         for k, v in payload["sensor"].items():
             if k == "stats":
+                # Only the pseudo-average keys (pm2.5_10minute … _1week)
+                # map to top level; stats["pm2.5"] must NOT overwrite the
+                # instantaneous sensor["pm2.5"] reading ('stats' follows
+                # 'pm2.5' in payload order), and stats["time_stamp"] is
+                # a stats-refresh time, not a reading column. Mirrors
+                # flatten_sensor_struct's _STATS_KEYS[1:-1] handling.
                 for sk, sv in v.items():
-                    if sk != "time_stamp":
+                    if sk not in ("time_stamp", "pm2.5"):
                         rec[sk] = sv
             elif k in ("stats_a", "stats_b"):
                 sfx = k[-1]

@@ -99,3 +99,12 @@ def test_groupby_dedup_partial_agg(spark, sf):
         plan = _plan(spark, sf, name)
         assert E.count(plan, "HashAggregate") == 2, name
         assert E.count(plan, "Exchange") == 1, name
+
+
+def test_doc_repetition_single_shuffle(spark, sf):
+    """Both aggregations (doc_id, tok) then (doc_id) run on ONE shuffle:
+    the explicit repartition by doc_id happens before the explode (moves
+    compact doc rows, not token pairs) and satisfies the clustering
+    requirement of both groupBys."""
+    plan = _plan(spark, sf, "doc_repetition_ratio")
+    assert E.count(plan, "Exchange") == 1

@@ -36,6 +36,11 @@ def test_batch_read_single_sensor_fixture(spark):
     # absent fields sentinel-filled
     if "ozone1" not in payload["sensor"]:
         assert row["ozone1"] == 0.0
+    # stats["pm2.5"] must NOT clobber the instantaneous sensor["pm2.5"]
+    # ('stats' follows 'pm2.5' in payload order; the reference keeps
+    # them separate — PurpleAirDataLogger.py:126-127)
+    if "pm2.5" in payload["sensor"] and "stats" in payload["sensor"]:
+        assert row["pm2_5"] == payload["sensor"]["pm2.5"]
     # storage chain composes
     ts_row = cast_epoch_to_timestamp(df).collect()[0]
     assert ts_row["data_time_stamp"].year >= 2022
