@@ -45,6 +45,7 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "knn_cosine_bruteforce",
     "knn_lsh_bucketed",
+    "knn_ivf",
     "embedding_neardup_cosine",
     "multimodal_metadata",
     "multimodal_features",

@@ -1196,3 +1196,18 @@ def knn_lsh_bucketed(spark, sf_dir):
     em = _t(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 8)
     return sim.knn_lsh(em, queries, "vec_id", "embedding", k=5, n_planes=36, bands=12)
+
+
+@register(
+    "knn_ivf",
+    None,
+    "north-star ANN scale path #2: IVF k-means coarse quantizer + nprobe list probing (recall floor pinned in pytest)",
+)
+def knn_ivf(spark, sf_dir):
+    """Inverted-file ANN: k-means centroids (iterative training — not
+    SQL-expressible, so rows-only at the gate), cosine list assignment,
+    probe 4/16 lists per query, exact rank inside. Recall ≥ 0.8 vs the
+    brute-force baseline is asserted in tests/test_llm_ops.py."""
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    return sim.knn_ivf(em, queries, "vec_id", "embedding", k=5, n_lists=16, nprobe=4)

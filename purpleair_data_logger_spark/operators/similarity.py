@@ -240,6 +240,147 @@ def knn_lsh(
     )
 
 
+def matvec_products(vec_col: Column, rows: list[list[float]]) -> Column:
+    """Dot products of a vector column against a fixed row matrix, as
+    one Arrow-batched numpy matmul per batch (same rationale as
+    `lsh_band_signatures`: k higher-order aggregates per row lose to a
+    single BLAS call per batch). Returns array<double> of length
+    ``len(rows)``."""
+    mat = np.asarray(rows, dtype=np.float64).T  # (dim, k)
+
+    @F.pandas_udf("array<double>")
+    def _dots(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        return pd.Series(list(np.asarray(v.tolist(), dtype=np.float64) @ mat))
+
+    return _dots(vec_col)
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    *,
+    n_lists: int = 16,
+    max_iter: int = 5,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: spherical k-means centroids.
+
+    Spark ML KMeans (distributed Lloyd's) over L2-normalized vectors —
+    Euclidean clustering on the unit sphere matches the cosine metric
+    the index assigns/probes with. Trains on an optional sample — at
+    100 TB you train the quantizer on a few million sampled vectors,
+    never the full corpus; assignment of the full corpus stays fully
+    distributed in `knn_ivf`. Returns plain driver-side float lists
+    (k × dim — tiny) so downstream assignment can inline them as
+    literals without carrying the ML model around.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus if sample_fraction is None else corpus.sample(sample_fraction, seed)
+    vecs = (
+        train.select(as_double_array(vec_col).alias("_v"))
+        .withColumn("_n", l2_norm(F.col("_v")))
+        .select(
+            array_to_vector(
+                F.transform("_v", lambda x: x / F.col("_n"))
+            ).alias("features")
+        )
+    )
+    model = KMeans(k=n_lists, maxIter=max_iter, seed=seed).fit(vecs)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def nearest_lists(vec_col: Column, unit_centroids: list[list[float]], m: int) -> Column:
+    """Top-``m`` centroid list ids per vector by cosine, as one numpy
+    matmul + stable argsort per Arrow batch. Returns array<int>."""
+    mat = np.asarray(unit_centroids, dtype=np.float64).T  # (dim, k)
+
+    @F.pandas_udf("array<int>")
+    def _top(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        dots = np.asarray(v.tolist(), dtype=np.float64) @ mat
+        idx = np.argsort(-dots, axis=1, kind="stable")[:, :m].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return _top(vec_col)
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    n_assign: int = 3,
+    centroids: list[list[float]] | None = None,
+    query_id_alias: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: spherical k-means coarse
+    quantizer, multi-assign every corpus vector to its ``n_assign``
+    nearest centroid lists, probe each query's ``nprobe`` nearest
+    lists, exact-rank inside the probed lists.
+
+    The second ANN scale path next to `knn_lsh` (SURVEY: "IVF or LSH").
+    Plan shape: centroids are driver-side literals (k × dim); both
+    corpus assignment and query probing are one matmul-UDF projection +
+    in-UDF stable argsort — no window/shuffle anywhere before the
+    candidate join, which is a broadcast equi-join on ``list_id``.
+    Multi-assignment (Faiss-style redundancy) replicates the index
+    ``n_assign``× to hold recall on weakly-clustered corpora; the
+    candidate fraction per query is ~``n_assign × nprobe / n_lists`` in
+    the uniform worst case and far less when clusters are sharp. Recall
+    floor vs brute force is pinned in tests/test_llm_ops.py.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_lists=n_lists)
+    # Normalize centroids driver-side: cosine ranking over unit
+    # centroids == dot ranking (row norm is constant per row).
+    norms = [sum(x * x for x in c) ** 0.5 or 1.0 for c in centroids]
+    unit = [[x / n for x in c] for c, n in zip(centroids, norms)]
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("_cv"),
+    ).select(
+        "neighbor_id",
+        "_cv",
+        F.explode(nearest_lists(F.col("_cv"), unit, n_assign)).alias("list_id"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias(query_id_alias),
+        as_double_array(vec_col).alias("_qv"),
+    ).select(
+        query_id_alias,
+        "_qv",
+        F.explode(nearest_lists(F.col("_qv"), unit, nprobe)).alias("list_id"),
+    )
+
+    cand = (
+        c.join(F.broadcast(probes), on="list_id")
+        .filter(F.col("neighbor_id") != F.col(query_id_alias))
+        .dropDuplicates([query_id_alias, "neighbor_id"])
+        .select(query_id_alias, "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("_sim"))
+    )
+    w = Window.partitionBy(query_id_alias).orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            query_id_alias,
+            "neighbor_id",
+            F.col("knn_rank").cast("int").alias("knn_rank"),
+        )
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -119,6 +119,22 @@ def test_knn_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.8, f"knn_lsh recall {recall:.2f} < 0.8 (hit {len(e & a)}/{len(e)})"
 
 
+def test_knn_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """The IVF scale path must hold the same recall floor: the
+    embeddings carry real cluster structure (10 labels), so a 16-list
+    quantizer probed at nprobe=4 keeps each query's true neighbors in
+    the probed lists with high probability."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    exact = sim.knn_bruteforce(em, queries, "vec_id", "embedding", k=5)
+    approx = sim.knn_ivf(em, queries, "vec_id", "embedding", k=5, n_lists=16, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e) == 40
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"knn_ivf recall {recall:.2f} < 0.8 (hit {len(e & a)}/{len(e)})"
+
+
 def test_multimodal_fake_decode_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = mm.attach_binary_payload(docs, "doc_id", "text")
