@@ -134,10 +134,20 @@ class SensorTableStore:
         # nine "recomputations" collectively do about one wide frame of
         # work. Caching the clustered wide frame instead materializes all
         # 117 columns and defeats pruning — measured 3x slower at sf0.1.
-        for table, part in vertical_split(wide).items():
+        # The nine jobs are submitted from driver threads so they share
+        # the executor pool concurrently (narrow jobs rarely saturate
+        # it); append targets are disjoint directories, so ordering is
+        # irrelevant.
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        def _write(item):
+            table, part = item
             self._prepare(part).write.mode("append").partitionBy(
                 PARTITION_COL
             ).parquet(self.path(table))
+
+        with ThreadPoolExecutor(max_workers=len(S.TABLE_NAMES)) as pool:
+            list(pool.map(_write, vertical_split(wide).items()))
 
     def upsert_wide(self, wide: DataFrame) -> None:
         """Upsert: new readings insert, existing PKs take the batch's
