@@ -1040,9 +1040,10 @@ def _minhash_lsh_cte(num_hashes: int, bands: int, shingle_n: int) -> str:
     up to the distinct candidate-pair set (`cand`); `sh` exposes the
     per-doc distinct shingle sets for verify-stage reuse."""
     rpb = num_hashes // bands
+    p = dd.MERSENNE_P31
     mh_cols = ",\n           ".join(
-        f"min({_hex60_sql(f'''md5(_h || '#{i}')''')}) AS _mh{i}"
-        for i in range(num_hashes)
+        f"min((_h * {a} + {b}) % {p}) AS _mh{i}"
+        for i, (a, b) in enumerate(dd.affine_seeds(num_hashes))
     )
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc_id, %d AS band_idx, md5(concat_ws(',', %s)) AS band_hash FROM mh"
@@ -1057,7 +1058,7 @@ def _minhash_lsh_cte(num_hashes: int, bands: int, shingle_n: int) -> str:
                i -> array_to_string(t[i:i+{shingle_n - 1}], ' '))) AS shing
            FROM toks),
     ex AS (SELECT doc_id, unnest(shing) AS s FROM sh),
-    exh AS (SELECT doc_id, md5(s) AS _h FROM ex),
+    exh AS (SELECT doc_id, {_hex60_sql("md5(s)")} % {p} AS _h FROM ex),
     mh AS (SELECT doc_id,
            {mh_cols}
            FROM exh GROUP BY doc_id),

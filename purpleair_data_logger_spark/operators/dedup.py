@@ -104,6 +104,37 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+#: Mersenne prime 2^31 - 1: the modulus of the portable affine MinHash
+#: family. 31-bit operands keep every a*h+b product under 2^62, so the
+#: arithmetic is exact ANSI int64 on Spark and DuckDB alike.
+MERSENNE_P31 = (1 << 31) - 1
+
+
+def affine_seeds(num_hashes: int, seed: int = 71) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the affine permutation family
+    h_i(x) = (a_i * x + b_i) mod (2^31 - 1), a_i ∈ [1, p), b_i ∈ [0, p).
+
+    splitmix-style integer mixing (same construction as
+    `similarity.random_hyperplanes`) — reproducible across engines with
+    no RNG state, so oracle SQL can inline the identical constants.
+    """
+    out = []
+    for i in range(num_hashes):
+        pair = []
+        for salt in (0x1B, 0x2D):
+            x = (seed * 0x9E3779B97F4A7C15 + (2 * i + salt) * 0xBF58476D1CE4E5B9) & (
+                2**64 - 1
+            )
+            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & (2**64 - 1)
+            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & (2**64 - 1)
+            x ^= x >> 31
+            pair.append(x)
+        a = pair[0] % (MERSENNE_P31 - 1) + 1
+        b = pair[1] % MERSENNE_P31
+        out.append((a, b))
+    return out
+
+
 def shingles(text_col: str, n: int = 3, sep: str = " ") -> Column:
     """Word n-gram shingle set as an array<string> column (JVM-side)."""
     toks = F.split(F.col(text_col), sep)
@@ -138,20 +169,26 @@ def minhash_signatures(
       once instead of num_hashes times per shingle. (An affine a*h+b
       permutation family would be cheaper still, but ANSI mode rejects
       the wrapping multiply.) Not reproducible outside Spark.
-    * ``"md5"`` (portable): seed i = 60-bit slice of
-      ``md5(md5(shingle) || '#i')`` — the exact arithmetic DuckDB can
-      replay, so the whole LSH pipeline is oracle-checkable. The inner
-      md5 runs once per shingle; the seeded re-hashes operate on the
-      fixed 32-char hex, like the xxhash64 re-hash trick.
+    * ``"md5"`` (portable): one md5 per shingle reduced to 31 bits,
+      then ``num_hashes`` affine permutations ``(a_i*h + b_i) mod
+      (2^31-1)`` (`affine_seeds` constants) — plain ANSI-exact int64
+      multiply/add/mod that DuckDB replays bit-for-bit, so the whole
+      LSH pipeline is oracle-checkable. An earlier portable family
+      re-md5'd the hex digest per seed (64 string hashes per exploded
+      row) and benched ~7x slower than this at sf0.1.
     """
     ex = df.select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
     )
     if hash_family == "md5":
-        hashed = ex.select(F.col(id_col), F.md5(F.col("_sh")).alias("_h"))
+        hashed = ex.select(
+            F.col(id_col), (md5_long(F.col("_sh")) % F.lit(MERSENNE_P31)).alias("_h")
+        )
         seeded = [
-            F.min(md5_long(F.concat(F.col("_h"), F.lit(f"#{i}")))).alias(f"_mh{i}")
-            for i in range(num_hashes)
+            F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P31)).alias(
+                f"_mh{i}"
+            )
+            for i, (a, b) in enumerate(affine_seeds(num_hashes))
         ]
     elif hash_family == "xxhash64":
         hashed = ex.select(F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h"))
