@@ -94,6 +94,18 @@ def test_knn_broadcasts_queries(spark, sf):
     assert E.count(plan, "Exchange") <= 2
 
 
+def test_knn_ivf_broadcast_equijoin_no_cartesian(spark, sf):
+    """The IVF candidate join must be a broadcast equi-join on list_id —
+    corpus rows are touched once, never cross-joined — and assignment/
+    probing must be Arrow-vectorized, not row-pickled."""
+    plan = _plan(spark, sf, "knn_ivf")
+    assert "BroadcastHashJoin" in plan and "list_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_groupby_dedup_partial_agg(spark, sf):
     for name in ["pk_dedup", "dedup_exact_docs"]:
         plan = _plan(spark, sf, name)

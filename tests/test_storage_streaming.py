@@ -196,6 +196,42 @@ def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_streaming_dedup_within_watermark_across_batches(spark, tmp_path):
+    """R6 stream-native: a PK re-delivered in a later input file within
+    the watermark must be dropped by the state store, not the sink."""
+    from purpleair_data_logger_spark.streaming.dedup import streaming_pk_dedup
+
+    src = str(tmp_path / "dd_src")
+    rows1 = [(1, "2022-08-05 10:00:00", 40.0), (2, "2022-08-05 10:00:05", 50.0)]
+    rows2 = [(1, "2022-08-05 10:00:00", 40.0), (3, "2022-08-05 10:00:10", 60.0)]
+    cols = ["sensor_index", "ts", "humidity"]
+    from pyspark.sql import functions as F
+
+    for i, rows in enumerate([rows1, rows2]):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    q = streaming_pk_dedup(
+        spark,
+        src,
+        str(tmp_path / "dd_out"),
+        str(tmp_path / "dd_ckpt"),
+        key_cols=["sensor_index", "ts"],
+        ts_col="ts",
+        watermark="1 hour",
+        max_files_per_trigger=1,  # one micro-batch per file: true cross-batch state
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "dd_out"))
+    got = sorted((r["sensor_index"], r["humidity"]) for r in out.collect())
+    assert got == [(1, 40.0), (2, 50.0), (3, 60.0)]
+
+
 def test_streaming_hourly_aggregate_available_now(spark, tmp_path):
     from purpleair_data_logger_spark.streaming.continuous_aggregate import (
         streaming_hourly_aggregate,
