@@ -47,6 +47,7 @@ HEADLINE = [
     "knn_lsh_bucketed",
     "knn_ivf",
     "embedding_neardup_cosine",
+    "embedding_neardup_lsh_verified",
     "multimodal_metadata",
     "multimodal_features",
 ]

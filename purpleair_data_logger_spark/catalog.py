@@ -997,6 +997,25 @@ def embedding_neardup_cosine(spark, sf_dir):
 
 
 @register(
+    "embedding_neardup_lsh_verified",
+    None,
+    "north-star embedding near-dup scale path: hyperplane-LSH candidates -> exact cosine verify (recall pinned in pytest)",
+)
+def embedding_neardup_lsh_verified(spark, sf_dir):
+    """The 100 TB composition for embedding near-dups: banded
+    hyperplane-LSH equi-join generates candidates (never a blocked
+    O(block²) self-join), exact cosine verifies. Float-sign banding is
+    not DuckDB-replayable (summation-order sensitivity), so the gate is
+    rows-only; recall vs the exact pair set and planted-near-dup
+    detection are pinned in tests/test_llm_ops.py. Threshold 0.4 fits
+    this corpus's similarity range (max pairwise cosine ≈ 0.5)."""
+    em = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_neardup_lsh_verified(
+        em, "vec_id", "embedding", threshold=0.4
+    )
+
+
+@register(
     "embedding_norms",
     """
     SELECT vec_id,

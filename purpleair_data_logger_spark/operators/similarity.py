@@ -381,6 +381,67 @@ def knn_ivf(
     )
 
 
+def cosine_neardup_lsh_verified(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 36,
+    bands: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup mining, 100 TB composition: banded hyperplane
+    LSH candidates → exact cosine verify on candidates only.
+
+    The scale-safe replacement for `cosine_neardup_pairs`' blocked
+    self-join: pair generation is an equi-join on (band_idx, band_val)
+    — O(band collisions), never O(block²) on a low-cardinality key —
+    and only candidate pairs pay the exact cosine. Pairs at cosine ≥
+    0.9 agree per hyperplane bit with p = 1 − θ/π ≈ 0.86, so a 3-bit ×
+    12-band index catches them with prob 1−(1−0.86³)^12 ≈ 0.9997;
+    recall vs the exact pair set is pinned in tests/test_llm_ops.py.
+
+    Output matches `cosine_neardup_pairs`: (vec_id_a, vec_id_b,
+    cosine_sim rounded to 4).
+    """
+    planes = random_hyperplanes(dim, n_planes)
+    t = df.select(
+        F.col(id_col),
+        as_double_array(vec_col).alias("_v"),
+    ).select(
+        id_col,
+        "_v",
+        F.posexplode(lsh_band_signatures(F.col("_v"), planes, bands)).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_id_a"),
+            F.col(f"b.{id_col}").alias("vec_id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    sim = dot(F.col("_va"), F.col("_vb")) / (l2_norm(F.col("_va")) * l2_norm(F.col("_vb")))
+    return (
+        pairs.select("vec_id_a", "vec_id_b", sim.alias("_sim"))
+        .filter(F.col("_sim") >= threshold)
+        .select("vec_id_a", "vec_id_b", F.round(F.col("_sim"), 4).alias("cosine_sim"))
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -392,8 +453,11 @@ def cosine_neardup_pairs(
     """Embedding near-dup mining: cosine ≥ threshold within a block.
 
     Blocked self-join (block key = e.g. a cluster label or LSH bucket)
-    keeps pair generation shuffle-bounded. Output: (vec_id_a, vec_id_b,
-    cosine_sim rounded to 4).
+    keeps pair generation shuffle-bounded — but within one block it is
+    O(block²), so a low-cardinality blocking key does not survive a
+    100 TB corpus. This is the oracled baseline;
+    `cosine_neardup_lsh_verified` is the scale composition. Output:
+    (vec_id_a, vec_id_b, cosine_sim rounded to 4).
     """
     t = df.select(
         F.col(id_col),

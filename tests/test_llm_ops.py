@@ -135,6 +135,64 @@ def test_knn_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.8, f"knn_ivf recall {recall:.2f} < 0.8 (hit {len(e & a)}/{len(e)})"
 
 
+def test_cosine_neardup_lsh_verified_recall_and_precision(spark, sf_dir):
+    """The embedding near-dup scale path: every returned pair must be a
+    true ≥-threshold pair (exact verify ⇒ precision 1.0), and recall vs
+    the exact pair set must hold (bit agreement p = 1 − arccos(0.4)/π ≈
+    0.63 ⇒ some-band collision prob ≈ 0.97 per pair)."""
+    import numpy as np
+
+    em = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in sim.cosine_neardup_lsh_verified(
+            em, "vec_id", "embedding", threshold=0.4
+        ).collect()
+    }
+    rows = em.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    iu = np.triu_indices(len(X), 1)
+    exact = {
+        tuple(sorted((int(ids[i]), int(ids[j]))))
+        for i, j in zip(*iu)
+        if S[i, j] >= 0.4
+    }
+    assert got <= exact  # precision 1.0: verify stage admits no false pair
+    recall = len(got & exact) / len(exact)
+    assert len(exact) >= 50
+    assert recall >= 0.85, f"recall {recall:.2f} (hit {len(got & exact)}/{len(exact)})"
+
+
+def test_cosine_neardup_lsh_finds_planted_near_dups(spark, sf_dir):
+    """Planted near-duplicates (tiny deterministic perturbation, cosine
+    ≥ 0.95) must all surface — the actual dedup use-case."""
+    from pyspark.sql import Row
+
+    em = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = em.select("vec_id", "embedding").collect()
+    planted = [
+        Row(
+            vec_id=r["vec_id"] + 100000,
+            embedding=[x + 0.01 * ((i % 3) - 1) for i, x in enumerate(r["embedding"])],
+        )
+        for r in rows
+    ]
+    both = em.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted, schema=em.select("vec_id", "embedding").schema)
+    )
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in sim.cosine_neardup_lsh_verified(
+            both, "vec_id", "embedding", threshold=0.9
+        ).collect()
+    }
+    for r in rows:
+        assert (r["vec_id"], r["vec_id"] + 100000) in got
+
+
 def test_multimodal_fake_decode_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = mm.attach_binary_payload(docs, "doc_id", "text")

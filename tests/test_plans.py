@@ -94,6 +94,17 @@ def test_knn_broadcasts_queries(spark, sf):
     assert E.count(plan, "Exchange") <= 2
 
 
+def test_embedding_neardup_lsh_equijoin_no_cartesian(spark, sf):
+    """Embedding near-dup pair generation must ride the (band_idx,
+    band_val) equi-join, never a cartesian/nested-loop or a
+    low-cardinality blocking self-join."""
+    plan = _plan(spark, sf, "embedding_neardup_lsh_verified")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_knn_ivf_broadcast_equijoin_no_cartesian(spark, sf):
     """The IVF candidate join must be a broadcast equi-join on list_id —
     corpus rows are touched once, never cross-joined — and assignment/
