@@ -41,6 +41,7 @@ HEADLINE = [
     "top_docs_per_lang",
     "corpus_token_accounting",
     "doc_repetition_ratio",
+    "corpus_curation_pipeline",
     "jaccard_neardup_blocked",
     "minhash_lsh_candidates",
     "knn_cosine_bruteforce",

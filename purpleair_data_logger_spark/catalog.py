@@ -910,6 +910,66 @@ def text_normalize(spark, sf_dir):
 
 
 @register(
+    "corpus_curation_pipeline",
+    """
+    WITH rep AS (
+      SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_token_share
+      FROM (
+        SELECT doc_id, tok, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id),
+    scored AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS s_en,
+        len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es'))) AS s_es,
+        len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS s_fr,
+        len(list_filter(string_split(text,' '), x -> x IN ('il','lo','le','e','di'))) AS s_it,
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+            ' +', ' ', 'g'))) AS normalized_md5
+      FROM documents),
+    feats AS (
+      SELECT doc_id, lang, n_tokens, normalized_md5,
+        CASE
+          WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_it THEN 'de'
+          WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_it THEN 'en'
+          WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_it THEN 'es'
+          WHEN s_fr > 0 AND s_fr >= s_it THEN 'fr'
+          WHEN s_it > 0 THEN 'it'
+          ELSE 'und' END AS predicted_lang
+      FROM scored),
+    kept AS (
+      SELECT f.doc_id, f.lang AS stratum, f.n_tokens, f.normalized_md5
+      FROM feats f JOIN rep r USING (doc_id)
+      WHERE f.n_tokens >= 20 AND f.predicted_lang <> 'und'
+        AND r.top_token_share <= 0.25),
+    dd AS (
+      SELECT *, min(doc_id) OVER (PARTITION BY normalized_md5) AS _canonical
+      FROM kept),
+    ranked AS (
+      SELECT stratum, doc_id, n_tokens,
+             CAST(row_number() OVER (
+                 PARTITION BY stratum
+                 ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS sel_rank
+      FROM dd WHERE doc_id = _canonical)
+    SELECT stratum, doc_id, n_tokens, sel_rank
+    FROM ranked WHERE sel_rank <= 20
+    """,
+    "north-star composed pipeline: quality gate -> lang gate -> normalize+dedup -> stratified selection",
+)
+def corpus_curation_pipeline(spark, sf_dir):
+    """The full training-data curation pipeline as ONE declarative plan
+    — the composition a user of the individual operators actually
+    runs. Every stage (repetition filter, language gate, normalized
+    exact dedup, per-language top-k) is hash-checked end-to-end
+    against the DuckDB replay."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.curate(d, "doc_id", "text", strat_col="lang")
+
+
+@register(
     "doc_fingerprint",
     """
     SELECT doc_id,

@@ -74,12 +74,10 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-vote language ID: argmax over per-language hit counts.
-
-    Ties break by language code order (deterministic). 'und' when no
-    list scores a hit.
-    """
+def language_vote(text_col: str | Column) -> tuple[Column, Column]:
+    """(predicted_lang, lang_score) column pair for the stopword-vote
+    heuristic. Ties break by language code order (deterministic);
+    'und' when no list scores a hit."""
     scores = {
         lang: stopword_count(text_col, sw) for lang, sw in sorted(LANG_STOPWORDS.items())
     }
@@ -90,6 +88,12 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         pred = F.when(
             (scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)
         ).otherwise(pred)
+    return pred, best_score
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID: argmax over per-language hit counts."""
+    pred, best_score = language_vote(text_col)
     return df.select(
         F.col(id_col),
         pred.alias("predicted_lang"),
@@ -105,17 +109,18 @@ def normalize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     first turns case/punctuation variants into exact duplicates. Pure
     regexp pipeline, one narrow projection.
     """
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
-            " +",
-            " ",
-        )
-    )
+    norm = normalized_text(text_col)
     return df.select(
         F.col(id_col),
         norm.alias("normalized_text"),
         F.md5(norm).alias("normalized_md5"),
+    )
+
+
+def normalized_text(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", " "), " +", " ")
     )
 
 
@@ -130,4 +135,76 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, *, prefix_tokens: int
     return df.select(
         F.col(id_col),
         F.md5(prefix).alias("fingerprint_md5"),
+    )
+
+
+def curate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 20,
+    max_top_token_share: float = 0.25,
+    per_lang_k: int = 20,
+    strat_col: str | None = None,
+) -> DataFrame:
+    """End-to-end corpus curation: the composed training-data pipeline.
+
+    quality gate (length + repetition) → language gate → normalize +
+    exact dedup (canonical = min id per normalized text) → stratified
+    per-language selection (top-k longest). This is the "a user could
+    run their whole pipeline" composition of the individual north-star
+    operators, and it is fully SQL-expressible so the driver
+    hash-checks the entire pipeline end-to-end.
+
+    Shuffle account at 100 TB: (1) the repetition aggregate shuffles
+    compact document rows once on id (the explode happens after the
+    repartition, and hashpartitioning(id) serves both the (id, tok) and
+    (id) aggregations); (2) the feature join is co-partitioned on id;
+    (3) the dedup window shuffles on normalized_md5 (well distributed);
+    (4) the per-language ranking window shuffles the small
+    post-filter survivor set. Every expression is whole-stage codegen.
+    """
+    from pyspark.sql import Window
+
+    pred, _score = language_vote(text_col)
+    n_toks = whitespace_token_count(text_col)
+    strat = F.col(strat_col) if strat_col else pred
+    feats = df.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        pred.alias("predicted_lang"),
+        strat.alias("stratum"),
+        F.md5(normalized_text(text_col)).alias("normalized_md5"),
+    )
+    toks_exploded = (
+        df.select(id_col, text_col)
+        .repartition(F.col(id_col))
+        .select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    )
+    rep = (
+        toks_exploded.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg((F.max("cnt").cast("double") / F.sum("cnt")).alias("top_token_share"))
+    )
+    kept = (
+        feats.join(rep, on=id_col)
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("predicted_lang") != "und")
+            & (F.col("top_token_share") <= max_top_token_share)
+        )
+    )
+    dd_w = Window.partitionBy("normalized_md5")
+    deduped = kept.withColumn("_canonical", F.min(id_col).over(dd_w)).filter(
+        F.col(id_col) == F.col("_canonical")
+    )
+    rank_w = Window.partitionBy("stratum").orderBy(
+        F.desc("n_tokens"), F.asc(id_col)
+    )
+    return (
+        deduped.withColumn("sel_rank", F.row_number().over(rank_w).cast("int"))
+        .filter(F.col("sel_rank") <= per_lang_k)
+        .select("stratum", id_col, "n_tokens", "sel_rank")
     )
