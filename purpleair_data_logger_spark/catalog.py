@@ -1064,14 +1064,25 @@ def embedding_neardup_cosine(spark, sf_dir):
 def embedding_neardup_lsh_verified(spark, sf_dir):
     """The 100 TB composition for embedding near-dups: banded
     hyperplane-LSH equi-join generates candidates (never a blocked
-    O(block²) self-join), exact cosine verifies. Float-sign banding is
-    not DuckDB-replayable (summation-order sensitivity), so the gate is
-    rows-only; recall vs the exact pair set and planted-near-dup
-    detection are pinned in tests/test_llm_ops.py. Threshold 0.4 fits
-    this corpus's similarity range (max pairwise cosine ≈ 0.5)."""
-    em = _t(spark, sf_dir, "embeddings")
+    O(block²) self-join), exact cosine verifies at the real near-dup
+    threshold (0.9, 8-bit × 8 bands). The raw corpus contains no pairs
+    that similar (max pairwise cosine ≈ 0.5), so the gate mines a
+    corpus augmented with deterministically perturbed copies of the
+    first 50 vectors — the planted near-dups the operator must find,
+    making the result set non-trivial and exactly predictable.
+    Float-sign banding is not DuckDB-replayable (summation-order
+    sensitivity), so the gate is rows-only; recall + precision are
+    pinned in tests/test_llm_ops.py."""
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = em.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + 0.01 * ((i % 3) - 1).cast("double"),
+        ).cast("array<float>").alias("embedding"),
+    )
     return sim.cosine_neardup_lsh_verified(
-        em, "vec_id", "embedding", threshold=0.4
+        em.unionByName(planted), "vec_id", "embedding", threshold=0.9
     )
 
 

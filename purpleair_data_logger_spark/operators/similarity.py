@@ -387,8 +387,8 @@ def cosine_neardup_lsh_verified(
     vec_col: str,
     *,
     threshold: float = 0.9,
-    n_planes: int = 36,
-    bands: int = 12,
+    n_planes: int = 64,
+    bands: int = 8,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding near-dup mining, 100 TB composition: banded hyperplane
@@ -397,10 +397,16 @@ def cosine_neardup_lsh_verified(
     The scale-safe replacement for `cosine_neardup_pairs`' blocked
     self-join: pair generation is an equi-join on (band_idx, band_val)
     — O(band collisions), never O(block²) on a low-cardinality key —
-    and only candidate pairs pay the exact cosine. Pairs at cosine ≥
-    0.9 agree per hyperplane bit with p = 1 − θ/π ≈ 0.86, so a 3-bit ×
-    12-band index catches them with prob 1−(1−0.86³)^12 ≈ 0.9997;
-    recall vs the exact pair set is pinned in tests/test_llm_ops.py.
+    and only candidate pairs pay the exact cosine. Band width must
+    match the threshold: near-dups at cosine ≥ 0.9 agree per bit with
+    p = 1 − θ/π ≈ 0.86, so the default 8-bit × 8-band index catches
+    them with prob 1−(1−0.86⁸)^8 ≈ 0.95 (≈ 0.9999 at the ≥ 0.99
+    similarity of true duplicates) while a random pair (p ≈ 0.5)
+    collides anywhere with prob only ≈ 3% — the candidate set stays
+    near-linear. Wide (low) thresholds need narrower bands, at the cost
+    of candidate volume: mining at 0.4 with 3-bit bands admits ~80% of
+    ALL pairs and degenerates to quadratic (measured 14 s vs 0.7 s at
+    sf0.1). Recall is pinned in tests/test_llm_ops.py.
 
     Output matches `cosine_neardup_pairs`: (vec_id_a, vec_id_b,
     cosine_sim rounded to 4).

@@ -138,15 +138,18 @@ def test_knn_ivf_recall_vs_bruteforce(spark, sf_dir):
 def test_cosine_neardup_lsh_verified_recall_and_precision(spark, sf_dir):
     """The embedding near-dup scale path: every returned pair must be a
     true ≥-threshold pair (exact verify ⇒ precision 1.0), and recall vs
-    the exact pair set must hold (bit agreement p = 1 − arccos(0.4)/π ≈
-    0.63 ⇒ some-band collision prob ≈ 0.97 per pair)."""
+    the exact pair set must hold. Mining at a wide threshold (0.4)
+    needs narrow bands — 3 bits × 12 here: bit agreement p =
+    1 − arccos(0.4)/π ≈ 0.63 ⇒ some-band collision prob ≈ 0.97 per
+    pair (the 8-bit default bands are tuned for ≥ 0.9 near-dups and
+    would recall only ~0.2 this far out)."""
     import numpy as np
 
     em = load_table(spark, sf_dir, "embeddings")
     got = {
         (r["vec_id_a"], r["vec_id_b"])
         for r in sim.cosine_neardup_lsh_verified(
-            em, "vec_id", "embedding", threshold=0.4
+            em, "vec_id", "embedding", threshold=0.4, n_planes=36, bands=12
         ).collect()
     }
     rows = em.select("vec_id", "embedding").collect()
