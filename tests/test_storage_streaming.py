@@ -232,6 +232,60 @@ def test_streaming_dedup_within_watermark_across_batches(spark, tmp_path):
     assert got == [(1, 40.0), (2, 50.0), (3, 60.0)]
 
 
+def test_streaming_ewma_state_across_batches(spark, tmp_path):
+    """The applyInPandasWithState EWMA must carry per-key state across
+    micro-batches: the recursion over two separate input files must
+    equal one sequential EWMA over the concatenated, time-sorted
+    series."""
+    from purpleair_data_logger_spark.streaming.ewma import ewma_pandas, streaming_ewma
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "ew_src")
+    batches = [
+        [(1, "2022-08-05 10:00:00", 10.0), (1, "2022-08-05 10:01:00", 20.0),
+         (2, "2022-08-05 10:00:30", 5.0)],
+        [(1, "2022-08-05 10:02:00", 30.0), (2, "2022-08-05 10:01:30", 15.0)],
+    ]
+    for rows in batches:
+        (
+            spark.createDataFrame(rows, ["sensor_index", "ts", "value"])
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    q = streaming_ewma(
+        spark,
+        src,
+        str(tmp_path / "ew_out"),
+        str(tmp_path / "ew_ckpt"),
+        key_col="sensor_index",
+        ts_col="ts",
+        value_col="value",
+        alpha=0.3,
+        max_files_per_trigger=1,  # one micro-batch per file: true state carry-over
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "ew_out")).collect()
+    got = {
+        (r["sensor_index"], str(r["ts"])): r["ewma"] for r in out
+    }
+    assert len(got) == 5
+    # reference: sequential EWMA over each key's full time-sorted series
+    series = {}
+    for rows in batches:
+        for k, ts, v in rows:
+            series.setdefault(k, []).append((ts, v))
+    for k, pairs in series.items():
+        pairs.sort()
+        expected = ewma_pandas(np.array([v for _, v in pairs]), 0.3, None)
+        for (ts, _), e in zip(pairs, expected):
+            assert abs(got[(k, ts)] - e) < 1e-12
+
+
 def test_streaming_hourly_aggregate_available_now(spark, tmp_path):
     from purpleair_data_logger_spark.streaming.continuous_aggregate import (
         streaming_hourly_aggregate,
