@@ -94,6 +94,20 @@ def test_knn_broadcasts_queries(spark, sf):
     assert E.count(plan, "Exchange") <= 2
 
 
+def test_curation_pipeline_plan_shape(spark, sf):
+    """The composed curation pipeline must stay fully JVM-side with a
+    bounded shuffle budget: one doc-id repartition feeding both
+    repetition aggregations (partial+final × 2 = 4 HashAggregates, no
+    extra Exchange between them), a broadcast feature join, and the two
+    ranking/dedup windows — 3 Exchanges total, no cartesian, no
+    Python."""
+    plan = _plan(spark, sf, "corpus_curation_pipeline")
+    assert E.count(plan, "Exchange") <= 3
+    assert E.count(plan, "HashAggregate") == 4
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_embedding_neardup_lsh_equijoin_no_cartesian(spark, sf):
     """Embedding near-dup pair generation must ride the (band_idx,
     band_val) equi-join, never a cartesian/nested-loop or a
