@@ -44,6 +44,10 @@ HEADLINE = [
     "corpus_curation_pipeline",
     "jaccard_neardup_blocked",
     "minhash_lsh_candidates",
+    "neardup_lsh_verified",
+    "simhash_neardups",
+    "sessionize_users",
+    "cardinality_profile",
     "knn_cosine_bruteforce",
     "knn_lsh_bucketed",
     "knn_ivf",
