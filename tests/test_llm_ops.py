@@ -220,3 +220,26 @@ def test_metadata_matches_payload(spark, sf_dir):
     for r in docs.collect():
         m = meta[r["doc_id"]]
         assert m["n_bytes"] == len(r["text"].encode("utf-8"))
+
+
+def test_curate_semantics(spark):
+    """Each curation gate acts as documented: length gate, repetition
+    gate, language gate, normalized dedup (canonical = min id),
+    stratified ranking."""
+    from purpleair_data_logger_spark.operators import text as tx
+
+    base = "the cat sat on a mat and looked out of the window to see birds " * 2
+    docs = [
+        (1, base, "en"),                                   # kept
+        (2, base.upper().replace(" ", "  "), "en"),        # normalized dup of 1 -> dropped
+        (3, "spam " * 40, "en"),                           # repetitive -> dropped (and und)
+        (4, "the cat sat", "en"),                          # too short -> dropped
+        (5, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj ii hh gg", "zh"),  # no stopwords -> und -> dropped
+        (6, base + "extra unique tail words here", "fr"),  # kept, own stratum
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    out = {
+        (r["stratum"], r["doc_id"], r["sel_rank"])
+        for r in tx.curate(df, "doc_id", "text", strat_col="lang").collect()
+    }
+    assert out == {("en", 1, 1), ("fr", 6, 1)}
