@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import json
 
 import pytest
@@ -93,3 +94,28 @@ def test_config_xor(tmp_path):
     multi = tmp_path / "multi.json"
     multi.write_text(json.dumps({"fields": "sensor_index,name", "max_age": 0}))
     assert load_config(multi_file=str(multi)).mode == "multi"
+
+
+_REF_SAMPLES = "/root/reference/sample_json_config_files"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_SAMPLES), reason="reference not mounted")
+def test_reference_sample_configs_load_and_cover_field_universe():
+    """The reference's shipped sample configs must load as-is, and the
+    multi-sensor sample's `fields` list must equal the schema
+    registry's field universe exactly (both directions) — proving the
+    115-field registry matches what the reference actually requests."""
+    from purpleair_data_logger_spark import schema as S
+
+    single = load_config(
+        single_file=os.path.join(_REF_SAMPLES, "sample_single_sensor_request_json_file.json")
+    )
+    assert single.mode == "single" and single.params["sensor_index"] == 53
+
+    multi = load_config(
+        multi_file=os.path.join(_REF_SAMPLES, "sample_multiple_sensor_request_json_file.json")
+    )
+    assert multi.mode == "multi"
+    sample_fields = {x.strip() for x in multi.params["fields"].split(",")}
+    registry_fields = {f.api_name for f in S.FIELDS}
+    assert sample_fields == registry_fields
