@@ -91,6 +91,34 @@ def panel(
     return out.orderBy("bucket_ts")
 
 
+def thingspeak_text_panel(
+    store: SensorTableStore, *, start_epoch: int, end_epoch: int
+) -> DataFrame:
+    """The raw thingspeak-keys panel (last dashboard panel): id/key
+    columns in range, no aggregation (mirrors the reference's
+    ``SELECT data_time_stamp AS time, primary_id_a, ... FROM
+    thingspeak_fields WHERE $__timeFilter``)."""
+    cols = [
+        "data_time_stamp",
+        "sensor_index",
+        "primary_id_a",
+        "secondary_id_a",
+        "primary_id_b",
+        "primary_key_b",
+        "secondary_id_b",
+        "secondary_key_b",
+    ]
+    df = store.read(S.THINGSPEAK)
+    return (
+        df.filter(
+            (F.col("data_time_stamp") >= F.timestamp_seconds(F.lit(start_epoch)))
+            & (F.col("data_time_stamp") < F.timestamp_seconds(F.lit(end_epoch)))
+        )
+        .select(*cols)
+        .orderBy("data_time_stamp")
+    )
+
+
 def station_text_panel(
     store: SensorTableStore, *, start_epoch: int, end_epoch: int
 ) -> DataFrame:

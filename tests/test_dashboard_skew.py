@@ -57,6 +57,12 @@ def test_directory_and_panels(spark, tmp_path):
     assert len(txt) == 48
     assert txt[0]["name"] in ("sensor 1", "sensor 2")
 
+    ts = dash.thingspeak_text_panel(
+        store, start_epoch=BASE, end_epoch=BASE + 7200
+    ).collect()
+    assert len(ts) == 48
+    assert "primary_id_a" in ts[0].asDict()
+
 
 def test_register_views_sql_entry(spark, tmp_path):
     store = _seeded_store(spark, tmp_path)
