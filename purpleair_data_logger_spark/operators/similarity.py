@@ -240,23 +240,6 @@ def knn_lsh(
     )
 
 
-def matvec_products(vec_col: Column, rows: list[list[float]]) -> Column:
-    """Dot products of a vector column against a fixed row matrix, as
-    one Arrow-batched numpy matmul per batch (same rationale as
-    `lsh_band_signatures`: k higher-order aggregates per row lose to a
-    single BLAS call per batch). Returns array<double> of length
-    ``len(rows)``."""
-    mat = np.asarray(rows, dtype=np.float64).T  # (dim, k)
-
-    @F.pandas_udf("array<double>")
-    def _dots(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        return pd.Series(list(np.asarray(v.tolist(), dtype=np.float64) @ mat))
-
-    return _dots(vec_col)
-
-
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str,
