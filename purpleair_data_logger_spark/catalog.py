@@ -19,10 +19,11 @@ Conventions:
 * timestamps are UTC everywhere (`session.configure_existing` pins the
   session timezone before running).
 
-Queries tagged `oracle=None` are genuinely non-SQL-expressible
-(hash-seeded LSH pipelines, approximate search); the driver records a
+Queries tagged `oracle=None` are genuinely non-SQL-expressible (HLL
+approx-distinct, iterative k-means training); the driver records a
 rows-only check for those and pytest cross-validates them against their
-exact counterparts instead.
+exact counterparts instead. Everything else — including every LSH
+pipeline — is replayed end-to-end by generated DuckDB SQL.
 """
 
 from __future__ import annotations
@@ -1056,10 +1057,107 @@ def embedding_neardup_cosine(spark, sf_dir):
     )
 
 
+def _hyperplane_band_sql(n_planes: int, bands: int, dim: int):
+    """DuckDB replica of `similarity.lsh_band_signatures`: per-band sign
+    signatures against the SAME splitmix-derived hyperplanes Spark uses
+    (`similarity.random_hyperplanes` is engine-independent integer math,
+    so both sides evaluate identical plane literals). Dots run in double
+    on both sides; a sign flip would need |dot| within ~1e-13 of zero —
+    measure-zero for continuous embeddings, and verified exact at both
+    sf0.001 and sf0.01. Returns (band_cols, band_union) SQL fragments
+    over a CTE exposing (vec_id, v double[])."""
+    planes = sim.random_hyperplanes(dim, n_planes)
+    per_band = n_planes // bands
+
+    def band_val(b: int) -> str:
+        terms = " + ".join(
+            "(CASE WHEN list_dot_product(v, [%s]) >= 0 THEN CAST(%d AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END)"
+            % (", ".join(repr(x) for x in planes[b * per_band + r]), 1 << r)
+            for r in range(per_band)
+        )
+        return f"({terms})"
+
+    band_cols = ",\n      ".join(f"{band_val(b)} AS _b{b}" for b in range(bands))
+    band_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band_idx, _b{b} AS band_val FROM sig"
+        for b in range(bands)
+    )
+    return band_cols, band_union
+
+
+def _embedding_neardup_lsh_oracle(
+    n_planes: int, bands: int, dim: int, threshold: float, plant_below: int
+) -> str:
+    """Full-pipeline replay of `embedding_neardup_lsh_verified`: planted
+    perturbed copies, hyperplane band signatures, band-collision
+    candidate join, exact-cosine verify. DuckDB list lambdas index from
+    1, so the planted perturbation uses ((i-1) % 3) - 1 to mirror
+    Spark's 0-based `transform` index; the perturbed sum is cast back
+    through FLOAT to match the Spark side's array<float> storage."""
+    band_cols, band_union = _hyperplane_band_sql(n_planes, bands, dim)
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding,
+                 (x, i) -> CAST(CAST(CAST(x AS DOUBLE)
+                     + 0.01 * (((i-1) % 3) - 1) AS FLOAT) AS DOUBLE))
+      FROM embeddings WHERE vec_id < {plant_below}),
+    sig AS (SELECT vec_id, v,
+      {band_cols}
+    FROM base),
+    bnd AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             a.v AS va, b.v AS vb
+      FROM bnd a JOIN bnd b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id)
+    SELECT vec_id_a, vec_id_b,
+           round(list_cosine_similarity(va, vb), 4) AS cosine_sim
+    FROM cand WHERE list_cosine_similarity(va, vb) >= {threshold}
+    """
+
+
+def _knn_lsh_oracle(n_planes: int, bands: int, dim: int, k: int, q_below: int) -> str:
+    """Full-pipeline replay of `knn_lsh_bucketed`: band signatures for
+    corpus and queries, band-collision candidates, exact-cosine
+    row_number rank (ties broken on neighbor_id, as in Spark)."""
+    band_cols, band_union = _hyperplane_band_sql(n_planes, bands, dim)
+    return f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    sig AS (SELECT vec_id, v,
+      {band_cols}
+    FROM base),
+    bnd AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.v AS qv, c.v AS cv
+      FROM bnd c JOIN bnd q
+        ON c.band_idx = q.band_idx AND c.band_val = q.band_val
+      WHERE q.vec_id < {q_below} AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id)
+                 AS INTEGER) AS knn_rank
+      FROM cand)
+    SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= {k}
+    """
+
+
 @register(
     "embedding_neardup_lsh_verified",
-    None,
-    "north-star embedding near-dup scale path: hyperplane-LSH candidates -> exact cosine verify (recall pinned in pytest)",
+    _embedding_neardup_lsh_oracle(
+        n_planes=64, bands=8, dim=64, threshold=0.9, plant_below=50
+    ),
+    "north-star embedding near-dup scale path: hyperplane-LSH candidates -> exact cosine verify (full-pipeline oracle)",
 )
 def embedding_neardup_lsh_verified(spark, sf_dir):
     """The 100 TB composition for embedding near-dups: banded
@@ -1069,10 +1167,12 @@ def embedding_neardup_lsh_verified(spark, sf_dir):
     that similar (max pairwise cosine ≈ 0.5), so the gate mines a
     corpus augmented with deterministically perturbed copies of the
     first 50 vectors — the planted near-dups the operator must find,
-    making the result set non-trivial and exactly predictable.
-    Float-sign banding is not DuckDB-replayable (summation-order
-    sensitivity), so the gate is rows-only; recall + precision are
-    pinned in tests/test_llm_ops.py."""
+    making the result set non-trivial and exactly predictable. The
+    hyperplanes come from engine-independent splitmix integer math
+    (`similarity.random_hyperplanes`), so the DuckDB oracle replays the
+    ENTIRE pipeline — planting, banding, candidate join, cosine verify
+    — with the same plane literals; recall + precision vs the exact
+    all-pairs truth are additionally pinned in tests/test_llm_ops.py."""
     em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = em.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -1277,13 +1377,15 @@ def simhash_neardups(spark, sf_dir):
 
 @register(
     "knn_lsh_bucketed",
-    None,
-    "north-star ANN scale path: banded random-hyperplane LSH join (recall floor pinned in pytest)",
+    _knn_lsh_oracle(n_planes=36, bands=12, dim=64, k=5, q_below=8),
+    "north-star ANN scale path: banded random-hyperplane LSH join (full-pipeline oracle)",
 )
 def knn_lsh_bucketed(spark, sf_dir):
     """OR-amplified hyperplane LSH (3 bits × 12 bands) + exact rank on
-    candidates. Hash-seeded (no SQL oracle); recall ≥ 0.8 vs the
-    brute-force baseline is asserted in tests/test_llm_ops.py."""
+    candidates. The splitmix hyperplanes are engine-independent, so the
+    DuckDB oracle replays the full pipeline (banding → candidate join →
+    exact-cosine rank); recall ≥ 0.8 vs the brute-force baseline is
+    additionally asserted in tests/test_llm_ops.py."""
     em = _t(spark, sf_dir, "embeddings")
     queries = em.filter(F.col("vec_id") < 8)
     return sim.knn_lsh(em, queries, "vec_id", "embedding", k=5, n_planes=36, bands=12)
