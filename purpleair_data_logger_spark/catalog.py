@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 from purpleair_data_logger_spark.io import load_table
 from purpleair_data_logger_spark.operators import aggregations as agg
 from purpleair_data_logger_spark.operators import dedup as dd
+from purpleair_data_logger_spark.operators import pii
+from purpleair_data_logger_spark.operators import sampling as smp
 from purpleair_data_logger_spark.operators import similarity as sim
 from purpleair_data_logger_spark.operators import text as tx
 from purpleair_data_logger_spark.session import configure_existing
@@ -1426,3 +1428,141 @@ def _ivf_centroids_cached(spark, sf_dir: str, *, n_lists: int) -> list[list[floa
             em, "embedding", n_lists=n_lists
         )
     return _IVF_CENTROID_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# F. Curation privacy / decontamination / sampling — the remaining
+#    standard passes of a pre-training data pipeline, each fully
+#    SQL-replayable (portable regexes, portable md5 hash family).
+# ---------------------------------------------------------------------------
+
+_PII_PLANT_SQL = """
+      SELECT doc_id, text
+          || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                 || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+          || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+                 || lpad(CAST(doc_id*7 % 1000 AS VARCHAR), 3, '0') || '-'
+                 || lpad(CAST(doc_id*13 % 10000 AS VARCHAR), 4, '0') ELSE '' END
+          || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+                 || CAST(doc_id % 250 AS VARCHAR) || '.0.'
+                 || CAST(doc_id % 200 AS VARCHAR) ELSE '' END AS text
+      FROM documents
+"""
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH planted AS ({_PII_PLANT_SQL})
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{pii.EMAIL_RE}', '{pii.EMAIL_TOKEN}', 'g'),
+               '{pii.PHONE_RE}', '{pii.PHONE_TOKEN}', 'g'),
+               '{pii.IPV4_RE}', '{pii.IPV4_TOKEN}', 'g')) AS clean_md5,
+           CAST(len(regexp_extract_all(text, '{pii.EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{pii.PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{pii.IPV4_RE}')) AS BIGINT) AS n_ipv4
+    FROM planted
+    """,
+    "north-star PII scrub: email/phone/IPv4 redaction + counts (portable regex, full-text md5 oracle)",
+)
+def pii_scrub(spark, sf_dir):
+    """PII redaction gate. The corpus is synthetic word-soup with no
+    organic PII, so the gate plants deterministic doc_id-derived
+    emails/phones/IPv4 (same pattern as the planted embedding
+    near-dups) and verifies BOTH the counts and the md5 of the entire
+    scrubbed text against DuckDB — a single-character divergence in any
+    redaction anywhere fails the hash."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did * 7 % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((did * 13 % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10."),
+                    (did % 250).cast("string"),
+                    F.lit(".0."),
+                    (did % 200).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii.scrub_pii(planted, "doc_id", "text").select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "n_emails",
+        "n_phones",
+        "n_ipv4",
+    )
+
+
+@register(
+    "benchmark_contamination",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(w)-3, 1)+1),
+            i -> array_to_string(w[i:i+3], ' ')))) AS ng
+          FROM t),
+    b AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0)
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+    FROM g JOIN b USING (ng) WHERE g.doc_id % 50 <> 0 GROUP BY 1
+    """,
+    "north-star decontamination: benchmark n-gram overlap flagging (broadcast bench-gram join)",
+)
+def benchmark_contamination(spark, sf_dir):
+    """Decontamination gate: docs with doc_id % 50 == 0 play the
+    held-out benchmark; every other document is checked for 4-gram
+    overlap with them (4, not the production 8-13, because the
+    synthetic corpus draws from a ~40-word vocabulary — at n=8 nothing
+    overlaps)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return tx.ngram_contamination(corpus, bench, "doc_id", "text", n=4)
+
+
+@register(
+    "hash_sample_stratified",
+    f"""
+    WITH s AS (SELECT doc_id, lang,
+                 {_hex60_sql("md5(CAST(doc_id AS VARCHAR))")} % 10000
+                     AS sample_bucket
+               FROM documents)
+    SELECT doc_id, lang, CAST(sample_bucket AS BIGINT) AS sample_bucket
+    FROM s
+    WHERE sample_bucket < CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000
+                                    WHEN 'zh' THEN 10000 ELSE 500 END
+    """,
+    "north-star deterministic stratified sampling (portable md5 buckets, corpus-mixing rates)",
+)
+def hash_sample_stratified(spark, sf_dir):
+    """Reproducible corpus mixing: per-language keep rates (zh 100%,
+    de 50%, en 20%, rest 5%) decided by the portable md5 bucket of the
+    doc id — the same row samples identically on any engine, any
+    partitioning, any rerun, unlike seed-based `df.sample`."""
+    d = _t(spark, sf_dir, "documents")
+    sampled = smp.stratified_sample(
+        d, "doc_id", "lang",
+        {"en": 2000, "de": 5000, "zh": 10000},
+        default_bp=500,
+    )
+    return sampled.select(
+        "doc_id", "lang", smp.sample_bucket("doc_id").alias("sample_bucket")
+    )

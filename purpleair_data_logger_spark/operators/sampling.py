@@ -1,0 +1,59 @@
+"""Deterministic hash-based sampling for training-data curation.
+
+`df.sample()` is seed-dependent per partition layout — re-running after
+a repartition samples a DIFFERENT subset, which breaks reproducible
+corpus builds. These operators key the decision on a portable content
+hash instead: a row is in the sample iff
+``md5_long(key) % buckets < rate_bp``, so the same row always gets the
+same verdict on any engine, any partitioning, any rerun — and the
+driver's DuckDB oracle replays the decision bit-for-bit.
+
+Scale posture: pure codegen expression filter — no shuffle, no state,
+pushes through any downstream plan; the stratified variant folds the
+per-stratum rate lookup into a broadcast-free CASE chain (the rate map
+is a literal, not a join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark.operators.dedup import md5_long
+
+#: sampling rates are expressed in basis points of this bucket count.
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_bucket(key_col: str | Column) -> Column:
+    """Stable bucket in [0, SAMPLE_BUCKETS) from the portable 60-bit
+    md5 hash of the key (cast to string so numeric and string keys
+    hash identically across engines)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (md5_long(c.cast("string")) % SAMPLE_BUCKETS).cast("long")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate_bp: int
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below ``rate_bp`` (basis
+    points: 10000 = keep all, 500 = ~5%). Deterministic in the key."""
+    return df.filter(sample_bucket(key_col) < rate_bp)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strat_col: str,
+    rates_bp: dict[str, int],
+    *,
+    default_bp: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum s keeps rows with
+    bucket < rates_bp[s] (default_bp for unlisted strata). The usual
+    corpus-mixing primitive — e.g. keep 100% of a rare language and 5%
+    of web crawl — as one literal CASE chain, no join, no shuffle."""
+    rate = F.lit(default_bp)
+    for s in sorted(rates_bp, reverse=True):
+        rate = F.when(F.col(strat_col) == s, F.lit(rates_bp[s])).otherwise(rate)
+    return df.filter(sample_bucket(key_col) < rate)

@@ -138,6 +138,47 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, *, prefix_tokens: int
     )
 
 
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-contamination detection: count distinct word n-grams a
+    corpus document shares with an evaluation/benchmark set.
+
+    The standard decontamination pass before pre-training (e.g. the
+    GPT-3/PaLM 8-13-gram overlap checks): any training document that
+    reproduces an n-gram of an eval benchmark is flagged for removal so
+    test data does not leak into training. Output: (id, n_contaminated)
+    for documents with at least one hit.
+
+    Scale posture: the benchmark side is tiny by construction (eval
+    suites are KBs-MBs against a 100 TB corpus), so its distinct n-gram
+    set broadcasts; the corpus side is one explode + distinct + hash
+    join + count — the per-document dedup and the count share one
+    shuffle on id, and no corpus×corpus pair generation exists
+    anywhere. ``n`` trades recall for specificity: real pipelines use
+    8-13; short-vocabulary test corpora need smaller n to surface any
+    overlap at all.
+    """
+    from purpleair_data_logger_spark.operators.dedup import shingles
+
+    bench_grams = (
+        benchmark.select(F.explode(shingles(text_col, n)).alias("_ng")).distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("_ng")
+    ).dropDuplicates([id_col, "_ng"])
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), on="_ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+
+
 def curate(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,91 @@
+"""Unit tests for the privacy/decontamination/sampling curation
+operators (PII scrub, benchmark n-gram contamination, deterministic
+hash sampling). Their catalog gate queries are oracle-hashed by the
+driver; these tests pin the operator semantics directly on crafted
+rows, where the expected outcome is readable."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark.io import load_table
+from purpleair_data_logger_spark.operators import pii
+from purpleair_data_logger_spark.operators import sampling as smp
+from purpleair_data_logger_spark.operators import text as tx
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c%d@sub.example.org then call 555-123-4567 ok"),
+            (2, "server 192.168.0.1 and 10.0.0.255 no mail"),
+            (3, "clean text without identifiers"),
+            (4, "two mails x@y.io z@w.co and 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii.scrub_pii(df, "doc_id", "text").collect()}
+    assert rows[1]["clean_text"] == "mail <EMAIL> then call <PHONE> ok"
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ipv4"]) == (1, 1, 0)
+    assert rows[2]["clean_text"] == "server <IP> and <IP> no mail"
+    assert rows[2]["n_ipv4"] == 2
+    assert rows[3]["clean_text"] == "clean text without identifiers"
+    assert (rows[3]["n_emails"], rows[3]["n_phones"], rows[3]["n_ipv4"]) == (0, 0, 0)
+    assert rows[4]["clean_text"] == "two mails <EMAIL> <EMAIL> and <IP>"
+    # no pattern may survive its own scrub
+    for r in rows.values():
+        for pat in (pii.EMAIL_RE, pii.PHONE_RE, pii.IPV4_RE):
+            assert not re.search(pat, r["clean_text"])
+
+
+def test_ngram_contamination_flags_overlap(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # contains the bench 4-gram twice-distinct? once
+            (2, "zeta eta theta iota kappa"),  # disjoint
+            (3, "x alpha beta gamma delta y alpha beta gamma delta"),  # same gram repeated -> 1 distinct
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta UNSEEN")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in tx.ngram_contamination(corpus, bench, "doc_id", "text", n=4).collect()
+    }
+    # bench 4-grams: {alpha beta gamma delta, beta gamma delta UNSEEN}
+    assert got == {1: 1, 3: 1}  # doc 2 absent; repeated gram counted once
+
+
+def test_deterministic_sample_stable_and_consistent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = {r["doc_id"] for r in smp.deterministic_sample(docs, "doc_id", 3000).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in smp.deterministic_sample(
+            docs.repartition(7), "doc_id", 3000
+        ).collect()
+    }
+    assert s1 == s2, "sample must be invariant to partitioning"
+    # nested property: a lower rate yields a strict subset
+    s_small = {
+        r["doc_id"] for r in smp.deterministic_sample(docs, "doc_id", 1000).collect()
+    }
+    assert s_small <= s1
+    # rate is roughly honored (md5 buckets are uniform)
+    n = docs.count()
+    assert 0.2 * n <= len(s1) <= 0.4 * n
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0, "de": 10_000}
+    got = smp.stratified_sample(
+        docs, "doc_id", "lang", rates, default_bp=0
+    ).groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in got}
+    n_de = docs.filter(F.col("lang") == "de").count()
+    assert counts == {"de": n_de}, "de kept fully, everything else dropped"

@@ -58,7 +58,8 @@ def test_text_ops_stay_jvm_side(spark, sf):
     """No Python evaluation nodes in any text/dedup pipeline — they
     must run in whole-stage codegen."""
     for name in ["text_quality", "lang_id", "doc_fingerprint", "dedup_exact_docs",
-                 "minhash_lsh_candidates", "simhash_neardups", "jaccard_neardup_blocked"]:
+                 "minhash_lsh_candidates", "simhash_neardups", "jaccard_neardup_blocked",
+                 "pii_scrub", "benchmark_contamination", "hash_sample_stratified"]:
         plan = _plan(spark, sf, name)
         # JVM-side only: no Python evaluation nodes anywhere. (Whole-stage
         # codegen coverage varies — higher-order lambdas and pre-AQE
@@ -66,6 +67,14 @@ def test_text_ops_stay_jvm_side(spark, sf):
         # invariant worth pinning.)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf):
+    """The benchmark n-gram set is the tiny side by construction — it
+    must broadcast; corpus×corpus pair generation must not exist."""
+    plan = _plan(spark, sf, "benchmark_contamination")
+    assert E.count(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
 
 
 def test_multimodal_features_uses_arrow(spark, sf):
