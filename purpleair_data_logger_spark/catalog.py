@@ -1566,3 +1566,61 @@ def hash_sample_stratified(spark, sf_dir):
     return sampled.select(
         "doc_id", "lang", smp.sample_bucket("doc_id").alias("sample_bucket")
     )
+
+
+@register(
+    "paragraph_dedup_boilerplate",
+    """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    pl AS (SELECT doc_id,
+             -- coalesce: a slice starting past the end is NULL in
+             -- DuckDB but an empty array (-> '') in Spark
+             coalesce(array_to_string(w[1:15], ' '), '') || chr(10)
+             || coalesce(array_to_string(w[16:30], ' '), '') || chr(10)
+             || coalesce(array_to_string(w[31:len(w)], ' '), '')
+             || CASE WHEN doc_id % 2 = 0
+                     THEN chr(10) || 'subscribe to our newsletter for updates'
+                     ELSE '' END AS text2
+           FROM s),
+    pp AS (SELECT doc_id,
+             unnest(string_split(text2, chr(10))) AS para,
+             unnest(range(len(string_split(text2, chr(10))))) AS pos
+           FROM pl),
+    k AS (SELECT doc_id, pos, para, doc_id*100000 + pos AS key,
+             min(doc_id*100000 + pos) OVER (PARTITION BY md5(para)) AS mink
+          FROM pp)
+    SELECT doc_id,
+           md5(coalesce(string_agg(para, chr(10) ORDER BY pos)
+               FILTER (WHERE key = mink), '')) AS clean_md5,
+           CAST(count(*) FILTER (WHERE key = mink) AS BIGINT)
+               AS n_kept_paragraphs,
+           CAST(count(*) FILTER (WHERE key <> mink) AS BIGINT)
+               AS n_dropped_paragraphs
+    FROM k GROUP BY doc_id
+    """,
+    "north-star paragraph-level dedup / boilerplate removal (global first-occurrence + reassembly)",
+)
+def paragraph_dedup_boilerplate(spark, sf_dir):
+    """Paragraph-dedup gate. The word-soup corpus has no paragraph
+    structure, so the gate derives one (three token-chunks per doc) and
+    plants a boilerplate footer on every even doc_id — the classic
+    repeated-across-the-corpus paragraph the pass must keep exactly
+    once globally. Hash-checks the md5 of every reassembled document
+    plus per-doc kept/dropped counts against DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+    text2 = F.concat(
+        F.concat_ws(
+            "\n",
+            F.concat_ws(" ", F.slice(toks, 1, 15)),
+            F.concat_ws(" ", F.slice(toks, 16, 15)),
+            F.concat_ws(" ", F.slice(toks, 31, 1_000_000)),
+        ),
+        F.when(
+            did % 2 == 0,
+            F.lit("\nsubscribe to our newsletter for updates"),
+        ).otherwise(F.lit("")),
+    )
+    planted = d.select("doc_id", text2.alias("text"))
+    return dd.paragraph_dedup(planted, "doc_id", "text", sep="\n")

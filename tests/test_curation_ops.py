@@ -89,3 +89,32 @@ def test_stratified_sample_respects_per_stratum_rates(spark, sf_dir):
     counts = {r["lang"]: r["count"] for r in got}
     n_de = docs.filter(F.col("lang") == "de").count()
     assert counts == {"de": n_de}, "de kept fully, everything else dropped"
+
+
+def test_paragraph_dedup_keeps_global_first_occurrence(spark):
+    from purpleair_data_logger_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nBOILER\nunique two"),
+            (2, "BOILER\nunique three"),
+            (3, "BOILER"),  # everything dropped -> empty reassembly
+            (4, "unique four\nunique four"),  # in-doc repeat: first pos wins
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dd.paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[1]["clean_md5"] == md5("unique one\nBOILER\nunique two")
+    assert (rows[1]["n_kept_paragraphs"], rows[1]["n_dropped_paragraphs"]) == (3, 0)
+    assert rows[2]["clean_md5"] == md5("unique three")
+    assert rows[2]["n_dropped_paragraphs"] == 1
+    assert rows[3]["clean_md5"] == md5("")
+    assert (rows[3]["n_kept_paragraphs"], rows[3]["n_dropped_paragraphs"]) == (0, 1)
+    assert rows[4]["clean_md5"] == md5("unique four")
+    assert (rows[4]["n_kept_paragraphs"], rows[4]["n_dropped_paragraphs"]) == (1, 1)
