@@ -1624,3 +1624,47 @@ def paragraph_dedup_boilerplate(spark, sf_dir):
     )
     planted = d.select("doc_id", text2.alias("text"))
     return dd.paragraph_dedup(planted, "doc_id", "text", sep="\n")
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    WITH s AS (SELECT doc_id, lang,
+                 {_hex60_sql("md5(CAST(doc_id AS VARCHAR))")} % 10000 AS b
+               FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM s
+    """,
+    "north-star deterministic train/val/test assignment (hash buckets; no cross-rebuild leakage)",
+)
+def train_val_test_split(spark, sf_dir):
+    """90/5/5 split keyed on the portable md5 bucket of doc_id — a
+    document can never migrate between splits across corpus rebuilds,
+    partitionings, or engines, which is the anti-leakage property
+    seed-based sampling lacks."""
+    d = _t(spark, sf_dir, "documents")
+    return smp.assign_split(
+        d, "doc_id", [("train", 9000), ("val", 500), ("test", 500)]
+    ).select("doc_id", "lang", "split")
+
+
+@register(
+    "quality_percentile_gate",
+    """
+    WITH r AS (SELECT lang, doc_id, n_chars,
+                 percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+               FROM documents)
+    SELECT lang, doc_id, n_chars, pr FROM r WHERE pr >= 0.75
+    """,
+    "north-star percentile quality gate: top quartile per language by exact percent_rank",
+)
+def quality_percentile_gate(spark, sf_dir):
+    """Keep the top quartile of documents per language by length —
+    percentile gating via exact percent_rank, which is an
+    engine-portable rational, instead of an interpolated quantile
+    cutoff (whose lerp is not)."""
+    d = _t(spark, sf_dir, "documents")
+    return agg.percent_rank_filter(d, "lang", "n_chars", "doc_id", min_pr=0.75)

@@ -111,3 +111,30 @@ def parse_directory_index(df: DataFrame, concat_col: str, *, sep: str = ", ") ->
     """X2: ``string_to_array(s, ', ')`` + 1-based element extraction."""
     parts = F.split(F.col(concat_col), sep)
     return df.withColumn("parsed_sensor_index", F.element_at(parts, 2).cast("int"))
+
+
+def percent_rank_filter(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    id_col: str,
+    *,
+    min_pr: float,
+) -> DataFrame:
+    """Per-group percentile gating: keep rows whose ``order_col``
+    percent_rank within ``part_col`` is ≥ ``min_pr`` — the standard
+    "top quartile of quality score per language" curation filter,
+    without computing an interpolated quantile cutoff first.
+
+    percent_rank = (rank-1)/(n-1) is an exact small-integer rational,
+    so the verdict is bit-identical on any engine (interpolated
+    `percentile`/`quantile_cont` cutoffs are not: their lerp is
+    summation-order-sensitive). One shuffle on the partition key; ties
+    share a rank and therefore a verdict.
+    """
+    w = Window.partitionBy(part_col).orderBy(F.col(order_col))
+    return (
+        df.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= min_pr)
+        .select(part_col, id_col, order_col, "pr")
+    )

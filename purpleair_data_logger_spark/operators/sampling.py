@@ -41,6 +41,26 @@ def deterministic_sample(
     return df.filter(sample_bucket(key_col) < rate_bp)
 
 
+def assign_split(
+    df: DataFrame, key_col: str, splits: list[tuple[str, int]]
+) -> DataFrame:
+    """Deterministic train/val/test assignment: consecutive bucket
+    ranges of the portable hash, e.g. ``[("train", 9000), ("val", 500),
+    ("test", 500)]`` (basis points, summing to ≤ SAMPLE_BUCKETS; any
+    remainder is labeled "rest"). A document can never migrate between
+    splits across reruns or engines — the property that prevents
+    train/test leakage when the corpus is rebuilt."""
+    bucket = sample_bucket(key_col)
+    cuts, acc = [], 0
+    for name, bp in splits:
+        acc += bp
+        cuts.append((name, acc))
+    expr = F.lit("rest")
+    for name, cut in reversed(cuts):
+        expr = F.when(bucket < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

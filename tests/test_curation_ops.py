@@ -118,3 +118,19 @@ def test_paragraph_dedup_keeps_global_first_occurrence(spark):
     assert (rows[3]["n_kept_paragraphs"], rows[3]["n_dropped_paragraphs"]) == (0, 1)
     assert rows[4]["clean_md5"] == md5("unique four")
     assert (rows[4]["n_kept_paragraphs"], rows[4]["n_dropped_paragraphs"]) == (1, 1)
+
+
+def test_assign_split_is_total_and_partition_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    splits = [("train", 9000), ("val", 500), ("test", 500)]
+    a = {r["doc_id"]: r["split"] for r in smp.assign_split(docs, "doc_id", splits).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in smp.assign_split(docs.repartition(5), "doc_id", splits).collect()
+    }
+    assert a == b, "assignment must not depend on partitioning"
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == docs.count()
+    # sampling a split then re-assigning keeps membership stable
+    n_train = sum(1 for v in a.values() if v == "train")
+    assert 0.8 * len(a) <= n_train <= 0.97 * len(a)

@@ -60,7 +60,8 @@ def test_text_ops_stay_jvm_side(spark, sf):
     for name in ["text_quality", "lang_id", "doc_fingerprint", "dedup_exact_docs",
                  "minhash_lsh_candidates", "simhash_neardups", "jaccard_neardup_blocked",
                  "pii_scrub", "benchmark_contamination", "hash_sample_stratified",
-                 "paragraph_dedup_boilerplate"]:
+                 "paragraph_dedup_boilerplate", "train_val_test_split",
+                 "quality_percentile_gate"]:
         plan = _plan(spark, sf, name)
         # JVM-side only: no Python evaluation nodes anywhere. (Whole-stage
         # codegen coverage varies — higher-order lambdas and pre-AQE
