@@ -55,6 +55,12 @@ HEADLINE = [
     "embedding_neardup_lsh_verified",
     "multimodal_metadata",
     "multimodal_features",
+    "pii_scrub",
+    "benchmark_contamination",
+    "hash_sample_stratified",
+    "paragraph_dedup_boilerplate",
+    "train_val_test_split",
+    "quality_percentile_gate",
 ]
 
 
