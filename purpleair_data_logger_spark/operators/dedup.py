@@ -112,27 +112,37 @@ def paragraph_dedup(
     boilerplate (cookie banners, "subscribe" footers, licence blocks)
     survives exactly once corpus-wide instead of millions of times.
 
-    Plan shape: posexplode → one window shuffle on md5(paragraph) (the
-    global-first decision) → one groupBy shuffle on doc id for the
-    reassembly. No pair generation anywhere; both shuffle keys are
-    content hashes / doc ids, so they are uniform at 100 TB. The
-    first-occurrence key is the scalar doc_id*KEYSPACE+pos rather than
-    a struct so the same min() is expressible in portable SQL.
+    Plan shape: posexplode → groupBy(md5(paragraph)).min(key) for the
+    global-first decision → equi-join back on the hash → one groupBy
+    shuffle on doc id for the reassembly. The winner aggregate is
+    deliberately a groupBy + join rather than a min() window over
+    md5(paragraph): a boilerplate paragraph repeated 10⁹ times across
+    a 100 TB corpus is ONE window partition (windows get neither
+    map-side combine nor AQE skew splitting — the whole hot cell lands
+    on one task), while the aggregate combines the hot key map-side to
+    one row per partition and the join back is AQE-skew-splittable.
+    No pair generation anywhere. The first-occurrence key is the
+    scalar doc_id*KEYSPACE+pos rather than a struct so the same min()
+    is expressible in portable SQL.
 
     Output: (id, clean_md5 of the reassembled text, n_kept_paragraphs,
     n_dropped_paragraphs). Documents whose every paragraph was seen
     earlier reassemble to the empty string — full-document exact dups
     are a special case of this pass.
     """
-    from pyspark.sql import Window
-
     paras = df.select(
         F.col(id_col), F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para")
-    )
+    ).withColumn("_h", F.md5(F.col("para")))
     key = F.col(id_col) * PARAGRAPH_KEYSPACE + F.col("pos")
-    w = Window.partitionBy(F.md5(F.col("para")))
-    flagged = paras.withColumn("_key", key).withColumn(
-        "_keep", F.col("_key") == F.min("_key").over(w)
+    winners = (
+        paras.withColumn("_key", key)
+        .groupBy("_h")
+        .agg(F.min("_key").alias("_min"))
+    )
+    flagged = (
+        paras.withColumn("_key", key)
+        .join(winners, on="_h")
+        .withColumn("_keep", F.col("_key") == F.col("_min"))
     )
     kept_sorted = F.transform(
         F.array_sort(

@@ -71,6 +71,17 @@ def test_text_ops_stay_jvm_side(spark, sf):
         assert "PythonUDF" not in plan, name
 
 
+def test_paragraph_dedup_avoids_hot_window(spark, sf):
+    """The global-first decision must be groupBy+join, never a window
+    partitioned by md5(paragraph): a corpus-wide boilerplate paragraph
+    is one window partition (no map-side combine, no AQE skew split),
+    but the aggregate combines it map-side and the join back is
+    skew-splittable."""
+    plan = _plan(spark, sf, "paragraph_dedup_boilerplate")
+    assert "Window" not in plan
+    assert "partial_min" in plan  # the winner aggregate combines map-side
+
+
 def test_contamination_broadcasts_benchmark_grams(spark, sf):
     """The benchmark n-gram set is the tiny side by construction — it
     must broadcast; corpus×corpus pair generation must not exist."""
