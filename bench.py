@@ -61,6 +61,7 @@ HEADLINE = [
     "paragraph_dedup_boilerplate",
     "train_val_test_split",
     "quality_percentile_gate",
+    "neardup_incremental_batch",
 ]
 
 

@@ -1227,10 +1227,22 @@ def _hex60_sql(expr: str) -> str:
     )
 
 
-def _minhash_lsh_cte(num_hashes: int, bands: int, shingle_n: int) -> str:
+def _minhash_lsh_cte(
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    *,
+    pair_cond: str = "a.doc_id < b.doc_id",
+    a_alias: str = "doc_id_a",
+    b_alias: str = "doc_id_b",
+) -> str:
     """Shared CTE chain replaying the portable-md5 MinHash+LSH pipeline
     up to the distinct candidate-pair set (`cand`); `sh` exposes the
-    per-doc distinct shingle sets for verify-stage reuse."""
+    per-doc distinct shingle sets for verify-stage reuse. ``pair_cond``
+    selects which banded pairs become candidates (within-corpus a<b by
+    default; a cross-split predicate for the incremental variant —
+    band signatures don't depend on the split, so banding ALL docs and
+    filtering at the join mirrors banding each side separately)."""
     rpb = num_hashes // bands
     p = dd.MERSENNE_P31
     mh_cols = ",\n           ".join(
@@ -1256,10 +1268,10 @@ def _minhash_lsh_cte(num_hashes: int, bands: int, shingle_n: int) -> str:
            FROM exh GROUP BY doc_id),
     bnd AS ({band_selects}),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      SELECT DISTINCT a.doc_id AS {a_alias}, b.doc_id AS {b_alias}
       FROM bnd a JOIN bnd b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND a.doc_id < b.doc_id)
+       AND {pair_cond})
     """
 
 
@@ -1668,3 +1680,50 @@ def quality_percentile_gate(spark, sf_dir):
     cutoff (whose lerp is not)."""
     d = _t(spark, sf_dir, "documents")
     return agg.percent_rank_filter(d, "lang", "n_chars", "doc_id", min_pr=0.75)
+
+
+def _neardup_between_oracle(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float
+) -> str:
+    jac = (
+        "round(len(list_intersect(sa.shing, sb.shing)) * 1.0"
+        " / len(list_distinct(list_concat(sa.shing, sb.shing))), 4)"
+    )
+    cte = _minhash_lsh_cte(
+        num_hashes,
+        bands,
+        shingle_n,
+        pair_cond="a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0",
+        a_alias="new_doc_id",
+        b_alias="base_doc_id",
+    )
+    return (
+        cte
+        + f"""
+    SELECT c.new_doc_id, c.base_doc_id, {jac} AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.new_doc_id
+    JOIN sh sb ON sb.doc_id = c.base_doc_id
+    WHERE {jac} >= {threshold}
+    """
+    )
+
+
+@register(
+    "neardup_incremental_batch",
+    _neardup_between_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
+    "north-star incremental corpus dedup: new batch vs existing corpus, LSH band join + exact verify",
+)
+def neardup_incremental_batch(spark, sf_dir):
+    """Incremental-ingest dedup gate: documents with doc_id % 10 == 0
+    play the incoming batch, the rest the existing corpus; near-dups
+    of the batch against the corpus are mined by a cross-side band
+    equi-join (no new x new, no base x base pair generation) and
+    verified with exact shingle-Jaccard >= 0.8."""
+    d = _t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    return dd.neardup_lsh_between(
+        new, base, "doc_id", "text",
+        threshold=0.8, num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    )

@@ -268,6 +268,111 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*seeded)
 
 
+def lsh_banded(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, band_idx, band_hash) LSH band index rows for a corpus —
+    the shared banding stage of `minhash_lsh_candidates` and
+    `neardup_lsh_between`."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        shingle_n=shingle_n,
+        hash_family=hash_family,
+    )
+    if hash_family == "md5":
+        def band_key(b: int) -> Column:
+            return F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            )
+    else:
+        def band_key(b: int) -> Column:
+            return F.xxhash64(
+                *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
+def neardup_lsh_between(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Incremental corpus dedup: near-dups of a NEW batch against an
+    EXISTING corpus, verified exactly — the operation a 100 TB pipeline
+    runs on every ingest (is today's crawl already in the corpus?).
+
+    Candidate generation is a band equi-join between the two sides'
+    LSH indexes, so it is O(cross-side band collisions): no new×new,
+    no base×base, and never all-pairs. In steady state the base side's
+    band index is a precomputed artifact (it is `lsh_banded` output —
+    persist it bucketed by band_hash and only the new batch pays the
+    signature cost). Verify = exact shingle-Jaccard on candidates
+    only, fetched by two id equi-joins.
+
+    Output: (new_doc_id, base_doc_id, jaccard) with jaccard ≥
+    threshold. Ids may overlap between sides; self-pairs are excluded.
+    """
+    bn = lsh_banded(
+        new_df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        hash_family=hash_family,
+    ).select(F.col(id_col).alias("new_doc_id"), "band_idx", "band_hash")
+    bb = lsh_banded(
+        base_df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        hash_family=hash_family,
+    ).select(F.col(id_col).alias("base_doc_id"), "band_idx", "band_hash")
+    cands = (
+        bn.join(bb, on=["band_idx", "band_hash"])
+        .filter(F.col("new_doc_id") != F.col("base_doc_id"))
+        .select("new_doc_id", "base_doc_id")
+        .distinct()
+    )
+    sn = new_df.select(
+        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh_a")
+    )
+    sb = base_df.select(
+        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh_b")
+    )
+    j = (
+        cands.join(sn, on=F.col("new_doc_id") == F.col("_sid")).drop("_sid")
+        .join(sb, on=F.col("base_doc_id") == F.col("_sid")).drop("_sid")
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return (
+        j.select("new_doc_id", "base_doc_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -294,33 +399,14 @@ def minhash_lsh_candidates(
     Output: (doc_id_a, doc_id_b) candidate pairs (doc_id_a < doc_id_b).
     Verify candidates with `jaccard_pairs_blocked` on the candidate set.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
+    banded = lsh_banded(
         df,
         id_col,
         text_col,
         num_hashes=num_hashes,
+        bands=bands,
         shingle_n=shingle_n,
         hash_family=hash_family,
-    )
-    if hash_family == "md5":
-        def band_key(b: int) -> Column:
-            return F.md5(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
-            )
-    else:
-        def band_key(b: int) -> Column:
-            return F.xxhash64(
-                *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-            )
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
-            "band_idx", "band_hash"
-        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (

@@ -243,3 +243,31 @@ def test_curate_semantics(spark):
         for r in tx.curate(df, "doc_id", "text", strat_col="lang").collect()
     }
     assert out == {("en", 1, 1), ("fr", 6, 1)}
+
+
+def test_neardup_between_recovers_cross_split_truth(spark, sf_dir):
+    """Incremental dedup must recover (almost) all true cross-side
+    near-dup pairs — the same 64-hash/16-band recall argument as
+    `test_minhash_lsh_recall`, restricted to pairs straddling the
+    batch/corpus split."""
+    truth = {
+        frozenset(p)
+        for p in _exact_shingle_jaccard_pairs(sf_dir, 0.8)
+        if (p[0] % 10 == 0) != (p[1] % 10 == 0)
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        frozenset((r["new_doc_id"], r["base_doc_id"]))
+        for r in dd.neardup_lsh_between(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            docs.filter(F.col("doc_id") % 10 != 0),
+            "doc_id",
+            "text",
+            threshold=0.8,
+        ).collect()
+    }
+    if not truth:
+        pytest.skip("no cross-split near-dups at this sf")
+    assert len(got & truth) >= 0.9 * len(truth)
+    # verified pairs are exact — no false positives against the truth set
+    assert got <= truth
