@@ -318,3 +318,51 @@ def test_streaming_hourly_aggregate_available_now(spark, tmp_path):
     # watermark over 4 hourly points, the first 2 windows are closed
     assert out.count() >= 1
     assert set(out.columns) == {"bucket_hour", "sensor_index", "n_readings", "max_humidity"}
+
+
+def test_streaming_curation_matches_batch_and_dedups_across_batches(spark, tmp_path):
+    """The streaming curation pipeline must (a) produce the same
+    stateless features as the batch operators and (b) drop an exact
+    duplicate re-delivered in a LATER micro-batch via watermark state."""
+    from pyspark.sql import functions as F
+
+    from purpleair_data_logger_spark.operators import pii as pii_ops
+    from purpleair_data_logger_spark.streaming.curation import run_curation_stream
+
+    src = str(tmp_path / "cur_src")
+    batch1 = [
+        (1, "2024-03-01 10:00:00", "the quick fox mail me at a@b.io today"),
+        (2, "2024-03-01 10:00:05", "der hund und die katze ist hier"),
+    ]
+    batch2 = [
+        (3, "2024-03-01 10:00:10", "THE QUICK fox, mail me at a@b.io today!"),  # dup of 1 after normalize
+        (4, "2024-03-01 10:00:15", "le chat et le chien est la"),
+    ]
+    cols = ["doc_id", "ingest_ts", "text"]
+    for rows in (batch1, batch2):
+        (
+            spark.createDataFrame(rows, cols)
+            .withColumn("ingest_ts", F.to_timestamp("ingest_ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    q = run_curation_stream(
+        spark, src, str(tmp_path / "cur_out"), str(tmp_path / "cur_ckpt")
+    )
+    q.awaitTermination(120)
+    out = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "cur_out")).collect()}
+
+    # (b) cross-batch dedup: doc 3 normalizes to doc 1's text -> dropped
+    assert set(out) == {1, 2, 4}
+    # (a) stateless stages match the batch operators
+    assert out[1]["clean_text"] == "the quick fox mail me at <EMAIL> today"
+    assert out[1]["n_tokens"] == 8
+    assert out[1]["predicted_lang"] == "en"
+    assert out[2]["predicted_lang"] == "de"
+    assert out[4]["predicted_lang"] == "fr"
+    import re
+
+    for r in out.values():
+        assert not re.search(pii_ops.EMAIL_RE, r["clean_text"])
