@@ -54,3 +54,46 @@ def test_bucketed_aggregation_reuses_layout(spark, bucketed_pair):
     agg = spark.table(o).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
     plan = E.formatted_plan(agg)
     assert E.count(plan, "Exchange") == 0, plan[:1500]
+
+
+def test_incremental_dedup_base_index_is_persistable(spark, sf_dir):
+    """SCALE.md's incremental-dedup claim, evidenced: persist the base
+    corpus's LSH band index bucketed on the band join key, and the
+    candidate join replans with NO exchange on the base side — each
+    ingest pays shuffles only for the new batch (its signature groupBy
+    and its band-key redistribution), never for the corpus."""
+    from purpleair_data_logger_spark.operators import dedup as dd
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    docs = load_table(spark, sf_dir, "documents")
+    base_idx = dd.lsh_banded(
+        docs.filter(F.col("doc_id") % 10 != 0), "doc_id", "text", hash_family="md5"
+    )
+    B.save_bucketed(
+        base_idx,
+        "b_base_band_index",
+        bucket_cols=["band_idx", "band_hash"],
+        num_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        new_idx = dd.lsh_banded(
+            docs.filter(F.col("doc_id") % 10 == 0), "doc_id", "text",
+            hash_family="md5",
+        ).select(
+            F.col("doc_id").alias("new_doc_id"), "band_idx", "band_hash"
+        )
+        cands = spark.table("b_base_band_index").join(
+            new_idx, on=["band_idx", "band_hash"]
+        )
+        plan = E.formatted_plan(cands)
+        assert E.count(plan, "SortMergeJoin") >= 1
+        # exactly the new side's two exchanges: signature groupBy(doc_id)
+        # + redistribution onto the band key; the persisted base index
+        # contributes none (its bucket layout IS the join distribution)
+        assert E.count(plan, "Exchange") == 2, plan[:2500]
+        assert cands.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        B.drop_table(spark, "b_base_band_index")
