@@ -62,6 +62,7 @@ HEADLINE = [
     "train_val_test_split",
     "quality_percentile_gate",
     "neardup_incremental_batch",
+    "corpus_vocabulary",
 ]
 
 

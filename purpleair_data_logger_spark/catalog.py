@@ -1727,3 +1727,24 @@ def neardup_incremental_batch(spark, sf_dir):
         new, base, "doc_id", "text",
         threshold=0.8, num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
     )
+
+
+@register(
+    "corpus_vocabulary",
+    """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    a AS (SELECT tok, count(*) AS total_tf,
+                 count(DISTINCT doc_id) AS doc_freq
+          FROM t GROUP BY tok),
+    r AS (SELECT CAST(row_number() OVER (ORDER BY total_tf DESC, tok)
+                     AS INTEGER) AS vocab_rank,
+                 tok, total_tf, doc_freq
+          FROM a)
+    SELECT vocab_rank, tok, total_tf, doc_freq FROM r WHERE vocab_rank <= 100
+    """,
+    "north-star vocabulary building: corpus token df/tf, top-k by term frequency",
+)
+def corpus_vocabulary(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return tx.vocabulary(d, "doc_id", "text", top_k=100)

@@ -138,6 +138,40 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, *, prefix_tokens: int
     )
 
 
+def vocabulary(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary with term/document frequencies, top-k by
+    total term frequency — the tokenizer/BPE-prep and stopword-discovery
+    pass of a training pipeline.
+
+    Plan: one token explode → one groupBy(token) computing total_tf
+    (count, map-side combinable) and doc_freq (distinct doc ids per
+    token — Spark plans the distinct as a two-phase partial aggregate,
+    so the explode output is combined before the shuffle). The top-k
+    is a single-partition window over the already-tiny aggregate
+    output (|vocab| rows, not corpus rows). All counts are exact
+    integers; deterministic tie-break on the token string.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    agg = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct(F.col(id_col)).alias("doc_freq"),
+    )
+    w = Window.orderBy(F.desc("total_tf"), F.asc("tok"))
+    return (
+        agg.withColumn("vocab_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("vocab_rank") <= top_k)
+        .select("vocab_rank", "tok", "total_tf", "doc_freq")
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -61,7 +61,7 @@ def test_text_ops_stay_jvm_side(spark, sf):
                  "minhash_lsh_candidates", "simhash_neardups", "jaccard_neardup_blocked",
                  "pii_scrub", "benchmark_contamination", "hash_sample_stratified",
                  "paragraph_dedup_boilerplate", "train_val_test_split",
-                 "quality_percentile_gate"]:
+                 "quality_percentile_gate", "corpus_vocabulary"]:
         plan = _plan(spark, sf, name)
         # JVM-side only: no Python evaluation nodes anywhere. (Whole-stage
         # codegen coverage varies — higher-order lambdas and pre-AQE
