@@ -63,6 +63,7 @@ HEADLINE = [
     "quality_percentile_gate",
     "neardup_incremental_batch",
     "corpus_vocabulary",
+    "multimodal_frame_sample",
 ]
 
 

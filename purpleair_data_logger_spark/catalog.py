@@ -1748,3 +1748,33 @@ def neardup_incremental_batch(spark, sf_dir):
 def corpus_vocabulary(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return tx.vocabulary(d, "doc_id", "text", top_k=100)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH p AS (SELECT doc_id AS media_id, text,
+                 greatest(length(text) // 64, 1) AS n_avail
+               FROM documents),
+    m AS (SELECT media_id, text, n_avail, least(4, n_avail) AS m FROM p),
+    f AS (SELECT media_id, CAST(k AS INT) AS frame_idx,
+             CAST(k * (n_avail // m) * 64 AS BIGINT) AS frame_offset,
+             md5(substr(text, k * (n_avail // m) * 64 + 1, 64)) AS frame_md5
+          FROM m, LATERAL unnest(range(m)) t(k))
+    SELECT media_id, frame_idx, frame_offset, frame_md5 FROM f
+    """,
+    "north-star multimodal: 1:N frame sampling over binary payloads (mapInPandas explode-in-batch)",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling gate over text-derived binary payloads (the
+    corpus is ASCII, so DuckDB's character substr/md5 replays the
+    byte-slice digests of `fake_frame_extractor` exactly). Pins the
+    1:N mapInPandas shape: per-media frame rows with stride-sampled
+    offsets and frame digests."""
+    from purpleair_data_logger_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = mm.attach_binary_payload(d, "doc_id", "text")
+    return mm.sample_frames(
+        media, frame_size=64, n_frames=4, frame_extractor=mm.fake_frame_extractor
+    )

@@ -121,3 +121,136 @@ def extract_features(
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_offset", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+
+def extract_video_frames(payload: bytes, media_type: str, frame_size: int, n_frames: int):
+    """Real frame extraction entry point — STUB: container parsing
+    (ffmpeg) absent here; pass frame_extractor=fake_frame_extractor."""
+    raise NotImplementedError(
+        "frame extraction requires ffmpeg, not present in this container; "
+        "pass frame_extractor=fake_frame_extractor for the deterministic path"
+    )
+
+
+def fake_frame_extractor(
+    payload: bytes, media_type: str, frame_size: int, n_frames: int
+) -> list[tuple[int, int, str]]:
+    """Deterministic stand-in for container-aware frame extraction:
+    treats the payload as a stream of fixed-size pseudo-frames and
+    samples ``n_frames`` evenly by stride. Returns (frame_idx,
+    byte_offset, md5-of-frame-bytes) tuples — the same (offset, bytes)
+    contract a real demuxer plugs into."""
+    data = payload or b""
+    n_avail = max(len(data) // frame_size, 1)
+    m = min(n_frames, n_avail)
+    stride = n_avail // m
+    out = []
+    for k in range(m):
+        off = k * stride * frame_size
+        fb = data[off : off + frame_size]
+        out.append((k, off, hashlib.md5(fb).hexdigest()))
+    return out
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    frame_size: int = 64,
+    n_frames: int = 4,
+    frame_extractor: Callable = extract_video_frames,
+) -> DataFrame:
+    """Frame sampling over video-shaped binary columns: one OUTPUT ROW
+    PER SAMPLED FRAME via `mapInPandas` — the 1:N batch shape (unlike
+    `extract_features`' 1:1), which is the part worth getting right on
+    Spark: the explode happens inside the Arrow batch, so a 2 GB video
+    row never round-trips per frame, and downstream per-frame ops
+    (dedup on frame_md5, featurize, ANN) are plain DataFrame stages."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, digs = [], [], [], []
+            for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
+                for k, off, dig in frame_extractor(p, mt, frame_size, n_frames):
+                    ids.append(mid)
+                    idxs.append(k)
+                    offs.append(off)
+                    digs.append(dig)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "frame_md5": pd.Series(digs, dtype=object),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_image(payload: bytes, media_type: str, width: int, height: int) -> bytes:
+    """Real resize entry point — STUB: PIL absent here; pass
+    resizer=fake_resizer."""
+    raise NotImplementedError(
+        "image resize requires PIL, not present in this container; "
+        "pass resizer=fake_resizer for the deterministic path"
+    )
+
+
+def fake_resizer(payload: bytes, media_type: str, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resampler: width×height bytes
+    derived by re-keying the payload digest (same output-size contract
+    a real resizer satisfies)."""
+    need = width * height
+    out = bytearray()
+    block = hashlib.sha256(payload or b"").digest()
+    while len(out) < need:
+        out.extend(block)
+        block = hashlib.sha256(block).digest()
+    return bytes(out[:need])
+
+
+def resize_media(
+    df: DataFrame,
+    *,
+    width: int,
+    height: int,
+    resizer: Callable = resize_image,
+) -> DataFrame:
+    """Batch resize via `mapInPandas` (1:1): emits the resized binary
+    payload + target dims, ready for re-featurizing or storage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "payload": [
+                        resizer(p, mt, width, height)
+                        for p, mt in zip(pdf["payload"], pdf["media_type"])
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -271,3 +271,41 @@ def test_neardup_between_recovers_cross_split_truth(spark, sf_dir):
     assert len(got & truth) >= 0.9 * len(truth)
     # verified pairs are exact — no false positives against the truth set
     assert got <= truth
+
+
+def test_frame_sampling_shape_and_determinism(spark, sf_dir):
+    """1:N frame explode: row counts follow the stride formula, offsets
+    are in-bounds, and two runs are identical (no RNG, no partition
+    dependence)."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = mm.attach_binary_payload(docs, "doc_id", "text")
+    out = mm.sample_frames(
+        media, frame_size=64, n_frames=4, frame_extractor=mm.fake_frame_extractor
+    )
+    rows = out.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    lens = {r["media_id"]: len(r["text"]) for r in docs.select(F.col("doc_id").alias("media_id"), "text").collect()}
+    for mid, frames in by_id.items():
+        n_avail = max(lens[mid] // 64, 1)
+        assert len(frames) == min(4, n_avail)
+        for fr in frames:
+            assert 0 <= fr["frame_offset"] < max(lens[mid], 1)
+    again = {(r["media_id"], r["frame_idx"], r["frame_md5"]) for r in out.collect()}
+    assert again == {(r["media_id"], r["frame_idx"], r["frame_md5"]) for r in rows}
+
+
+def test_resize_media_contract(spark, sf_dir):
+    """Fake resize keeps the real resizer's contract: exact output
+    byte size, deterministic in the payload, stub raises without an
+    injected resizer."""
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = mm.attach_binary_payload(docs, "doc_id", "text")
+    out = mm.resize_media(media, width=16, height=8, resizer=mm.fake_resizer).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r["width"], r["height"]) == (16, 8)
+        assert len(r["payload"]) == 16 * 8
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        mm.resize_media(media, width=4, height=4).collect()
