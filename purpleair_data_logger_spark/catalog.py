@@ -214,7 +214,7 @@ def rolling_pseudo_averages(spark, sf_dir):
     def frame(seconds):
         return (
             Window.partitionBy("user_id")
-            .orderBy(F.unix_micros(F.col("ts")))
+            .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
             .rangeBetween(-seconds * 1_000_000, 0)
         )
 

@@ -42,15 +42,33 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session-zoned TIMESTAMP.
+
+    Parquet ``timestamp[us]`` with no timezone is read by Spark 4 as
+    TIMESTAMP_NTZ, which ``unix_micros`` / ``withWatermark`` reject.
+    The session TZ is pinned to UTC (session.configure_existing) and
+    DuckDB treats naive parquet timestamps as UTC too, so the cast is
+    bit-identical to the oracle's view — the same reasoning as the
+    nanos path above.
+    """
+    ntz_cols = [
+        f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos_cols = _nanos_ts_columns(path)
     if not nanos_cols:
-        return spark.read.parquet(path)
+        return normalize_timestamps(spark.read.parquet(path))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return df
+    return normalize_timestamps(df)

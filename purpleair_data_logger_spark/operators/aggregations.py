@@ -74,7 +74,7 @@ def rolling_window_agg(
     """
     w = (
         Window.partitionBy(*partition_keys)
-        .orderBy(F.unix_micros(F.col(ts_col)))
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
         .rangeBetween(-trailing_seconds * 1_000_000, 0)
     )
     out = df

@@ -65,7 +65,7 @@ def asof_join(
     merged = tagged_right.unionByName(tagged_left)
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col("_ts")), F.col("_tag"))
+        .orderBy(F.unix_micros(F.col("_ts").cast("timestamp")), F.col("_tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(

@@ -38,11 +38,11 @@ def sessionize(
     Output: input columns + ``session_id`` (1-based per key, ordered by
     time). Deterministic for unique (key, ts) pairs.
     """
-    w = Window.partitionBy(key_col).orderBy(F.unix_micros(F.col(ts_col)))
-    prev_ts = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(key_col).orderBy(ts_us)
+    prev_ts = F.lag(ts_us).over(w)
     new_session = F.when(
-        prev_ts.isNull()
-        | ((F.unix_micros(F.col(ts_col)) - prev_ts) >= gap_seconds * 1_000_000),
+        prev_ts.isNull() | ((ts_us - prev_ts) >= gap_seconds * 1_000_000),
         1,
     ).otherwise(0)
     return df.withColumn(
@@ -66,7 +66,10 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+        (
+            F.unix_micros(F.max(ts_col).cast("timestamp"))
+            - F.unix_micros(F.min(ts_col).cast("timestamp"))
+        )
         .cast("long")
         .alias("duration_us"),
     )

@@ -53,12 +53,12 @@ def streaming_hourly_aggregate(
     trigger_seconds: int = 3600,
 ) -> StreamingQuery:
     """Incrementally-maintained hourly rollup via Structured Streaming."""
+    from ..io import normalize_timestamps
+
     static = spark.read.parquet(source_path)
-    stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(source_path)
-        .withWatermark("data_time_stamp", watermark)
-    )
+    stream = normalize_timestamps(
+        spark.readStream.schema(static.schema).parquet(source_path)
+    ).withWatermark("data_time_stamp", watermark)
     agg = hourly_aggregate_plan(stream, value_cols=value_cols)
     writer = (
         agg.writeStream.outputMode("append")

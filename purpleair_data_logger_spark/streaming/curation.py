@@ -40,7 +40,9 @@ def curate_stream(
     pred, score = tx.language_vote(text_col)
     cols = [F.col(id_col)]
     if ts_col is not None:
-        cols.append(F.col(ts_col))
+        # Watermarks reject TIMESTAMP_NTZ; naive parquet micros arrive
+        # as NTZ, so normalize event time to session-zoned TIMESTAMP.
+        cols.append(F.col(ts_col).cast("timestamp").alias(ts_col))
     out = stream_df.select(
         *cols,
         pii.scrub_text(text_col).alias("clean_text"),

@@ -21,6 +21,7 @@ memory/RocksDB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -28,7 +29,12 @@ def dedup_within_watermark(
     stream: DataFrame, key_cols: list[str], ts_col: str, *, watermark: str
 ) -> DataFrame:
     """Drop PK duplicates that arrive within ``watermark`` of the first
-    occurrence (native state-store operator; no sink round-trip)."""
+    occurrence (native state-store operator; no sink round-trip).
+
+    Event time is cast to TIMESTAMP first: watermarks reject
+    TIMESTAMP_NTZ, and parquet naive-microsecond inputs arrive as NTZ.
+    """
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )

@@ -100,7 +100,9 @@ def ewma_by_key(
     """Per-key streaming EWMA: one output row per input event, carrying
     the running average; state survives across micro-batches."""
     src = stream.select(
-        key_col, ts_col, F.col(value_col).cast("double").alias("value")
+        key_col,
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        F.col(value_col).cast("double").alias("value"),
     ).withWatermark(ts_col, watermark)
     key_field = src.schema[key_col]
     ts_field = src.schema[ts_col]

@@ -42,7 +42,10 @@ def session_window_stats(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            (
+                F.unix_micros(F.max(ts_col).cast("timestamp"))
+                - F.unix_micros(F.min(ts_col).cast("timestamp"))
+            )
             .cast("long")
             .alias("duration_us"),
         )
@@ -72,12 +75,12 @@ def streaming_session_stats(
     ``output_mode='complete'`` to see every open session — the test
     shape).
     """
+    from ..io import normalize_timestamps
+
     schema = spark.read.parquet(source_path).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(source_path)
-        .withWatermark(ts_col, watermark)
-    )
+    stream = normalize_timestamps(
+        spark.readStream.schema(schema).parquet(source_path)
+    ).withWatermark(ts_col, watermark)
     agg = session_window_stats(stream, key_col, ts_col, gap_seconds=gap_seconds)
     if sink_path is not None:
         writer = (
