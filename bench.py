@@ -64,6 +64,9 @@ HEADLINE = [
     "neardup_incremental_batch",
     "corpus_vocabulary",
     "multimodal_frame_sample",
+    "neardup_cluster_dedup",
+    "domain_cap_sample",
+    "sequence_packing",
 ]
 
 
@@ -172,6 +175,49 @@ def main() -> None:
             total += best
     finally:
         shutil.rmtree(skew_tmp, ignore_errors=True)
+
+    # Crossover leg (VERDICT r2 #6): the deliberately-quadratic blocked
+    # baselines vs their LSH-verified production paths, on the worst
+    # case for blocking — block cardinality collapsed to 1, so the
+    # blocked self-join degenerates to all-pairs O(n²) while the LSH
+    # compositions stay band-collision-bounded. The recorded gap IS the
+    # crossover evidence: at 100 TB the blocked rows extrapolate
+    # quadratically, the LSH rows linearly. The jaccard corpus is
+    # hash-thinned to ~40% so the quadratic leg stays bench-sized
+    # (full-corpus reference numbers, sf0.1 local[32]: blocked 211.0 s
+    # vs LSH 2.6 s — 81×; thinned ≈ (0.4)² of that, same verdict).
+    # Evidence legs are timed once, not min-of-two.
+    from purpleair_data_logger_spark.operators import dedup as dd  # noqa: PLC0415
+    from purpleair_data_logger_spark.operators import sampling as smp  # noqa: PLC0415
+    from purpleair_data_logger_spark.operators import similarity as sim  # noqa: PLC0415
+
+    docs1 = (
+        smp.deterministic_sample(
+            load_table(spark, sf_dir, "documents"), "doc_id", 4000
+        )
+        .withColumn("_blk", F.lit(1))
+        .localCheckpoint()  # untimed: both legs read the same materialized input
+    )
+    embs1 = load_table(spark, sf_dir, "embeddings").withColumn("_blk", F.lit(1))
+    xover_legs = {
+        "xover_jaccard_blocked_1block": lambda: dd.jaccard_pairs_blocked(
+            docs1, "doc_id", "text", ["_blk"], threshold=0.8
+        ),
+        "xover_jaccard_lsh_verified": lambda: dd.neardup_lsh_verified(
+            docs1, "doc_id", "text", threshold=0.8
+        ),
+        "xover_cosine_blocked_1block": lambda: sim.cosine_neardup_pairs(
+            embs1, "vec_id", "embedding", "_blk", threshold=0.9
+        ),
+        "xover_cosine_lsh_verified": lambda: sim.cosine_neardup_lsh_verified(
+            embs1, "vec_id", "embedding", threshold=0.9
+        ),
+    }
+    for name, build in xover_legs.items():
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        total += timings[name]
 
     print(
         json.dumps(

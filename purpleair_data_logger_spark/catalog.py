@@ -1750,6 +1750,119 @@ def corpus_vocabulary(spark, sf_dir):
     return tx.vocabulary(d, "doc_id", "text", top_k=100)
 
 
+def _neardup_cluster_oracle(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float
+) -> str:
+    """Full-pipeline oracle for `neardup_cluster_dedup`: the LSH+verify
+    pair CTE chain, then connected components as a recursive CTE
+    (min-reachable-node per node ≡ the min-label fixpoint the Spark
+    propagation loop converges to)."""
+    jac = (
+        "round(len(list_intersect(sa.shing, sb.shing)) * 1.0"
+        " / len(list_distinct(list_concat(sa.shing, sb.shing))), 4)"
+    )
+    cte = _minhash_lsh_cte(num_hashes, bands, shingle_n).replace(
+        "WITH toks", "WITH RECURSIVE toks", 1
+    )
+    return (
+        cte
+        + f""", ver AS (
+      SELECT c.doc_id_a, c.doc_id_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_id_a
+      JOIN sh sb ON sb.doc_id = c.doc_id_b
+      WHERE {jac} >= {threshold}),
+    edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM ver
+              UNION SELECT doc_id_b, doc_id_a FROM ver),
+    cc(node, root) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, cc.root FROM cc JOIN edges e ON e.u = cc.node),
+    comp AS (SELECT node, min(root) AS cluster_id FROM cc GROUP BY node)
+    SELECT d.doc_id,
+           coalesce(comp.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(comp.cluster_id, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    """
+    )
+
+
+@register(
+    "neardup_cluster_dedup",
+    _neardup_cluster_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
+    "north-star near-dup cluster resolution: connected components over LSH-verified pairs, canonical doc per cluster",
+)
+def neardup_cluster_dedup(spark, sf_dir):
+    """The final dedup decision: pairwise near-dups resolved to
+    clusters (iterative min-label propagation, O(diameter) rounds) and
+    exactly one canonical survivor per cluster. Output is the full
+    corpus assignment (doc_id, cluster_id, keep)."""
+    from purpleair_data_logger_spark.operators import clusters as cl
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.neardup_lsh_verified(
+        d, "doc_id", "text", threshold=0.8,
+        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    )
+    return cl.cluster_dedup(d, "doc_id", pairs)
+
+
+@register(
+    "domain_cap_sample",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_hex60_sql("md5(CAST(doc_id AS VARCHAR))")}, doc_id
+             ) AS INTEGER) AS group_rank
+      FROM documents)
+    SELECT doc_id, source, group_rank FROM r WHERE group_rank <= 10
+    """,
+    "north-star per-domain cap: at most K docs per source, deterministic hash order",
+)
+def domain_cap_sample(spark, sf_dir):
+    """The crawl-pipeline per-host cap (no single domain dominates the
+    corpus): keep the 10 hash-smallest docs per source — exact-K,
+    rerun/engine/partitioning-stable."""
+    d = _t(spark, sf_dir, "documents")
+    return smp.capped_per_group(d.select("doc_id", "source"), "doc_id", "source", 10)
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (SELECT doc_id,
+                 {_hex60_sql("md5(CAST(doc_id AS VARCHAR))")} AS h,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents),
+    o AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY h % 16 ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+          FROM t)
+    SELECT doc_id, shard, CAST(so AS BIGINT) AS start_offset,
+           CAST(so // 512 AS BIGINT) AS seq_in_shard
+    FROM o
+    """,
+    "north-star sequence packing: shard-local token-budget binning, no global sort",
+)
+def sequence_packing(spark, sf_dir):
+    """Training-sequence assignment: hash-sharded, hash-ordered token
+    cumsum → each doc's start offset and 512-token sequence index.
+    One shuffle on shard, per-shard sort, window cumsum — no global
+    ordering anywhere in the plan."""
+    from purpleair_data_logger_spark.operators import packing as pk
+
+    d = _t(spark, sf_dir, "documents")
+    with_counts = d.select(
+        "doc_id", tx.whitespace_token_count("text").alias("n_tok")
+    )
+    return pk.pack_sequences(
+        with_counts, "doc_id", "n_tok", budget=512, n_shards=16
+    )
+
+
 @register(
     "multimodal_frame_sample",
     """

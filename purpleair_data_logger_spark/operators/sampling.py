@@ -61,6 +61,42 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
+def capped_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    cap: int,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, deterministically.
+
+    The per-domain cap of a crawl pipeline (e.g. ≤ K pages per host so
+    no single site dominates the corpus). Selection order is the
+    portable md5 hash of the key (ties broken by the key itself), so
+    the surviving set is stable across reruns, engines, and
+    partitionings — same property as `deterministic_sample`, but exact-K
+    instead of rate-based. Output adds ``group_rank`` (1-based) so the
+    caller can audit how deep each group filled.
+
+    Scale: one shuffle on the group key; rank is a per-group sort. A
+    pathologically hot group sorts in one task — if a group can exceed
+    an executor's spill comfort, pre-thin it with
+    ``deterministic_sample`` at a rate that keeps ≥ cap expected
+    survivors (the hash order is preserved under hash-threshold
+    pre-filtering, so the exact rank over survivors selects the same
+    rows whenever the pre-filter kept all of the cap smallest hashes).
+    """
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    w = Window.partitionBy(group_col).orderBy(
+        md5_long(key.cast("string")), key
+    )
+    return (
+        df.withColumn("group_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("group_rank") <= cap)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

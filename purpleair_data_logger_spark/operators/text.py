@@ -153,9 +153,11 @@ def vocabulary(
     (count, map-side combinable) and doc_freq (distinct doc ids per
     token — Spark plans the distinct as a two-phase partial aggregate,
     so the explode output is combined before the shuffle). The top-k
-    is a single-partition window over the already-tiny aggregate
-    output (|vocab| rows, not corpus rows). All counts are exact
-    integers; deterministic tie-break on the token string.
+    selection is ``orderBy().limit()`` — Spark's TakeOrderedAndProject,
+    a distributed per-partition top-k merged on the driver, so the
+    full |vocab|-row aggregate never lands in a single partition; only
+    the ``top_k`` survivors pass through the rank window. All counts
+    are exact integers; deterministic tie-break on the token string.
     """
     from pyspark.sql import Window
 
@@ -164,10 +166,11 @@ def vocabulary(
         F.count(F.lit(1)).alias("total_tf"),
         F.countDistinct(F.col(id_col)).alias("doc_freq"),
     )
-    w = Window.orderBy(F.desc("total_tf"), F.asc("tok"))
+    order = [F.desc("total_tf"), F.asc("tok")]
+    top = agg.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
     return (
-        agg.withColumn("vocab_rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("vocab_rank") <= top_k)
+        top.withColumn("vocab_rank", F.row_number().over(w).cast("int"))
         .select("vocab_rank", "tok", "total_tf", "doc_freq")
     )
 

@@ -1,0 +1,85 @@
+"""Unit tests for cluster resolution, per-group caps, and sequence
+packing (the operators behind neardup_cluster_dedup /
+domain_cap_sample / sequence_packing; oracle parity is covered by
+tests/test_catalog_oracle.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark.operators import clusters as cl
+from purpleair_data_logger_spark.operators import packing as pk
+from purpleair_data_logger_spark.operators import sampling as smp
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id_a", "doc_id_b"])
+
+
+def test_connected_components_chain_and_island(spark):
+    # chain 1-2-3-4 (one component) + island 10-11; 99 isolated (absent).
+    edges = _pairs(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in cl.connected_components(edges, "doc_id_a", "doc_id_b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_transitive_merge(spark):
+    # two cliques bridged by one edge -> single component, min id wins
+    edges = _pairs(spark, [(5, 6), (6, 7), (20, 21), (7, 20)])
+    got = cl.connected_components(edges, "doc_id_a", "doc_id_b").collect()
+    assert {r["cluster_id"] for r in got} == {5}
+    assert {r["node"] for r in got} == {5, 6, 7, 20, 21}
+
+
+def test_cluster_dedup_one_survivor_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = _pairs(spark, [(1, 3), (3, 5), (2, 6)])
+    out = cl.cluster_dedup(docs, "doc_id", pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(out) == 8  # full corpus assignment
+    assert [by_id[i]["cluster_id"] for i in range(8)] == [0, 1, 2, 1, 4, 1, 2, 7]
+    kept = sorted(r["doc_id"] for r in out if r["keep"])
+    assert kept == [0, 1, 2, 4, 7]  # exactly one per cluster
+
+
+def test_capped_per_group_exact_k_and_stability(spark, sf_dir):
+    from purpleair_data_logger_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    capped = smp.capped_per_group(d, "doc_id", "source", 5)
+    sizes = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in sizes)
+    assert capped.agg(F.max("group_rank")).collect()[0][0] <= 5
+    # deterministic under repartitioning: same surviving set
+    ids_a = sorted(r["doc_id"] for r in capped.collect())
+    ids_b = sorted(
+        r["doc_id"]
+        for r in smp.capped_per_group(d.repartition(13), "doc_id", "source", 5)
+        .collect()
+    )
+    assert ids_a == ids_b
+
+
+def test_pack_sequences_offsets_are_contiguous_per_shard(spark):
+    docs = spark.createDataFrame(
+        [(i, 10 + (i % 7)) for i in range(200)], ["doc_id", "n_tok"]
+    )
+    packed = pk.pack_sequences(docs, "doc_id", "n_tok", budget=64, n_shards=8)
+    rows = packed.join(docs, "doc_id").collect()
+    assert len(rows) == 200
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(8))
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["start_offset"])
+        expect = 0
+        for r in shard_rows:
+            assert r["start_offset"] == expect  # no gaps, no overlaps
+            assert r["seq_in_shard"] == r["start_offset"] // 64
+            expect += r["n_tok"]
