@@ -77,13 +77,12 @@ def capped_per_group(
     instead of rate-based. Output adds ``group_rank`` (1-based) so the
     caller can audit how deep each group filled.
 
-    Scale: one shuffle on the group key; rank is a per-group sort. A
-    pathologically hot group sorts in one task — if a group can exceed
-    an executor's spill comfort, pre-thin it with
-    ``deterministic_sample`` at a rate that keeps ≥ cap expected
-    survivors (the hash order is preserved under hash-threshold
-    pre-filtering, so the exact rank over survivors selects the same
-    rows whenever the pre-filter kept all of the cap smallest hashes).
+    Scale: one shuffle on the group key — and because the rank filter
+    is a top-k pattern, Spark plans WindowGroupLimit(Partial) BEFORE
+    the Exchange: every upstream task pre-prunes each group to its cap
+    smallest hashes, so a hot domain ships at most cap × n_tasks rows
+    through the shuffle rather than its full row count (pinned in
+    tests/test_plans.py). No skew mitigation needed beyond that.
     """
     from pyspark.sql import Window
 

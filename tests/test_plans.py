@@ -167,3 +167,32 @@ def test_doc_repetition_single_shuffle(spark, sf):
     requirement of both groupBys."""
     plan = _plan(spark, sf, "doc_repetition_ratio")
     assert E.count(plan, "Exchange") == 1
+
+
+def test_domain_cap_single_shuffle_mapside_limit(spark, sf):
+    """One Exchange on the group key — and Spark's WindowGroupLimit
+    rewrite prunes to the cap per (group, input partition) BEFORE the
+    shuffle (Partial) and again after (Final), so a hot domain never
+    ships more than cap rows per upstream task. Only doc_id/source are
+    read from the scan."""
+    plan = _plan(spark, sf, "domain_cap_sample")
+    assert E.count(plan, "Exchange") == 1
+    assert E.count(plan, "WindowGroupLimit") == 2  # partial + final
+    assert all("text" not in s for s in E.read_schemas(plan))
+
+
+def test_sequence_packing_no_global_sort(spark, sf):
+    """One Exchange on the shard key, one per-shard Window cumsum — no
+    global ordering node anywhere (the scale property of the design)."""
+    plan = _plan(spark, sf, "sequence_packing")
+    assert E.count(plan, "Exchange") == 1
+    assert E.count(plan, "Window") == 1
+    # a global orderBy would plan rangepartitioning / a global Sort step
+    assert "rangepartitioning" not in plan
+
+
+def test_vocabulary_topk_is_take_ordered(spark, sf):
+    """The |vocab|-row aggregate reduces via distributed top-k
+    (TakeOrderedAndProject), never a single-partition full sort."""
+    plan = _plan(spark, sf, "corpus_vocabulary")
+    assert "TakeOrderedAndProject" in plan
