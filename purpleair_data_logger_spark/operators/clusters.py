@@ -53,6 +53,10 @@ def connected_components(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
+        # Materialize once: adj is re-joined every round, and without
+        # this the whole upstream pipeline (e.g. LSH mining) would be
+        # recomputed per round.
+        .localCheckpoint()
     )
     labels = (
         adj.select(F.col("u").alias("node"))
