@@ -65,6 +65,7 @@ HEADLINE = [
     "corpus_vocabulary",
     "multimodal_frame_sample",
     "neardup_cluster_dedup",
+    "neardup_cluster_keep_best",
     "domain_cap_sample",
     "sequence_packing",
 ]

@@ -1807,6 +1807,56 @@ def neardup_cluster_dedup(spark, sf_dir):
     return cl.cluster_dedup(d, "doc_id", pairs)
 
 
+def _neardup_cluster_keep_longest_oracle(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float
+) -> str:
+    """`_neardup_cluster_oracle` with the survivor policy flipped to
+    quality (longest doc wins, ties by id)."""
+    base = _neardup_cluster_oracle(num_hashes, bands, shingle_n, threshold)
+    head, _, _ = base.rpartition("SELECT d.doc_id,")
+    return (
+        head.rstrip()
+        + """, clustered AS (
+      SELECT d.doc_id, comp.cluster_id, d.n_chars
+      FROM documents d JOIN comp ON comp.node = d.doc_id),
+    ranked AS (
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) = 1 AS keep
+      FROM clustered)
+    SELECT doc_id, cluster_id, keep FROM ranked
+    UNION ALL
+    SELECT d.doc_id, d.doc_id AS cluster_id, TRUE AS keep
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    WHERE comp.node IS NULL
+    """
+    )
+
+
+@register(
+    "neardup_cluster_keep_best",
+    _neardup_cluster_keep_longest_oracle(
+        num_hashes=64, bands=16, shingle_n=3, threshold=0.8
+    ),
+    "north-star cluster dedup, production survivor policy: keep the best (longest) member per cluster",
+)
+def neardup_cluster_keep_best(spark, sf_dir):
+    """Same component resolution as `neardup_cluster_dedup`, but the
+    survivor is chosen by quality (n_chars desc, ties by id) — the
+    usual production policy. The selection window runs over the
+    clustered subset only, never the full corpus."""
+    from purpleair_data_logger_spark.operators import clusters as cl
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.neardup_lsh_verified(
+        d, "doc_id", "text", threshold=0.8,
+        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    )
+    return cl.cluster_dedup(
+        d, "doc_id", pairs, prefer=[F.desc("n_chars")]
+    )
+
+
 @register(
     "domain_cap_sample",
     f"""

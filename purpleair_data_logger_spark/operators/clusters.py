@@ -30,7 +30,7 @@ round instead of a change-count join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -91,6 +91,7 @@ def cluster_dedup(
     *,
     src_col: str = "doc_id_a",
     dst_col: str = "doc_id_b",
+    prefer: list[Column] | None = None,
 ) -> DataFrame:
     """Canonical-document selection over near-dup pairs.
 
@@ -102,16 +103,38 @@ def cluster_dedup(
     than pre-filtering) lets the caller audit cluster sizes and
     removal rates.
 
+    ``prefer``: ordering expressions choosing WHICH member survives —
+    e.g. ``[F.desc("quality_score")]`` keeps the best-quality copy,
+    the usual production policy (ties always broken by id, so the
+    choice stays deterministic). Default (None) keeps the minimum-id
+    member with no extra window.
+
     Scale: the component resolution touches only edge-incident nodes
     (the near-dup subset, tiny vs corpus); the final assignment is one
     left equi-join of the corpus against that small label table —
-    broadcastable in the common case where near-dups ≪ corpus.
+    broadcastable in the common case where near-dups ≪ corpus. With
+    ``prefer``, the survivor-selection window runs over the clustered
+    subset only, never the full corpus.
     """
     cc = connected_components(pairs, src_col, dst_col)
-    out = df.join(cc, df[id_col] == cc["node"], "left")
-    cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
-    return out.select(
+    if prefer is None:
+        out = df.join(cc, df[id_col] == cc["node"], "left")
+        cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))
+        return out.select(
+            F.col(id_col),
+            cluster.alias("cluster_id"),
+            (F.col(id_col) == cluster).alias("keep"),
+        )
+    clustered = df.join(cc, df[id_col] == cc["node"], "inner")
+    w = Window.partitionBy("cluster_id").orderBy(*prefer, F.col(id_col))
+    best = clustered.select(
         F.col(id_col),
-        cluster.alias("cluster_id"),
-        (F.col(id_col) == cluster).alias("keep"),
+        F.col("cluster_id"),
+        (F.row_number().over(w) == 1).alias("keep"),
     )
+    singles = df.join(cc, df[id_col] == cc["node"], "left_anti").select(
+        F.col(id_col),
+        F.col(id_col).alias("cluster_id"),
+        F.lit(True).alias("keep"),
+    )
+    return best.unionByName(singles)

@@ -47,6 +47,23 @@ def test_cluster_dedup_one_survivor_per_cluster(spark):
     assert kept == [0, 1, 2, 4, 7]  # exactly one per cluster
 
 
+def test_cluster_dedup_prefer_keeps_best_member(spark):
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7), (5, 7)],
+        ["doc_id", "quality"],
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3), (4, 5)])
+    out = cl.cluster_dedup(
+        docs, "doc_id", pairs, prefer=[F.desc("quality")]
+    ).collect()
+    assert len(out) == 5
+    kept = sorted(r["doc_id"] for r in out if r["keep"])
+    # cluster {1,2,3}: doc 2 has best quality; cluster {4,5}: quality
+    # tie -> min id 4 wins deterministically
+    assert kept == [2, 4]
+    assert all(r["cluster_id"] == (1 if r["doc_id"] <= 3 else 4) for r in out)
+
+
 def test_capped_per_group_exact_k_and_stability(spark, sf_dir):
     from purpleair_data_logger_spark.io import load_table
 

@@ -366,3 +366,50 @@ def test_streaming_curation_matches_batch_and_dedups_across_batches(spark, tmp_p
 
     for r in out.values():
         assert not re.search(pii_ops.EMAIL_RE, r["clean_text"])
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static dimension enrichment: stateless per-micro-batch
+    join, dimension broadcast (pinned on the equivalent batch plan —
+    stream-static joins plan the static side identically per batch)."""
+    from pyspark.sql import functions as F
+
+    from purpleair_data_logger_spark.plans import explain as E
+    from purpleair_data_logger_spark.streaming.enrich import enrich_stream
+
+    src = str(tmp_path / "en_src")
+    rows = [(1, "2022-08-05 10:00:00", 40.0), (2, "2022-08-05 10:00:05", 50.0),
+            (9, "2022-08-05 10:00:10", 60.0)]
+    (
+        spark.createDataFrame(rows, ["sensor_index", "ts", "value"])
+        .withColumn("ts", F.to_timestamp("ts"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    dim = spark.createDataFrame(
+        [(1, "backyard"), (2, "roof")], ["sensor_index", "name"]
+    )
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    enriched = enrich_stream(stream, dim, ["sensor_index"])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["sensor_index"]: r["name"]
+        for r in spark.sql("SELECT * FROM enriched_t").collect()
+    }
+    assert got == {1: "backyard", 2: "roof", 9: None}  # left join keeps 9
+
+    batch_plan = E.formatted_plan(
+        enrich_stream(spark.read.parquet(src), dim, ["sensor_index"])
+    )
+    assert E.count(batch_plan, "BroadcastHashJoin") == 1
