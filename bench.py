@@ -68,6 +68,7 @@ HEADLINE = [
     "neardup_cluster_keep_best",
     "domain_cap_sample",
     "sequence_packing",
+    "corpus_build_final",
 ]
 
 
@@ -201,6 +202,20 @@ def main() -> None:
     )
     embs1 = load_table(spark, sf_dir, "embeddings").withColumn("_blk", F.lit(1))
     xover_legs = {
+        # Production hash family: catalog LSH queries run the portable
+        # md5 family so DuckDB can replay them; production defaults to
+        # xxhash64 (one JVM hash vs md5+conv per shingle). This leg
+        # records the production-path number the docstrings cite.
+        "minhash_lsh_prod_xxhash64": lambda: dd.neardup_lsh_verified(
+            load_table(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            threshold=0.8,
+            num_hashes=64,
+            bands=16,
+            shingle_n=3,
+            hash_family="xxhash64",
+        ),
         "xover_jaccard_blocked_1block": lambda: dd.jaccard_pairs_blocked(
             docs1, "doc_id", "text", ["_blk"], threshold=0.8
         ),

@@ -1857,6 +1857,86 @@ def neardup_cluster_keep_best(spark, sf_dir):
     )
 
 
+def _corpus_build_final_oracle(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float
+) -> str:
+    """End-to-end corpus-build oracle: LSH cluster dedup → benchmark
+    decontamination → split assignment → per-split token accounting.
+    Splices the recursive cluster CTE with the contamination CTEs and
+    the portable split buckets."""
+    base = _neardup_cluster_oracle(num_hashes, bands, shingle_n, threshold)
+    head, _, _ = base.rpartition("SELECT d.doc_id,")
+    bucket = _hex60_sql("md5(CAST(doc_id AS VARCHAR))")
+    return (
+        head.rstrip()
+        + f""", t2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    g2 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(w)-3, 1)+1),
+             i -> array_to_string(w[i:i+3], ' ')))) AS ng
+           FROM t2),
+    b2 AS (SELECT DISTINCT ng FROM g2 WHERE doc_id % 50 = 0),
+    flagged AS (SELECT DISTINCT g2.doc_id
+                FROM g2 JOIN b2 USING (ng) WHERE g2.doc_id % 50 <> 0),
+    keepers AS (
+      SELECT d.doc_id, d.text
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+      WHERE coalesce(comp.cluster_id, d.doc_id) = d.doc_id
+        AND d.doc_id % 50 <> 0),
+    clean AS (
+      SELECT k.doc_id, k.text FROM keepers k
+      LEFT JOIN flagged f ON f.doc_id = k.doc_id
+      WHERE f.doc_id IS NULL),
+    sp AS (
+      SELECT CASE WHEN {bucket} % 10000 < 9000 THEN 'train'
+                  WHEN {bucket} % 10000 < 9500 THEN 'val'
+                  ELSE 'test' END AS split,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM clean)
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM sp GROUP BY split
+    """
+    )
+
+
+@register(
+    "corpus_build_final",
+    _corpus_build_final_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
+    "north-star end-to-end corpus build: cluster dedup -> decontaminate -> split -> token accounting",
+)
+def corpus_build_final(spark, sf_dir):
+    """The whole training-corpus build as one declarative plan:
+    near-dup cluster survivors (LSH + connected components), minus the
+    held-out benchmark docs (doc_id % 50 == 0) and every doc with
+    4-gram overlap against them, assigned to leakage-proof hash splits,
+    accounted in docs and tokens per split. Every stage is the same
+    operator the standalone gate queries exercise — this query pins
+    that they compose."""
+    from purpleair_data_logger_spark.operators import clusters as cl
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.neardup_lsh_verified(
+        d, "doc_id", "text", threshold=0.8,
+        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    )
+    survivors = (
+        cl.cluster_dedup(d, "doc_id", pairs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    corpus = d.join(survivors, "doc_id").filter(F.col("doc_id") % 50 != 0)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    flagged = tx.ngram_contamination(corpus, bench, "doc_id", "text", n=4)
+    clean = corpus.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    split = smp.assign_split(
+        clean, "doc_id", [("train", 9000), ("val", 500), ("test", 500)]
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.whitespace_token_count("text")).alias("total_tokens"),
+    )
+
+
 @register(
     "domain_cap_sample",
     f"""
