@@ -69,6 +69,7 @@ HEADLINE = [
     "domain_cap_sample",
     "sequence_packing",
     "corpus_build_final",
+    "range_join_click_error",
 ]
 
 

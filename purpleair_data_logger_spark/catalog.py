@@ -589,6 +589,46 @@ def sessionize_users(spark, sf_dir):
 
 
 @register(
+    "range_join_click_error",
+    """
+    SELECT e.event_id AS error_id, e.ts AS error_ts,
+           c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
+    FROM events e
+    JOIN events c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+    WHERE e.event_type = 'error' AND c.event_type = 'click'
+    """,
+    "beyond-reference bounded range join: all clicks within 10 min before each error (bucketized equi-join, no nested loop)",
+)
+def range_join_click_error(spark, sf_dir):
+    """Windowed correlation: every click in the 10 minutes up to each
+    error, same user. Planned as a pure equi-join on
+    (user_id, time-bucket) with the exact range as a post-filter —
+    never an inequality nested-loop (pinned in test_plans.py)."""
+    from purpleair_data_logger_spark.operators.rangejoin import bounded_range_join
+
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts"), F.col("event_id")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.col("event_id"), F.col("value")
+    )
+    out = bounded_range_join(
+        errors, clicks, ["user_id"], "ts", "ts",
+        gap_seconds=600, left_prefix="e_", right_prefix="c_",
+    )
+    return out.select(
+        F.col("e_event_id").alias("error_id"),
+        F.col("e_ts").alias("error_ts"),
+        F.col("c_event_id").alias("click_id"),
+        F.col("c_ts").alias("click_ts"),
+        F.col("c_value").alias("click_value"),
+    )
+
+
+@register(
     "pk_dedup",
     """
     SELECT ts, user_id, min(event_id) AS event_id, count(*) AS n_dups

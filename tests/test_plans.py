@@ -196,3 +196,15 @@ def test_vocabulary_topk_is_take_ordered(spark, sf):
     (TakeOrderedAndProject), never a single-partition full sort."""
     plan = _plan(spark, sf, "corpus_vocabulary")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_equijoin_not_nested_loop(spark, sf):
+    """The bounded range join must plan as an equi-join on
+    (key, bucket) — never BroadcastNestedLoopJoin/CartesianProduct,
+    which is what a raw inequality join degenerates to."""
+    plan = _plan(spark, sf, "range_join_click_error")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        E.count(plan, "SortMergeJoin") + E.count(plan, "BroadcastHashJoin") >= 1
+    )

@@ -413,3 +413,69 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         enrich_stream(spark.read.parquet(src), dim, ["sensor_index"])
     )
     assert E.count(batch_plan, "BroadcastHashJoin") == 1
+
+
+def test_stream_stream_interval_join_matches_batch_range_join(spark, tmp_path):
+    """Native stream-stream interval join (watermark-bounded state)
+    must equal the bucketized batch range join row-for-row on the same
+    inputs."""
+    from pyspark.sql import functions as F
+
+    from purpleair_data_logger_spark.io import load_table
+    from purpleair_data_logger_spark.operators.rangejoin import bounded_range_join
+    from purpleair_data_logger_spark.streaming.join import interval_join
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    src = str(tmp_path / "ij_src")
+    events.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(df, etype):
+        return df.filter(F.col("event_type") == etype).select(
+            "user_id", "ts", "event_id"
+        )
+
+    batch = bounded_range_join(
+        side(events, "error"),
+        side(events, "click"),
+        ["user_id"],
+        "ts",
+        "ts",
+        gap_seconds=600,
+        left_prefix="e_",
+        right_prefix="c_",
+    ).select("e_event_id", "c_event_id")
+    expected = sorted(
+        (r["e_event_id"], r["c_event_id"]) for r in batch.collect()
+    )
+    assert expected, "fixture produced no pairs — gap too small for testdata"
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = interval_join(
+        side(stream, "error"),
+        side(stream, "click"),
+        "user_id",
+        "ts",
+        "ts",
+        gap_seconds=600,
+        left_watermark="1 hour",
+        right_watermark="1 hour",
+        left_prefix="e_",
+        right_prefix="c_",
+    )
+    q = (
+        joined.select("e_event_id", "c_event_id")
+        .writeStream.format("memory")
+        .queryName("ij_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["e_event_id"], r["c_event_id"])
+        for r in spark.sql("SELECT * FROM ij_t").collect()
+    )
+    assert got == expected
