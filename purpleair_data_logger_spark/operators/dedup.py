@@ -202,6 +202,26 @@ def affine_seeds(num_hashes: int, seed: int = 71) -> list[tuple[int, int]]:
     return out
 
 
+def parallelize_small_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Guard for compute-heavy map stages behind few-partition scans.
+
+    A single-row-group parquet file cannot be split, so locally (tests,
+    bench, small extracts) the whole signature computation would run in
+    ONE task while every other core idles. When the upstream plan
+    yields fewer partitions than the cluster's parallelism, repartition
+    the compact input rows (id + text — cheap) with an EXPLICIT
+    partition count: AQE never coalesces a user-specified count,
+    whereas `repartition(col)` alone would be coalesced right back to
+    one partition at this data size. At scale the scan already exceeds
+    defaultParallelism and this is a no-op — no shuffle is added.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
+
 def shingles(text_col: str, n: int = 3, sep: str = " ") -> Column:
     """Word n-gram shingle set as an array<string> column (JVM-side)."""
     toks = F.split(F.col(text_col), sep)
@@ -244,7 +264,7 @@ def minhash_signatures(
       re-md5'd the hex digest per seed (64 string hashes per exploded
       row) and benched ~7x slower than this at sf0.1.
     """
-    ex = df.select(
+    ex = parallelize_small_scan(df, id_col).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
     )
     if hash_family == "md5":
@@ -504,7 +524,7 @@ def simhash_fingerprints(
     (fingerprint, bands, hamming distance) is DuckDB-reproducible.
     """
     n_bits = simhash_bits(hash_family)
-    ex = df.select(
+    ex = parallelize_small_scan(df, id_col).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), sep)).alias("_tok")
     )
     if hash_family == "md5":
