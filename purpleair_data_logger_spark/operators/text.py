@@ -201,12 +201,15 @@ def ngram_contamination(
     8-13; short-vocabulary test corpora need smaller n to surface any
     overlap at all.
     """
-    from purpleair_data_logger_spark.operators.dedup import shingles
+    from purpleair_data_logger_spark.operators.dedup import (
+        parallelize_small_scan,
+        shingles,
+    )
 
     bench_grams = (
         benchmark.select(F.explode(shingles(text_col, n)).alias("_ng")).distinct()
     )
-    corpus_grams = corpus.select(
+    corpus_grams = parallelize_small_scan(corpus, id_col).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("_ng")
     ).dropDuplicates([id_col, "_ng"])
     return (
