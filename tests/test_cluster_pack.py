@@ -100,3 +100,40 @@ def test_pack_sequences_offsets_are_contiguous_per_shard(spark):
             assert r["start_offset"] == expect  # no gaps, no overlaps
             assert r["seq_in_shard"] == r["start_offset"] // 64
             expect += r["n_tok"]
+
+
+def test_star_components_match_label_propagation(spark):
+    edges = _pairs(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (5, 6), (6, 7), (20, 21), (7, 20)],
+    )
+    lab = {
+        r["node"]: r["cluster_id"]
+        for r in cl.connected_components(edges, "doc_id_a", "doc_id_b").collect()
+    }
+    star = {
+        r["node"]: r["cluster_id"]
+        for r in cl.connected_components_star(
+            edges, "doc_id_a", "doc_id_b"
+        ).collect()
+    }
+    assert star == lab
+
+
+def test_star_components_resolve_long_chain(spark):
+    """A 120-node chain: diameter ≫ label-prop's default round budget,
+    but large-star/small-star collapses it in O(log² n) rounds."""
+    chain = _pairs(spark, [(i, i + 1) for i in range(120)])
+    got = cl.connected_components_star(chain, "doc_id_a", "doc_id_b").collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert {r["node"] for r in got} == set(range(121))
+
+
+def test_label_propagation_raises_rather_than_miscluster(spark):
+    """On a graph whose diameter exceeds max_iter, label propagation
+    must fail loudly (partial labels would silently under-merge)."""
+    import pytest as _pytest
+
+    chain = _pairs(spark, [(i, i + 1) for i in range(30)])
+    with _pytest.raises(RuntimeError, match="connected_components_star"):
+        cl.connected_components(chain, "doc_id_a", "doc_id_b", max_iter=3)
