@@ -70,6 +70,7 @@ HEADLINE = [
     "sequence_packing",
     "corpus_build_final",
     "range_join_click_error",
+    "leakage_safe_split",
 ]
 
 

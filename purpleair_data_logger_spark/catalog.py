@@ -1977,6 +1977,52 @@ def corpus_build_final(spark, sf_dir):
     )
 
 
+def _leakage_safe_split_oracle(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float
+) -> str:
+    """Cluster CTE chain + split buckets keyed on the CLUSTER id."""
+    base = _neardup_cluster_oracle(num_hashes, bands, shingle_n, threshold)
+    head, _, _ = base.rpartition("SELECT d.doc_id,")
+    bucket = _hex60_sql("md5(CAST(cluster_id AS VARCHAR))")
+    return (
+        head.rstrip()
+        + f""", assigned AS (
+      SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {bucket} % 10000 < 9000 THEN 'train'
+                WHEN {bucket} % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """
+    )
+
+
+@register(
+    "leakage_safe_split",
+    _leakage_safe_split_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
+    "north-star leakage-safe splits: train/val/test keyed on the near-dup CLUSTER hash, so near-identical docs never straddle splits",
+)
+def leakage_safe_split(spark, sf_dir):
+    """`train_val_test_split` hashes the doc id, which lets two
+    near-identical documents land in train AND test — exactly the
+    contamination a dedup pass exists to prevent. This variant hashes
+    the near-dup cluster id instead: every member of a duplicate
+    cluster shares one bucket draw, so a cluster moves between splits
+    as a unit or not at all."""
+    from purpleair_data_logger_spark.operators import clusters as cl
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.neardup_lsh_verified(
+        d, "doc_id", "text", threshold=0.8,
+        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    )
+    assigned = cl.cluster_dedup(d, "doc_id", pairs).select("doc_id", "cluster_id")
+    return smp.assign_split(
+        assigned, "cluster_id", [("train", 9000), ("val", 500), ("test", 500)]
+    ).select("doc_id", "cluster_id", "split")
+
+
 @register(
     "domain_cap_sample",
     f"""
