@@ -71,6 +71,7 @@ HEADLINE = [
     "corpus_build_final",
     "range_join_click_error",
     "leakage_safe_split",
+    "neardup_clusters_star",
 ]
 
 

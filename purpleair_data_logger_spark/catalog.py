@@ -1874,6 +1874,33 @@ def _neardup_cluster_keep_longest_oracle(
 
 
 @register(
+    "neardup_clusters_star",
+    _neardup_cluster_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
+    "north-star cluster resolution via large-star/small-star (O(log^2 n) rounds) — same oracle as the label-propagation path",
+)
+def neardup_clusters_star(spark, sf_dir):
+    """Identical output contract to `neardup_cluster_dedup`, computed
+    with the Kiveris et al. large-star/small-star alternation instead
+    of label propagation — both implementations are held to the same
+    recursive-CTE oracle, so the driver gate verifies each."""
+    from purpleair_data_logger_spark.operators import clusters as cl
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dd.neardup_lsh_verified(
+        d, "doc_id", "text", threshold=0.8,
+        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    )
+    cc = cl.connected_components_star(pairs, "doc_id_a", "doc_id_b")
+    out = d.join(cc, d["doc_id"] == cc["node"], "left")
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return out.select(
+        F.col("doc_id"),
+        cluster.alias("cluster_id"),
+        (F.col("doc_id") == cluster).alias("keep"),
+    )
+
+
+@register(
     "neardup_cluster_keep_best",
     _neardup_cluster_keep_longest_oracle(
         num_hashes=64, bands=16, shingle_n=3, threshold=0.8
