@@ -72,6 +72,7 @@ HEADLINE = [
     "range_join_click_error",
     "leakage_safe_split",
     "neardup_clusters_star",
+    "document_chunking",
 ]
 
 

@@ -2073,6 +2073,37 @@ def domain_cap_sample(spark, sf_dir):
 
 
 @register(
+    "document_chunking",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (SELECT doc_id, len(w) AS n,
+            list_transform(range(1, greatest(len(w) - 10, 1) + 1, 30),
+                           st -> array_to_string(w[st:st+39], ' ')) AS chunks
+          FROM t),
+    x AS (SELECT doc_id, n,
+            CAST(unnest(range(len(chunks))) AS INTEGER) AS chunk_idx,
+            unnest(chunks) AS chunk
+          FROM s)
+    SELECT doc_id, chunk_idx,
+           CAST(1 + chunk_idx * 30 AS BIGINT) AS chunk_start,
+           CAST(least(40, n - chunk_idx * 30) AS BIGINT) AS n_chunk_tokens,
+           md5(chunk) AS chunk_md5
+    FROM x
+    """,
+    "north-star document chunking: overlapping token windows for embedding/RAG prep (40-token chunks, 10 overlap)",
+)
+def document_chunking(spark, sf_dir):
+    """Chunking gate: 40-token windows striding 30 (10-token overlap),
+    one row per chunk with its 1-based token start, actual length, and
+    text digest — the pass that turns documents into embedding-model
+    inputs. Pure codegen sequence/transform/posexplode; no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.chunk_documents(
+        d, "doc_id", "text", chunk_tokens=40, overlap_tokens=10
+    )
+
+
+@register(
     "sequence_packing",
     f"""
     WITH t AS (SELECT doc_id,

@@ -289,3 +289,56 @@ def curate(
         .filter(F.col("sel_rank") <= per_lang_k)
         .select("stratum", id_col, "n_tokens", "sel_rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int,
+    overlap_tokens: int = 0,
+) -> DataFrame:
+    """Split documents into overlapping token windows — the
+    embedding/RAG chunking pass (each chunk becomes one embedding-model
+    input; overlap preserves context across boundaries).
+
+    Chunks start every ``chunk_tokens - overlap_tokens`` tokens from
+    position 1 while a start position ≤ max(n_tokens - overlap, 1)
+    remains, so every token lands in at least one chunk and only the
+    final chunk may run short. Output: one row per chunk —
+    (id, chunk_idx 0-based, chunk_start 1-based token position,
+    n_chunk_tokens, chunk_md5). The digest stands in for the chunk
+    text so downstream joins move 32 bytes, not the text; swap the
+    md5 for the slice itself when feeding an embedder.
+
+    Scale: pure codegen — sequence/transform/posexplode on the token
+    array, no shuffle, no Python; output rows ≈ corpus tokens /
+    (chunk - overlap), generated streaming per input partition.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - overlap_tokens, F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, chunk_tokens)))
+    return (
+        df.select(
+            F.col(id_col),
+            n.alias("_n"),
+            F.posexplode(chunks).alias("chunk_idx", "_chunk"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.lit(1) + F.col("chunk_idx") * step).cast("long").alias("chunk_start"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.col("_n") - (F.col("chunk_idx") * step),
+            ).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.col("_chunk")).alias("chunk_md5"),
+        )
+    )

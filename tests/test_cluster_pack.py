@@ -137,3 +137,30 @@ def test_label_propagation_raises_rather_than_miscluster(spark):
     chain = _pairs(spark, [(i, i + 1) for i in range(30)])
     with _pytest.raises(RuntimeError, match="connected_components_star"):
         cl.connected_components(chain, "doc_id_a", "doc_id_b", max_iter=3)
+
+
+def test_chunk_documents_covers_every_token(spark):
+    from purpleair_data_logger_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # 100 toks
+            (2, " ".join(f"t{i}" for i in range(40))),   # exactly one chunk
+            (3, "only three tokens here"),               # shorter than chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = tx.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=40, overlap_tokens=10
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # starts stride by 30 while start <= n - overlap: [1, 31, 61] —
+    # the chunk at 61 already covers tokens 61..100, so no start at 91
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_start"] for r in c1] == [1, 31, 61]
+    assert [r["n_chunk_tokens"] for r in c1] == [40, 40, 40]
+    assert c1[-1]["chunk_start"] + c1[-1]["n_chunk_tokens"] - 1 == 100
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [40]
+    assert [r["n_chunk_tokens"] for r in by_doc[3]] == [4]
