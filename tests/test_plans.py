@@ -208,3 +208,11 @@ def test_range_join_is_equijoin_not_nested_loop(spark, sf):
     assert (
         E.count(plan, "SortMergeJoin") + E.count(plan, "BroadcastHashJoin") >= 1
     )
+
+
+def test_document_chunking_no_shuffle(spark, sf):
+    """Chunking is a pure generate/project pipeline — no Exchange, no
+    Python; it fuses into whatever consumes the chunks."""
+    plan = _plan(spark, sf, "document_chunking")
+    assert E.count(plan, "Exchange") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
