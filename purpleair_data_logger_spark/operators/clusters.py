@@ -181,12 +181,23 @@ def connected_components_star(
 
     e = base
     prev = None
+    converged = base.isEmpty()
     for _ in range(max_iter):
         e = small_star(large_star(e)).localCheckpoint()
         cur = checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # Same posture as connected_components: never return partial
+        # labels — an under-merged cluster id silently keeps duplicates.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds. The algorithm is O(log² n) rounds on any graph "
+            "shape, so this indicates an extremely large component or "
+            "too small max_iter — raise max_iter."
+        )
     # converged to a star forest (u > v always after small_star):
     # leaves point at their component minimum; centers have no
     # outgoing edge and are their own cluster id

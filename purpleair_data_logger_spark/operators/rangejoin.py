@@ -44,6 +44,13 @@ def bounded_range_join(
     Non-key columns are carried with ``left_prefix``/``right_prefix``
     to keep the pair schema collision-free.
     """
+    if gap_seconds <= 0:
+        # gap_us=0 would make `lts % gap_us` NULL (non-ANSI), silently
+        # emptying the join; negative gaps invert the documented window.
+        raise ValueError(
+            f"gap_seconds must be positive, got {gap_seconds}; for "
+            "equal-timestamp matches use a plain equi-join on key + ts"
+        )
     gap_us = gap_seconds * 1_000_000
     keys = list(on)
     lts = F.unix_micros(F.col(left_ts).cast("timestamp"))

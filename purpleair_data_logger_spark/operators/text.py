@@ -242,9 +242,19 @@ def curate(
     compact document rows once on id (the explode happens after the
     repartition, and hashpartitioning(id) serves both the (id, tok) and
     (id) aggregations); (2) the feature join is co-partitioned on id;
-    (3) the dedup window shuffles on normalized_md5 (well distributed);
-    (4) the per-language ranking window shuffles the small
-    post-filter survivor set. Every expression is whole-stage codegen.
+    (3) the dedup winner is ONE groupBy(normalized_md5) aggregate
+    carrying the surviving row via min/min_by — NOT a min() window
+    (a document duplicated 10⁶ times is one window partition: no
+    map-side combine, no AQE skew split) and NOT the groupBy+join-back
+    of `dedup.paragraph_dedup` (here the join-back would recompute the
+    expensive repetition subtree for the winner branch; min_by keeps
+    it single-pass). The string-valued min_by buffer plans as
+    SortAggregate rather than HashAggregate, but partial (map-side)
+    aggregation still applies — the hot hash collapses to one row per
+    map partition before the shuffle, which is the property the window
+    lacks; the per-partition sort is CPU-only, no extra scan/shuffle; (4) the per-language ranking window shuffles the
+    small post-filter survivor set. Every expression is whole-stage
+    codegen.
     """
     from pyspark.sql import Window
 
@@ -277,9 +287,13 @@ def curate(
             & (F.col("top_token_share") <= max_top_token_share)
         )
     )
-    dd_w = Window.partitionBy("normalized_md5")
-    deduped = kept.withColumn("_canonical", F.min(id_col).over(dd_w)).filter(
-        F.col(id_col) == F.col("_canonical")
+    # min_by per PRIMITIVE column (not one struct): struct aggregation
+    # buffers fall back to SortAggregate; primitive buffers stay in
+    # HashAggregate with map-side partial combine.
+    deduped = kept.groupBy("normalized_md5").agg(
+        F.min(id_col).alias(id_col),
+        F.min_by("n_tokens", F.col(id_col)).alias("n_tokens"),
+        F.min_by("stratum", F.col(id_col)).alias("stratum"),
     )
     rank_w = Window.partitionBy("stratum").orderBy(
         F.desc("n_tokens"), F.asc(id_col)

@@ -23,6 +23,9 @@ REGRESSION_FACTOR = 2.0
 #: queries under this baseline time are jitter-dominated at local
 #: scale; a factor regression there is noise, an absolute check isn't.
 MIN_BASELINE_SEC = 0.3
+#: absolute guard for sub-threshold baselines: a 0.1 s query drifting
+#: to 0.15 s is noise, one jumping past base + this many seconds isn't.
+ABS_REGRESSION_SEC = 1.0
 
 
 def load_bench(path: str) -> dict:
@@ -52,7 +55,10 @@ def main() -> None:
     regressions = []
     for name in shared:
         b, n = base["queries"][name], now["queries"][name]
-        if b >= MIN_BASELINE_SEC and n > REGRESSION_FACTOR * b:
+        if b >= MIN_BASELINE_SEC:
+            if n > REGRESSION_FACTOR * b:
+                regressions.append((name, b, n))
+        elif n > b + ABS_REGRESSION_SEC:
             regressions.append((name, b, n))
         print(f"{name:38s} base {b:7.3f}  now {n:7.3f}  x{n / b if b else 0:5.2f}")
     new = sorted(set(now["queries"]) - set(base["queries"]) - evidence)

@@ -30,9 +30,6 @@ SF_DIRS = [
     if os.path.isdir(d)
 ]
 
-TS_TABLES = {"events": "ts", "orders": "o_orderdate", "lineitem": "l_shipdate"}
-
-
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 @pytest.mark.parametrize("table", sorted(pio.TABLES))
 def test_no_ntz_escapes_load_table(spark, sf_dir, table):

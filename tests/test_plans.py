@@ -120,14 +120,28 @@ def test_curation_pipeline_plan_shape(spark, sf):
     """The composed curation pipeline must stay fully JVM-side with a
     bounded shuffle budget: one doc-id repartition feeding both
     repetition aggregations (partial+final × 2 = 4 HashAggregates, no
-    extra Exchange between them), a broadcast feature join, and the two
-    ranking/dedup windows — 3 Exchanges total, no cartesian, no
-    Python."""
+    extra Exchange between them), a broadcast feature join, the
+    min_by exact-dedup aggregate (partial+final SortAggregate — string
+    buffer, still map-side combined), and the per-language ranking
+    window — 3 Exchanges total, no cartesian, no Python."""
     plan = _plan(spark, sf, "corpus_curation_pipeline")
     assert E.count(plan, "Exchange") <= 3
     assert E.count(plan, "HashAggregate") == 4
+    assert E.count(plan, "SortAggregate") == 2  # partial + final dedup min_by
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_curation_dedup_avoids_hot_window(spark, sf):
+    """VERDICT r3 'What's wrong' #1: the exact-dedup stage must never
+    window over normalized_md5 — a 10⁶×-duplicated document is one
+    window partition (no map-side combine, no AQE skew split). The
+    winner must come from a partial-aggregable groupBy."""
+    plan = _plan(spark, sf, "corpus_curation_pipeline")
+    window_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert not any("normalized_md5" in l for l in window_lines), window_lines
+    # the dedup aggregate combines map-side: partial min over the hash
+    assert "partial_min" in plan
 
 
 def test_embedding_neardup_lsh_equijoin_no_cartesian(spark, sf):
