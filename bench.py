@@ -73,6 +73,25 @@ HEADLINE = [
     "leakage_safe_split",
     "neardup_clusters_star",
     "document_chunking",
+    "dup_ngram_fraction",
+]
+
+#: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,
+#: added in main()). Their sum is emitted as "stable_subset_sec" so
+#: round-over-round totals stay comparable as the headline set grows
+#: (VERDICT r3: the r3 total wasn't comparable to r1's because the set
+#: grew 27→54 rows). Append-only: never add newer queries here.
+STABLE_SUBSET = [
+    "asof_last_click", "corpus_token_accounting", "dashboard_bucketed_max",
+    "dedup_exact_docs", "doc_repetition_ratio", "embedding_neardup_cosine",
+    "historic_range_downsample", "hourly_continuous_aggregate",
+    "jaccard_neardup_blocked", "knn_cosine_bruteforce", "knn_lsh_bucketed",
+    "lang_id", "minhash_lsh_candidates", "multimodal_features",
+    "multimodal_metadata", "pk_dedup", "reconstruction_join",
+    "rolling_avg_trailing_1h", "rolling_pseudo_averages",
+    "semi_join_show_only", "text_quality", "top_docs_per_lang",
+    "topk_orders", "tumbling_avg_10min", "vertical_split_rejoin",
+    "ingest_events_9tables",
 ]
 
 
@@ -244,6 +263,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         evidence_total += timings[name]
 
+    stable = round(sum(timings[n] for n in STABLE_SUBSET if n in timings), 3)
     print(
         json.dumps(
             {
@@ -253,6 +273,8 @@ def main() -> None:
                 "queries": timings,
                 "evidence_legs": sorted(xover_legs),
                 "evidence_sec": round(evidence_total, 3),
+                "stable_subset": STABLE_SUBSET,
+                "stable_subset_sec": stable,
                 "sf": sf,
             }
         )

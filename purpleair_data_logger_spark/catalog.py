@@ -956,6 +956,40 @@ def doc_repetition_ratio(spark, sf_dir):
 
 
 @register(
+    "dup_ngram_fraction",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    g AS (
+      SELECT doc_id, 2 AS n, arr[i] || ' ' || arr[i+1] AS gram
+      FROM toks, LATERAL unnest(range(1, len(arr))) t(i)
+      UNION ALL
+      SELECT doc_id, 3 AS n, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
+      FROM toks, LATERAL unnest(range(1, len(arr) - 1)) t(i)
+    ),
+    c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram)
+    SELECT doc_id,
+      CASE WHEN sum(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END) > 0
+           THEN CAST(sum(CASE WHEN n = 2 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
+                / sum(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END)
+           ELSE 0.0 END AS dup_2gram_char_frac,
+      CASE WHEN sum(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END) > 0
+           THEN CAST(sum(CASE WHEN n = 3 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
+                / sum(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END)
+           ELSE 0.0 END AS dup_3gram_char_frac
+    FROM c GROUP BY doc_id
+    """,
+    "north-star repetition signal #2: Gopher duplicate n-gram character fraction (2-grams + 3-grams)",
+)
+def dup_ngram_fraction(spark, sf_dir):
+    """Fraction of n-gram-occurrence characters in duplicated 2-/3-grams
+    per document — the Gopher repetition filter complementing
+    `doc_repetition_ratio`'s top-token share. Both n values share one
+    scan and one doc_id shuffle (tagged-gram explode)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.duplicate_ngram_fraction(d, "doc_id", "text", ns=(2, 3))
+
+
+@register(
     "text_normalize",
     """
     SELECT doc_id,
@@ -2208,6 +2242,7 @@ _GATE_PRIORITY: list[str] = [
     "sequence_packing",
     "corpus_vocabulary",
     "multimodal_frame_sample",
+    "dup_ngram_fraction",      # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in

@@ -102,6 +102,7 @@ def connected_components_star(
     dst_col: str,
     *,
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -182,13 +183,20 @@ def connected_components_star(
     e = base
     prev = None
     converged = base.isEmpty()
+    rounds = 0
     for _ in range(max_iter):
         e = small_star(large_star(e)).localCheckpoint()
+        rounds += 1
         cur = checksum(e)
         if cur == prev:
             converged = True
             break
         prev = cur
+    if stats is not None:
+        # observability for the O(log² n) claim (pinned in
+        # test_cluster_pack's adversarial-chain test)
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     if not converged:
         # Same posture as connected_components: never return partial
         # labels — an under-merged cluster id silently keeps duplicates.

@@ -175,6 +175,82 @@ def vocabulary(
     )
 
 
+def duplicate_ngram_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style duplicate n-gram character fraction (Rae et al.
+    2021 "Scaling Language Models" §A1.1 repetition filters): per
+    document and per n, the fraction of n-gram-occurrence characters
+    that belong to n-grams occurring MORE THAN ONCE in the document —
+    the other half of the standard repetition rule-set next to
+    `doc_repetition_ratio`'s top-token share. High values flag looped
+    generation, lyrics/chorus spam, and templated boilerplate that a
+    single top-token share misses.
+
+    Definition (the occurrence-weighted form the open corpus-curation
+    stacks use, overlap-agnostic): with c(g) the in-doc count of gram
+    g and |g| its character length,
+        frac_n = Σ_{c(g)≥2} c(g)·|g| / Σ_g c(g)·|g|
+    over the doc's n-grams; 0.0 when the doc has no n-grams of that
+    size. Exact integer sums and one final double division, so the
+    value hashes bit-identically cross-engine. Documents with no
+    n-gram of ANY requested size (fewer than min(ns) tokens) emit no
+    row, matching the SQL formulation.
+
+    Plan: every requested n rides ONE scan and ONE shuffle — the
+    n-gram arrays for all n are built per row (codegen
+    sequence/transform/slice), tagged (n, gram), and exploded once;
+    repartition(id) before the explode moves compact document rows,
+    and hashpartitioning(id) satisfies both the (id, n, gram) count
+    and the final per-id conditional sums, so neither aggregation adds
+    an Exchange (same shape as `doc_repetition_ratio`, pinned in
+    test_plans). Hot boilerplate grams combine map-side within each
+    doc's partition; no windows, no Python.
+    """
+    toks = tokens(text_col)
+
+    def grams(n: int) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    exploded = (
+        df.select(id_col, text_col)
+        .repartition(F.col(id_col))
+        .select(
+            id_col,
+            F.explode(F.flatten(F.array(*[grams(n) for n in ns]))).alias("g"),
+        )
+        .select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = exploded.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    occ_chars = F.col("cnt") * F.length("gram")
+    aggs = []
+    for n in ns:
+        is_n = F.col("n") == n
+        den = F.sum(F.when(is_n, occ_chars).otherwise(F.lit(0)))
+        num = F.sum(F.when(is_n & (F.col("cnt") >= 2), occ_chars).otherwise(F.lit(0)))
+        aggs.append(
+            F.when(den > 0, num.cast("double") / den.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias(f"dup_{n}gram_char_frac")
+        )
+    return counts.groupBy(id_col).agg(*aggs)
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from purpleair_data_logger_spark.operators import pii
+from purpleair_data_logger_spark.operators import sampling as smp
 from purpleair_data_logger_spark.operators import text as tx
 
 
@@ -58,6 +59,131 @@ def curate_stream(
             ["normalized_md5"]
         )
     return out
+
+
+#: default split mix, matching the batch `leakage_safe_split` gate query.
+DEFAULT_SPLITS: list[tuple[str, int]] = [("train", 9000), ("val", 500), ("test", 500)]
+
+
+def curate_split_stream(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    cluster_assignments: DataFrame | None = None,
+    splits: list[tuple[str, int]] | None = None,
+    ts_col: str | None = None,
+    dedup_within: str | None = None,
+) -> DataFrame:
+    """Streaming curation composed with LEAKAGE-SAFE split assignment —
+    the same final stage the batch ``corpus_build_final`` runs, on a
+    continuously-ingesting stream.
+
+    ``cluster_assignments`` is the batch-built near-dup cluster table
+    (doc_id, cluster_id) — the persisted artifact of
+    `clusters.cluster_dedup` over the accumulated corpus. Each
+    micro-batch stream-static-joins against it (stateless, broadcast —
+    the same plan as `enrich.enrich_stream`), and the split bucket is
+    drawn from the CLUSTER hash, so every member of a known duplicate
+    cluster lands in the same split as its batch-corpus siblings: new
+    crawl copies of a training document can never leak into test.
+    Documents not in any known cluster fall back to their own id — the
+    draw `assign_split` would make batch-side for a singleton, so
+    streaming and batch assignments agree exactly (pinned in tests).
+    Pass ``cluster_assignments=None`` for plain doc-id splits (the
+    `train_val_test_split` semantic, no leakage guarantee).
+
+    Iterative cluster RESOLUTION itself stays batch-side by design:
+    connected components needs multiple passes over the full edge set;
+    the streaming surface consumes its artifact, exactly as an
+    incremental ingest consumes the persisted LSH band index
+    (`neardup_lsh_between`).
+    """
+    out = curate_stream(
+        stream_df, id_col, text_col, ts_col=ts_col, dedup_within=dedup_within
+    )
+    if cluster_assignments is not None:
+        dim = F.broadcast(
+            cluster_assignments.select(
+                F.col(id_col), F.col("cluster_id").cast("long").alias("cluster_id")
+            )
+        )
+        out = out.join(dim, on=id_col, how="left")
+        out = out.withColumn(
+            "split_key", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
+    else:
+        out = out.withColumn("cluster_id", F.col(id_col)).withColumn(
+            "split_key", F.col(id_col)
+        )
+    return smp.assign_split(
+        out, "split_key", splits if splits is not None else DEFAULT_SPLITS
+    ).drop("split_key")
+
+
+def run_corpus_build_stream(
+    spark,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    cluster_assignments: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    dedup_within: str = "1 hour",
+    pack_budget: int = 4096,
+    pack_shards: int = 8,
+    max_files_per_trigger: int = 1,
+):
+    """End-to-end streaming corpus build: curate → leakage-safe split →
+    per-micro-batch sequence packing — the streaming mirror of the
+    batch ``corpus_build_final`` composition.
+
+    Packing runs inside ``foreachBatch``: `packing.pack_sequences` is a
+    per-shard cumsum (unsupported directly on a stream), and the
+    micro-batch is the natural packing unit for continuous ingestion —
+    each arrival chunk packs into its own sequence space, tagged with
+    ``batch_id`` so (batch_id, shard, seq_in_shard) is globally unique
+    without any cross-batch state. Curated rows land in
+    ``{out}/curated`` (all splits, with cluster + split columns);
+    train-split packing assignments land in ``{out}/packed``.
+    """
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    curated = curate_split_stream(
+        stream,
+        id_col,
+        text_col,
+        cluster_assignments=cluster_assignments,
+        ts_col=ts_col,
+        dedup_within=dedup_within,
+    )
+
+    from purpleair_data_logger_spark.operators.packing import pack_sequences
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # curate once, feed both sinks
+        batch_df.write.mode("append").parquet(f"{out_dir}/curated")
+        packed = pack_sequences(
+            batch_df.filter(F.col("split") == "train"),
+            id_col,
+            "n_tokens",
+            budget=pack_budget,
+            n_shards=pack_shards,
+        ).withColumn("batch_id", F.lit(batch_id))
+        packed.write.mode("append").parquet(f"{out_dir}/packed")
+
+    return (
+        curated.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def run_curation_stream(

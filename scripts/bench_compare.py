@@ -1,19 +1,28 @@
 #!/usr/bin/env python3
-"""Compare a bench.py JSON line against a recorded round artifact.
+"""Compare a bench.py JSON line against recorded round artifacts.
 
 Usage:
     python bench.py | tail -1 > /tmp/bench_now.json
-    python scripts/bench_compare.py /tmp/bench_now.json [BENCH_rN.json]
+    python scripts/bench_compare.py /tmp/bench_now.json [BENCH_rN.json ...]
 
-The baseline defaults to BENCH_r01.json (the first complete recorded
-run). Driver artifacts wrap the JSON line inside a "tail" field; raw
-bench output is accepted too. Exit code 1 if any shared query runs
-slower than REGRESSION_FACTOR x its baseline time (the round-verdict
-criterion), listing the offenders.
+With no explicit baselines, every complete BENCH_r*.json in the repo
+root is loaded and each query compares against its BEST (minimum)
+recorded prior time — a regression vs the best round ever is the loud
+signal, not a regression vs whichever single round was chosen. Driver
+artifacts wrap the JSON line inside a "tail" field; raw bench output is
+accepted too (artifacts without a bench line, e.g. a crashed round, are
+skipped when globbed, fatal when named explicitly). Exit code 1 if any
+shared query runs slower than REGRESSION_FACTOR x its best-prior time
+(or, for jitter-dominated sub-threshold baselines, more than
+ABS_REGRESSION_SEC over it), listing the offenders.
+
+Also prints the stable-subset subtotal (bench.py's r1-era rows) when
+present, so round-over-round totals compare like for like.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -27,44 +36,75 @@ MIN_BASELINE_SEC = 0.3
 #: to 0.15 s is noise, one jumping past base + this many seconds isn't.
 ABS_REGRESSION_SEC = 1.0
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def load_bench(path: str) -> dict:
+
+def load_bench(path: str) -> dict | None:
     with open(path) as fh:
         data = json.load(fh)
     if "queries" in data:
         return data
     m = re.search(r'\{"metric".*\}', data.get("tail", ""))
     if not m:
-        raise SystemExit(f"{path}: no bench JSON found (rc={data.get('rc')})")
+        return None
     return json.loads(m.group(0))
+
+
+def best_baseline(paths: list[str]) -> tuple[dict[str, float], dict[str, str]]:
+    """Per-query minimum across rounds + which round holds it."""
+    best: dict[str, float] = {}
+    src: dict[str, str] = {}
+    for path in paths:
+        bench = load_bench(path)
+        if bench is None:
+            continue
+        tag = os.path.basename(path)
+        for name, sec in bench["queries"].items():
+            if name not in best or sec < best[name]:
+                best[name] = sec
+                src[name] = tag
+    return best, src
 
 
 def main() -> None:
     if len(sys.argv) < 2:
         raise SystemExit(__doc__)
     now = load_bench(sys.argv[1])
-    base_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_r01.json",
-    )
-    base = load_bench(base_path)
+    if now is None:
+        raise SystemExit(f"{sys.argv[1]}: no bench JSON found")
+    if len(sys.argv) > 2:
+        paths = sys.argv[2:]
+        for p in paths:
+            if load_bench(p) is None:
+                raise SystemExit(f"{p}: no bench JSON found")
+    else:
+        paths = sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")))
+        paths = [p for p in paths if os.path.abspath(p) != os.path.abspath(sys.argv[1])]
+    base, src = best_baseline(paths)
+    if not base:
+        raise SystemExit(f"no usable baselines among {paths}")
     evidence = set(now.get("evidence_legs", []))
-    shared = sorted(
-        (set(now["queries"]) & set(base["queries"])) - evidence
-    )
+    shared = sorted((set(now["queries"]) & set(base)) - evidence)
     regressions = []
     for name in shared:
-        b, n = base["queries"][name], now["queries"][name]
+        b, n = base[name], now["queries"][name]
         if b >= MIN_BASELINE_SEC:
             if n > REGRESSION_FACTOR * b:
                 regressions.append((name, b, n))
         elif n > b + ABS_REGRESSION_SEC:
             regressions.append((name, b, n))
-        print(f"{name:38s} base {b:7.3f}  now {n:7.3f}  x{n / b if b else 0:5.2f}")
-    new = sorted(set(now["queries"]) - set(base["queries"]) - evidence)
+        print(
+            f"{name:38s} best {b:7.3f} ({src[name]:>14s})  "
+            f"now {n:7.3f}  x{n / b if b else 0:5.2f}"
+        )
+    new = sorted(set(now["queries"]) - set(base) - evidence)
     print(f"\nshared={len(shared)} new={len(new)} evidence={len(evidence)}")
+    if "stable_subset_sec" in now:
+        print(f"stable-subset subtotal: {now['stable_subset_sec']:.3f}s "
+              f"(r1-era rows, comparable round-over-round)")
     if regressions:
-        print(f"\nREGRESSIONS (> {REGRESSION_FACTOR}x baseline):")
+        print(f"\nREGRESSIONS (> {REGRESSION_FACTOR}x best prior, or "
+              f"+{ABS_REGRESSION_SEC}s on sub-{MIN_BASELINE_SEC}s rows):")
         for name, b, n in regressions:
             print(f"  {name}: {b:.3f} -> {n:.3f}")
         raise SystemExit(1)

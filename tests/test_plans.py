@@ -183,6 +183,19 @@ def test_doc_repetition_single_shuffle(spark, sf):
     assert E.count(plan, "Exchange") == 1
 
 
+def test_dup_ngram_fraction_single_shuffle_jvm_only(spark, sf):
+    """Both n values (2-grams and 3-grams) and both aggregations ride
+    ONE scan and ONE doc_id shuffle: the tagged-gram arrays are built
+    per row in codegen and exploded once, and hashpartitioning(doc_id)
+    satisfies (doc_id, n, gram) counting and the per-doc conditional
+    sums alike. No windows, no Python."""
+    plan = _plan(spark, sf, "dup_ngram_fraction")
+    assert E.count(plan, "Exchange") == 1
+    assert E.count(plan, "HashAggregate") == 4  # partial+final × 2 levels
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
 def test_domain_cap_single_shuffle_mapside_limit(spark, sf):
     """One Exchange on the group key — and Spark's WindowGroupLimit
     rewrite prunes to the cap per (group, input partition) BEFORE the
