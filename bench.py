@@ -74,6 +74,9 @@ HEADLINE = [
     "neardup_clusters_star",
     "document_chunking",
     "dup_ngram_fraction",
+    "gopher_quality_gate",
+    "keyword_extraction",
+    "event_value_histogram",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -990,6 +990,145 @@ def dup_ngram_fraction(spark, sf_dir):
 
 
 @register(
+    "gopher_quality_gate",
+    """
+    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS arr,
+                         string_split(text, chr(10)) AS lns FROM documents),
+    scalar AS (
+      SELECT doc_id,
+        CAST(len(arr) AS BIGINT) AS n_words,
+        list_aggregate(list_transform(arr, x -> CAST(length(x) AS DOUBLE)), 'sum')
+            / len(arr) AS mean_word_len,
+        len(arr) >= 50 AND len(arr) <= 100000 AS word_count_ok,
+        list_aggregate(list_transform(arr, x -> CAST(length(x) AS DOUBLE)), 'sum')
+            / len(arr) >= 4.0
+          AND list_aggregate(list_transform(arr, x -> CAST(length(x) AS DOUBLE)), 'sum')
+            / len(arr) <= 10.0 AS mean_word_len_ok,
+        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(arr) < 0.1
+            AS symbol_ratio_ok,
+        CAST(len(list_filter(lns, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))
+            AS DOUBLE) / len(lns) < 0.9 AS bullet_lines_ok,
+        CAST(len(list_filter(lns, l -> l LIKE '%...')) AS DOUBLE) / len(lns) < 0.3
+            AS ellipsis_lines_ok,
+        CAST(len(list_filter(arr, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+            / len(arr) > 0.8 AS alpha_words_ok,
+        len(list_filter(main.list_value('the','be','to','of','and','that','have','with'),
+            s -> list_contains(arr, s))) >= 1 AS stopwords_ok
+      FROM toks),
+    g AS (
+      SELECT doc_id, 1 AS n, arr[i] AS gram
+      FROM toks, LATERAL unnest(range(1, len(arr) + 1)) t(i)
+      UNION ALL
+      SELECT doc_id, 2, arr[i] || ' ' || arr[i+1]
+      FROM toks, LATERAL unnest(range(1, len(arr))) t(i)
+      UNION ALL
+      SELECT doc_id, 3, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+      FROM toks, LATERAL unnest(range(1, len(arr) - 1)) t(i)
+    ),
+    c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+    rep AS (
+      SELECT doc_id,
+        CAST(max(CASE WHEN n = 1 THEN cnt END) AS DOUBLE)
+            / sum(CASE WHEN n = 1 THEN cnt ELSE 0 END) AS top_token_share,
+        CASE WHEN sum(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END) > 0
+             THEN CAST(sum(CASE WHEN n = 2 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
+                  / sum(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END)
+             ELSE 0.0 END AS dup_2gram_char_frac,
+        CASE WHEN sum(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END) > 0
+             THEN CAST(sum(CASE WHEN n = 3 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
+                  / sum(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END)
+             ELSE 0.0 END AS dup_3gram_char_frac
+      FROM c GROUP BY doc_id)
+    SELECT s.doc_id, s.n_words, s.mean_word_len,
+           r.top_token_share, r.dup_2gram_char_frac, r.dup_3gram_char_frac,
+           s.word_count_ok, s.mean_word_len_ok, s.symbol_ratio_ok,
+           s.bullet_lines_ok, s.ellipsis_lines_ok, s.alpha_words_ok, s.stopwords_ok,
+           r.top_token_share <= 0.12 AS top_token_ok,
+           r.dup_2gram_char_frac <= 0.1 AS dup_2gram_ok,
+           r.dup_3gram_char_frac <= 0.05 AS dup_3gram_ok,
+           s.word_count_ok AND s.mean_word_len_ok AND s.symbol_ratio_ok
+             AND s.bullet_lines_ok AND s.ellipsis_lines_ok AND s.alpha_words_ok
+             AND s.stopwords_ok AND r.top_token_share <= 0.12
+             AND r.dup_2gram_char_frac <= 0.1 AND r.dup_3gram_char_frac <= 0.05
+             AS gopher_pass
+    FROM scalar s JOIN rep r ON r.doc_id = s.doc_id
+    """,
+    "north-star composed Gopher rule-set gate: 10 quality rules + conjunction, one shuffle for all repetition signals",
+)
+def gopher_quality_gate(spark, sf_dir):
+    """The full Gopher/MassiveText §A1.1 rule-set as one auditable
+    gate query — every rule a flag, `gopher_pass` the conjunction.
+    Thresholds tuned so each rule family discriminates on the test
+    corpus (word count, mean word length, stopword presence, and all
+    three repetition signals split it; the line-shape and symbol rules
+    pass trivially on single-line synthetic docs but are fully
+    evaluated and hash-checked)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.gopher_quality_gate(
+        d, "doc_id", "text",
+        min_words=50, max_words=100_000,
+        min_mean_word_len=4.0, max_mean_word_len=10.0,
+        max_symbol_ratio=0.1, max_bullet_line_frac=0.9,
+        max_ellipsis_line_frac=0.3, min_alpha_word_frac=0.8,
+        min_stopword_hits=1, max_top_token_share=0.12,
+        max_dup_2gram_frac=0.1, max_dup_3gram_frac=0.05,
+    )
+
+
+@register(
+    "keyword_extraction",
+    """
+    WITH tf AS (SELECT doc_id, tok, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+           CAST(tf.tf AS DOUBLE) * ((CAST(n.n_docs - dfreq.df AS DOUBLE) + 0.5)
+                / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS score
+           FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n),
+    r AS (SELECT doc_id, tok, tf, df, score,
+          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok)
+               AS INT) AS keyword_rank
+          FROM scored)
+    SELECT doc_id, keyword_rank, tok, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, score
+    FROM r WHERE keyword_rank <= 5
+    """,
+    "north-star keyword extraction: per-doc top-k by log-free BM25-idf salience (tf·(N−df+½)/(df+½))",
+)
+def keyword_extraction(spark, sf_dir):
+    """Top-5 keywords per document by exact-arithmetic tf-idf salience
+    (BM25 idf sans log — same ranking, engine-portable score). Two
+    Exchanges: one doc-id shuffle shared by tf and the final window,
+    one vocab-sized df shuffle broadcast back."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.keyword_extraction(d, "doc_id", "text", top_k=5)
+
+
+@register(
+    "event_value_histogram",
+    """
+    SELECT event_type,
+           CAST(floor(value / CAST(5.0 AS DOUBLE)) AS BIGINT) AS bin,
+           CAST(floor(value / CAST(5.0 AS DOUBLE)) AS BIGINT) * CAST(5.0 AS DOUBLE) AS bin_lo,
+           (CAST(floor(value / CAST(5.0 AS DOUBLE)) AS BIGINT) + 1) * CAST(5.0 AS DOUBLE) AS bin_hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type, bin
+    """,
+    "distribution profiling: fixed-width value histogram per event type (one map-side-combined aggregate)",
+)
+def event_value_histogram(spark, sf_dir):
+    """Per-event-type fixed-width histogram of `value` — the scale-safe
+    distribution profile (output is |types|×|bins| rows regardless of
+    input size; no double-summing, so rows hash cross-engine)."""
+    e = _t(spark, sf_dir, "events")
+    return agg.value_histogram(e, "event_type", "value", bin_width=5.0)
+
+
+@register(
     "text_normalize",
     """
     SELECT doc_id,
@@ -2243,6 +2382,9 @@ _GATE_PRIORITY: list[str] = [
     "corpus_vocabulary",
     "multimodal_frame_sample",
     "dup_ngram_fraction",      # new in r4
+    "gopher_quality_gate",     # new in r4
+    "keyword_extraction",      # new in r4
+    "event_value_histogram",   # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2262,9 +2404,12 @@ _GATE_DEFER: list[str] = [
     "embedding_neardup_cosine",  # O(block²) baseline for embedding_neardup_lsh_verified
     "knn_cosine_bruteforce",     # brute-force baseline for knn_lsh_bucketed
     "embedding_norms",           # scalar prep for the above; r2-r3 green
+    "approx_distinct_profile",   # no_oracle by design (HLL estimates pytest-pinned); rows-only gate adds nothing
     "text_normalize",            # subsumed by corpus_curation_pipeline stage
     "doc_fingerprint",           # scalar hash; r2-r3 green
     "cardinality_profile",       # distinct counts; r2-r3 green
+    "tumbling_avg_10min",        # same tumbling-agg family as hourly_continuous_aggregate (still gated); r1-r3 green
+    "rolling_pseudo_averages",   # same rolling-window family as rolling_avg_trailing_1h (still gated); r1-r3 green
 ]
 
 

@@ -113,6 +113,43 @@ def parse_directory_index(df: DataFrame, concat_col: str, *, sep: str = ", ") ->
     return df.withColumn("parsed_sensor_index", F.element_at(parts, 2).cast("int"))
 
 
+def value_histogram(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    bin_width: float,
+) -> DataFrame:
+    """Fixed-width histogram of a numeric column per group — the
+    value-distribution profiling pass (data QA, drift detection,
+    outlier triage) that at 100 TB replaces any collect-and-plot.
+
+    One hash aggregate on (group, bin): bin = floor(value / width) is
+    a pure codegen expression, the count combines map-side, and the
+    output is |groups| × |occupied bins| rows — thousands, regardless
+    of input size. Bin ids and bounds are exact IEEE operations
+    (floor of a double quotient, int × width), so rows hash
+    identically cross-engine; deliberately NO per-bin sum/mean of the
+    raw values — summing doubles is partition-order-dependent and
+    would break the deterministic-result contract. NULL values are
+    excluded (they have no bin).
+    """
+    bin_id = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), bin_id.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            group_col,
+            "bin",
+            (F.col("bin").cast("double") * F.lit(bin_width)).alias("bin_lo"),
+            ((F.col("bin") + 1).cast("double") * F.lit(bin_width)).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
 def percent_rank_filter(
     df: DataFrame,
     part_col: str,

@@ -251,6 +251,252 @@ def duplicate_ngram_fraction(
     return counts.groupBy(id_col).agg(*aggs)
 
 
+#: Gopher rule-set stopwords (Rae et al. 2021 §A1.1: a document must
+#: contain at least 2 of these to pass the stopword rule).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    max_top_token_share: float = 0.2,
+    max_dup_2gram_frac: float = 0.6,
+    max_dup_3gram_frac: float = 0.5,
+) -> DataFrame:
+    """The composed Gopher/MassiveText quality rule-set (Rae et al.
+    2021 §A1.1) as ONE declarative gate: every rule a boolean flag,
+    plus the conjunction ``gopher_pass`` — the standard pre-training
+    document filter, auditable per rule.
+
+    Scalar rules (word count bounds, mean word length bounds,
+    symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    alphabetic-word fraction, ≥K stopword hits) are pure codegen
+    projections. The repetition rules (top-token share, duplicate
+    2-/3-gram character fractions) need aggregation — all three ride
+    the SAME tagged-gram explode as `duplicate_ngram_fraction` with
+    n=1 included (1-grams ARE tokens, so top-token share falls out of
+    the same (id, n, gram) count), i.e. one scan branch, one doc_id
+    shuffle for every aggregate signal, then one equi-join back to the
+    scalar projection. All ratios are exact int/int IEEE divisions and
+    all flags compare those exact doubles, so the verdicts hash
+    bit-identically cross-engine.
+
+    Documents with zero tokens never reach the repetition join (no
+    grams) and are excluded, matching the SQL formulation.
+    """
+    toks = tokens(text_col)
+    n_words = F.size(toks).cast("long")
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dbl = lambda c: c.cast("double")  # noqa: E731
+
+    mean_word_len = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / dbl(n_words)
+    symbol_ratio = dbl(F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\."))) / dbl(
+        n_words
+    )
+    bullet_frac = dbl(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith("- ")
+                | l.startswith("* ")
+                | l.startswith("•"),
+            )
+        )
+    ) / dbl(n_lines)
+    ellipsis_frac = dbl(
+        F.size(F.filter(lines, lambda l: l.endswith("...")))
+    ) / dbl(n_lines)
+    alpha_frac = dbl(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    ) / dbl(n_words)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks, s),
+        )
+    )
+
+    scalar = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        (n_words >= min_words) & (n_words <= max_words),
+        (mean_word_len >= min_mean_word_len) & (mean_word_len <= max_mean_word_len),
+        symbol_ratio < max_symbol_ratio,
+        bullet_frac < max_bullet_line_frac,
+        ellipsis_frac < max_ellipsis_line_frac,
+        alpha_frac > min_alpha_word_frac,
+        stop_hits >= min_stopword_hits,
+    ).toDF(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "word_count_ok",
+        "mean_word_len_ok",
+        "symbol_ratio_ok",
+        "bullet_lines_ok",
+        "ellipsis_lines_ok",
+        "alpha_words_ok",
+        "stopwords_ok",
+    )
+
+    def grams(n: int) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    counts = (
+        df.select(id_col, text_col)
+        .repartition(F.col(id_col))
+        .select(
+            id_col,
+            F.explode(F.flatten(F.array(grams(1), grams(2), grams(3)))).alias("g"),
+        )
+        .select(id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    occ_chars = F.col("cnt") * F.length("gram")
+
+    def dup_frac(n: int) -> Column:
+        is_n = F.col("n") == n
+        den = F.sum(F.when(is_n, occ_chars).otherwise(F.lit(0)))
+        num = F.sum(F.when(is_n & (F.col("cnt") >= 2), occ_chars).otherwise(F.lit(0)))
+        return F.when(den > 0, dbl(num) / dbl(den)).otherwise(F.lit(0.0))
+
+    rep = counts.groupBy(id_col).agg(
+        (
+            dbl(F.max(F.when(F.col("n") == 1, F.col("cnt"))))
+            / dbl(F.sum(F.when(F.col("n") == 1, F.col("cnt")).otherwise(F.lit(0))))
+        ).alias("top_token_share"),
+        dup_frac(2).alias("dup_2gram_char_frac"),
+        dup_frac(3).alias("dup_3gram_char_frac"),
+    )
+    out = scalar.join(rep, on=id_col)
+    rule_flags = [
+        "word_count_ok",
+        "mean_word_len_ok",
+        "symbol_ratio_ok",
+        "bullet_lines_ok",
+        "ellipsis_lines_ok",
+        "alpha_words_ok",
+        "stopwords_ok",
+        "top_token_ok",
+        "dup_2gram_ok",
+        "dup_3gram_ok",
+    ]
+    out = (
+        out.withColumn("top_token_ok", F.col("top_token_share") <= max_top_token_share)
+        .withColumn("dup_2gram_ok", F.col("dup_2gram_char_frac") <= max_dup_2gram_frac)
+        .withColumn("dup_3gram_ok", F.col("dup_3gram_char_frac") <= max_dup_3gram_frac)
+    )
+    gate = F.lit(True)
+    for flag in rule_flags:
+        gate = gate & F.col(flag)
+    return out.select(
+        id_col,
+        "n_words",
+        "mean_word_len",
+        "top_token_share",
+        "dup_2gram_char_frac",
+        "dup_3gram_char_frac",
+        *rule_flags,
+        gate.alias("gopher_pass"),
+    )
+
+
+def keyword_extraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf-style salience — the
+    document-tagging/topic-surfacing pass of a curation pipeline.
+
+    The salience score is BM25's idf ratio WITHOUT the log:
+        score = tf · (N − df + 0.5) / (df + 0.5)
+    log is monotone, so the top-k ranking is identical to BM25-idf
+    ranking — and unlike ln(), the ratio is computed from exact
+    integers (+0.5 is exactly representable) with IEEE divisions, so
+    the score hashes bit-identically cross-engine; a log-based score
+    would be hostage to libm differences between the JVM and DuckDB.
+
+    Plan: tf = repartition(id) → token explode → groupBy(id, tok)
+    [no second Exchange — hashpartitioning(id) satisfies it]; document
+    frequency comes from its OWN pruned scan branch — per-doc
+    `array_distinct` then explode → groupBy(tok) — NOT from
+    re-aggregating the tf table (referencing tf twice would make
+    Spark recompute the whole scan+explode+aggregate subtree; the
+    distinct-explode branch ships one row per (doc, distinct token)
+    into a map-side-combined count, the cheapest correct df). The
+    df-table and the N-docs scalar broadcast back onto tf
+    [partitioning on id preserved — the 1-row scalar join is a
+    broadcast nested loop by construction, the standard scalar-subquery
+    shape] → per-doc top-k window [no new Exchange]. Three Exchanges
+    total (doc-id, vocab-sized, 1-row), pinned; the per-doc window
+    partitions are bounded by per-doc vocabulary, never corpus-sized.
+    Ties break on the token string, so output is deterministic.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(id_col, text_col)
+        .repartition(F.col(id_col))
+        .select(id_col, F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        df.select(F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), on="tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+                / (F.col("df").cast("double") + F.lit(0.5))
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("keyword_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("keyword_rank") <= top_k)
+        .select(id_col, "keyword_rank", "tok", "tf", "df", "score")
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -196,6 +196,40 @@ def test_dup_ngram_fraction_single_shuffle_jvm_only(spark, sf):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
+def test_keyword_extraction_shuffles_broadcast_df(spark, sf):
+    """tf rides the doc-id repartition and the per-doc top-k window
+    reuses that partitioning; document frequency and the N-docs scalar
+    are independent map-side-combined branches broadcast back — 3
+    plain Exchanges (doc-id, vocab, 1-row scalar), and the tf subtree
+    is never duplicated (exactly one groupBy(id, tok) aggregate
+    pair)."""
+    plan = _plan(spark, sf, "keyword_extraction")
+    assert E.count(plan, "Exchange") == 3  # exact-header match: plain only
+    assert E.count(plan, "BroadcastExchange") == 2
+    assert plan.count("partial_count") <= 3  # tf, df, n_docs — no recompute
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_event_value_histogram_single_agg(spark, sf):
+    """One map-side-combined aggregate on (type, bin); only the two
+    needed columns are read from the scan."""
+    plan = _plan(spark, sf, "event_value_histogram")
+    assert E.count(plan, "Exchange") == 1
+    assert E.count(plan, "HashAggregate") == 2
+    schemas = " ".join(E.read_schemas(plan))
+    assert "props" not in schemas and "user_id" not in schemas
+
+
+def test_gopher_gate_jvm_side_one_agg_shuffle(spark, sf):
+    """All three repetition signals (top-token share, dup 2-/3-gram
+    fractions) ride ONE tagged-gram explode and one doc-id shuffle;
+    no window over any hash; everything whole-stage codegen."""
+    plan = _plan(spark, sf, "gopher_quality_gate")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_domain_cap_single_shuffle_mapside_limit(spark, sf):
     """One Exchange on the group key — and Spark's WindowGroupLimit
     rewrite prunes to the cap per (group, input partition) BEFORE the
