@@ -175,6 +175,23 @@ def vocabulary(
     )
 
 
+def _repartition_by_key(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition by key with an EXPLICIT partition count.
+
+    `repartition(col)` alone lets AQE coalesce the exchange back to
+    ONE partition at small data sizes — which serializes the
+    compute-heavy gram-explode stages that follow (single-row-group
+    parquet can't split, so locally everything would run one-task;
+    the same hazard `dedup.parallelize_small_scan` guards). An
+    explicit count is never coalesced; max(defaultParallelism,
+    current partitions) keeps the count scan-sized at scale, so the
+    one-shuffle partitioning-reuse shape is preserved on a cluster.
+    """
+    sc = df.sparkSession.sparkContext
+    n = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartition(n, F.col(key_col))
+
+
 def duplicate_ngram_fraction(
     df: DataFrame,
     id_col: str,
@@ -226,8 +243,7 @@ def duplicate_ngram_fraction(
         ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
 
     exploded = (
-        df.select(id_col, text_col)
-        .repartition(F.col(id_col))
+        _repartition_by_key(df.select(id_col, text_col), id_col)
         .select(
             id_col,
             F.explode(F.flatten(F.array(*[grams(n) for n in ns]))).alias("g"),
@@ -367,8 +383,7 @@ def gopher_quality_gate(
         ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
 
     counts = (
-        df.select(id_col, text_col)
-        .repartition(F.col(id_col))
+        _repartition_by_key(df.select(id_col, text_col), id_col)
         .select(
             id_col,
             F.explode(F.flatten(F.array(grams(1), grams(2), grams(3)))).alias("g"),
@@ -463,8 +478,7 @@ def keyword_extraction(
     from pyspark.sql import Window
 
     tf = (
-        df.select(id_col, text_col)
-        .repartition(F.col(id_col))
+        _repartition_by_key(df.select(id_col, text_col), id_col)
         .select(id_col, F.explode(tokens(text_col)).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -591,8 +605,7 @@ def curate(
         F.md5(normalized_text(text_col)).alias("normalized_md5"),
     )
     toks_exploded = (
-        df.select(id_col, text_col)
-        .repartition(F.col(id_col))
+        _repartition_by_key(df.select(id_col, text_col), id_col)
         .select(id_col, F.explode(tokens(text_col)).alias("tok"))
     )
     rep = (
