@@ -358,18 +358,57 @@ def neardup_lsh_between(
     Output: (new_doc_id, base_doc_id, jaccard) with jaccard ≥
     threshold. Ids may overlap between sides; self-pairs are excluded.
     """
-    bn = lsh_banded(
-        new_df, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        hash_family=hash_family,
-    ).select(F.col(id_col).alias("new_doc_id"), "band_idx", "band_hash")
     bb = lsh_banded(
         base_df, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         hash_family=hash_family,
     ).select(F.col(id_col).alias("base_doc_id"), "band_idx", "band_hash")
+    sb = base_df.select(
+        F.col(id_col).alias("base_doc_id"), shingles(text_col, shingle_n).alias("_sh_b")
+    )
+    return neardup_against_index(
+        new_df, bb, sb, id_col, text_col,
+        threshold=threshold, num_hashes=num_hashes, bands=bands,
+        shingle_n=shingle_n, hash_family=hash_family,
+    )
+
+
+def neardup_against_index(
+    new_df: DataFrame,
+    base_index: DataFrame,
+    base_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """`neardup_lsh_between` against PRECOMPUTED base-corpus artifacts —
+    the steady-state ingest shape where only the new batch pays
+    signature cost.
+
+    ``base_index``: (base_doc_id, band_idx, band_hash) — `lsh_banded`
+    output over the corpus, persistable bucketed on the band key so
+    the candidate join plans with zero base-side exchanges (pinned in
+    tests/test_bucketed.py). ``base_shingles``: (base_doc_id, _sh_b
+    array<string>) — the shingle sets for exact-Jaccard verify,
+    persistable bucketed on base_doc_id likewise. The per-ingest cost
+    is therefore: new-batch signatures + cross-side band collisions +
+    candidate-bounded verify joins; the corpus is never re-scanned.
+    This is also the per-micro-batch body of the STREAMING incremental
+    dedup (`streaming/neardup.py`), where the artifacts are computed
+    once at stream start and every trigger joins against them.
+    """
+    bn = lsh_banded(
+        new_df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        hash_family=hash_family,
+    ).select(F.col(id_col).alias("new_doc_id"), "band_idx", "band_hash")
     cands = (
-        bn.join(bb, on=["band_idx", "band_hash"])
+        bn.join(base_index, on=["band_idx", "band_hash"])
         .filter(F.col("new_doc_id") != F.col("base_doc_id"))
         .select("new_doc_id", "base_doc_id")
         .distinct()
@@ -377,12 +416,9 @@ def neardup_lsh_between(
     sn = new_df.select(
         F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh_a")
     )
-    sb = base_df.select(
-        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh_b")
-    )
     j = (
         cands.join(sn, on=F.col("new_doc_id") == F.col("_sid")).drop("_sid")
-        .join(sb, on=F.col("base_doc_id") == F.col("_sid")).drop("_sid")
+        .join(base_shingles, on="base_doc_id")
     )
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))

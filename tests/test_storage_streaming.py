@@ -446,6 +446,56 @@ def test_streaming_corpus_build_splits_and_packs_end_to_end(spark, tmp_path):
             expect += by_id[r["doc_id"]]["n_tokens"]
 
 
+def test_streaming_incremental_neardup_matches_batch(spark, tmp_path, sf_dir):
+    """The streaming ingest-dedup must find exactly the pairs the batch
+    `neardup_lsh_between` finds on the same (new, base) split, with the
+    new side delivered across two micro-batches — and route only
+    genuinely-new docs to the fresh sink."""
+    from pyspark.sql import functions as F
+
+    from purpleair_data_logger_spark import io as pio
+    from purpleair_data_logger_spark.operators import dedup as dd
+    from purpleair_data_logger_spark.streaming.neardup import (
+        run_incremental_neardup_stream,
+    )
+
+    docs = pio.load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+
+    src = str(tmp_path / "nd_src")
+    # two micro-batches: split the new side by parity of doc_id/10
+    new.filter((F.col("doc_id") / 10) % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    new.filter((F.col("doc_id") / 10) % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "nd_out")
+    q = run_incremental_neardup_stream(
+        spark, src, base, out, str(tmp_path / "nd_ckpt"), threshold=0.8
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["new_doc_id"], r["base_doc_id"], r["jaccard"])
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    want = {
+        (r["new_doc_id"], r["base_doc_id"], r["jaccard"])
+        for r in dd.neardup_lsh_between(
+            new, base, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert got == want and want  # parity, and the fixture plants dups
+
+    fresh = {r["doc_id"] for r in spark.read.parquet(f"{out}/fresh").collect()}
+    matched = {p[0] for p in want}
+    all_new = {r["doc_id"] for r in new.collect()}
+    assert fresh == all_new - matched
+
+
 def test_stream_static_enrichment_join(spark, tmp_path):
     """Stream-static dimension enrichment: stateless per-micro-batch
     join, dimension broadcast (pinned on the equivalent batch plan —
