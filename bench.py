@@ -77,6 +77,7 @@ HEADLINE = [
     "gopher_quality_gate",
     "keyword_extraction",
     "event_value_histogram",
+    "embedding_cluster_dedup",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

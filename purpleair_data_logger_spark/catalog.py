@@ -1421,6 +1421,88 @@ def embedding_neardup_lsh_verified(spark, sf_dir):
     )
 
 
+def _embedding_cluster_oracle(
+    n_planes: int, bands: int, dim: int, threshold: float, plant_below: int
+) -> str:
+    """Full-pipeline oracle for `embedding_cluster_dedup`: the planted
+    hyperplane-LSH + exact-cosine pair CTEs, then connected components
+    as a recursive CTE and the corpus-wide (vec_id, cluster_id, keep)
+    assignment — the embedding-side mirror of
+    `_neardup_cluster_oracle`."""
+    band_cols, band_union = _hyperplane_band_sql(n_planes, bands, dim)
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding,
+                 (x, i) -> CAST(CAST(CAST(x AS DOUBLE)
+                     + 0.01 * (((i-1) % 3) - 1) AS FLOAT) AS DOUBLE))
+      FROM embeddings WHERE vec_id < {plant_below}),
+    sig AS (SELECT vec_id, v,
+      {band_cols}
+    FROM base),
+    bnd AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             a.v AS va, b.v AS vb
+      FROM bnd a JOIN bnd b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id),
+    ver AS (
+      SELECT vec_id_a, vec_id_b FROM cand
+      WHERE list_cosine_similarity(va, vb) >= {threshold}),
+    edges AS (SELECT vec_id_a AS u, vec_id_b AS v FROM ver
+              UNION SELECT vec_id_b, vec_id_a FROM ver),
+    cc(node, root) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, cc.root FROM cc JOIN edges e ON e.u = cc.node),
+    comp AS (SELECT node, min(root) AS cluster_id FROM cc GROUP BY node)
+    SELECT b.vec_id,
+           coalesce(comp.cluster_id, b.vec_id) AS cluster_id,
+           coalesce(comp.cluster_id, b.vec_id) = b.vec_id AS keep
+    FROM base b LEFT JOIN comp ON comp.node = b.vec_id
+    """
+
+
+@register(
+    "embedding_cluster_dedup",
+    _embedding_cluster_oracle(
+        n_planes=64, bands=8, dim=64, threshold=0.9, plant_below=50
+    ),
+    "north-star embedding-side cluster dedup: hyperplane-LSH pairs -> connected components -> canonical survivor",
+)
+def embedding_cluster_dedup(spark, sf_dir):
+    """Semantic (embedding-space) duplicate clusters resolved to one
+    survivor each — the vector-side mirror of `neardup_cluster_dedup`:
+    `cosine_neardup_lsh_verified` pairs over the planted corpus (same
+    augmentation as `embedding_neardup_lsh_verified`, so the cluster
+    structure is non-trivial and exactly predictable), min-label
+    connected components, corpus-wide (vec_id, cluster_id, keep)
+    assignment. Same scale posture as the text-side layer: component
+    resolution touches only edge-incident vectors; the assignment is
+    one broadcastable left join."""
+    from purpleair_data_logger_spark.operators import clusters as cl
+
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = em.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + 0.01 * ((i % 3) - 1).cast("double"),
+        ).cast("array<float>").alias("embedding"),
+    )
+    aug = em.unionByName(planted)
+    pairs = sim.cosine_neardup_lsh_verified(
+        aug, "vec_id", "embedding", threshold=0.9
+    )
+    return cl.cluster_dedup(
+        aug, "vec_id", pairs, src_col="vec_id_a", dst_col="vec_id_b"
+    )
+
+
 @register(
     "embedding_norms",
     """
@@ -2385,6 +2467,7 @@ _GATE_PRIORITY: list[str] = [
     "gopher_quality_gate",     # new in r4
     "keyword_extraction",      # new in r4
     "event_value_histogram",   # new in r4
+    "embedding_cluster_dedup", # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2410,6 +2493,7 @@ _GATE_DEFER: list[str] = [
     "cardinality_profile",       # distinct counts; r2-r3 green
     "tumbling_avg_10min",        # same tumbling-agg family as hourly_continuous_aggregate (still gated); r1-r3 green
     "rolling_pseudo_averages",   # same rolling-window family as rolling_avg_trailing_1h (still gated); r1-r3 green
+    "multimodal_metadata",       # scalar metadata projection; r1-r3 green (features + frame_sample still gated)
 ]
 
 

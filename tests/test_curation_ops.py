@@ -134,3 +134,100 @@ def test_assign_split_is_total_and_partition_invariant(spark, sf_dir):
     # sampling a split then re-assigning keeps membership stable
     n_train = sum(1 for v in a.values() if v == "train")
     assert 0.8 * len(a) <= n_train <= 0.97 * len(a)
+
+
+def test_gopher_gate_each_rule_triggers_on_planted_doc(spark):
+    """One planted violator per rule family; the clean doc passes all
+    ten flags. Thresholds here are the operator defaults (Rae et al.
+    2021 values) except where noted."""
+    the_clean = "the be to of and " + " ".join(
+        f"word{i}" for i in range(50)
+    )  # 55 distinct words: no dup n-grams, stopwords present, mean len ~5
+    rows = [
+        (1, the_clean),
+        (2, "short text only"),                                   # word_count
+        (3, ("a b c d " * 15).strip()),                           # mean_word_len < 3
+        (4, ("the " + "#### " * 30 + "end " * 25).strip()),       # symbol ratio
+        (5, "\n".join(["- bullet line item here"] * 10)),         # bullet lines
+        (6, "\n".join(["the line trails off..."] * 10)),          # ellipsis lines
+        (7, ("the " + "123 456 789 000 " * 15).strip()),          # alpha fraction
+        (8, ("lorem ipsum dolor sit amet " * 12).strip()),        # no stopwords
+        (9, ("the " * 60).strip()),                               # top-token share
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in tx.gopher_quality_gate(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            min_words=10,  # planted docs are short; bounds still bite doc 2
+        ).collect()
+    }
+    assert out[1]["gopher_pass"], out[1]
+    assert all(out[1][f] for f in out[1].asDict() if f.endswith("_ok"))
+    assert not out[2]["word_count_ok"]
+    assert not out[3]["mean_word_len_ok"]
+    assert not out[4]["symbol_ratio_ok"]
+    assert not out[5]["bullet_lines_ok"]
+    assert not out[6]["ellipsis_lines_ok"]
+    assert not out[7]["alpha_words_ok"]
+    assert not out[8]["stopwords_ok"]
+    assert not out[9]["top_token_ok"]
+    assert not out[9]["dup_2gram_ok"]  # "the the" repeats wall-to-wall
+    for i in range(2, 10):
+        assert not out[i]["gopher_pass"], i
+
+
+def test_keyword_extraction_ranks_rare_terms_first(spark):
+    """A term unique to one doc must outrank corpus-wide terms; ranks
+    are contiguous from 1 and scores non-increasing."""
+    rows = [
+        (1, "the cat sat on the mat with the zyzzyva"),
+        (2, "the dog sat on the rug"),
+        (3, "the bird sat on the wire"),
+    ]
+    out = tx.keyword_extraction(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id",
+        "text",
+        top_k=3,
+    ).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["keyword_rank"])
+        assert [r["keyword_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    # every top-3 slot goes to a doc-unique term (df=1): rare terms
+    # outrank 'the' (tf=3 but df=3) and 'sat'/'on' (df=3); ties among
+    # equal-salience terms break alphabetically (deterministic)
+    assert all(r["df"] == 1 for r in by_doc[1])
+    assert by_doc[1][0]["tok"] == "cat"
+    # doc 2 has only two unique terms; they take the top slots ahead of
+    # 'the' (tf=2) which legitimately fills slot 3
+    assert {r["tok"] for r in by_doc[2][:2]} == {"dog", "rug"}
+    assert by_doc[2][2]["tok"] == "the"
+
+
+def test_value_histogram_bins_and_bounds(spark):
+    rows = [("a", -7.5), ("a", -0.1), ("a", 0.0), ("a", 4.99), ("a", 5.0), ("b", 12.0), ("b", None)]
+    from purpleair_data_logger_spark.operators import aggregations as agg
+
+    out = {
+        (r["event_type"], r["bin"]): r
+        for r in agg.value_histogram(
+            spark.createDataFrame(rows, "event_type string, value double"),
+            "event_type",
+            "value",
+            bin_width=5.0,
+        ).collect()
+    }
+    assert out[("a", -2)]["n"] == 1          # -7.5 -> floor(-1.5) = -2
+    assert out[("a", -1)]["n"] == 1          # -0.1
+    assert out[("a", 0)]["n"] == 2           # 0.0, 4.99
+    assert out[("a", 1)]["n"] == 1           # 5.0 (left-closed bins)
+    assert out[("b", 2)]["n"] == 1           # 12.0; NULL excluded
+    assert out[("a", 0)]["bin_lo"] == 0.0 and out[("a", 0)]["bin_hi"] == 5.0
+    assert len(out) == 5
