@@ -128,6 +128,8 @@ def run_corpus_build_stream(
     checkpoint_dir: str,
     *,
     cluster_assignments: DataFrame | None = None,
+    benchmark_df: DataFrame | None = None,
+    contamination_ngram: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     ts_col: str = "ingest_ts",
@@ -136,9 +138,9 @@ def run_corpus_build_stream(
     pack_shards: int = 8,
     max_files_per_trigger: int = 1,
 ):
-    """End-to-end streaming corpus build: curate → leakage-safe split →
-    per-micro-batch sequence packing — the streaming mirror of the
-    batch ``corpus_build_final`` composition.
+    """End-to-end streaming corpus build: curate → decontaminate →
+    leakage-safe split → per-micro-batch sequence packing — the
+    streaming mirror of the batch ``corpus_build_final`` composition.
 
     Packing runs inside ``foreachBatch``: `packing.pack_sequences` is a
     per-shard cumsum (unsupported directly on a stream), and the
@@ -148,6 +150,15 @@ def run_corpus_build_stream(
     without any cross-batch state. Curated rows land in
     ``{out}/curated`` (all splits, with cluster + split columns);
     train-split packing assignments land in ``{out}/packed``.
+
+    ``benchmark_df``: eval-benchmark documents whose distinct n-grams
+    (computed ONCE at stream start — eval suites are KBs–MBs, the
+    classic broadcast side) decontaminate every micro-batch: documents
+    sharing any ``contamination_ngram``-gram land in
+    ``{out}/contaminated`` for audit and are removed from the curated
+    corpus, exactly as ``corpus_build_final`` removes them batch-side.
+    The overlap check runs on the PII-scrubbed text (that is the text
+    being trained on).
     """
     schema = spark.read.parquet(source_dir).schema
     stream = (
@@ -164,10 +175,38 @@ def run_corpus_build_stream(
         dedup_within=dedup_within,
     )
 
+    from purpleair_data_logger_spark.operators.dedup import shingles
     from purpleair_data_logger_spark.operators.packing import pack_sequences
 
+    bench_grams = None
+    if benchmark_df is not None:
+        bench_grams = (
+            benchmark_df.select(
+                F.explode(shingles(text_col, contamination_ngram)).alias("_ng")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()  # curate once, feed both sinks
+        batch_df = batch_df.localCheckpoint()  # curate once, feed all sinks
+        if bench_grams is not None:
+            hits = (
+                batch_df.select(
+                    id_col,
+                    F.explode(
+                        shingles("clean_text", contamination_ngram)
+                    ).alias("_ng"),
+                )
+                .join(F.broadcast(bench_grams), on="_ng")
+                .select(id_col)
+                .distinct()
+                .localCheckpoint()
+            )
+            batch_df.join(hits, on=id_col, how="inner").write.mode(
+                "append"
+            ).parquet(f"{out_dir}/contaminated")
+            batch_df = batch_df.join(hits, on=id_col, how="left_anti")
         batch_df.write.mode("append").parquet(f"{out_dir}/curated")
         packed = pack_sequences(
             batch_df.filter(F.col("split") == "train"),

@@ -405,16 +405,31 @@ def test_streaming_corpus_build_splits_and_packs_end_to_end(spark, tmp_path):
         [(1, 1), (2, 1), (12, 1)], "doc_id long, cluster_id long"
     )
 
+    # benchmark doc reproducing doc 14's content: every one of its
+    # 5-grams carries the "14" token (4-grams would also match the
+    # number-free wraparound gram shared by all docs), so exactly doc
+    # 14 is flagged and removed
+    bench = spark.createDataFrame(
+        [(901, "fresh crawl 14 page content fresh crawl 14")],
+        "doc_id long, text string",
+    )
+
     out = str(tmp_path / "cb_out")
     q = run_corpus_build_stream(
         spark, src, out, str(tmp_path / "cb_ckpt"),
-        cluster_assignments=clusters, pack_budget=64, pack_shards=2,
+        cluster_assignments=clusters, benchmark_df=bench,
+        contamination_ngram=5, pack_budget=64, pack_shards=2,
     )
     q.awaitTermination(120)
 
+    contaminated = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/contaminated").collect()
+    }
+    assert contaminated == {14}
+
     curated = spark.read.parquet(f"{out}/curated").collect()
     by_id = {r["doc_id"]: r for r in curated}
-    assert set(by_id) == {1, 2, 3, 4, 5, 11, 12, 13, 14, 15}
+    assert set(by_id) == {1, 2, 3, 4, 5, 11, 12, 13, 15}
 
     # (a) the whole cluster shares one split (keyed on cluster_id=1)
     cluster_splits = {by_id[i]["split"] for i in (1, 2, 12)}
