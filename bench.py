@@ -78,6 +78,8 @@ HEADLINE = [
     "keyword_extraction",
     "event_value_histogram",
     "embedding_cluster_dedup",
+    "bigram_collocations",
+    "containment_neardups",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

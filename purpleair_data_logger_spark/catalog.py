@@ -1129,6 +1129,47 @@ def event_value_histogram(spark, sf_dir):
 
 
 @register(
+    "bigram_collocations",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    big AS (
+      SELECT arr[i] AS w1, arr[i+1] AS w2, count(*) AS c_ab
+      FROM toks, LATERAL unnest(range(1, len(arr))) t(i)
+      GROUP BY w1, w2
+      HAVING count(*) >= 5),
+    uni AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(arr) AS tok FROM toks)
+      GROUP BY tok),
+    n AS (SELECT CAST(sum(len(arr)) AS BIGINT) AS n_tokens FROM toks),
+    scored AS (
+      SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b, n.n_tokens,
+             (CAST(b.c_ab AS DOUBLE) * CAST(n.n_tokens AS DOUBLE))
+               / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+      FROM big b
+      JOIN uni ua ON ua.tok = b.w1
+      JOIN uni ub ON ub.tok = b.w2
+      CROSS JOIN n),
+    r AS (
+      SELECT w1, w2, c_ab, c_a, c_b, lift,
+             CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS INT)
+                 AS colloc_rank
+      FROM scored)
+    SELECT colloc_rank, w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b, lift
+    FROM r WHERE colloc_rank <= 100
+    """,
+    "north-star collocation mining: top-k adjacent pairs by log-free PMI lift (phrase/BPE-merge discovery)",
+)
+def bigram_collocations(spark, sf_dir):
+    """Top-100 collocations by exact-arithmetic PMI lift (min pair
+    count 5). One bigram shuffle + one vocab-sized unigram shuffle
+    broadcast back; top-k via TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.bigram_collocations(d, "doc_id", "text", top_k=100, min_count=5)
+
+
+@register(
     "text_normalize",
     """
     SELECT doc_id,
@@ -1681,6 +1722,42 @@ def neardup_lsh_verified(spark, sf_dir):
     low-cardinality key."""
     d = _t(spark, sf_dir, "documents")
     return dd.neardup_lsh_verified(
+        d, "doc_id", "text", threshold=0.8,
+        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    )
+
+
+def _containment_lsh_oracle(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float
+) -> str:
+    cont = (
+        "round(len(list_intersect(sa.shing, sb.shing)) * 1.0"
+        " / least(len(sa.shing), len(sb.shing)), 4)"
+    )
+    return (
+        _minhash_lsh_cte(num_hashes, bands, shingle_n)
+        + f"""
+    SELECT c.doc_id_a, c.doc_id_b, {cont} AS containment
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_id_a
+    JOIN sh sb ON sb.doc_id = c.doc_id_b
+    WHERE {cont} >= {threshold}
+    """
+    )
+
+
+@register(
+    "containment_neardups",
+    _containment_lsh_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
+    "north-star asymmetric near-dup: max-containment |A∩B|/min(|A|,|B|) over LSH candidates (partial-dup signal)",
+)
+def containment_neardups(spark, sf_dir):
+    """Max-containment verification over the banded candidates — flags
+    subset/quote-style partial duplication that symmetric Jaccard
+    under-scores; the result set is a superset of neardup_lsh_verified
+    at the same threshold."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.containment_lsh_verified(
         d, "doc_id", "text", threshold=0.8,
         num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
     )
@@ -2468,6 +2545,8 @@ _GATE_PRIORITY: list[str] = [
     "keyword_extraction",      # new in r4
     "event_value_histogram",   # new in r4
     "embedding_cluster_dedup", # new in r4
+    "bigram_collocations",     # new in r4
+    "containment_neardups",    # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2494,6 +2573,8 @@ _GATE_DEFER: list[str] = [
     "tumbling_avg_10min",        # same tumbling-agg family as hourly_continuous_aggregate (still gated); r1-r3 green
     "rolling_pseudo_averages",   # same rolling-window family as rolling_avg_trailing_1h (still gated); r1-r3 green
     "multimodal_metadata",       # scalar metadata projection; r1-r3 green (features + frame_sample still gated)
+    "hash_sample_stratified",    # same md5-bucket family as train_val_test_split + domain_cap_sample (both still gated); r2-r3 green
+    "doc_repetition_ratio",      # subsumed by gopher_quality_gate (top-token share) + dup_ngram_fraction, both gated; r2-r3 green
 ]
 
 

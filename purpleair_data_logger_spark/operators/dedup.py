@@ -540,6 +540,66 @@ def neardup_lsh_verified(
     )
 
 
+def containment_lsh_verified(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Asymmetric near-dup detection: max-containment
+    |A∩B| / min(|A|, |B|) over LSH candidate pairs — the partial-dup
+    signal symmetric Jaccard misses (a quoted article inside a longer
+    page, a boilerplate block wrapping fresh text: containment ≈ 1
+    while Jaccard can sit far below any dedup threshold).
+
+    Candidate generation reuses the MinHash band join, so the recall
+    contract is explicit: containment pairs are surfaced when their
+    JACCARD still collides in some band (near-sized partial dups — the
+    common boilerplate case). A tiny document buried in a huge one has
+    vanishing Jaccard and will not collide; exhaustive containment
+    search needs a shingle inverted index (pair generation ∝ posting
+    lists, quadratic on hot shingles), which is a different cost
+    regime — this composition stays band-collision-bounded on purpose.
+    Since containment ≥ Jaccard always, the result at threshold t is a
+    superset of `neardup_lsh_verified`'s at t.
+
+    Output: (doc_id_a, doc_id_b, containment), doc_id_a < doc_id_b,
+    containment = exact distinct-shingle ratio rounded to 4 places.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        hash_family=hash_family,
+    )
+    s = df.select(
+        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh")
+    )
+    j = (
+        cands.join(
+            s.select(F.col("_sid"), F.col("_sh").alias("_sh_a")),
+            on=F.col("doc_id_a") == F.col("_sid"),
+        )
+        .drop("_sid")
+        .join(
+            s.select(F.col("_sid"), F.col("_sh").alias("_sh_b")),
+            on=F.col("doc_id_b") == F.col("_sid"),
+        )
+        .drop("_sid")
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    smaller = F.least(F.size("_sh_a"), F.size("_sh_b"))
+    cont = F.round(inter.cast("double") / smaller.cast("double"), 4)
+    return (
+        j.select("doc_id_a", "doc_id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str,

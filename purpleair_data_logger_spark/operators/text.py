@@ -511,6 +511,84 @@ def keyword_extraction(
     )
 
 
+def bigram_collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_k: int = 100,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-wide collocation mining: top-k adjacent word pairs by
+    PMI-style lift — the phrase/tokenizer-merge discovery pass
+    (multi-word expressions, candidate BPE merges, stop-phrase lists).
+
+    Ranking is by lift = P(ab)/(P(a)·P(b)) rather than PMI = log(lift):
+    log is monotone so the ranking is identical, and the lift is four
+    exact integer counts combined in fixed-order IEEE double
+    arithmetic — engine-portable where ln() is hostage to libm. Counts
+    below ``min_count`` are dropped first (classic PMI noise guard:
+    hapax pairs otherwise dominate).
+
+    Plan: one bigram explode → groupBy(w1, w2) count [shuffle 1]; one
+    unigram explode → groupBy(tok) count [shuffle 2, vocab-sized]
+    broadcast back onto the bigram table twice (w1, w2); the total
+    token count is a 1-row broadcast scalar. Top-k is orderBy+limit —
+    Spark's TakeOrderedAndProject, a per-partition top-k merged on the
+    driver, so the full bigram table never sits in one partition; only
+    the k survivors pass through the rank window.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    pairs_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        _repartition_by_key(df.select(id_col, text_col), id_col)
+        .select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tok = df.select(F.sum(F.size(toks)).cast("long").alias("n_tokens"))
+    scored = (
+        big.join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))),
+            on="w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))),
+            on="w2",
+        )
+        .join(F.broadcast(n_tok))
+        .withColumn(
+            "lift",
+            (F.col("c_ab").cast("double") * F.col("n_tokens").cast("double"))
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+        )
+    )
+    order = [F.desc("lift"), F.asc("w1"), F.asc("w2")]
+    top = scored.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.withColumn(
+        "colloc_rank", F.row_number().over(w).cast("int")
+    ).select("colloc_rank", "w1", "w2", "c_ab", "c_a", "c_b", "lift")
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
