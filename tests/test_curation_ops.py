@@ -231,3 +231,32 @@ def test_value_histogram_bins_and_bounds(spark):
     assert out[("b", 2)]["n"] == 1           # 12.0; NULL excluded
     assert out[("a", 0)]["bin_lo"] == 0.0 and out[("a", 0)]["bin_hi"] == 5.0
     assert len(out) == 5
+
+
+def test_containment_flags_subset_doc_jaccard_misses(spark):
+    """A document fully quoted inside a similar-sized wrapper must clear
+    the containment threshold while its Jaccard sits below it."""
+    from purpleair_data_logger_spark.operators import dedup as dd
+
+    core = " ".join(f"tok{i}" for i in range(40))
+    wrapper = core + " " + " ".join(f"extra{i}" for i in range(14))
+    rows = [(1, core), (2, wrapper)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = dd.containment_lsh_verified(df, "doc_id", "text", threshold=0.95)
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["containment"] for r in cont.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # core ⊂ wrapper exactly
+    jac = dd.neardup_lsh_verified(df, "doc_id", "text", threshold=0.95)
+    assert jac.count() == 0  # Jaccard ≈ 38/52 — under-scores the subset
+
+
+def test_bounded_range_join_rejects_nonpositive_gap(spark):
+    import pytest as _pytest
+
+    from purpleair_data_logger_spark.operators.rangejoin import bounded_range_join
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k long, ts string"
+    )
+    for bad in (0, -5):
+        with _pytest.raises(ValueError, match="gap_seconds"):
+            bounded_range_join(df, df, ["k"], "ts", "ts", gap_seconds=bad)

@@ -66,3 +66,35 @@ def test_table_schema_types():
 
     wide = S.wide_schema()
     assert len(wide.fields) == 117
+
+
+def test_bench_compare_absolute_guard_and_best_prior(tmp_path):
+    """bench_compare: sub-threshold baselines get the absolute-seconds
+    guard (ADVICE r3), and multiple baselines compare per-query best."""
+    import json
+    import subprocess
+    import sys
+
+    b1 = {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+          "queries": {"fast": 0.1, "slow": 2.0}}
+    b2 = {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+          "queries": {"fast": 0.2, "slow": 1.0}}
+    now_bad = {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+               "queries": {"fast": 1.5, "slow": 1.5}}  # fast: +1.4s over best 0.1
+    now_ok = {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+              "queries": {"fast": 0.5, "slow": 1.9}}   # fast +0.4s ok; slow < 2x best 1.0
+    paths = {}
+    for name, data in [("b1", b1), ("b2", b2), ("bad", now_bad), ("ok", now_ok)]:
+        p = tmp_path / f"{name}.json"
+        p.write_text(json.dumps(data))
+        paths[name] = str(p)
+    import os
+    script = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "scripts", "bench_compare.py")
+    r = subprocess.run([sys.executable, script, paths["bad"], paths["b1"], paths["b2"]],
+                       capture_output=True, text=True)
+    assert r.returncode == 1 and "fast" in r.stdout
+    r = subprocess.run([sys.executable, script, paths["ok"], paths["b1"], paths["b2"]],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "no regressions" in r.stdout
