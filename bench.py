@@ -80,6 +80,7 @@ HEADLINE = [
     "embedding_cluster_dedup",
     "bigram_collocations",
     "containment_neardups",
+    "part_brand_revenue",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -462,6 +462,45 @@ def reconstruction_join(spark, sf_dir):
 
 
 @register(
+    "part_brand_revenue",
+    """
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_items,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY p_brand
+    """,
+    "J-family dimension join over the part table (broadcast dim, pushdown date filter, map-side-combined agg)",
+)
+def part_brand_revenue(spark, sf_dir):
+    """Revenue by part brand for shipments since 1996 — the classic
+    fact⨝dimension shape: `part` broadcasts (dimensions are MBs against
+    a fact table of any size), the ship-date filter pushes to the
+    lineitem scan, and the per-brand aggregate combines map-side.
+    l_quantity is integer-valued, so its sum is exact in any order;
+    revenue uses the same round(sum, 4) contract as
+    `reconstruction_join` (green r1-r3)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "semi_join_show_only",
     """
     SELECT user_id, count(*) AS n_events, max(value) AS max_value
@@ -2547,6 +2586,7 @@ _GATE_PRIORITY: list[str] = [
     "embedding_cluster_dedup", # new in r4
     "bigram_collocations",     # new in r4
     "containment_neardups",    # new in r4
+    "part_brand_revenue",      # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2575,6 +2615,7 @@ _GATE_DEFER: list[str] = [
     "multimodal_metadata",       # scalar metadata projection; r1-r3 green (features + frame_sample still gated)
     "hash_sample_stratified",    # same md5-bucket family as train_val_test_split + domain_cap_sample (both still gated); r2-r3 green
     "doc_repetition_ratio",      # subsumed by gopher_quality_gate (top-token share) + dup_ngram_fraction, both gated; r2-r3 green
+    "benchmark_contamination",   # r2-r3 green; same operator gates inside corpus_build_final + streaming decontamination test
 ]
 
 

@@ -220,6 +220,17 @@ def test_event_value_histogram_single_agg(spark, sf):
     assert "props" not in schemas and "user_id" not in schemas
 
 
+def test_part_brand_revenue_broadcast_and_pushdown(spark, sf):
+    """Fact⨝dim: part broadcasts, the ship-date filter reaches the
+    lineitem scan, and the brand aggregate is partial+final on one
+    shuffle."""
+    plan = _plan(spark, sf, "part_brand_revenue")
+    assert E.count(plan, "BroadcastHashJoin") == 1
+    assert "GreaterThanOrEqual(l_shipdate" in " ".join(E.pushed_filters(plan))
+    assert E.count(plan, "HashAggregate") == 2
+    assert E.count(plan, "Exchange") == 1
+
+
 def test_percentile_gate_windows_aggregate_not_corpus(spark, sf):
     """VERDICT r3 'What's wrong' #2: the exact percent_rank must be
     computed over the per-(group, value) AGGREGATE (distinct-value
