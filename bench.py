@@ -81,6 +81,8 @@ HEADLINE = [
     "bigram_collocations",
     "containment_neardups",
     "part_brand_revenue",
+    "cross_doc_dup_ngrams",
+    "unigram_rarity",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -1147,6 +1147,72 @@ def keyword_extraction(spark, sf_dir):
 
 
 @register(
+    "cross_doc_dup_ngrams",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    g AS (
+      SELECT doc_id,
+             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]
+                    || ' ' || arr[i+4] AS gram
+      FROM toks, LATERAL unnest(range(1, len(arr) - 3)) t(i)
+    ),
+    pdg AS (SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY doc_id, gram),
+    gd AS (SELECT gram, count(*) AS gram_docs FROM pdg GROUP BY gram)
+    SELECT pdg.doc_id,
+           CAST(sum(occ) AS BIGINT) AS ngram_occurrences,
+           CAST(sum(CASE WHEN gram_docs >= 2 THEN occ ELSE 0 END) AS BIGINT)
+               AS cross_dup_occurrences,
+           CAST(sum(CASE WHEN gram_docs >= 2 THEN occ ELSE 0 END) AS DOUBLE)
+               / CAST(sum(occ) AS DOUBLE) AS cross_dup_frac,
+           max(gram_docs) AS max_gram_docs
+    FROM pdg JOIN gd ON pdg.gram = gd.gram
+    GROUP BY pdg.doc_id
+    """,
+    "north-star cross-document duplicated-span signal (Lee et al. 2022 exact-substring dedup, 5-gram granularity)",
+)
+def cross_doc_dup_ngrams(spark, sf_dir):
+    """Per-document coverage by 5-grams that recur verbatim in OTHER
+    documents — the corpus-level boilerplate/syndication signal next to
+    `dup_ngram_fraction`'s within-doc repetition. Three key-sharded
+    Exchanges (id-gram compress, gram doc-count, id finish); vocabulary
+    never broadcast, hot grams combined map-side."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.cross_doc_dup_ngrams(d, "doc_id", "text", n=5)
+
+
+@register(
+    "unigram_rarity",
+    """
+    WITH pdt AS (
+      SELECT doc_id, tok, count(*) AS occ
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    tc AS (SELECT tok, CAST(sum(occ) AS BIGINT) AS corpus_tf FROM pdt GROUP BY tok),
+    n AS (SELECT CAST(sum(corpus_tf) AS BIGINT) AS corpus_total FROM tc)
+    SELECT pdt.doc_id,
+           CAST(sum(occ) AS BIGINT) AS n_tokens,
+           CAST(sum(occ * corpus_tf) AS DOUBLE)
+               / CAST(CAST(sum(occ) AS BIGINT) * min(corpus_total) AS DOUBLE)
+               AS mean_corpus_prob,
+           CAST(sum(CASE WHEN corpus_tf <= 2 THEN occ ELSE 0 END) AS DOUBLE)
+               / CAST(sum(occ) AS DOUBLE) AS rare_token_frac,
+           min(corpus_tf) AS min_corpus_tf
+    FROM pdt JOIN tc ON pdt.tok = tc.tok CROSS JOIN n
+    GROUP BY pdt.doc_id
+    """,
+    "north-star unigram-LM quality proxy (CCNet-style corpus-typicality gate, log-free exact arithmetic)",
+)
+def unigram_rarity(spark, sf_dir):
+    """Log-free unigram-LM document scoring: mean corpus probability,
+    hapax fraction, rarest-token count — the SQL-expressible stand-in
+    for CCNet's KenLM perplexity buckets. Exact-integer sums, one
+    final division, bit-identical cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.unigram_rarity(d, "doc_id", "text", rare_max_tf=2)
+
+
+@register(
     "event_value_histogram",
     """
     SELECT event_type,
@@ -2587,6 +2653,8 @@ _GATE_PRIORITY: list[str] = [
     "bigram_collocations",     # new in r4
     "containment_neardups",    # new in r4
     "part_brand_revenue",      # new in r4
+    "cross_doc_dup_ngrams",    # new in r4
+    "unigram_rarity",          # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2616,6 +2684,8 @@ _GATE_DEFER: list[str] = [
     "hash_sample_stratified",    # same md5-bucket family as train_val_test_split + domain_cap_sample (both still gated); r2-r3 green
     "doc_repetition_ratio",      # subsumed by gopher_quality_gate (top-token share) + dup_ngram_fraction, both gated; r2-r3 green
     "benchmark_contamination",   # r2-r3 green; same operator gates inside corpus_build_final + streaming decontamination test
+    "pk_dedup",                  # R6; r1-r3 green ×3, dedup_exact_docs still gates the dedup family + crash-safe upsert pytest
+    "vertical_split_rejoin",     # T4; r2-r3 green, reconstruction_join (still gated) exercises the same PK rejoin
 ]
 
 

@@ -769,3 +769,136 @@ def chunk_documents(
             F.md5(F.col("_chunk")).alias("chunk_md5"),
         )
     )
+
+
+def cross_doc_dup_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Cross-document duplicated n-gram coverage — the corpus-level
+    repetition signal behind exact-substring training-data dedup (Lee
+    et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better": remove/flag spans that recur verbatim ACROSS documents).
+    `duplicate_ngram_fraction` measures within-doc loops; this measures
+    how much of a document is boilerplate shared with the rest of the
+    corpus — license headers, navigation chrome, syndicated passages.
+
+    Per document: total n-gram occurrences, occurrences whose gram
+    appears in ≥ 2 distinct documents corpus-wide, their ratio, and the
+    document count of the doc's most-shared gram (how viral its worst
+    span is). All counts are exact integers; the ratio is one final
+    double division, so values hash bit-identically cross-engine.
+    Documents with fewer than ``n`` tokens emit no row (they have no
+    n-gram), matching the SQL range-unnest formulation.
+
+    Plan — three Exchanges, all key-sharded, none corpus-wide:
+      1. explode → groupBy(id, gram) partial-aggregates per-doc
+         occurrence counts map-side (a doc repeating one gram 10⁶×
+         combines before the shuffle — the hot-boilerplate rule);
+      2. groupBy(gram) over the compressed per-doc rows counts
+         distinct docs per gram (input is already one row per
+         (doc, gram), so a plain count — no count-distinct expansion);
+      3. the gram-keyed join back reuses the gram partitioning on the
+         counts side, then one groupBy(id) finishes. No windows, no
+         Python, no broadcast of the (unbounded-vocab) gram table.
+    """
+    toks = tokens(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc_gram = (
+        _repartition_by_key(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    gram_docs = per_doc_gram.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("gram_docs")
+    )
+    joined = per_doc_gram.join(gram_docs, "gram")
+    dup_occ = F.sum(F.when(F.col("gram_docs") >= 2, F.col("occ")).otherwise(F.lit(0)))
+    total_occ = F.sum("occ")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            total_occ.alias("ngram_occurrences"),
+            dup_occ.alias("cross_dup_occurrences"),
+            (dup_occ.cast("double") / total_occ.cast("double")).alias(
+                "cross_dup_frac"
+            ),
+            F.max("gram_docs").alias("max_gram_docs"),
+        )
+    )
+
+
+def unigram_rarity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    rare_max_tf: int = 2,
+) -> DataFrame:
+    """Unigram-LM document quality proxy, log-free — the
+    SQL-expressible analog of CCNet's KenLM perplexity gate (Wenzek et
+    al. 2020): score documents by how typical their tokens are of the
+    corpus itself. Machine-generated noise and lorem-garbage score
+    rare; natural prose scores common. Downstream, gate or stratify on
+    these columns the way CCNet buckets by perplexity head/middle/tail.
+
+    Per document, with c(t) the corpus-wide occurrence count of token
+    t and N the corpus token total:
+      * ``n_tokens``         — document length in tokens;
+      * ``mean_corpus_prob`` — (Σ_t c(t)) / (n · N), the mean unigram
+        probability of the doc's tokens. The arithmetic mean replaces
+        perplexity's geometric mean so the score stays a ratio of two
+        exact BIGINTs — same ordering pressure, no ln(), and therefore
+        bit-identical across engines (ln is not correctly-rounded and
+        differs by ULPs between libm and the JVM);
+      * ``rare_token_frac``  — fraction of occurrences whose token
+        appears ≤ ``rare_max_tf`` times corpus-wide (hapax/dis
+        legomena): the high-signal tail CCNet's tail bucket captures;
+      * ``min_corpus_tf``    — corpus count of the doc's rarest token.
+
+    Plan mirrors `cross_doc_dup_ngrams`: groupBy(id, tok) compresses
+    occurrences map-side before any wide exchange, groupBy(tok) over
+    the compressed rows computes c(t) with a plain sum, the tok-keyed
+    join reuses the counts-side partitioning, one groupBy(id)
+    finishes. The corpus total N is a broadcast scalar (crossJoin of a
+    1-row aggregate), not a collect. Vocabulary is never broadcast —
+    at web scale it does not fit.
+    """
+    per_doc_tok = (
+        _repartition_by_key(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    tok_counts = per_doc_tok.groupBy("tok").agg(F.sum("occ").alias("corpus_tf"))
+    n_total = tok_counts.agg(F.sum("corpus_tf").alias("corpus_total"))
+    joined = per_doc_tok.join(tok_counts, "tok").crossJoin(F.broadcast(n_total))
+    n_tokens = F.sum("occ")
+    sum_tf = F.sum(F.col("occ") * F.col("corpus_tf"))
+    rare_occ = F.sum(
+        F.when(F.col("corpus_tf") <= rare_max_tf, F.col("occ")).otherwise(F.lit(0))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            n_tokens.alias("n_tokens"),
+            (
+                sum_tf.cast("double")
+                / (n_tokens * F.min("corpus_total")).cast("double")
+            ).alias("mean_corpus_prob"),
+            (rare_occ.cast("double") / n_tokens.cast("double")).alias(
+                "rare_token_frac"
+            ),
+            F.min("corpus_tf").alias("min_corpus_tf"),
+        )
+    )

@@ -260,3 +260,80 @@ def test_bounded_range_join_rejects_nonpositive_gap(spark):
     for bad in (0, -5):
         with _pytest.raises(ValueError, match="gap_seconds"):
             bounded_range_join(df, df, ["k"], "ts", "ts", gap_seconds=bad)
+
+
+def test_cross_doc_dup_ngrams_planted(spark):
+    """Planted corpus: a shared license header (one 5-gram window in a
+    10-token doc has 6 grams; header spans the first 8 tokens of docs
+    1 and 2), a doc too short for any 5-gram, and a fully unique doc."""
+    header = "lic a b c d e f g"  # 8 tokens -> 4 shared 5-grams per doc
+    df = spark.createDataFrame(
+        [
+            (1, header + " one two"),    # 10 toks, 6 grams, 4 shared
+            (2, header + " three four"), # 10 toks, 6 grams, 4 shared
+            (3, "totally unique text of nine plain words here now"),
+            (4, "short doc"),            # < 5 tokens: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in tx.cross_doc_dup_ngrams(df, "doc_id", "text", n=5).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for d in (1, 2):
+        assert got[d]["ngram_occurrences"] == 6
+        assert got[d]["cross_dup_occurrences"] == 4
+        assert got[d]["cross_dup_frac"] == 4 / 6
+        assert got[d]["max_gram_docs"] == 2
+    assert got[3]["cross_dup_occurrences"] == 0
+    assert got[3]["cross_dup_frac"] == 0.0
+    assert got[3]["max_gram_docs"] == 1
+
+
+def test_cross_doc_dup_counts_occurrences_not_grams(spark):
+    """A doc repeating a shared gram twice contributes 2 occurrences
+    to its numerator, and still counts once toward gram_docs."""
+    g = "v w x y z"
+    df = spark.createDataFrame(
+        [(1, f"{g} pad {g}"), (2, f"{g} other tail words")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in tx.cross_doc_dup_ngrams(df, "doc_id", "text", n=5).collect()
+    }
+    # doc 1: 11 tokens -> 7 grams; "v w x y z" occurs at positions 1 and 7
+    assert got[1]["cross_dup_occurrences"] == 2
+    assert got[1]["max_gram_docs"] == 2
+    assert got[2]["cross_dup_occurrences"] == 1
+
+
+def test_unigram_rarity_planted(spark):
+    """3-doc corpus with hand-computable counts: c(common)=4, c(mid)=2,
+    c(rare1)=c(rare2)=1, N=8."""
+    df = spark.createDataFrame(
+        [
+            (1, "common common mid rare1"),
+            (2, "common mid"),
+            (3, "common rare2"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in tx.unigram_rarity(df, "doc_id", "text", rare_max_tf=1).collect()
+    }
+    # doc 1: tokens (4,4,2,1) -> mean prob = 11/(4*8); rare = 1/4; min=1
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["mean_corpus_prob"] == 11 / 32
+    assert got[1]["rare_token_frac"] == 0.25
+    assert got[1]["min_corpus_tf"] == 1
+    # doc 2: (4,2) -> 6/16; no rare; min=2
+    assert got[2]["mean_corpus_prob"] == 6 / 16
+    assert got[2]["rare_token_frac"] == 0.0
+    assert got[2]["min_corpus_tf"] == 2
+    # doc 3: (4,1) -> 5/16; rare 1/2
+    assert got[3]["mean_corpus_prob"] == 5 / 16
+    assert got[3]["rare_token_frac"] == 0.5
+    assert got[3]["min_corpus_tf"] == 1
