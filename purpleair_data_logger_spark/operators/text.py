@@ -794,16 +794,22 @@ def cross_doc_dup_ngrams(
     Documents with fewer than ``n`` tokens emit no row (they have no
     n-gram), matching the SQL range-unnest formulation.
 
-    Plan — three Exchanges, all key-sharded, none corpus-wide:
+    Plan — key-sharded aggregates, join-based attach, no windows:
       1. explode → groupBy(id, gram) partial-aggregates per-doc
          occurrence counts map-side (a doc repeating one gram 10⁶×
-         combines before the shuffle — the hot-boilerplate rule);
-      2. groupBy(gram) over the compressed per-doc rows counts
-         distinct docs per gram (input is already one row per
-         (doc, gram), so a plain count — no count-distinct expansion);
-      3. the gram-keyed join back reuses the gram partitioning on the
-         counts side, then one groupBy(id) finishes. No windows, no
-         Python, no broadcast of the (unbounded-vocab) gram table.
+         combines before any exchange — the hot-boilerplate rule; the
+         pre-explode repartition(id) already satisfies the grouping,
+         so the aggregate itself adds NO exchange);
+      2. the per-gram document count is a distinct+count on its own
+         scan branch (Spark has no common-subplan sharing — same
+         accepted trade as `keyword_extraction`'s df branch; forcing
+         reuse would need a materialization barrier);
+      3. gram_docs attaches via an equi-join on gram — NEVER a
+         gram-partitioned window (a boilerplate gram in 10⁹ docs
+         would be one window partition). Catalyst picks the physical
+         join: broadcast while the gram table fits (local/test scale),
+         shuffle equi-join — AQE-skew-splittable — at corpus scale.
+      One groupBy(id) finishes. No windows, no Python anywhere.
     """
     toks = tokens(text_col)
     grams = F.when(
@@ -867,12 +873,15 @@ def unigram_rarity(
       * ``min_corpus_tf``    — corpus count of the doc's rarest token.
 
     Plan mirrors `cross_doc_dup_ngrams`: groupBy(id, tok) compresses
-    occurrences map-side before any wide exchange, groupBy(tok) over
-    the compressed rows computes c(t) with a plain sum, the tok-keyed
-    join reuses the counts-side partitioning, one groupBy(id)
-    finishes. The corpus total N is a broadcast scalar (crossJoin of a
-    1-row aggregate), not a collect. Vocabulary is never broadcast —
-    at web scale it does not fit.
+    occurrences map-side (the repartition(id) satisfies the grouping,
+    so no aggregate exchange), c(t) is a plain sum over the compressed
+    rows on its own branch, and the counts attach via an equi-join on
+    tok — never a token-partitioned window ("the" appears in every
+    document; as a window partition it would serialize the corpus,
+    as a join key AQE skew-splits it). Catalyst broadcasts the count
+    table while it fits and falls back to a shuffle join at open-vocab
+    scale. The corpus total N is an explicit 1-row broadcast scalar,
+    not a collect.
     """
     per_doc_tok = (
         _repartition_by_key(df.select(id_col, text_col), id_col)
@@ -881,7 +890,13 @@ def unigram_rarity(
         .agg(F.count(F.lit(1)).alias("occ"))
     )
     tok_counts = per_doc_tok.groupBy("tok").agg(F.sum("occ").alias("corpus_tf"))
-    n_total = tok_counts.agg(F.sum("corpus_tf").alias("corpus_total"))
+    # N without an explode: summing token-array sizes off the bare scan
+    # keeps this branch a cheap scalar instead of a third explode
+    # subtree (Spark would re-derive tok_counts per consumer — no
+    # common-subplan sharing).
+    n_total = df.select(
+        F.sum(F.size(tokens(text_col))).alias("corpus_total")
+    )
     joined = per_doc_tok.join(tok_counts, "tok").crossJoin(F.broadcast(n_total))
     n_tokens = F.sum("occ")
     sum_tf = F.sum(F.col("occ") * F.col("corpus_tf"))

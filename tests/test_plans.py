@@ -306,3 +306,32 @@ def test_document_chunking_no_shuffle(spark, sf):
     plan = _plan(spark, sf, "document_chunking")
     assert E.count(plan, "Exchange") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cross_doc_dup_ngrams_join_attach_no_window(spark, sf):
+    """gram_docs attaches via an equi-join (Catalyst picks broadcast
+    at test scale, shuffle join at corpus scale) — NEVER a
+    gram-partitioned window; per-doc occurrence counts ride the
+    pre-explode repartition(id) so the (id, gram) aggregate adds no
+    exchange of its own; whole plan JVM-side."""
+    plan = _plan(spark, sf, "cross_doc_dup_ngrams")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # the two explicit repartition(id) shuffles are the only plain
+    # exchanges besides the gram doc-count aggregate's
+    assert plan.count("REPARTITION_BY_NUM") == 2
+    assert plan.count("ENSURE_REQUIREMENTS") <= 2
+
+
+def test_unigram_rarity_join_attach_no_window(spark, sf):
+    """The corpus-total N is a 1-row broadcast scalar (nested-loop on
+    one row is the intended shape); the vocabulary count attaches via
+    an equi-join, never a token-partitioned window; JVM-side."""
+    plan = _plan(spark, sf, "unigram_rarity")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N crossJoin
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert plan.count("REPARTITION_BY_NUM") == 2
