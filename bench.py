@@ -83,6 +83,7 @@ HEADLINE = [
     "part_brand_revenue",
     "cross_doc_dup_ngrams",
     "unigram_rarity",
+    "cross_doc_span_removal",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

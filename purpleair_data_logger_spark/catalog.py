@@ -1181,6 +1181,50 @@ def cross_doc_dup_ngrams(spark, sf_dir):
 
 
 @register(
+    "cross_doc_span_removal",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    g AS (
+      SELECT doc_id, i AS start,
+             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]
+                    || ' ' || arr[i+4] AS gram
+      FROM toks, LATERAL unnest(range(1, len(arr) - 3)) t(i)
+    ),
+    gd AS (
+      SELECT gram
+      FROM (SELECT gram, count(DISTINCT doc_id) AS dc FROM g GROUP BY gram)
+      WHERE dc >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT g.doc_id, g.start + j AS pos
+      FROM g JOIN gd ON g.gram = gd.gram, LATERAL unnest(range(0, 5)) u(j)
+    ),
+    covagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed, list(pos) AS cl
+      FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(arr) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+           coalesce(array_to_string(
+             [arr[i] FOR i IN range(1, len(arr) + 1)
+              IF NOT list_contains(coalesce(c.cl, []), i)], ' '), '')
+             AS clean_text
+    FROM toks t LEFT JOIN covagg c ON t.doc_id = c.doc_id
+    """,
+    "north-star exact-substring span removal (Lee et al. 2022): drop tokens covered by cross-document 5-grams, reassemble",
+)
+def cross_doc_span_removal(spark, sf_dir):
+    """The rewrite half of exact-substring dedup: every token covered
+    by a 5-gram shared verbatim across ≥2 documents is removed and the
+    document reassembled — shared boilerplate vanishes corpus-wide,
+    unique prose survives. Join-attach + codegen rebuild; no windows,
+    no Python."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.remove_cross_doc_spans(d, "doc_id", "text", n=5)
+
+
+@register(
     "unigram_rarity",
     """
     WITH pdt AS (
@@ -2655,6 +2699,7 @@ _GATE_PRIORITY: list[str] = [
     "part_brand_revenue",      # new in r4
     "cross_doc_dup_ngrams",    # new in r4
     "unigram_rarity",          # new in r4
+    "cross_doc_span_removal",  # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2686,6 +2731,7 @@ _GATE_DEFER: list[str] = [
     "benchmark_contamination",   # r2-r3 green; same operator gates inside corpus_build_final + streaming decontamination test
     "pk_dedup",                  # R6; r1-r3 green ×3, dedup_exact_docs still gates the dedup family + crash-safe upsert pytest
     "vertical_split_rejoin",     # T4; r2-r3 green, reconstruction_join (still gated) exercises the same PK rejoin
+    "anti_join_inactive",        # r1-r3 green; 0-row compare adds little — semi_join_show_only (still gated) covers the directory-correlation family
 ]
 
 

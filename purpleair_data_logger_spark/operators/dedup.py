@@ -703,3 +703,100 @@ def simhash_neardup_candidates(
     return pairs.distinct().select(
         "doc_id_a", "doc_id_b", hamming.alias("hamming_distance")
     )
+
+
+def remove_cross_doc_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    sep: str = " ",
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the rewrite half of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"):
+    every token covered by an n-gram that occurs verbatim in ≥ 2
+    distinct documents is dropped, and the document is reassembled
+    from the surviving tokens. `text.cross_doc_dup_ngrams` scores the
+    duplication; this operator performs the surgery — shared license
+    headers, navigation chrome and syndicated passages vanish from
+    every document that carries them, while each document's unique
+    prose survives. (Lee et al. use a suffix array over the
+    concatenated corpus; the n-gram-anchored formulation is the
+    shuffle-bounded distributed equivalent — any duplicated substring
+    of length ≥ n is a run of duplicated n-grams, so its interior is
+    covered; at most n−1 boundary tokens of a shared span survive.)
+
+    Output: (id, n_tokens, n_removed_tokens, clean_text). Documents
+    shorter than ``n`` tokens pass through untouched; a fully-covered
+    document yields clean_text = ''.
+
+    Plan — same join-attach discipline as the scoring op:
+      1. (id, start, gram) occurrences ride the pre-explode
+         repartition(id);
+      2. grams with ≥ 2 distinct docs come from a distinct+count
+         branch, attached by equi-join on gram (never a gram window —
+         hot boilerplate grams are skew-splittable join keys);
+      3. covered positions = explode(sequence(start, start+n−1)),
+         deduped and collect_set-ed per doc — one id-shuffle;
+      4. the rebuild is pure codegen: a two-arg transform tags each
+         token with its 1-based position, filter drops tagged tokens
+         whose position is in the covered set, concat_ws rejoins.
+    No windows, no Python, no corpus-wide broadcast.
+    """
+    toks = F.split(F.col(text_col), sep)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.struct(
+                i.alias("start"),
+                F.concat_ws(sep, F.slice(toks, i, n)).alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,gram:string>>"))
+
+    base = parallelize_small_scan(df.select(id_col, text_col), id_col)
+    occurrences = base.select(
+        F.col(id_col), F.explode(grams).alias("g")
+    ).select(F.col(id_col), F.col("g.start").alias("start"), F.col("g.gram").alias("gram"))
+
+    dup_grams = (
+        occurrences.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gram_docs"))
+        .filter(F.col("gram_docs") >= 2)
+        .select("gram")
+    )
+
+    covered = (
+        occurrences.join(dup_grams, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_cov"))
+    )
+
+    joined = base.join(covered, id_col, "left").withColumn(
+        "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    )
+    tagged = F.transform(
+        toks, lambda x, i: F.struct(x.alias("tok"), (i + 1).alias("pos"))
+    )
+    kept = F.filter(
+        tagged, lambda s: ~F.array_contains(F.col("_cov"), s["pos"])
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size("_cov").cast("long").alias("n_removed_tokens"),
+        F.concat_ws(sep, F.transform(kept, lambda s: s["tok"])).alias(
+            "clean_text"
+        ),
+    )

@@ -337,3 +337,61 @@ def test_unigram_rarity_planted(spark):
     assert got[3]["mean_corpus_prob"] == 5 / 16
     assert got[3]["rare_token_frac"] == 0.5
     assert got[3]["min_corpus_tf"] == 1
+
+
+def test_cross_doc_span_removal_planted(spark):
+    """Shared 8-token header across docs 1 and 2 is fully covered by
+    its run of shared 5-grams and removed from both; unique tails
+    survive; untouched docs pass through byte-identical."""
+    from purpleair_data_logger_spark.operators import dedup as dd
+
+    header = "lic a b c d e f g"
+    df = spark.createDataFrame(
+        [
+            (1, header + " one two"),
+            (2, header + " three four"),
+            (3, "totally unique text of nine plain words here now"),
+            (4, "tiny doc"),  # < 5 tokens: passes through
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in dd.remove_cross_doc_spans(df, "doc_id", "text", n=5).collect()
+    }
+    assert got[1]["clean_text"] == "one two"
+    assert got[2]["clean_text"] == "three four"
+    assert got[1]["n_removed_tokens"] == 8 and got[2]["n_removed_tokens"] == 8
+    assert got[3]["clean_text"] == "totally unique text of nine plain words here now"
+    assert got[3]["n_removed_tokens"] == 0
+    assert got[4]["clean_text"] == "tiny doc"
+    assert got[4]["n_tokens"] == 2
+
+
+def test_cross_doc_span_removal_full_coverage_empty(spark):
+    """Two identical 5-token docs are 100% covered -> clean_text ''."""
+    from purpleair_data_logger_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "p q r s t")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in dd.remove_cross_doc_spans(df, "doc_id", "text", n=5).collect()}
+    for d in (1, 2):
+        assert got[d]["clean_text"] == ""
+        assert got[d]["n_removed_tokens"] == 5
+
+
+def test_cross_doc_span_removal_boundary_tokens_survive(spark):
+    """A shared interior span embedded in different contexts: only the
+    tokens covered by FULL shared 5-grams go — the shared run here is
+    exactly 5 tokens, so surrounding unique context survives."""
+    from purpleair_data_logger_spark.operators import dedup as dd
+
+    span = "s1 s2 s3 s4 s5"
+    df = spark.createDataFrame(
+        [(1, f"left1 left2 {span} right1"), (2, f"intro {span} outro1 outro2")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dd.remove_cross_doc_spans(df, "doc_id", "text", n=5).collect()}
+    assert got[1]["clean_text"] == "left1 left2 right1"
+    assert got[2]["clean_text"] == "intro outro1 outro2"

@@ -335,3 +335,15 @@ def test_unigram_rarity_join_attach_no_window(spark, sf):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert plan.count("REPARTITION_BY_NUM") == 2
+
+
+def test_cross_doc_span_removal_codegen_rebuild_no_window(spark, sf):
+    """Surgery stays JVM-side end to end: dup grams attach by
+    equi-join, covered positions collect per doc on an id shuffle, and
+    the token rebuild is a codegen transform/filter — no windows, no
+    Python, no cartesian anywhere."""
+    plan = _plan(spark, sf, "cross_doc_span_removal")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
