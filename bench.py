@@ -84,6 +84,7 @@ HEADLINE = [
     "cross_doc_dup_ngrams",
     "unigram_rarity",
     "cross_doc_span_removal",
+    "vocab_encode",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

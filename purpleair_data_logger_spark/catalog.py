@@ -1225,6 +1225,46 @@ def cross_doc_span_removal(spark, sf_dir):
 
 
 @register(
+    "vocab_encode",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    tf AS (
+      SELECT tok, count(*) AS total_tf
+      FROM (SELECT doc_id, unnest(arr) AS tok FROM toks)
+      GROUP BY tok
+    ),
+    v AS (
+      SELECT CAST(row_number() OVER (ORDER BY total_tf DESC, tok) AS INT)
+                 AS vocab_rank, tok
+      FROM (SELECT * FROM tf ORDER BY total_tf DESC, tok LIMIT 256)
+    ),
+    p AS (
+      SELECT doc_id, i AS pos, arr[i] AS tok
+      FROM toks, LATERAL unnest(range(1, len(arr) + 1)) t(i)
+    ),
+    j AS (
+      SELECT p.doc_id, p.pos, coalesce(v.vocab_rank, 0) AS tid
+      FROM p LEFT JOIN v ON p.tok = v.tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS token_ids
+    FROM j GROUP BY doc_id
+    """,
+    "north-star encode stage: tokenize-and-numericalize against the deterministic top-256 corpus vocabulary",
+)
+def vocab_encode(spark, sf_dir):
+    """The encode pass between curation and sequence packing: tokens
+    become their rank in the corpus top-256 vocabulary (OOV → 0),
+    order-preserving, serialized per doc. Vocab branch is top_k-bounded
+    so it broadcasts by construction; encode side rides the doc-id
+    repartition."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.encode_with_vocabulary(d, "doc_id", "text", top_k=256)
+
+
+@register(
     "unigram_rarity",
     """
     WITH pdt AS (
@@ -2700,6 +2740,7 @@ _GATE_PRIORITY: list[str] = [
     "cross_doc_dup_ngrams",    # new in r4
     "unigram_rarity",          # new in r4
     "cross_doc_span_removal",  # new in r4
+    "vocab_encode",            # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2732,6 +2773,7 @@ _GATE_DEFER: list[str] = [
     "pk_dedup",                  # R6; r1-r3 green ×3, dedup_exact_docs still gates the dedup family + crash-safe upsert pytest
     "vertical_split_rejoin",     # T4; r2-r3 green, reconstruction_join (still gated) exercises the same PK rejoin
     "anti_join_inactive",        # r1-r3 green; 0-row compare adds little — semi_join_show_only (still gated) covers the directory-correlation family
+    "sessionize_users",          # r2-r3 green ×2; the streaming session_window variant is pytest-pinned and asof/range-join still gate the temporal-join family
 ]
 
 

@@ -917,3 +917,53 @@ def unigram_rarity(
             F.min("corpus_tf").alias("min_corpus_tf"),
         )
     )
+
+
+def encode_with_vocabulary(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_k: int = 1000,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Tokenize-and-numericalize — the encode stage between curation
+    and `packing.pack_sequences`: every token becomes its rank in the
+    corpus vocabulary (`vocabulary`'s deterministic top-k by total term
+    frequency, ties broken on the token string), out-of-vocabulary
+    tokens become ``oov_id``. Output per document: token count, OOV
+    count, and the id sequence serialized as a comma-joined string
+    (engine-portable; split it or swap the serialization for an
+    array column when feeding a trainer).
+
+    Plan: the vocab branch is `vocabulary`'s explode + two-phase
+    aggregate + TakeOrderedAndProject — top_k-bounded, so it
+    broadcasts by construction (unlike the open-vocab count tables in
+    `unigram_rarity`, this side is explicitly truncated). The encode
+    side posexplodes (id, pos, tok) riding the pre-explode
+    repartition(id), left-joins the broadcast vocab, and reassembles
+    order with array_sort(collect_list(struct(pos, id))) — per-doc
+    arrays, never corpus-wide. No windows over data-sized partitions;
+    the only window is vocabulary's rank over top_k rows.
+    """
+    vocab = vocabulary(df, id_col, text_col, top_k=top_k).select(
+        "vocab_rank", "tok"
+    )
+    tagged = _repartition_by_key(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    joined = tagged.join(F.broadcast(vocab), "tok", "left").select(
+        F.col(id_col),
+        F.col("pos"),
+        F.coalesce(F.col("vocab_rank"), F.lit(oov_id)).alias("tid"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "tid")))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tid") == oov_id, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_oov"),
+        F.concat_ws(
+            ",", F.transform(ordered, lambda s: s["tid"].cast("string"))
+        ).alias("token_ids"),
+    )

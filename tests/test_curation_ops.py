@@ -395,3 +395,26 @@ def test_cross_doc_span_removal_boundary_tokens_survive(spark):
     got = {r["doc_id"]: r for r in dd.remove_cross_doc_spans(df, "doc_id", "text", n=5).collect()}
     assert got[1]["clean_text"] == "left1 left2 right1"
     assert got[2]["clean_text"] == "intro outro1 outro2"
+
+
+def test_encode_with_vocabulary_planted(spark):
+    """4-doc corpus with a hand-computable vocab: ranks by (tf desc,
+    tok asc); OOV maps to 0; order is preserved."""
+    df = spark.createDataFrame(
+        [
+            (1, "b a b c"),
+            (2, "a b zz"),
+            (3, "c a"),
+        ],
+        "doc_id long, text string",
+    )
+    # tf: b=3, a=3, c=2, zz=1 -> ranks (desc tf, asc tok): a=1, b=2, c=3
+    got = {
+        r["doc_id"]: r
+        for r in tx.encode_with_vocabulary(df, "doc_id", "text", top_k=3).collect()
+    }
+    assert got[1]["token_ids"] == "2,1,2,3"
+    assert got[1]["n_oov"] == 0 and got[1]["n_tokens"] == 4
+    assert got[2]["token_ids"] == "1,2,0"  # zz outside top-3 -> OOV
+    assert got[2]["n_oov"] == 1
+    assert got[3]["token_ids"] == "3,1"
