@@ -85,6 +85,7 @@ HEADLINE = [
     "unigram_rarity",
     "cross_doc_span_removal",
     "vocab_encode",
+    "knn_filtered",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

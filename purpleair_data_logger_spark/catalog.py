@@ -1502,6 +1502,42 @@ def knn_cosine_bruteforce(spark, sf_dir):
 
 
 @register(
+    "knn_filtered",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label, embedding AS qe
+               FROM embeddings WHERE vec_id < 8),
+    pairs AS (
+      SELECT q.query_id, q.label, e.vec_id AS neighbor_id,
+             list_cosine_similarity(
+                 list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS s
+      FROM q JOIN embeddings e ON e.label = q.label
+      WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT query_id, label, neighbor_id,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS INTEGER)
+                 AS knn_rank
+      FROM pairs)
+    SELECT query_id, label, neighbor_id, knn_rank
+    FROM ranked WHERE knn_rank <= 5
+    """,
+    "north-star filtered vector search: cosine top-k constrained to the query's label partition (equi-join pair generation)",
+)
+def knn_filtered(spark, sf_dir):
+    """Tenant/shard-constrained ANN: neighbors must share the query's
+    label. The predicate rides pair generation as a broadcast equi-join
+    on the filter key (post-filtering an unconstrained top-k would
+    under-fill k), so candidates shrink from |corpus| to the label
+    partition."""
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    return sim.knn_bruteforce_filtered(
+        em, queries, "vec_id", "embedding", "label", k=5
+    )
+
+
+@register(
     "embedding_neardup_cosine",
     """
     WITH t AS (
@@ -2741,6 +2777,7 @@ _GATE_PRIORITY: list[str] = [
     "unigram_rarity",          # new in r4
     "cross_doc_span_removal",  # new in r4
     "vocab_encode",            # new in r4
+    "knn_filtered",            # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2774,6 +2811,7 @@ _GATE_DEFER: list[str] = [
     "vertical_split_rejoin",     # T4; r2-r3 green, reconstruction_join (still gated) exercises the same PK rejoin
     "anti_join_inactive",        # r1-r3 green; 0-row compare adds little — semi_join_show_only (still gated) covers the directory-correlation family
     "sessionize_users",          # r2-r3 green ×2; the streaming session_window variant is pytest-pinned and asof/range-join still gate the temporal-join family
+    "knn_cosine_bruteforce",     # r1-r3 green ×3 brute baseline; knn_filtered/knn_lsh_bucketed still gate the ANN family and pytest pins LSH/IVF recall against it
 ]
 
 

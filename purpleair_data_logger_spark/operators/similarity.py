@@ -471,3 +471,62 @@ def cosine_neardup_pairs(
         .filter(F.col("_sim") >= threshold)
         .select("vec_id_a", "vec_id_b", F.round(F.col("_sim"), 4).alias("cosine_sim"))
     )
+
+
+def knn_bruteforce_filtered(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    filter_col: str,
+    *,
+    k: int = 5,
+    query_id_alias: str = "query_id",
+) -> DataFrame:
+    """Filtered vector search: exact cosine top-k where neighbors must
+    share the query's ``filter_col`` value — the tenant/shard/language-
+    constrained ANN pattern (every production vector store exposes it;
+    filtering AFTER an unconstrained top-k under-fills k whenever the
+    global neighborhood is dominated by other partitions).
+
+    Pushing the predicate INTO pair generation changes the plan shape
+    from `knn_bruteforce`'s broadcast cross join to a broadcast
+    EQUI-join on the filter key: candidate pairs per query shrink from
+    |corpus| to |corpus ∩ filter|, and Catalyst prunes corpus-side
+    row groups via the join key where stats allow. Same deterministic
+    ranking contract as the unfiltered baseline (desc cosine, asc id).
+
+    Output: (query_id, filter value, neighbor_id, knn_rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_alias),
+        F.col(filter_col).alias("_fv"),
+        as_double_array(vec_col).alias("_qv"),
+    ).withColumn("_qnorm", l2_norm(F.col("_qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(filter_col).alias("_cfv"),
+        as_double_array(vec_col).alias("_cv"),
+    ).withColumn("_cnorm", l2_norm(F.col("_cv")))
+
+    sim_expr = (
+        dot(F.col("_qv"), F.col("_cv")) / (F.col("_qnorm") * F.col("_cnorm"))
+    ).alias("_sim")
+    pairs = (
+        c.join(F.broadcast(q), F.col("_cfv") == F.col("_fv"))
+        .filter(F.col("neighbor_id") != F.col(query_id_alias))
+        .select(query_id_alias, F.col("_fv").alias(filter_col), "neighbor_id", sim_expr)
+    )
+    w = Window.partitionBy(query_id_alias).orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            query_id_alias,
+            filter_col,
+            "neighbor_id",
+            F.col("knn_rank").cast("int").alias("knn_rank"),
+        )
+    )

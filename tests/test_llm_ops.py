@@ -309,3 +309,33 @@ def test_resize_media_contract(spark, sf_dir):
         assert len(r["payload"]) == 16 * 8
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         mm.resize_media(media, width=4, height=4).collect()
+
+
+def test_knn_filtered_respects_partition_and_fills_k(spark):
+    """Filtered search must rank only within the query's label: vec 1's
+    global nearest (vec 10, other label) is excluded, and the top-k
+    fills from its own partition instead of under-filling."""
+    from purpleair_data_logger_spark.operators import similarity as sim
+
+    rows = [
+        # label 0: query 1 plus two same-label neighbors at increasing angle
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+        # label 1: nearly identical to query 1 but filtered out
+        (10, [1.0, 0.01, 0.0], 1),
+        (11, [0.5, 0.5, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = (
+        sim.knn_bruteforce_filtered(
+            df, df.filter("vec_id = 1"), "vec_id", "embedding", "label", k=2
+        )
+        .orderBy("knn_rank")
+        .collect()
+    )
+    assert [r["neighbor_id"] for r in got] == [2, 3]  # 10 excluded despite cos≈1
+    assert all(r["label"] == 0 for r in got)
+    assert [r["knn_rank"] for r in got] == [1, 2]
