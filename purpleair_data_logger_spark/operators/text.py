@@ -926,6 +926,7 @@ def encode_with_vocabulary(
     *,
     top_k: int = 1000,
     oov_id: int = 0,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize-and-numericalize — the encode stage between curation
     and `packing.pack_sequences`: every token becomes its rank in the
@@ -945,10 +946,17 @@ def encode_with_vocabulary(
     order with array_sort(collect_list(struct(pos, id))) — per-doc
     arrays, never corpus-wide. No windows over data-sized partitions;
     the only window is vocabulary's rank over top_k rows.
+
+    Pass ``vocab`` (a (vocab_rank, tok) table) to encode against a
+    PREBUILT vocabulary instead of deriving one from ``df`` — the
+    streaming path does this: the vocabulary is a batch-side corpus
+    artifact (like the cluster table and the LSH band index), and each
+    micro-batch encodes against the same frozen id space so ids stay
+    stable across arrivals.
     """
-    vocab = vocabulary(df, id_col, text_col, top_k=top_k).select(
-        "vocab_rank", "tok"
-    )
+    if vocab is None:
+        vocab = vocabulary(df, id_col, text_col, top_k=top_k)
+    vocab = vocab.select("vocab_rank", "tok")
     tagged = _repartition_by_key(df.select(id_col, text_col), id_col).select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "tok")
     )

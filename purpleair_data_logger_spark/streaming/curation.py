@@ -129,6 +129,7 @@ def run_corpus_build_stream(
     *,
     cluster_assignments: DataFrame | None = None,
     benchmark_df: DataFrame | None = None,
+    vocabulary_df: DataFrame | None = None,
     contamination_ngram: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -139,8 +140,18 @@ def run_corpus_build_stream(
     max_files_per_trigger: int = 1,
 ):
     """End-to-end streaming corpus build: curate → decontaminate →
-    leakage-safe split → per-micro-batch sequence packing — the
-    streaming mirror of the batch ``corpus_build_final`` composition.
+    leakage-safe split → per-micro-batch encode + sequence packing —
+    the streaming mirror of the batch ``corpus_build_final``
+    composition.
+
+    ``vocabulary_df``: the batch-built (vocab_rank, tok) artifact
+    (`text.vocabulary` over the accumulated corpus). When given, every
+    micro-batch's train split is tokenize-and-numericalized against
+    this FROZEN id space (`text.encode_with_vocabulary` with
+    ``vocab=``) — ids stay stable across arrivals, which is the
+    property a trainer consuming the stream requires; re-deriving a
+    vocab per batch would re-number tokens batch to batch. Encoded
+    rows land in ``{out}/encoded`` tagged with ``batch_id``.
 
     Packing runs inside ``foreachBatch``: `packing.pack_sequences` is a
     per-shard cumsum (unsupported directly on a stream), and the
@@ -178,6 +189,12 @@ def run_corpus_build_stream(
     from purpleair_data_logger_spark.operators.dedup import shingles
     from purpleair_data_logger_spark.operators.packing import pack_sequences
 
+    if vocabulary_df is not None:
+        # materialize the frozen id space once — not per micro-batch
+        vocabulary_df = vocabulary_df.select(
+            "vocab_rank", "tok"
+        ).localCheckpoint()
+
     bench_grams = None
     if benchmark_df is not None:
         bench_grams = (
@@ -208,8 +225,14 @@ def run_corpus_build_stream(
             ).parquet(f"{out_dir}/contaminated")
             batch_df = batch_df.join(hits, on=id_col, how="left_anti")
         batch_df.write.mode("append").parquet(f"{out_dir}/curated")
+        train = batch_df.filter(F.col("split") == "train")
+        if vocabulary_df is not None:
+            encoded = tx.encode_with_vocabulary(
+                train, id_col, "clean_text", vocab=vocabulary_df
+            ).withColumn("batch_id", F.lit(batch_id))
+            encoded.write.mode("append").parquet(f"{out_dir}/encoded")
         packed = pack_sequences(
-            batch_df.filter(F.col("split") == "train"),
+            train,
             id_col,
             "n_tokens",
             budget=pack_budget,

@@ -418,3 +418,55 @@ def test_encode_with_vocabulary_planted(spark):
     assert got[2]["token_ids"] == "1,2,0"  # zz outside top-3 -> OOV
     assert got[2]["n_oov"] == 1
     assert got[3]["token_ids"] == "3,1"
+
+
+def _naive_span_removal(docs: dict[int, str], n: int) -> dict[int, tuple]:
+    """Reference implementation: positions covered by any n-gram that
+    appears (as a token run) in >= 2 distinct documents."""
+    grams: dict[tuple, set] = {}
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    for d, ts in toks.items():
+        for i in range(len(ts) - n + 1):
+            grams.setdefault(tuple(ts[i : i + n]), set()).add(d)
+    out = {}
+    for d, ts in toks.items():
+        covered: set[int] = set()
+        for i in range(len(ts) - n + 1):
+            if len(grams[tuple(ts[i : i + n])]) >= 2:
+                covered.update(range(i, i + n))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out[d] = (len(ts), len(covered), " ".join(kept))
+    return out
+
+
+def test_cross_doc_span_removal_property(spark):
+    """Randomized corpora from a tiny alphabet (forcing heavy gram
+    collisions) must match the naive reference on every doc."""
+    import random
+
+    from purpleair_data_logger_spark.operators import dedup as dd
+
+    rng = random.Random(417)
+    for trial in range(4):
+        docs = {
+            d: " ".join(
+                rng.choice("abcde") for _ in range(rng.randint(1, 18))
+            )
+            for d in range(1, 11)
+        }
+        n = rng.choice([2, 3])
+        expect = _naive_span_removal(docs, n)
+        df = spark.createDataFrame(
+            list(docs.items()), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed_tokens"], r["clean_text"])
+            for r in dd.remove_cross_doc_spans(
+                df, "doc_id", "text", n=n
+            ).collect()
+        }
+        for d in docs:
+            if len(docs[d].split(" ")) < n:
+                assert d not in got or got[d][1] == 0
+                continue
+            assert got[d] == expect[d], (trial, d, docs[d])

@@ -414,11 +414,19 @@ def test_streaming_corpus_build_splits_and_packs_end_to_end(spark, tmp_path):
         "doc_id long, text string",
     )
 
+    # batch-built frozen vocabulary artifact for the encode stage
+    from purpleair_data_logger_spark.operators import text as tx
+
+    vocab = tx.vocabulary(
+        spark.read.parquet(src), "doc_id", "text", top_k=8
+    ).localCheckpoint()
+
     out = str(tmp_path / "cb_out")
     q = run_corpus_build_stream(
         spark, src, out, str(tmp_path / "cb_ckpt"),
         cluster_assignments=clusters, benchmark_df=bench,
-        contamination_ngram=5, pack_budget=64, pack_shards=2,
+        vocabulary_df=vocab, contamination_ngram=5,
+        pack_budget=64, pack_shards=2,
     )
     q.awaitTermination(120)
 
@@ -459,6 +467,26 @@ def test_streaming_corpus_build_splits_and_packs_end_to_end(spark, tmp_path):
         for r in rows:
             assert r["start_offset"] == expect
             expect += by_id[r["doc_id"]]["n_tokens"]
+
+    # (d) encode: every train doc numericalized against the FROZEN
+    # batch vocab — streaming ids must equal the batch-side encode on
+    # the same curated text, byte for byte
+    encoded = spark.read.parquet(f"{out}/encoded").collect()
+    assert {r["doc_id"] for r in encoded} == train_ids
+    train_curated = spark.createDataFrame(
+        [(i, by_id[i]["clean_text"]) for i in train_ids],
+        "doc_id long, clean_text string",
+    )
+    batch_enc = {
+        r["doc_id"]: r
+        for r in tx.encode_with_vocabulary(
+            train_curated, "doc_id", "clean_text", vocab=vocab
+        ).collect()
+    }
+    for r in encoded:
+        b = batch_enc[r["doc_id"]]
+        assert r["token_ids"] == b["token_ids"]
+        assert r["n_oov"] == b["n_oov"] and r["n_tokens"] == b["n_tokens"]
 
 
 def test_streaming_incremental_neardup_matches_batch(spark, tmp_path, sf_dir):
