@@ -86,6 +86,7 @@ HEADLINE = [
     "cross_doc_span_removal",
     "vocab_encode",
     "knn_filtered",
+    "multimodal_resize",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

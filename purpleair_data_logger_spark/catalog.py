@@ -813,6 +813,40 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id,
+           CAST(6 AS INT) AS width,
+           CAST(4 AS INT) AS height,
+           CAST(24 AS INT) AS n_bytes,
+           upper(substr(sha256(text), 1, 48)) AS payload_hex
+    FROM documents
+    """,
+    "north-star multimodal: mapInPandas resize (stub resampler), payload replayed byte-for-byte",
+)
+def multimodal_resize(spark, sf_dir):
+    """Arrow-batched resize through the injectable-resampler seam. The
+    gate pins a ONE-block output size (6×4 = 24 bytes ≤ one sha256
+    block) because DuckDB's sha256 only accepts VARCHAR — the chained
+    blocks of larger targets hash raw digest bytes, which the oracle
+    cannot replay; the multi-block path is covered by the resize
+    contract test in test_llm_ops.py. Payload compared as hex, so the
+    resampler output is checked byte-for-byte."""
+    from purpleair_data_logger_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    media = mm.attach_binary_payload(d, "doc_id", "text")
+    resized = mm.resize_media(media, width=6, height=4, resizer=mm.fake_resizer)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").cast("int").alias("n_bytes"),
+        F.hex("payload").alias("payload_hex"),
+    )
+
+
+@register(
     "approx_distinct_profile",
     None,
     "§2.10 approx_count_distinct cardinality profiling (HLL estimate)",
@@ -2778,6 +2812,7 @@ _GATE_PRIORITY: list[str] = [
     "cross_doc_span_removal",  # new in r4
     "vocab_encode",            # new in r4
     "knn_filtered",            # new in r4
+    "multimodal_resize",       # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2812,6 +2847,7 @@ _GATE_DEFER: list[str] = [
     "anti_join_inactive",        # r1-r3 green; 0-row compare adds little — semi_join_show_only (still gated) covers the directory-correlation family
     "sessionize_users",          # r2-r3 green ×2; the streaming session_window variant is pytest-pinned and asof/range-join still gate the temporal-join family
     "knn_cosine_bruteforce",     # r1-r3 green ×3 brute baseline; knn_filtered/knn_lsh_bucketed still gate the ANN family and pytest pins LSH/IVF recall against it
+    "text_quality",              # r1-r3 green ×3; gopher_quality_gate (still gated) evaluates a superset of the same feature family
 ]
 
 
