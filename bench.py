@@ -87,6 +87,7 @@ HEADLINE = [
     "vocab_encode",
     "knn_filtered",
     "multimodal_resize",
+    "token_budget_mixture",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -2314,6 +2314,55 @@ def train_val_test_split(spark, sf_dir):
     ).select("doc_id", "lang", "split")
 
 
+_TB_BUDGETS = {"en": 6000, "de": 2000, "es": 2000, "fr": 2000}  # zh excluded
+
+
+@register(
+    "token_budget_mixture",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_hex60_sql("md5(CAST(doc_id AS VARCHAR))")} % 64 AS budget_bucket
+      FROM documents WHERE lang IN ('de', 'en', 'es', 'fr')
+    ),
+    pb AS (
+      SELECT lang, budget_bucket, sum(n_tokens) AS bk
+      FROM d GROUP BY lang, budget_bucket
+    ),
+    c AS (
+      SELECT lang, budget_bucket,
+             CAST(sum(bk) OVER (PARTITION BY lang ORDER BY budget_bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS bucket_cum_tokens
+      FROM pb
+    ),
+    k AS (
+      SELECT * FROM c
+      WHERE bucket_cum_tokens <= CASE lang
+          WHEN 'en' THEN 6000 WHEN 'de' THEN 2000
+          WHEN 'es' THEN 2000 WHEN 'fr' THEN 2000 END
+    )
+    SELECT d.doc_id, d.lang, d.budget_bucket, d.n_tokens, k.bucket_cum_tokens
+    FROM d JOIN k ON d.lang = k.lang AND d.budget_bucket = k.budget_bucket
+    """,
+    "north-star token-budget mixture: per-language corpus selection by token budget (whole-hash-bucket prefix, never over budget)",
+)
+def token_budget_mixture(spark, sf_dir):
+    """Mixture building in the unit mixtures are specified in — tokens
+    per stratum, not doc rates: each language keeps the prefix of hash
+    buckets whose cumulative token count stays within its budget
+    (en 6000 / de 2000 / es 2000 / fr 2000; zh deliberately unbudgeted
+    → excluded). The cumulative window runs over the strata×64 bucket
+    aggregate, never the corpus."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", tx.whitespace_token_count("text")
+    )
+    return smp.token_budget_sample(
+        d, "doc_id", "n_tokens", "lang", _TB_BUDGETS, n_buckets=64
+    )
+
+
 @register(
     "quality_percentile_gate",
     """
@@ -2813,6 +2862,7 @@ _GATE_PRIORITY: list[str] = [
     "vocab_encode",            # new in r4
     "knn_filtered",            # new in r4
     "multimodal_resize",       # new in r4
+    "token_budget_mixture",    # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2848,6 +2898,7 @@ _GATE_DEFER: list[str] = [
     "sessionize_users",          # r2-r3 green ×2; the streaming session_window variant is pytest-pinned and asof/range-join still gate the temporal-join family
     "knn_cosine_bruteforce",     # r1-r3 green ×3 brute baseline; knn_filtered/knn_lsh_bucketed still gate the ANN family and pytest pins LSH/IVF recall against it
     "text_quality",              # r1-r3 green ×3; gopher_quality_gate (still gated) evaluates a superset of the same feature family
+    "corpus_token_accounting",   # r1-r3 green ×3; corpus_build_final (still gated) computes the same per-split accounting inside its composition
 ]
 
 

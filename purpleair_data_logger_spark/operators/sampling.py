@@ -112,3 +112,78 @@ def stratified_sample(
     for s in sorted(rates_bp, reverse=True):
         rate = F.when(F.col(strat_col) == s, F.lit(rates_bp[s])).otherwise(rate)
     return df.filter(sample_bucket(key_col) < rate)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    stratum_col: str,
+    budgets: dict[str, int],
+    *,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Token-budget mixture building: per stratum (language, domain,
+    source), keep documents until the stratum's TOKEN budget fills —
+    the unit a training-data mixture is actually specified in ("30B
+    tokens of code, 10B of math"), where doc-count rates
+    (`stratified_sample`) only approximate it through mean doc length.
+
+    Selection is whole-hash-bucket prefix inclusion: every doc gets a
+    portable md5 bucket in [0, n_buckets); per (stratum, bucket) token
+    sums are cumulated in bucket order and a stratum keeps exactly the
+    buckets whose running total stays ≤ its budget. The realized total
+    therefore lands within one bucket's tokens under the budget, never
+    over — tolerance ≈ stratum_tokens / n_buckets, the knob being
+    ``n_buckets``. Deterministic in the ids: rebuilds, engines and
+    partitionings agree (same property as `assign_split`), and growing
+    a corpus only ever adds docs WITHIN already-chosen buckets'
+    hash-space, keeping selections stable modulo budget re-cuts.
+    Strata without a budget entry are excluded.
+
+    Scale: the doc-level stages are a stateless bucket projection and
+    one groupBy(stratum, bucket) — map-side combinable, |strata| ×
+    n_buckets output rows. The cumulative window runs over THAT
+    aggregate (thousands of rows at any corpus size), never the
+    corpus — same two-pass discipline as `percent_rank_filter`. The
+    cutoff table (one row per stratum) broadcasts back as an
+    equi-join + filter.
+
+    Output: one row per SELECTED doc — (id, stratum, budget_bucket,
+    token_col) — plus ``bucket_cum_tokens``, the stratum's running
+    token total through the doc's bucket, for audit.
+    """
+    from pyspark.sql import Window
+
+    strata = sorted(budgets)
+    bucket = (md5_long(F.col(id_col).cast("string")) % n_buckets).cast("long")
+    tagged = df.filter(F.col(stratum_col).isin(strata)).withColumn(
+        "budget_bucket", bucket
+    )
+    per_bucket = tagged.groupBy(stratum_col, "budget_bucket").agg(
+        F.sum(F.col(token_col)).alias("_bk_tokens")
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy("budget_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget_expr = F.lit(None).cast("long")
+    for s in reversed(strata):
+        budget_expr = F.when(
+            F.col(stratum_col) == s, F.lit(int(budgets[s]))
+        ).otherwise(budget_expr)
+    kept_buckets = (
+        per_bucket.withColumn("bucket_cum_tokens", F.sum("_bk_tokens").over(w))
+        .filter(F.col("bucket_cum_tokens") <= budget_expr)
+        .select(stratum_col, "budget_bucket", "bucket_cum_tokens")
+    )
+    return tagged.join(
+        F.broadcast(kept_buckets), [stratum_col, "budget_bucket"]
+    ).select(
+        F.col(id_col),
+        F.col(stratum_col),
+        F.col("budget_bucket"),
+        F.col(token_col),
+        F.col("bucket_cum_tokens"),
+    )

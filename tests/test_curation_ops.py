@@ -470,3 +470,56 @@ def test_cross_doc_span_removal_property(spark):
                 assert d not in got or got[d][1] == 0
                 continue
             assert got[d] == expect[d], (trial, d, docs[d])
+
+
+def test_token_budget_sample_prefix_and_budget(spark):
+    """Selected docs = exactly the prefix hash-buckets whose cumulative
+    token count fits the budget (naive reference), total never exceeds
+    the budget, unbudgeted strata are excluded, and the selection is
+    partitioning-invariant."""
+    import hashlib
+    import random
+
+    rng = random.Random(99)
+    rows = [
+        (i, rng.choice(["en", "de", "zz"]), rng.randint(5, 60))
+        for i in range(1, 161)
+    ]
+    budgets = {"en": 400, "de": 250}
+    n_buckets = 8
+
+    def bucket(i: int) -> int:
+        return (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % n_buckets
+        )
+
+    # naive reference: per-stratum bucket sums -> cum -> prefix cut
+    expect: set[int] = set()
+    for s, budget in budgets.items():
+        sums: dict[int, int] = {}
+        for i, lang, nt in rows:
+            if lang == s:
+                sums[bucket(i)] = sums.get(bucket(i), 0) + nt
+        cum = 0
+        kept_buckets = set()
+        for b in sorted(sums):
+            cum += sums[b]
+            if cum > budget:
+                break
+            kept_buckets.add(b)
+        expect |= {
+            i for i, lang, _ in rows if lang == s and bucket(i) in kept_buckets
+        }
+
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    for layout in (df, df.repartition(7, "n_tokens")):
+        got = smp.token_budget_sample(
+            layout, "doc_id", "n_tokens", "lang", budgets, n_buckets=n_buckets
+        ).collect()
+        assert {r["doc_id"] for r in got} == expect
+        assert not any(r["lang"] == "zz" for r in got)
+        by_lang: dict[str, int] = {}
+        for r in got:
+            by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_tokens"]
+        for s, tot in by_lang.items():
+            assert tot <= budgets[s]
