@@ -88,6 +88,7 @@ HEADLINE = [
     "knn_filtered",
     "multimodal_resize",
     "token_budget_mixture",
+    "quality_classifier_gate",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

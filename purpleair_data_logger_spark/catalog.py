@@ -905,6 +905,43 @@ def text_quality(spark, sf_dir):
 
 
 @register(
+    "quality_classifier_gate",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+             list_aggregate(list_transform(string_split(text, ' '),
+                      x -> CAST(length(x) AS DOUBLE)), 'sum')
+                 / len(string_split(text, ' ')) AS ml,
+             CAST(len(list_filter(string_split(text, ' '),
+                      x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             ((CAST(0.6 AS DOUBLE)
+               + CAST(-0.35 AS DOUBLE) * ml)
+               + CAST(0.01 AS DOUBLE) * nt)
+               + CAST(8.0 AS DOUBLE) * sr AS margin
+      FROM f
+    )
+    SELECT doc_id, margin, margin > CAST(0 AS DOUBLE) AS quality_pass FROM m
+    """,
+    "north-star classifier-based quality filtering: linear-model inference as a pure codegen projection",
+)
+def quality_classifier_gate(spark, sf_dir):
+    """The trained-classifier curation stage, inference-side: a linear
+    margin over codegen quality features (weights folded in a fixed
+    alphabetical order so both engines evaluate the identical IEEE
+    expression tree — the oracle mirrors mean_token_len → n_tokens →
+    stopword_ratio). Sigmoid-free by the same monotone-decision
+    argument as the log-free BM25/PMI scores."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.quality_classifier_score(d, "doc_id", "text")
+
+
+@register(
     "lang_id",
     """
     WITH scored AS (
@@ -2863,6 +2900,7 @@ _GATE_PRIORITY: list[str] = [
     "knn_filtered",            # new in r4
     "multimodal_resize",       # new in r4
     "token_budget_mixture",    # new in r4
+    "quality_classifier_gate", # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2899,6 +2937,7 @@ _GATE_DEFER: list[str] = [
     "knn_cosine_bruteforce",     # r1-r3 green ×3 brute baseline; knn_filtered/knn_lsh_bucketed still gate the ANN family and pytest pins LSH/IVF recall against it
     "text_quality",              # r1-r3 green ×3; gopher_quality_gate (still gated) evaluates a superset of the same feature family
     "corpus_token_accounting",   # r1-r3 green ×3; corpus_build_final (still gated) computes the same per-split accounting inside its composition
+    "lang_id",                   # r1-r3 green ×3; corpus_curation_pipeline (still gated) hash-checks the same language predictions inside its composition
 ]
 
 

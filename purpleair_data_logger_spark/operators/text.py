@@ -975,3 +975,63 @@ def encode_with_vocabulary(
             ",", F.transform(ordered, lambda s: s["tid"].cast("string"))
         ).alias("token_ids"),
     )
+
+
+#: default linear quality-classifier weights: favors documents with
+#: natural stopword density and moderate word length, penalizes
+#: very short docs. Stand-ins for trained coefficients — swap with a
+#: real classifier's weights; the inference shape is what matters.
+QUALITY_CLASSIFIER_WEIGHTS: dict[str, float] = {
+    "n_tokens": 0.01,
+    "stopword_ratio": 8.0,
+    "mean_token_len": -0.35,
+}
+QUALITY_CLASSIFIER_BIAS: float = 0.6
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    weights: dict[str, float] | None = None,
+    bias: float | None = None,
+) -> DataFrame:
+    """Classifier-based quality filtering — the GPT-3/LLaMA-style
+    curation stage where a trained linear model scores documents and
+    the corpus keeps positive margins. Training happens offline; what
+    the 100 TB engine must run is INFERENCE, and a linear scorer over
+    already-codegen features is a pure projection: margin =
+    bias + Σ w_f·f, fused into the scan stage with no shuffle, no
+    Python, no model server.
+
+    The margin is kept sigmoid-free (monotone-identical decision, no
+    exp() — same engine-portability reasoning as the log-free BM25 and
+    PMI scores) and the feature/weight sum is one fixed left-to-right
+    chain, so both engines evaluate the identical IEEE expression tree
+    bit-for-bit. Output: (id, margin, quality_pass).
+
+    Features (all cross-engine-exact, from `quality_features`):
+    n_tokens, stopword_ratio, mean_token_len.
+    """
+    w = weights if weights is not None else QUALITY_CLASSIFIER_WEIGHTS
+    b = bias if bias is not None else QUALITY_CLASSIFIER_BIAS
+    toks = tokens(text_col)
+    n_toks = F.size(toks).cast("long")
+    n_stop = stopword_count(text_col, LANG_STOPWORDS["en"])
+    feats: dict[str, Column] = {
+        "n_tokens": n_toks.cast("double"),
+        "stopword_ratio": n_stop.cast("double") / n_toks.cast("double"),
+        "mean_token_len": F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+        )
+        / n_toks.cast("double"),
+    }
+    margin = F.lit(float(b))
+    for name in sorted(w):  # fixed fold order — mirrored in oracle SQL
+        margin = margin + F.lit(float(w[name])) * feats[name]
+    return df.select(
+        F.col(id_col),
+        margin.alias("margin"),
+        (margin > 0.0).alias("quality_pass"),
+    )

@@ -523,3 +523,23 @@ def test_token_budget_sample_prefix_and_budget(spark):
             by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_tokens"]
         for s, tot in by_lang.items():
             assert tot <= budgets[s]
+
+
+def test_quality_classifier_margin_hand_computed(spark):
+    """Margin equals the hand-evaluated linear form in the documented
+    fold order; decision boundary behaves."""
+    df = spark.createDataFrame(
+        [
+            (1, "the a of and to"),      # all stopwords: sr=1, ml=2.2, nt=5
+            (2, "zzzz yyyy xxxx wwww"),  # no stopwords: sr=0, ml=4, nt=4
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in tx.quality_classifier_score(df, "doc_id", "text").collect()
+    }
+    m1 = ((0.6 + -0.35 * 2.2) + 0.01 * 5.0) + 8.0 * 1.0
+    m2 = ((0.6 + -0.35 * 4.0) + 0.01 * 4.0) + 8.0 * 0.0
+    assert got[1]["margin"] == m1 and got[1]["quality_pass"] is True
+    assert got[2]["margin"] == m2 and got[2]["quality_pass"] is False
