@@ -279,21 +279,56 @@ def main() -> None:
         evidence_total += timings[name]
 
     stable = round(sum(timings[n] for n in STABLE_SUBSET if n in timings), 3)
-    print(
-        json.dumps(
+
+    # Full per-query detail goes to a file; the printed line stays
+    # compact. The driver parses the final JSON line out of a 2000-char
+    # stdout tail — BENCH_r03's line grew past that with the full
+    # 60-query timings dict and recorded `parsed: null` despite rc=0,
+    # so the stdout line carries totals plus only the stable-subset
+    # per-query timings (bounded: the subset is append-frozen), and
+    # BENCH_DETAIL.json carries everything.
+    detail = {
+        "metric": "headline-queries wall time (noop sink, local)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "evidence_legs": sorted(xover_legs),
+        "evidence_sec": round(evidence_total, 3),
+        "stable_subset": STABLE_SUBSET,
+        "stable_subset_sec": stable,
+        "sf": sf,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    line = json.dumps(
+        {
+            "metric": "headline-queries wall time (noop sink, local)",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {n: timings[n] for n in STABLE_SUBSET if n in timings},
+            "n_queries_total": len(timings),
+            "evidence_sec": round(evidence_total, 3),
+            "stable_subset_sec": stable,
+            "detail": "BENCH_DETAIL.json",
+            "sf": sf,
+        }
+    )
+    if len(line) > 1800:  # hard bound: never exceed the driver's parse tail
+        line = json.dumps(
             {
                 "metric": "headline-queries wall time (noop sink, local)",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "evidence_legs": sorted(xover_legs),
+                "queries": {},
                 "evidence_sec": round(evidence_total, 3),
-                "stable_subset": STABLE_SUBSET,
                 "stable_subset_sec": stable,
+                "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }
         )
-    )
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
