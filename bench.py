@@ -89,6 +89,9 @@ HEADLINE = [
     "multimodal_resize",
     "token_budget_mixture",
     "quality_classifier_gate",
+    "gapfill_locf_hourly",
+    "time_weighted_hourly",
+    "sensor_spike_detection",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

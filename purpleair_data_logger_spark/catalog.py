@@ -2864,6 +2864,121 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+@register(
+    "gapfill_locf_hourly",
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, user_id,
+             max(value) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b
+    ), spine AS (
+      SELECT u.user_id, g.bucket_ts
+      FROM (SELECT DISTINCT user_id FROM b) u
+      CROSS JOIN bounds
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(bounds.lo,
+                     bounds.hi, INTERVAL '1 hour')) AS bucket_ts) g
+    )
+    SELECT s.user_id, s.bucket_ts,
+           last_value(b.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+           b.v IS NULL AS is_gapfilled
+    FROM spine s
+    LEFT JOIN b ON s.user_id = b.user_id AND s.bucket_ts = b.bucket_ts
+    """,
+    "A-family extension: TimescaleDB time_bucket_gapfill + locf "
+    "(the reference stack's gap-filling read path, "
+    "PurpleAirPSQLQueryStatements.py:564-580 context)",
+)
+def gapfill_locf_hourly(spark, sf_dir):
+    """Dense hourly series per sensor key with last-observation-
+    carried-forward fill; output rows = |keys| x calendar buckets,
+    independent of input size (corpus touched once, map-side combined).
+    """
+    e = _t(spark, sf_dir, "events")
+    return agg.gapfill_locf(e, "ts", 3600, ["user_id"], "value")
+
+
+@register(
+    "time_weighted_hourly",
+    """
+    WITH staged AS (
+      SELECT user_id, event_id,
+             time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+             epoch_us(ts) AS ts_us,
+             epoch_us(time_bucket(INTERVAL '1 hour', ts)) + 3600000000
+               AS end_us,
+             CAST(round(value * 100) AS BIGINT) AS v_scaled
+      FROM events
+    ), d AS (
+      SELECT *, coalesce(lead(ts_us) OVER (
+                  PARTITION BY user_id, bucket_ts
+                  ORDER BY ts_us, event_id), end_us) - ts_us AS d_us
+      FROM staged
+    )
+    SELECT user_id, bucket_ts,
+           CAST(sum(v_scaled * d_us) AS DOUBLE)
+             / CAST(sum(d_us) AS DOUBLE) / 100.0 AS time_weighted_avg,
+           sum(d_us) AS covered_us, count(*) AS n_samples
+    FROM d GROUP BY 1, 2
+    """,
+    "A-family extension: TimescaleDB time_weight('LOCF') -> average "
+    "per bucket; exact-BIGINT numerator/denominator, one final division",
+)
+def time_weighted_hourly(spark, sf_dir):
+    """Irregular-sample duration-weighted mean per (sensor, hour):
+    each reading weighted by how long it stayed current (LOCF
+    weighting, last reading extends to the bucket end)."""
+    e = _t(spark, sf_dir, "events")
+    return agg.time_weighted_avg(
+        e, "ts", 3600, ["user_id"], "value", "event_id"
+    )
+
+
+@register(
+    "sensor_spike_detection",
+    """
+    WITH staged AS (
+      SELECT event_id, user_id, value,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             epoch_us(ts) AS ts_us
+      FROM events
+    ), wz AS (
+      SELECT event_id, user_id, value, c,
+             count(*) OVER w AS n_window,
+             sum(c) OVER w AS s1, sum(c * c) OVER w AS s2
+      FROM staged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value, n_window,
+           (n_window >= 8 AND (n_window * c - s1) > 0
+            AND (n_window * c - s1) * (n_window * c - s1)
+                > 9 * (n_window * s2 - s1 * s1)) AS is_spike
+    FROM wz
+    """,
+    "A4 extension: trailing z-score exceedance alert in exact integer "
+    "arithmetic (no float variance, no sqrt)",
+)
+def sensor_spike_detection(spark, sf_dir):
+    """Upward >3-sigma exceedance vs the sensor's own trailing-7-day
+    history — the alerting read a monitoring deployment runs on this
+    data. Integer-exact test: (n*c - S1)^2 > 9*(n*S2 - S1^2)."""
+    e = _t(spark, sf_dir, "events")
+    return agg.rolling_zscore_flags(
+        e,
+        "ts",
+        "user_id",
+        "value",
+        "event_id",
+        trailing_seconds=7 * 86400,
+        z_threshold=3,
+        min_samples=8,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.
@@ -2901,6 +3016,9 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_resize",       # new in r4
     "token_budget_mixture",    # new in r4
     "quality_classifier_gate", # new in r4
+    "gapfill_locf_hourly",     # new in r4
+    "time_weighted_hourly",    # new in r4
+    "sensor_spike_detection",  # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -2938,6 +3056,9 @@ _GATE_DEFER: list[str] = [
     "text_quality",              # r1-r3 green ×3; gopher_quality_gate (still gated) evaluates a superset of the same feature family
     "corpus_token_accounting",   # r1-r3 green ×3; corpus_build_final (still gated) computes the same per-split accounting inside its composition
     "lang_id",                   # r1-r3 green ×3; corpus_curation_pipeline (still gated) hash-checks the same language predictions inside its composition
+    "knn_ivf",                   # no_oracle rows-only by design — the driver row adds nothing over the pytest recall pin; knn_filtered/knn_lsh_bucketed still gate the ANN family with full oracles
+    "pii_scrub",                 # r2-r3 green ×2; the same scrub stage gates inside corpus_curation_pipeline (still gated)
+    "paragraph_dedup_boilerplate",  # r2-r3 green ×2; dedup family still gated via dedup_exact_docs + cluster layer, reassembly pytest-pinned
 ]
 
 

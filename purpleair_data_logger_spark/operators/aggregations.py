@@ -150,6 +150,236 @@ def value_histogram(
     )
 
 
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    bucket_alias: str = "bucket_ts",
+    value_alias: str = "value_filled",
+) -> DataFrame:
+    """TimescaleDB ``time_bucket_gapfill + locf`` re-expressed in Spark.
+
+    The reference's read path is TimescaleDB + Grafana (continuous
+    aggregate at ``PurpleAirPSQLQueryStatements.py:564-580``, dashboard
+    ``$__timeGroupAlias`` panels); sensors that miss polls (the 65 s
+    cadence is best-effort, reference ``PurpleAirDataLogger.py`` retries)
+    leave holes that Timescale fills with
+    ``time_bucket_gapfill(...), locf(max(v))``. Equivalent here:
+
+    1. one hash aggregate → per (key, bucket) ``max(value)`` (exact, so
+       rows hash identically cross-engine);
+    2. a dense bucket spine: global [min_bucket, max_bucket] (one
+       scalar aggregate, broadcast as a 1-row cross join) ×
+       ``sequence()`` per distinct key — generated, never shuffled;
+    3. left join aggregate onto spine (equi-join on (key, bucket));
+    4. LOCF = ``last(value, ignorenulls) OVER (PARTITION BY key ORDER
+       BY bucket ROWS UNBOUNDED PRECEDING..CURRENT)``.
+
+    Scale shape: the corpus feeds three column-pruned, map-side-
+    combined aggregate scans (Catalyst rewrites the distinct-keys and
+    bounds branches to single-column reads rather than recomputing the
+    full bucket aggregate — cheaper than a cache at any scale);
+    everything after runs on the bucket-grid, whose row count is
+    |keys| × (time_range / bucket_seconds) — independent of input row
+    count. The LOCF window
+    partitions by sensor key over SPINE rows only, so a partition is
+    bounded by the calendar (e.g. 8 760 rows/key/year at 1 h buckets),
+    never by data volume. Leading buckets before a key's first reading
+    stay NULL (locf has nothing to carry); ``is_gapfilled`` marks
+    synthesized rows.
+    """
+    bucket = time_bucket(ts_col, bucket_seconds)
+    agg = (
+        df.groupBy(bucket.alias(bucket_alias), *keys)
+        .agg(F.max(value_col).alias("_v"))
+    )
+    bounds = agg.agg(
+        F.min(bucket_alias).alias("_lo"), F.max(bucket_alias).alias("_hi")
+    )
+    step = F.expr(f"INTERVAL {int(bucket_seconds)} SECONDS")
+    spine = (
+        agg.select(*keys)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *keys,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(
+                bucket_alias
+            ),
+        )
+    )
+    joined = spine.join(agg, on=[*keys, bucket_alias], how="left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_alias)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        *keys,
+        bucket_alias,
+        F.last("_v", ignorenulls=True).over(w).alias(value_alias),
+        F.col("_v").isNull().alias("is_gapfilled"),
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+    id_col: str,
+    *,
+    decimals: int = 2,
+    bucket_alias: str = "bucket_ts",
+) -> DataFrame:
+    """TimescaleDB ``time_weight('LOCF') → average`` per time bucket.
+
+    Samples arrive irregularly (poll jitter, retries, multi-sensor
+    interleave), so a plain ``avg`` over-weights burst periods; the
+    Timescale hyperfunction weights each reading by how long it was
+    current. Semantics here (LOCF weighting): within each (key,
+    bucket), a reading's weight is the microseconds until the next
+    reading of that key in the bucket; the last reading extends to the
+    bucket end; the first reading starts at its own timestamp (no
+    back-extension across the bucket edge).
+
+    Cross-engine determinism: the value is scaled to an integer
+    (``round(value · 10^decimals)`` — exact for data that IS
+    decimals-granular, e.g. the 2-decimal sensor readings), so
+    numerator Σ value_scaled·Δus and denominator Σ Δus are exact
+    BIGINT sums (order-independent), and the only float op is one
+    final division of two dividend-identical doubles. No
+    ``round(sum)/n`` approximation needed.
+
+    Scale shape: one window over (key, bucket) partitions — bounded by
+    per-key per-bucket sample count (≤ 56 at the reference's 65 s
+    cadence and 1 h buckets), then one map-side-combined hash
+    aggregate on the same grouping. Overflow bound: numerator terms ≤
+    max_scaled_value · bucket_us; with 2-decimal readings < 10⁶ and
+    1 h buckets that is < 4·10¹⁵ per term — keep n_samples · that
+    < 2⁶³ (holds by orders of magnitude for any physical cadence).
+    """
+    scale = 10**decimals
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    bucket = time_bucket(ts_col, bucket_seconds)
+    bucket_end_us = F.unix_micros(bucket) + F.lit(
+        int(bucket_seconds) * 1_000_000
+    )
+    w = Window.partitionBy(*keys, bucket_alias).orderBy("_ts_us", id_col)
+    staged = (
+        df.select(
+            *keys,
+            F.col(id_col),
+            bucket.alias(bucket_alias),
+            ts_us.alias("_ts_us"),
+            bucket_end_us.alias("_end_us"),
+            F.round(F.col(value_col) * scale)
+            .cast("long")
+            .alias("_v_scaled"),
+        )
+        .withColumn(
+            "_d_us",
+            F.coalesce(F.lead("_ts_us").over(w), F.col("_end_us"))
+            - F.col("_ts_us"),
+        )
+    )
+    return (
+        staged.groupBy(*keys, bucket_alias)
+        .agg(
+            F.sum(F.col("_v_scaled") * F.col("_d_us")).alias("_num"),
+            F.sum("_d_us").alias("covered_us"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            *keys,
+            bucket_alias,
+            (
+                F.col("_num").cast("double")
+                / F.col("covered_us").cast("double")
+                / F.lit(float(scale))
+            ).alias("time_weighted_avg"),
+            "covered_us",
+            "n_samples",
+        )
+    )
+
+
+def rolling_zscore_flags(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    trailing_seconds: int,
+    z_threshold: int = 3,
+    min_samples: int = 5,
+    decimals: int = 2,
+) -> DataFrame:
+    """Trailing-window z-score spike detection, in exact integer
+    arithmetic — the "sensor reading jumped > 3σ above its own recent
+    history" alert a monitoring deployment runs on the reference's
+    data (the dashboard's eyeball equivalent is the pm2.5 time-series
+    panel).
+
+    The trailing frame [t − trailing, t] (inclusive, current row in)
+    carries three running sums per key: n, Σc, Σc² where
+    c = value scaled to an integer at the data's decimal granularity.
+    The flag ``(n·c − Σc)² > z²·(n·Σc² − (Σc)²)`` is the z-score test
+    with both sides multiplied through by n²σ² — no sqrt, no float
+    mean/variance, so the verdict is bit-identical on any engine
+    (float variance is summation-order-dependent; this is not).
+    One-sided: only upward spikes flag (air-quality alerts care about
+    exceedances; a symmetric |·| variant is the same test without the
+    sign guard).
+
+    Scale shape: one shuffle on the key, one range-sort window — the
+    same frame `rolling_window_agg` uses, with the same AQE skew
+    posture. Overflow: |n·c − Σc| ≤ n·c_max, so the squared term needs
+    n < 2³¹·√(1/c_max²)·… — concretely, with 2-decimal readings
+    (c_max ≈ 10⁶) safe through n ≈ 3·10⁶ samples per trailing window
+    per key; the reference cadence (65 s) reaches that only for a
+    window of ~6 years. Raises nothing at runtime — the bound is a
+    documented contract (SCALE.md §spike-detection).
+    """
+    scale = 10**decimals
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.unix_micros(F.col(ts_col).cast("timestamp")))
+        .rangeBetween(-trailing_seconds * 1_000_000, 0)
+    )
+    c = F.round(F.col(value_col) * scale).cast("long")
+    staged = df.select(
+        F.col(id_col),
+        F.col(key_col),
+        F.col(ts_col),
+        F.col(value_col),
+        c.alias("_c"),
+    ).select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum("_c").over(w).alias("_s1"),
+        F.sum(F.col("_c") * F.col("_c")).over(w).alias("_s2"),
+    )
+    dev = staged["n_window"] * staged["_c"] - staged["_s1"]
+    var_n2 = staged["n_window"] * staged["_s2"] - staged["_s1"] * staged["_s1"]
+    return staged.select(
+        id_col,
+        key_col,
+        value_col,
+        "n_window",
+        (
+            (F.col("n_window") >= min_samples)
+            & (dev > 0)
+            & (dev * dev > F.lit(int(z_threshold) ** 2) * var_n2)
+        ).alias("is_spike"),
+    )
+
+
 def percent_rank_filter(
     df: DataFrame,
     part_col: str,
