@@ -92,6 +92,7 @@ HEADLINE = [
     "gapfill_locf_hourly",
     "time_weighted_hourly",
     "sensor_spike_detection",
+    "bigram_lm_fluency",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -2865,6 +2865,38 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "bigram_lm_fluency",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    g AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+          FROM toks, LATERAL unnest(range(1, len(arr))) t(i)),
+    pd AS (SELECT doc_id, w1, w2, count(*) AS occ FROM g GROUP BY 1, 2, 3),
+    bg AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2 FROM pd GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY 1)
+    SELECT pd.doc_id,
+           CAST(sum(occ) AS BIGINT) AS n_bigrams,
+           CAST(sum(occ * c2) AS DOUBLE) / CAST(sum(occ * c1) AS DOUBLE)
+             AS cond_prob_wmean,
+           CAST(sum(CASE WHEN c2 >= 2 THEN occ ELSE 0 END) AS DOUBLE)
+             / CAST(sum(occ) AS DOUBLE) AS seen_bigram_frac,
+           CAST(min(c2) AS BIGINT) AS min_bigram_tf
+    FROM pd JOIN bg USING (w1, w2) JOIN ctx USING (w1)
+    GROUP BY pd.doc_id
+    """,
+    "north-star text analysis: bigram-LM fluency proxy (log-free KenLM-"
+    "gate analog over word transitions)",
+)
+def bigram_lm_fluency(spark, sf_dir):
+    """Corpus-typicality of word-to-word transitions per document —
+    the fluency signal a unigram model misses (word salad has
+    plausible unigrams, implausible bigrams). All scores are ratios
+    of exact BIGINT sums; conditional contexts derive from the bigram
+    table itself (no separate unigram pass)."""
+    d = _t(spark, sf_dir, "documents")
+    return tx.bigram_lm_score(d, "doc_id", "text")
+
+
+@register(
     "gapfill_locf_hourly",
     """
     WITH b AS (
@@ -3019,6 +3051,7 @@ _GATE_PRIORITY: list[str] = [
     "gapfill_locf_hourly",     # new in r4
     "time_weighted_hourly",    # new in r4
     "sensor_spike_detection",  # new in r4
+    "bigram_lm_fluency",       # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -3059,6 +3092,7 @@ _GATE_DEFER: list[str] = [
     "knn_ivf",                   # no_oracle rows-only by design — the driver row adds nothing over the pytest recall pin; knn_filtered/knn_lsh_bucketed still gate the ANN family with full oracles
     "pii_scrub",                 # r2-r3 green ×2; the same scrub stage gates inside corpus_curation_pipeline (still gated)
     "paragraph_dedup_boilerplate",  # r2-r3 green ×2; dedup family still gated via dedup_exact_docs + cluster layer, reassembly pytest-pinned
+    "asof_last_click",           # r1-r3 green ×3; the temporal-join family stays gated via range_join_click_error, and the merge-scan plan shape is pytest-pinned
 ]
 
 

@@ -919,6 +919,84 @@ def unigram_rarity(
     )
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    seen_min_tf: int = 2,
+) -> DataFrame:
+    """Bigram-LM fluency proxy, log-free — the next step up from
+    `unigram_rarity`'s unigram model: score documents by how typical
+    their word-to-word TRANSITIONS are of the corpus. Shuffled-word
+    salad has plausible unigrams but implausible bigrams; this is the
+    signal a KenLM-style fluency gate adds over a unigram one.
+
+    Per document, with c2(w1,w2) the corpus bigram count and
+    c1(w1) = Σ_w c2(w1,w) the bigram-position context count (derived
+    from the bigram table itself — a proper conditional: Σ_w P(w|w1)=1
+    with no separate unigram pass):
+      * ``n_bigrams``        — bigram positions in the doc;
+      * ``cond_prob_wmean``  — Σ occ·c2 / Σ occ·c1: the c1-weighted
+        mean of conditional probabilities P(w2|w1) = c2/c1 over the
+        doc's positions. A ratio of two exact BIGINT sums — the same
+        no-ln() trade `unigram_rarity` makes (geometric→weighted
+        arithmetic mean), so the score is bit-identical cross-engine;
+      * ``seen_bigram_frac`` — fraction of positions whose bigram
+        reaches ``seen_min_tf`` corpus-wide (≥2 = attested outside a
+        single occurrence — the backoff-rate analog);
+      * ``min_bigram_tf``    — corpus count of the doc's rarest
+        transition (≥1 by construction: counts come from this corpus).
+
+    Plan discipline (the `unigram_rarity` shape): repartition(id) →
+    ONE bigram explode → groupBy(id, w1, w2) compresses occurrences
+    map-side with no added exchange; the corpus bigram table is a sum
+    over those compressed rows on its own branch, context counts a
+    further vocab-sized groupBy(w1) over THAT table (no third corpus
+    pass); both attach by equi-join — a stop-bigram ("of the",
+    10⁹ docs) is an AQE-skew-splittable join key, never a window
+    partition. Catalyst broadcasts the count tables while they fit.
+    """
+    toks = tokens(text_col)
+    pairs_arr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    per_doc_bg = (
+        _repartition_by_key(df.select(id_col, text_col), id_col)
+        .select(F.col(id_col), F.explode(pairs_arr).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    bg_counts = per_doc_bg.groupBy("w1", "w2").agg(F.sum("occ").alias("c2"))
+    ctx_counts = bg_counts.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    joined = per_doc_bg.join(bg_counts, ["w1", "w2"]).join(ctx_counts, "w1")
+    n_bigrams = F.sum("occ")
+    return joined.groupBy(id_col).agg(
+        n_bigrams.alias("n_bigrams"),
+        (
+            F.sum(F.col("occ") * F.col("c2")).cast("double")
+            / F.sum(F.col("occ") * F.col("c1")).cast("double")
+        ).alias("cond_prob_wmean"),
+        (
+            F.sum(
+                F.when(F.col("c2") >= seen_min_tf, F.col("occ")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / n_bigrams.cast("double")
+        ).alias("seen_bigram_frac"),
+        F.min("c2").alias("min_bigram_tf"),
+    )
+
+
 def encode_with_vocabulary(
     df: DataFrame,
     id_col: str,

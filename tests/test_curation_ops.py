@@ -543,3 +543,46 @@ def test_quality_classifier_margin_hand_computed(spark):
     m2 = ((0.6 + -0.35 * 4.0) + 0.01 * 4.0) + 8.0 * 0.0
     assert got[1]["margin"] == m1 and got[1]["quality_pass"] is True
     assert got[2]["margin"] == m2 and got[2]["quality_pass"] is False
+
+
+def test_bigram_lm_fluency_planted(spark):
+    # Three docs over a tiny corpus: d1 and d2 share the fluent
+    # transition "the cat"; d3 is the same unigrams as d1 shuffled
+    # into an unattested order. The bigram model must rank d3 below
+    # d1 even though a unigram model scores them identically.
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "sat the cat"),  # still ends in the attested "the cat"
+            (4, "cat the sat"),  # true salad: every transition is a hapax
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.bigram_lm_score(df, "doc_id", "text").collect()}
+    # corpus bigram counts: (the,cat)=3 [d1,d2,d3], (cat,sat)=1, (cat,ran)=1,
+    # (sat,the)=1, (cat,the)=1, (the,sat)=1
+    # ctx counts: c1(the)=4, c1(cat)=3, c1(sat)=1
+    assert out[1]["n_bigrams"] == 2
+    # d1: positions (the,cat):c2=3,c1(the)=4; (cat,sat):c2=1,c1(cat)=3
+    assert out[1]["cond_prob_wmean"] == (3 + 1) / (4 + 3)
+    assert out[1]["seen_bigram_frac"] == 0.5  # only (the,cat) reaches tf>=2
+    assert out[1]["min_bigram_tf"] == 1
+    # d4 is pure salad: every transition is a corpus hapax
+    assert out[4]["cond_prob_wmean"] == (1 + 1) / (3 + 4)
+    assert out[4]["seen_bigram_frac"] == 0.0
+    assert out[4]["min_bigram_tf"] == 1
+    # fluent doc outranks the salad on both signals
+    assert out[1]["cond_prob_wmean"] > out[4]["cond_prob_wmean"]
+    assert out[1]["seen_bigram_frac"] > out[4]["seen_bigram_frac"]
+
+
+def test_bigram_lm_plan_is_join_attach_no_window(spark, sf_dir):
+    from purpleair_data_logger_spark.plans import explain as E
+
+    df = tx.bigram_lm_score(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    plan = E.formatted_plan(df)
+    assert "Window" not in plan  # hot bigrams attach by join, never a window
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
