@@ -93,6 +93,7 @@ HEADLINE = [
     "time_weighted_hourly",
     "sensor_spike_detection",
     "bigram_lm_fluency",
+    "bpe_train_encode",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -2865,6 +2865,32 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "bpe_train_encode",
+    None,  # training is iterative (one merge depends on all previous);
+    # not SQL-expressible — parity is pinned in tests/test_bpe.py
+    # against an independently-written reference trainer, like knn_ivf.
+    "north-star tokenizer surface: BPE training (corpus-scale word "
+    "count + bounded driver loop) and distinct-word-joined encoding",
+)
+def bpe_train_encode(spark, sf_dir):
+    """Train a BPE tokenizer on the corpus (ONE map-side-combined word
+    count; the merge loop runs over the bounded top-m word table, the
+    IVF-quantizer collect pattern) and encode every document with it —
+    Python touches only the distinct-word table, the corpus side is
+    posexplode + equi-join + order-restoring reassembly."""
+    from purpleair_data_logger_spark.operators import bpe
+
+    d = _t(spark, sf_dir, "documents")
+    wf = bpe.word_frequency_table(d, "text", top_m=30_000)
+    merges = bpe.train_bpe(wf, num_merges=40)
+    return bpe.encode_corpus(d, "doc_id", "text", merges).select(
+        "doc_id",
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+        "n_bpe_tokens",
+    )
+
+
+@register(
     "bigram_lm_fluency",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
@@ -3093,6 +3119,7 @@ _GATE_DEFER: list[str] = [
     "pii_scrub",                 # r2-r3 green ×2; the same scrub stage gates inside corpus_curation_pipeline (still gated)
     "paragraph_dedup_boilerplate",  # r2-r3 green ×2; dedup family still gated via dedup_exact_docs + cluster layer, reassembly pytest-pinned
     "asof_last_click",           # r1-r3 green ×3; the temporal-join family stays gated via range_join_click_error, and the merge-scan plan shape is pytest-pinned
+    "bpe_train_encode",          # no_oracle by design (iterative merge training) — the rows-only driver row adds nothing over the pytest reference-trainer parity pins (the knn_ivf precedent); keeping it out preserves an all-oracled 50-row window
 ]
 
 
