@@ -650,3 +650,65 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ij_t").collect()
     )
     assert got == expected
+
+
+def test_streaming_spike_flags_state_across_batches(spark, tmp_path):
+    """The EWMA-variance anomaly operator must carry (mean, var, n)
+    across micro-batches: a spike arriving in the SECOND file flags
+    against the baseline learned in the first, and every row's flag
+    equals a sequential replay of the same arithmetic."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from purpleair_data_logger_spark.streaming.anomaly import (
+        ewmv_flags_pandas,
+        spike_flags_by_key,
+    )
+
+    src = str(tmp_path / "an_src")
+    calm = [(1, f"2022-08-05 10:{m:02d}:00", 10.0 + (m % 3) * 0.2) for m in range(8)]
+    batch2 = [
+        (1, "2022-08-05 10:08:00", 10.2),
+        (1, "2022-08-05 10:09:00", 80.0),  # spike vs batch-1 baseline
+        (1, "2022-08-05 10:10:00", 10.0),
+    ]
+    for rows in (calm, batch2):
+        (
+            spark.createDataFrame(rows, ["sensor_index", "ts", "value"])
+            .withColumn("ts", F.to_timestamp("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = spike_flags_by_key(
+        stream, "sensor_index", "ts", "value", alpha=0.1, z=3.0, min_samples=5
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "an_out"))
+        .option("checkpointLocation", str(tmp_path / "an_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["ts"]): r["is_spike"]
+        for r in spark.read.parquet(str(tmp_path / "an_out")).collect()
+    }
+    assert len(got) == 11
+    assert got["2022-08-05 10:09:00"] is True
+    assert sum(got.values()) == 1  # only the planted spike flags
+    # exact parity with the sequential reference over the merged series
+    series = sorted(calm + batch2)
+    flags, _ = ewmv_flags_pandas(
+        np.array([v for _, _, v in series]), 0.1, 3.0, 5, None
+    )
+    for (k, ts, v), f in zip(series, flags):
+        assert got[ts] == bool(f), ts
