@@ -94,6 +94,7 @@ HEADLINE = [
     "sensor_spike_detection",
     "bigram_lm_fluency",
     "bpe_train_encode",
+    "gapfill_interpolate_hourly",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

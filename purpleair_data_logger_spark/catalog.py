@@ -2960,6 +2960,60 @@ def gapfill_locf_hourly(spark, sf_dir):
 
 
 @register(
+    "gapfill_interpolate_hourly",
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, user_id,
+             max(value) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b
+    ), spine AS (
+      SELECT u.user_id, g.bucket_ts
+      FROM (SELECT DISTINCT user_id FROM b) u
+      CROSS JOIN bounds
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(bounds.lo,
+                     bounds.hi, INTERVAL '1 hour')) AS bucket_ts) g
+    ), j AS (
+      SELECT s.user_id, s.bucket_ts, b.v,
+             epoch_us(s.bucket_ts) // 3600000000 AS idx
+      FROM spine s
+      LEFT JOIN b ON s.user_id = b.user_id AND s.bucket_ts = b.bucket_ts
+    ), w AS (
+      SELECT user_id, bucket_ts, v, idx,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wp AS pi,
+             first_value(v IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wn AS ni
+      FROM j
+      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY bucket_ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket_ts,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) * (CAST(idx - pi AS DOUBLE)
+                                       / CAST(ni - pi AS DOUBLE)) END
+             AS value_filled,
+           v IS NULL AS is_gapfilled
+    FROM w
+    """,
+    "A-family extension: TimescaleDB time_bucket_gapfill + interpolate "
+    "(linear fill between observed neighbors; edges stay NULL)",
+)
+def gapfill_interpolate_hourly(spark, sf_dir):
+    """Linear interpolation across missing hourly buckets per sensor
+    key — the trend-true companion to LOCF. The interpolation fraction
+    is a division of two exact bucket-index integers, so the filled
+    doubles agree bit-for-bit across engines."""
+    e = _t(spark, sf_dir, "events")
+    return agg.gapfill_interpolate(e, "ts", 3600, ["user_id"], "value")
+
+
+@register(
     "time_weighted_hourly",
     """
     WITH staged AS (
@@ -3078,6 +3132,7 @@ _GATE_PRIORITY: list[str] = [
     "time_weighted_hourly",    # new in r4
     "sensor_spike_detection",  # new in r4
     "bigram_lm_fluency",       # new in r4
+    "gapfill_interpolate_hourly",  # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -3120,6 +3175,7 @@ _GATE_DEFER: list[str] = [
     "paragraph_dedup_boilerplate",  # r2-r3 green ×2; dedup family still gated via dedup_exact_docs + cluster layer, reassembly pytest-pinned
     "asof_last_click",           # r1-r3 green ×3; the temporal-join family stays gated via range_join_click_error, and the merge-scan plan shape is pytest-pinned
     "bpe_train_encode",          # no_oracle by design (iterative merge training) — the rows-only driver row adds nothing over the pytest reference-trainer parity pins (the knn_ivf precedent); keeping it out preserves an all-oracled 50-row window
+    "snapshot_filters",          # r1-r3 green ×3; predicate pushdown is pytest-pinned and historic_range_downsample (still gated) exercises the same filter family
 ]
 
 

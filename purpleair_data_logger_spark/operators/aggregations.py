@@ -225,6 +225,90 @@ def gapfill_locf(
     )
 
 
+def gapfill_interpolate(
+    df: DataFrame,
+    ts_col: str,
+    bucket_seconds: int,
+    keys: Sequence[str],
+    value_col: str,
+    *,
+    bucket_alias: str = "bucket_ts",
+    value_alias: str = "value_filled",
+) -> DataFrame:
+    """TimescaleDB ``time_bucket_gapfill + interpolate``: linear
+    interpolation between the surrounding observed buckets, the
+    companion to `gapfill_locf` for signals where carrying the last
+    value misrepresents a trend (LOCF for state-like series,
+    interpolate for continuous physical measurements like the
+    reference's temperature/pressure fields).
+
+    Same spine construction as `gapfill_locf`; the fill combines two
+    O(1)-state window passes over spine rows — last non-null value and
+    bucket index looking back, first looking forward — into
+    ``prev + (next − prev) · (i − i_prev)/(i_next − i_prev)``. The
+    fraction is a division of two exact small integers (bucket
+    indices), so the expression tree is fixed-order IEEE and
+    cross-engine deterministic. Timescale edge semantics: a gap with
+    only one side observed (leading/trailing edges) stays NULL —
+    interpolation needs both neighbors, and inventing an extrapolation
+    would be a silent lie at the series edges.
+
+    Scale posture identical to `gapfill_locf`: windows partition by
+    key over calendar-bounded spine rows, never corpus rows.
+    """
+    bucket = time_bucket(ts_col, bucket_seconds)
+    agg = (
+        df.groupBy(bucket.alias(bucket_alias), *keys)
+        .agg(F.max(value_col).alias("_v"))
+    )
+    bounds = agg.agg(
+        F.min(bucket_alias).alias("_lo"), F.max(bucket_alias).alias("_hi")
+    )
+    step = F.expr(f"INTERVAL {int(bucket_seconds)} SECONDS")
+    spine = (
+        agg.select(*keys)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *keys,
+            F.explode(F.sequence(F.col("_lo"), F.col("_hi"), step)).alias(
+                bucket_alias
+            ),
+        )
+    )
+    joined = spine.join(agg, on=[*keys, bucket_alias], how="left").withColumn(
+        "_idx",
+        (F.unix_timestamp(bucket_alias) / bucket_seconds).cast("long"),
+    )
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_alias)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy(bucket_alias)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("_v").isNotNull(), F.col("_idx"))
+    prev_v = F.last("_v", ignorenulls=True).over(w_prev)
+    prev_i = F.last(obs_idx, ignorenulls=True).over(w_prev)
+    next_v = F.first("_v", ignorenulls=True).over(w_next)
+    next_i = F.first(obs_idx, ignorenulls=True).over(w_next)
+    frac = (F.col("_idx") - prev_i).cast("double") / (
+        next_i - prev_i
+    ).cast("double")
+    filled = F.when(F.col("_v").isNotNull(), F.col("_v")).otherwise(
+        prev_v + (next_v - prev_v) * frac
+    )
+    return joined.select(
+        *keys,
+        bucket_alias,
+        filled.alias(value_alias),
+        F.col("_v").isNull().alias("is_gapfilled"),
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     ts_col: str,

@@ -154,3 +154,32 @@ def test_gapfill_corpus_scan_is_single_pass(spark, sf_dir):
         assert "value" not in schema or "user_id" in schema  # pruned reads
     assert "BroadcastNestedLoopJoin Cross" in plan  # 1-row bounds attach
     assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_interpolate_linear_fill_and_null_edges(spark):
+    # key "a": observed at buckets 0 (v=3.0) and 3 (v=9.0) of a 4-bucket
+    # range -> buckets 1,2 interpolate to 5.0, 7.0. Key "b" observed
+    # only at bucket 2 -> its other buckets have one-sided context and
+    # stay NULL (no extrapolation at series edges).
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(0, 10), 3.0),
+            ("a", _ts(3, 20), 9.0),
+            ("b", _ts(2, 5), 4.0),
+        ],
+        "key string, ts timestamp, value double",
+    )
+    out = agg.gapfill_interpolate(df, "ts", 60, ["key"], "value").collect()
+    got = {
+        (r["key"], r["bucket_ts"].minute): (r["value_filled"], r["is_gapfilled"])
+        for r in out
+    }
+    assert len(out) == 8
+    assert got[("a", 0)] == (3.0, False)
+    assert got[("a", 1)] == (5.0, True)
+    assert got[("a", 2)] == (7.0, True)
+    assert got[("a", 3)] == (9.0, False)
+    assert got[("b", 0)] == (None, True)
+    assert got[("b", 1)] == (None, True)
+    assert got[("b", 2)] == (4.0, False)
+    assert got[("b", 3)] == (None, True)
