@@ -95,6 +95,7 @@ HEADLINE = [
     "bigram_lm_fluency",
     "bpe_train_encode",
     "gapfill_interpolate_hourly",
+    "shipping_priority_topk",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

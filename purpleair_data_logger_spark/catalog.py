@@ -2865,6 +2865,61 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "shipping_priority_topk",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    "J-family 3-way fact join + top-k (the TPC-H Q3 shape over the "
+    "customer/orders/lineitem tables)",
+)
+def shipping_priority_topk(spark, sf_dir):
+    """Unshipped-revenue shipping priority: segment-filtered customers
+    ⨝ orders ⨝ lineitem, per-order revenue, global top-10. The filtered
+    customer key set broadcasts; both date predicates push to their
+    scans; the top-k is orderBy+limit = TakeOrderedAndProject (a
+    per-partition top-k merged on the driver — the full aggregate
+    never sits in one partition). Full tiebreak (revenue DESC, date,
+    orderkey-unique) makes the limit deterministic cross-engine;
+    revenue uses the round(sum, 4) contract part_brand_revenue pinned.
+    """
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                4,
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
     "bpe_train_encode",
     None,  # training is iterative (one merge depends on all previous);
     # not SQL-expressible — parity is pinned in tests/test_bpe.py
@@ -3133,6 +3188,7 @@ _GATE_PRIORITY: list[str] = [
     "sensor_spike_detection",  # new in r4
     "bigram_lm_fluency",       # new in r4
     "gapfill_interpolate_hourly",  # new in r4
+    "shipping_priority_topk",  # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -3176,6 +3232,7 @@ _GATE_DEFER: list[str] = [
     "asof_last_click",           # r1-r3 green ×3; the temporal-join family stays gated via range_join_click_error, and the merge-scan plan shape is pytest-pinned
     "bpe_train_encode",          # no_oracle by design (iterative merge training) — the rows-only driver row adds nothing over the pytest reference-trainer parity pins (the knn_ivf precedent); keeping it out preserves an all-oracled 50-row window
     "snapshot_filters",          # r1-r3 green ×3; predicate pushdown is pytest-pinned and historic_range_downsample (still gated) exercises the same filter family
+    "sensor_directory",          # r1-r3 green ×3 (A5 DISTINCT directory); the directory-correlation family stays gated via semi_join_show_only and the X1/X2 scalars are pytest-pinned
 ]
 
 

@@ -280,21 +280,29 @@ def gapfill_interpolate(
         "_idx",
         (F.unix_timestamp(bucket_alias) / bucket_seconds).cast("long"),
     )
+    # Both directional passes are GROWING frames (unbounded preceding →
+    # current), the forward one over a descending sort: Spark's
+    # UnboundedPrecedingWindowFunctionFrame streams in O(n) per
+    # partition, while a literal [CURRENT ROW, UNBOUNDED FOLLOWING]
+    # frame is the shrinking-frame processor that RE-AGGREGATES the
+    # remainder per row — O(n²) per partition, measured 29 s vs 0.8 s
+    # against `gapfill_locf` on the same sf0.1 spine. Two sorts of the
+    # calendar-bounded spine beat one quadratic pass at every scale.
     w_prev = (
         Window.partitionBy(*keys)
-        .orderBy(bucket_alias)
+        .orderBy(F.asc(bucket_alias))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_next = (
         Window.partitionBy(*keys)
-        .orderBy(bucket_alias)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc(bucket_alias))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_idx = F.when(F.col("_v").isNotNull(), F.col("_idx"))
     prev_v = F.last("_v", ignorenulls=True).over(w_prev)
     prev_i = F.last(obs_idx, ignorenulls=True).over(w_prev)
-    next_v = F.first("_v", ignorenulls=True).over(w_next)
-    next_i = F.first(obs_idx, ignorenulls=True).over(w_next)
+    next_v = F.last("_v", ignorenulls=True).over(w_next)
+    next_i = F.last(obs_idx, ignorenulls=True).over(w_next)
     frac = (F.col("_idx") - prev_i).cast("double") / (
         next_i - prev_i
     ).cast("double")

@@ -34,14 +34,15 @@ from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
 
-#: Schema of the documents table as JSONL (TESTDATA.md), plus the
-#: captured-raw-line column PERMISSIVE mode fills on parse failure.
+#: Schema of the documents table (TESTDATA.md: doc_id, text, lang,
+#: source, n_chars) as its JSONL landing format.
 DOCUMENTS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("url", T.StringType()),
-        T.StructField("lang", T.StringType()),
         T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
     ]
 )
 

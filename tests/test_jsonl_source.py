@@ -12,11 +12,11 @@ from purpleair_data_logger_spark.sources import jsonl
 @pytest.fixture()
 def jsonl_dir(tmp_path):
     good = [
-        '{"doc_id": 1, "url": "http://a", "lang": "en", "text": "hello world"}',
-        '{"doc_id": 2, "url": "http://b", "lang": "de", "text": "hallo welt"}',
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "src0", "n_chars": 11}',
+        '{"doc_id": 2, "text": "hallo welt", "lang": "de", "source": "src1", "n_chars": 10}',
     ]
-    bad_parse = '{"doc_id": 3, "url": "http://c", "lang": "fr", "text": "tru'
-    drifted = '{"url": "http://d", "lang": "en", "text": "no id here"}'
+    bad_parse = '{"doc_id": 3, "text": "tru'
+    drifted = '{"text": "no id here", "lang": "en", "source": "src2"}'
     (tmp_path / "part-0.jsonl").write_text(
         "\n".join([good[0], bad_parse, good[1], drifted]) + "\n"
     )
@@ -28,7 +28,7 @@ def test_clean_and_quarantine_split(spark, jsonl_dir):
     clean = {r["doc_id"]: r for r in rd.clean.collect()}
     assert set(clean) == {1, 2}
     assert clean[1]["text"] == "hello world"
-    assert rd.clean.columns == ["doc_id", "url", "lang", "text"]
+    assert rd.clean.columns == ["doc_id", "text", "lang", "source", "n_chars"]
 
     quarantined = rd.quarantine.collect()
     assert len(quarantined) == 2
@@ -51,7 +51,8 @@ def test_explicit_schema_no_inference_pass(spark, jsonl_dir):
     # schema comes from the declaration, not the data
     assert [f.simpleString() for f in rd.clean.schema.fields] == [
         "doc_id:bigint",
-        "url:string",
-        "lang:string",
         "text:string",
+        "lang:string",
+        "source:string",
+        "n_chars:bigint",
     ]
