@@ -96,6 +96,7 @@ HEADLINE = [
     "bpe_train_encode",
     "gapfill_interpolate_hourly",
     "shipping_priority_topk",
+    "ccnet_quality_buckets",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

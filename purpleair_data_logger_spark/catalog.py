@@ -2865,6 +2865,85 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "ccnet_quality_buckets",
+    """
+    WITH pdt AS (
+      SELECT doc_id, tok, count(*) AS occ
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    tc AS (SELECT tok, CAST(sum(occ) AS BIGINT) AS corpus_tf FROM pdt GROUP BY tok),
+    n AS (SELECT CAST(sum(corpus_tf) AS BIGINT) AS corpus_total FROM tc),
+    r AS (
+      SELECT pdt.doc_id,
+             CAST(sum(occ * corpus_tf) AS DOUBLE)
+               / CAST(CAST(sum(occ) AS BIGINT) * min(corpus_total) AS DOUBLE)
+               AS mcp
+      FROM pdt JOIN tc ON pdt.tok = tc.tok CROSS JOIN n
+      GROUP BY pdt.doc_id
+    ),
+    s AS (
+      SELECT d.doc_id, d.lang,
+             CAST(floor(r.mcp * 1000000) AS BIGINT) AS score_q
+      FROM r JOIN documents d ON r.doc_id = d.doc_id
+    ),
+    vals AS (SELECT lang, score_q, count(*) AS cnt FROM s GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, score_q,
+             sum(cnt) OVER (PARTITION BY lang ORDER BY score_q
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
+               AS rnk,
+             sum(cnt) OVER (PARTITION BY lang) AS n
+      FROM vals
+    ),
+    prt AS (
+      SELECT lang, score_q,
+             CASE WHEN n > 1 THEN CAST(rnk - 1 AS DOUBLE)
+                                  / CAST(n - 1 AS DOUBLE)
+                  ELSE 0.0 END AS pr
+      FROM ranked
+    )
+    SELECT s.doc_id, s.lang, s.score_q, prt.pr,
+           CASE WHEN prt.pr >= 2.0/3.0 THEN 'head'
+                WHEN prt.pr >= 1.0/3.0 THEN 'middle'
+                ELSE 'tail' END AS ccnet_bucket
+    FROM s JOIN prt ON s.lang = prt.lang AND s.score_q = prt.score_q
+    """,
+    "north-star composed curation: CCNet head/middle/tail perplexity "
+    "buckets (unigram-LM score -> per-language percentile tertiles)",
+)
+def ccnet_quality_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail stratification (Wenzek et al. 2020):
+    per-language tertiles of the log-free unigram-LM score. The
+    continuous score is floor-quantized to an integer first (the
+    documented `percent_rank_filter` contract for continuous scores —
+    floor of identical doubles is engine-exact where round() is not),
+    then the percentile attaches via the two-pass rank-over-aggregate
+    table: the corpus is never window-partitioned by the ~5-value
+    language key."""
+    d = _t(spark, sf_dir, "documents")
+    r = tx.unigram_rarity(d, "doc_id", "text", rare_max_tf=2)
+    s = r.select(
+        "doc_id",
+        F.floor(F.col("mean_corpus_prob") * 1_000_000)
+        .cast("long")
+        .alias("score_q"),
+    ).join(d.select("doc_id", "lang"), "doc_id")
+    prt = agg.percent_rank_table(s, "lang", "score_q")
+    third = F.lit(1.0) / F.lit(3.0)
+    return s.join(F.broadcast(prt), ["lang", "score_q"]).select(
+        "doc_id",
+        "lang",
+        "score_q",
+        "pr",
+        F.when(F.col("pr") >= F.lit(2.0) / F.lit(3.0), F.lit("head"))
+        .when(F.col("pr") >= third, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ccnet_bucket"),
+    )
+
+
+@register(
     "shipping_priority_topk",
     """
     SELECT l_orderkey,
@@ -3189,6 +3268,7 @@ _GATE_PRIORITY: list[str] = [
     "bigram_lm_fluency",       # new in r4
     "gapfill_interpolate_hourly",  # new in r4
     "shipping_priority_topk",  # new in r4
+    "ccnet_quality_buckets",   # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -3233,6 +3313,7 @@ _GATE_DEFER: list[str] = [
     "bpe_train_encode",          # no_oracle by design (iterative merge training) — the rows-only driver row adds nothing over the pytest reference-trainer parity pins (the knn_ivf precedent); keeping it out preserves an all-oracled 50-row window
     "snapshot_filters",          # r1-r3 green ×3; predicate pushdown is pytest-pinned and historic_range_downsample (still gated) exercises the same filter family
     "sensor_directory",          # r1-r3 green ×3 (A5 DISTINCT directory); the directory-correlation family stays gated via semi_join_show_only and the X1/X2 scalars are pytest-pinned
+    "multimodal_features",       # r1-r3 green ×3; the mapInPandas decode family stays gated via multimodal_frame_sample + multimodal_resize (both newly windowed)
 ]
 
 

@@ -508,6 +508,24 @@ def percent_rank_filter(
     the value table approaches row count — quantize the score first
     (SCALE.md §percentile-gate).
     """
+    cutoffs = percent_rank_table(df, part_col, order_col).filter(
+        F.col("pr") >= min_pr
+    )
+    return (
+        df.join(F.broadcast(cutoffs), on=[part_col, order_col], how="inner")
+        .select(part_col, id_col, order_col, "pr")
+    )
+
+
+def percent_rank_table(
+    df: DataFrame, part_col: str, order_col: str
+) -> DataFrame:
+    """(part, value, pr) per distinct (group, value): the exact
+    percent_rank rational computed over the per-(group, value)
+    aggregate — the shared two-pass core of `percent_rank_filter` (its
+    docstring carries the full scale rationale). Broadcast-join the
+    result back to attach a percentile to every row without ever
+    window-partitioning the corpus by the group key."""
     vals = df.groupBy(part_col, order_col).agg(
         F.count(F.lit(1)).alias("_cnt")
     )
@@ -523,15 +541,14 @@ def percent_rank_filter(
         (F.sum("_cnt").over(w_cum) - F.col("_cnt") + F.lit(1)).alias("_rank"),
         F.sum("_cnt").over(w_all).alias("_n"),
     )
-    cutoffs = ranked.select(
+    return ranked.select(
         F.col(part_col),
         F.col(order_col),
-        F.when(F.col("_n") > 1,
-               (F.col("_rank") - 1).cast("double") / (F.col("_n") - 1).cast("double"))
+        F.when(
+            F.col("_n") > 1,
+            (F.col("_rank") - 1).cast("double")
+            / (F.col("_n") - 1).cast("double"),
+        )
         .otherwise(F.lit(0.0))
         .alias("pr"),
-    ).filter(F.col("pr") >= min_pr)
-    return (
-        df.join(F.broadcast(cutoffs), on=[part_col, order_col], how="inner")
-        .select(part_col, id_col, order_col, "pr")
     )
