@@ -1,0 +1,65 @@
+"""Corpus lake sink: the final landing layout for a curated training
+corpus — hive-partitioned parquet with controlled file counts, the
+write side of every `corpus_build_final` / streaming-curation output.
+
+Layout contract:
+
+* **partition directories** on the low-cardinality routing columns a
+  training job prunes by (``split``, ``lang``): a reader asking for
+  `split='train' AND lang='en'` must touch only that directory
+  (partition pruning, pinned in tests);
+* **bounded file counts**: the classic failure modes are one giant
+  file per partition (one writer task → no read parallelism, no
+  write parallelism, a straggler per hot partition) and the
+  small-files explosion (every shuffle task writing into every
+  directory). The writer repartitions on (partition cols + a salt
+  bucket from a stable id hash), so each directory is written by
+  ``files_per_partition`` tasks in parallel — a hot partition
+  (English train set = most of the corpus) scales its writers by
+  configuration, not luck. ``maxRecordsPerFile`` stays as the row
+  bound within a writer;
+* **deterministic routing**: the salt is a hash of a caller-named id
+  column, not ``rand()`` — reruns produce identical file contents,
+  which keeps the sink idempotent under overwrite and diffable across
+  builds (the `sampling.py` determinism discipline).
+
+ZSTD compression comes from the session default (`session.py`).
+Reference context: this generalizes the nine-table sensor store's
+date-partitioned layout (`sinks/tables.py`) to the documents side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_corpus(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    partition_cols: Sequence[str] = ("split", "lang"),
+    files_per_partition: int = 4,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write `df` as a partitioned corpus lake (see module contract)."""
+    if files_per_partition < 1:
+        raise ValueError("files_per_partition must be >= 1")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_partition))
+    (
+        df.repartition(*[F.col(c) for c in partition_cols], salt)
+        .write.partitionBy(*partition_cols)
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode(mode)
+        .parquet(path)
+    )
+
+
+def read_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Read a corpus lake; partition columns come back as columns and
+    predicates on them prune directories (asserted in tests)."""
+    return spark.read.parquet(path)

@@ -1,0 +1,86 @@
+"""Corpus lake sink: partition layout, bounded per-directory file
+counts, deterministic rerun output, and reader-side partition
+pruning."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark.plans import explain as E
+from purpleair_data_logger_spark.sinks import corpus_lake
+
+
+def _corpus(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "train")
+        .when(F.col("id") % 10 < 9, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+
+
+def test_layout_file_bounds_and_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    df = _corpus(spark)
+    corpus_lake.write_corpus(
+        df, out, id_col="doc_id", files_per_partition=3
+    )
+    # hive layout on both routing columns
+    dirs = sorted(
+        os.path.relpath(p, out)
+        for p in glob.glob(os.path.join(out, "split=*", "lang=*"))
+    )
+    assert dirs == [
+        "split=test/lang=de", "split=test/lang=en",
+        "split=train/lang=de", "split=train/lang=en",
+        "split=val/lang=de", "split=val/lang=en",
+    ]
+    # every directory written by <= files_per_partition tasks
+    for d in dirs:
+        files = glob.glob(os.path.join(out, d, "*.parquet"))
+        assert 1 <= len(files) <= 3, d
+    # content round-trips
+    back = corpus_lake.read_corpus(spark, out)
+    assert back.count() == 400
+    assert {r["doc_id"] for r in back.filter("split = 'val'").collect()} == {
+        r["doc_id"] for r in df.filter("split = 'val'").collect()
+    }
+
+
+def test_rerun_is_byte_deterministic(spark, tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    df = _corpus(spark)
+    for out in (a, b):
+        corpus_lake.write_corpus(df, out, id_col="doc_id", files_per_partition=2)
+    # same rows land in the same salt bucket both times: per-directory
+    # row-count multisets match exactly (hash salt, not rand())
+    def sizes(root):
+        return sorted(
+            (os.path.relpath(os.path.dirname(p), root), os.path.getsize(p))
+            for p in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        )
+
+    assert sizes(a) == sizes(b)
+
+
+def test_reader_prunes_partitions(spark, tmp_path):
+    out = str(tmp_path / "lake")
+    corpus_lake.write_corpus(
+        _corpus(spark), out, id_col="doc_id", files_per_partition=2
+    )
+    df = corpus_lake.read_corpus(spark, out).filter(
+        (F.col("split") == "train") & (F.col("lang") == "en")
+    )
+    plan = E.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    assert "split" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruning is real: only the one directory's files are scanned
+    assert df.count() == spark.read.parquet(out).filter(
+        "split = 'train' and lang = 'en'"
+    ).count()
