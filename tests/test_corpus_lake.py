@@ -84,3 +84,26 @@ def test_reader_prunes_partitions(spark, tmp_path):
     assert df.count() == spark.read.parquet(out).filter(
         "split = 'train' and lang = 'en'"
     ).count()
+
+
+def test_leakage_safe_split_lands_in_lake(spark, sf_dir, tmp_path):
+    """End-to-end: the leakage-safe split assignment joins back to the
+    documents and lands in the lake partitioned by (split, lang) — the
+    final hop of the corpus build."""
+    from purpleair_data_logger_spark import catalog
+    from purpleair_data_logger_spark.io import load_table
+
+    assigned = catalog.all_queries()["leakage_safe_split"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    final = assigned.join(docs, "doc_id").select(
+        "doc_id", "split", "lang", "text"
+    )
+    out = str(tmp_path / "lake")
+    corpus_lake.write_corpus(final, out, id_col="doc_id", files_per_partition=2)
+    back = corpus_lake.read_corpus(spark, out)
+    assert back.count() == final.count()
+    # near-dup clusters never straddle splits, and the lake preserves that
+    assert (
+        back.select("split").distinct().count()
+        == final.select("split").distinct().count()
+    )
