@@ -97,6 +97,8 @@ HEADLINE = [
     "gapfill_interpolate_hourly",
     "shipping_priority_topk",
     "ccnet_quality_buckets",
+    "corpus_accounting_rollup",
+    "event_type_pivot",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

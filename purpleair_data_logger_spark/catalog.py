@@ -2865,6 +2865,68 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "corpus_accounting_rollup",
+    """
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+    "O-family extension: multi-level ROLLUP accounting (the subtotal "
+    "reporting shape Spark executes as one Expand+aggregate pass)",
+)
+def corpus_accounting_rollup(spark, sf_dir):
+    """Corpus accounting at every aggregation level in one query:
+    (lang, source), per-lang subtotals, and the grand total via
+    ROLLUP — Spark plans this as a single Expand + hash aggregate
+    (each input row expands to its 3 grouping sets map-side and
+    partial-aggregates before the one shuffle), not three scans.
+    Exact integer counts/sums, so subtotal rows hash cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.whitespace_token_count("text")).alias("total_tokens"),
+    )
+
+
+@register(
+    "event_type_pivot",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+    FROM events
+    GROUP BY user_id
+    """,
+    "O-family extension: pivot (long->wide reshaping with an explicit "
+    "pivot-value list)",
+)
+def event_type_pivot(spark, sf_dir):
+    """Per-user event counts pivoted to one column per event type —
+    the long→wide reshaping every dashboard/feature-matrix export
+    needs. The pivot VALUES are explicit: with them, Spark pivots in
+    ONE pass (conditional aggregation under the hood — the same plan
+    as the oracle's FILTER clauses); without them it would burn an
+    extra distinct-scan job to discover the columns, and the output
+    schema would depend on the data (a rerun hazard at 100 TB).
+    Unmatched cells coalesce to 0 to match COUNT FILTER semantics."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = e.groupBy("user_id").pivot("event_type", types).count()
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+@register(
     "ccnet_quality_buckets",
     """
     WITH pdt AS (
@@ -3269,6 +3331,8 @@ _GATE_PRIORITY: list[str] = [
     "gapfill_interpolate_hourly",  # new in r4
     "shipping_priority_topk",  # new in r4
     "ccnet_quality_buckets",   # new in r4
+    "corpus_accounting_rollup",  # new in r4
+    "event_type_pivot",        # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -3314,6 +3378,8 @@ _GATE_DEFER: list[str] = [
     "snapshot_filters",          # r1-r3 green ×3; predicate pushdown is pytest-pinned and historic_range_downsample (still gated) exercises the same filter family
     "sensor_directory",          # r1-r3 green ×3 (A5 DISTINCT directory); the directory-correlation family stays gated via semi_join_show_only and the X1/X2 scalars are pytest-pinned
     "multimodal_features",       # r1-r3 green ×3; the mapInPandas decode family stays gated via multimodal_frame_sample + multimodal_resize (both newly windowed)
+    "top_docs_per_lang",         # r1-r3 green ×3; the stratified top-k family stays gated inside corpus_curation_pipeline's selection stage
+    "dedup_exact_docs",          # r1-r3 green ×3; the exact-dedup family stays gated via corpus_curation_pipeline's md5 dedup stage and the cluster-dedup layer
 ]
 
 
