@@ -99,6 +99,8 @@ HEADLINE = [
     "ccnet_quality_buckets",
     "corpus_accounting_rollup",
     "event_type_pivot",
+    "conversion_funnel",
+    "weekly_retention_cohorts",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -2865,6 +2865,122 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "conversion_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           p.t_purchase IS NOT NULL AS converted
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    "events-analytics extension: ordered view->click->purchase funnel "
+    "(stage-anchored conditional minima, no per-user sequence scan)",
+)
+def conversion_funnel(spark, sf_dir):
+    """Ordered funnel: first view, first click AFTER that view, first
+    purchase AFTER that click, per user. Each stage is one map-side-
+    combined aggregate anchored on the previous stage's timestamp
+    (attached by an equi-join on user) — never a per-user ordered
+    window scan over raw events, so a hot user is an AQE-splittable
+    join key rather than one sort partition. At 100 TB each stage's
+    output is one row per surviving user."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+    )
+
+
+@register(
+    "weekly_retention_cohorts",
+    """
+    WITH fw AS (
+      SELECT user_id,
+             CAST(min(epoch_us(ts) // 604800000000) AS BIGINT)
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT e.user_id, fw.cohort_week,
+             CAST(epoch_us(e.ts) // 604800000000 AS BIGINT)
+               AS active_week
+      FROM events e JOIN fw ON e.user_id = fw.user_id
+    )
+    SELECT cohort_week,
+           CAST(active_week - cohort_week AS BIGINT) AS weeks_since_first,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM act
+    GROUP BY 1, 2
+    """,
+    "events-analytics extension: retention cohort matrix (first-seen "
+    "week x weeks-since, distinct active users)",
+)
+def weekly_retention_cohorts(spark, sf_dir):
+    """The retention triangle: users bucketed by first-seen epoch week,
+    counted distinct per (cohort, weeks-since-first). Two aggregates +
+    one join on user_id; the distinct collapses map-side on (user,
+    week) before the final count — integer week arithmetic end to
+    end."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / (7 * 86400 * 1_000_000))
+        .cast("long")
+        .alias("week"),
+    )
+    fw = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = e.join(fw, "user_id").select("user_id", "cohort_week", F.col("week").alias("active_week")).distinct()
+    return (
+        act.groupBy(
+            "cohort_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("weeks_since_first"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
     "corpus_accounting_rollup",
     """
     SELECT lang, source,
@@ -3333,6 +3449,8 @@ _GATE_PRIORITY: list[str] = [
     "ccnet_quality_buckets",   # new in r4
     "corpus_accounting_rollup",  # new in r4
     "event_type_pivot",        # new in r4
+    "conversion_funnel",       # new in r4
+    "weekly_retention_cohorts",  # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -3380,6 +3498,8 @@ _GATE_DEFER: list[str] = [
     "multimodal_features",       # r1-r3 green ×3; the mapInPandas decode family stays gated via multimodal_frame_sample + multimodal_resize (both newly windowed)
     "top_docs_per_lang",         # r1-r3 green ×3; the stratified top-k family stays gated inside corpus_curation_pipeline's selection stage
     "dedup_exact_docs",          # r1-r3 green ×3; the exact-dedup family stays gated via corpus_curation_pipeline's md5 dedup stage and the cluster-dedup layer
+    "simhash_neardups",          # r2-r3 green ×2; the LSH near-dup family stays gated three ways (minhash candidates, lsh_verified, incremental) and the simhash collision fixture is pytest-pinned
+    "historic_range_downsample",  # r1-r3 green ×3; the range-filter + downsample family stays gated via hourly_continuous_aggregate and the pushdown pins
 ]
 
 
