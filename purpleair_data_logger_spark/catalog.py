@@ -3024,9 +3024,9 @@ def corpus_accounting_rollup(spark, sf_dir):
 def event_type_pivot(spark, sf_dir):
     """Per-user event counts pivoted to one column per event type —
     the long→wide reshaping every dashboard/feature-matrix export
-    needs. The pivot VALUES are explicit: with them, Spark pivots in
-    ONE pass (conditional aggregation under the hood — the same plan
-    as the oracle's FILTER clauses); without them it would burn an
+    needs. The pivot VALUES are explicit: with them, Spark pivots off
+    ONE scan (a (user, type) pre-aggregate feeding the pivot
+    aggregate — both map-side combined); without them it would burn an
     extra distinct-scan job to discover the columns, and the output
     schema would depend on the data (a rerun hazard at 100 TB).
     Unmatched cells coalesce to 0 to match COUNT FILTER semantics."""

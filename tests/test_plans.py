@@ -347,3 +347,61 @@ def test_cross_doc_span_removal_codegen_rebuild_no_window(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_conversion_funnel_join_anchored_no_window(spark, sf):
+    """Each funnel stage is a conditional-min aggregate anchored on the
+    prior stage via equi-join — never a per-user ordered window scan
+    over raw events (a hot user would be one sort partition)."""
+    plan = _plan(spark, sf, "conversion_funnel")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_event_type_pivot_is_one_scan_two_stage_agg(spark, sf):
+    """Explicit pivot values: ONE scan feeding Spark's two-stage pivot
+    aggregate ((user, type) pre-count, then the pivot) — no
+    column-discovery job, no per-type scans."""
+    plan = _plan(spark, sf, "event_type_pivot")
+    assert len(E.read_schemas(plan)) == 1
+    assert plan.count("ENSURE_REQUIREMENTS") <= 2
+    assert "Window" not in plan
+
+
+def test_rollup_is_expand_plus_one_aggregate(spark, sf):
+    """ROLLUP plans as Expand (3 grouping sets emitted map-side) + one
+    partially-aggregated shuffle — never three scans of the corpus."""
+    plan = _plan(spark, sf, "corpus_accounting_rollup")
+    assert "Expand" in plan
+    assert len(E.read_schemas(plan)) == 1
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+
+
+def test_time_weighted_avg_one_shuffle_shared_by_window_and_agg(spark, sf):
+    """The lead-diff window and the final aggregate share the same
+    (key, bucket) grouping: one exchange feeds both."""
+    plan = _plan(spark, sf, "time_weighted_hourly")
+    assert plan.count("ENSURE_REQUIREMENTS") == 1
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_spike_detection_single_range_window(spark, sf):
+    """All three running sums (n, S1, S2) ride ONE range-frame window
+    over one key shuffle; the verdict is pure integer codegen."""
+    plan = _plan(spark, sf, "sensor_spike_detection")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_gapfill_interpolate_growing_frames_only(spark, sf):
+    """Both directional LOCF passes must be growing frames (unbounded
+    preceding): a [current, unbounded following] frame is Spark's
+    O(n^2) shrinking-frame processor (measured 29 s vs 1.6 s on this
+    query at sf0.1)."""
+    plan = _plan(spark, sf, "gapfill_interpolate_hourly")
+    assert "unboundedpreceding" in plan.lower()
+    assert "unboundedfollowing" not in plan.lower()
+    assert "SortMergeJoin" not in plan
