@@ -101,6 +101,7 @@ HEADLINE = [
     "event_type_pivot",
     "conversion_funnel",
     "weekly_retention_cohorts",
+    "median_value_by_event_type",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

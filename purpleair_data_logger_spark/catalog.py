@@ -2865,6 +2865,39 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 @register(
+    "median_value_by_event_type",
+    """
+    WITH vals AS (
+      SELECT event_type, value, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
+               AS rnk,
+             cnt,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM vals
+    )
+    SELECT event_type, value AS median, CAST(n AS BIGINT) AS n
+    FROM ranked
+    WHERE rnk <= (n + 1) // 2 AND (n + 1) // 2 <= rnk + cnt - 1
+    """,
+    "A-family extension: exact per-group median as the k-th order "
+    "statistic over the distinct-value aggregate (no corpus sort, no "
+    "interpolation)",
+)
+def median_value_by_event_type(spark, sf_dir):
+    """Exact lower median of value per event type — an observed value
+    picked by rank interval over the per-(group, value) count table,
+    not an interpolated (engine-divergent) lerp and not a corpus
+    sort."""
+    e = _t(spark, sf_dir, "events")
+    return agg.grouped_median_exact(e, "event_type", "value")
+
+
+@register(
     "conversion_funnel",
     """
     WITH v AS (
@@ -3451,6 +3484,7 @@ _GATE_PRIORITY: list[str] = [
     "event_type_pivot",        # new in r4
     "conversion_funnel",       # new in r4
     "weekly_retention_cohorts",  # new in r4
+    "median_value_by_event_type",  # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -3500,6 +3534,7 @@ _GATE_DEFER: list[str] = [
     "dedup_exact_docs",          # r1-r3 green ×3; the exact-dedup family stays gated via corpus_curation_pipeline's md5 dedup stage and the cluster-dedup layer
     "simhash_neardups",          # r2-r3 green ×2; the LSH near-dup family stays gated three ways (minhash candidates, lsh_verified, incremental) and the simhash collision fixture is pytest-pinned
     "historic_range_downsample",  # r1-r3 green ×3; the range-filter + downsample family stays gated via hourly_continuous_aggregate and the pushdown pins
+    "range_join_click_error",    # r3 green; the temporal-join family keeps a pytest no-nested-loop plan pin and the stream-stream interval-join parity test
 ]
 
 

@@ -517,6 +517,53 @@ def percent_rank_filter(
     )
 
 
+def grouped_median_exact(
+    df: DataFrame, part_col: str, value_col: str
+) -> DataFrame:
+    """Exact per-group lower median (the ⌈n/2⌉-th order statistic) —
+    an actual observed value, computed WITHOUT sorting the corpus.
+
+    Interpolated medians (`percentile`, `quantile_cont`) lerp between
+    neighbors — summation-order-sensitive floats that differ across
+    engines; `approx_percentile` is an estimate. The k-th order
+    statistic is exact and engine-portable: build the per-(group,
+    value) count table (map-side combined — the corpus collapses to
+    |distinct values| rows per group), cumulative-sum ranks over that
+    aggregate, and pick the value whose rank interval covers
+    k = ⌈n/2⌉. Same scale discipline as `percent_rank_filter`: the
+    window runs over the aggregate, never the corpus, and the caveat
+    is the same — a continuous double score should be quantized first
+    if its distinct-value table approaches row count.
+
+    Output: (part_col, median, n) with ``median`` of value_col's type.
+    """
+    vals = df.groupBy(part_col, value_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_cum = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(value_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(part_col)
+    ranked = vals.select(
+        F.col(part_col),
+        F.col(value_col),
+        (F.sum("_cnt").over(w_cum) - F.col("_cnt") + F.lit(1)).alias("_rank"),
+        F.col("_cnt"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    # integer div, not floor(double/2): exact for any BIGINT n
+    k = F.expr("(_n + 1) div 2")
+    return ranked.filter(
+        (F.col("_rank") <= k) & (k <= F.col("_rank") + F.col("_cnt") - 1)
+    ).select(
+        part_col,
+        F.col(value_col).alias("median"),
+        F.col("_n").alias("n"),
+    )
+
+
 def percent_rank_table(
     df: DataFrame, part_col: str, order_col: str
 ) -> DataFrame:

@@ -183,3 +183,22 @@ def test_gapfill_interpolate_linear_fill_and_null_edges(spark):
     assert got[("b", 1)] == (None, True)
     assert got[("b", 2)] == (4.0, False)
     assert got[("b", 3)] == (None, True)
+
+
+def test_grouped_median_exact_odd_even_and_ties(spark):
+    df = spark.createDataFrame(
+        [
+            # odd n: median = 3rd of 5
+            *[("a", v) for v in (5.0, 1.0, 3.0, 2.0, 4.0)],
+            # even n: LOWER median (2nd of 4), no interpolation
+            *[("b", v) for v in (10.0, 20.0, 30.0, 40.0)],
+            # ties straddling the median rank
+            *[("c", v) for v in (1.0, 2.0, 2.0, 2.0, 9.0)],
+        ],
+        "key string, value double",
+    )
+    got = {
+        r["key"]: (r["median"], r["n"])
+        for r in agg.grouped_median_exact(df, "key", "value").collect()
+    }
+    assert got == {"a": (3.0, 5), "b": (20.0, 4), "c": (2.0, 5)}
