@@ -202,3 +202,42 @@ def test_grouped_median_exact_odd_even_and_ties(spark):
         for r in agg.grouped_median_exact(df, "key", "value").collect()
     }
     assert got == {"a": (3.0, 5), "b": (20.0, 4), "c": (2.0, 5)}
+
+
+def test_grouped_median_property_vs_sorted_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["g1", "g2", "g3"]),
+                st.integers(min_value=-50, max_value=50),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(rows):
+        df = spark.createDataFrame(
+            [(g, float(v)) for g, v in rows], "key string, value double"
+        )
+        got = {
+            r["key"]: (r["median"], r["n"])
+            for r in agg.grouped_median_exact(df, "key", "value").collect()
+        }
+        by_key: dict = {}
+        for g, v in rows:
+            by_key.setdefault(g, []).append(float(v))
+        want = {
+            g: (sorted(vs)[(len(vs) + 1) // 2 - 1], len(vs))
+            for g, vs in by_key.items()
+        }
+        assert got == want
+
+    check()
