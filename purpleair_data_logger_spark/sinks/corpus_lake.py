@@ -59,6 +59,43 @@ def write_corpus(
     )
 
 
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str,
+    partition_cols: Sequence[str] = ("split", "lang"),
+    files_per_partition: int = 4,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Incremental lake rebuild: REPLACE exactly the partitions present
+    in ``df``, leave every other directory untouched.
+
+    This is Spark's dynamic partition-overwrite mode, scoped to this
+    write (session state restored after): a nightly re-curation of the
+    German validation split rewrites ``split=val/lang=de`` only —
+    static overwrite mode would silently DELETE the rest of the lake,
+    the classic incremental-pipeline footgun. Same salted writer
+    parallelism and determinism contract as `write_corpus`.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        write_corpus(
+            df,
+            path,
+            id_col=id_col,
+            partition_cols=partition_cols,
+            files_per_partition=files_per_partition,
+            max_records_per_file=max_records_per_file,
+            mode="overwrite",
+        )
+    finally:
+        spark.conf.set(key, prev)
+
+
 def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Read a corpus lake; partition columns come back as columns and
     predicates on them prune directories (asserted in tests)."""

@@ -107,3 +107,38 @@ def test_leakage_safe_split_lands_in_lake(spark, sf_dir, tmp_path):
         back.select("split").distinct().count()
         == final.select("split").distinct().count()
     )
+
+
+def test_upsert_partitions_replaces_only_present_dirs(spark, tmp_path):
+    """Dynamic partition overwrite: rewriting one (split, lang) slice
+    must not delete the rest of the lake (the static-overwrite
+    footgun)."""
+    out = str(tmp_path / "lake")
+    corpus_lake.write_corpus(
+        _corpus(spark), out, id_col="doc_id", files_per_partition=2
+    )
+    before = corpus_lake.read_corpus(spark, out)
+    n_total = before.count()
+    n_val_de = before.filter("split = 'val' and lang = 'de'").count()
+    assert 0 < n_val_de < n_total
+
+    patch = (
+        _corpus(spark)
+        .filter("split = 'val' and lang = 'de'")
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    )
+    corpus_lake.upsert_partitions(patch, out, id_col="doc_id", files_per_partition=2)
+
+    after = corpus_lake.read_corpus(spark, out)
+    assert after.count() == n_total  # nothing else deleted
+    patched = after.filter("split = 'val' and lang = 'de'")
+    assert patched.count() == n_val_de
+    assert patched.filter(F.col("text").endswith("v2")).count() == n_val_de
+    assert after.filter(
+        "split = 'train' and not text like '%v2'"
+    ).count() == before.filter("split = 'train'").count()
+    # overwrite-mode restored afterwards
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
