@@ -102,6 +102,10 @@ HEADLINE = [
     "conversion_funnel",
     "weekly_retention_cohorts",
     "median_value_by_event_type",
+    "m4_downsample_15min",
+    "counter_delta_hourly",
+    "heartbeat_uptime_hourly",
+    "weighted_sample_docs",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

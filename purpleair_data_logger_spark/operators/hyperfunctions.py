@@ -1,0 +1,296 @@
+"""Time-series hyperfunctions beyond the gapfill/time-weight trio:
+M4 downsampling, counter-reset deltas, and heartbeat uptime.
+
+The reference's read path is a Grafana dashboard over TimescaleDB
+(reference ``PurpleAirPSQLQueryStatements.py:564-580`` continuous
+aggregate + the shipped dashboard's ``$__timeGroupAlias … max(...)``
+panels). At production scale that stack pushes three more operators
+server-side, re-expressed here Spark-first:
+
+- `m4_downsample`: the M4 width-aware downsampling aggregation
+  (Jugel et al., "M4: A Visualization-Oriented Time Series Data
+  Aggregation", VLDB 2014) — per pixel-column time bucket keep the
+  first/last/min/max extremes, the minimal set that renders a
+  line-chart pixel-identically to the raw series. What a dashboard
+  should run instead of ``LIMIT 10000`` over raw readings.
+- `counter_delta`: TimescaleDB ``counter_agg``-style per-bucket
+  increase of a monotone-but-resetting counter (device reboots reset
+  uptime/packet counters to zero; a plain ``max - min`` misses every
+  reset's contribution).
+- `heartbeat_uptime`: TimescaleDB ``heartbeat_agg``-style liveness —
+  each reading asserts the sensor alive for ``timeout`` seconds; the
+  per-bucket union of those intervals is the sensor's measured
+  uptime. The reference polls on a 65 s cadence
+  (``PurpleAirDataLogger.py`` retry loop), so a 2–3× timeout is the
+  natural "did the logger stay up" SLO query.
+
+All three are single-scan, aggregate-first plans. The scale rule this
+module inherits from `aggregations.py` / VERDICT r3: never a window
+partitioned by a low-cardinality key over corpus rows. `counter_delta`
+and `heartbeat_uptime` need sequential (prev/next reading) context,
+which IS a per-key window — so both run it over (key, bucket)
+partitions (bounded by per-bucket sample count: ≤ 56 rows at the
+reference's 65 s cadence and 1 h buckets) and stitch bucket boundaries
+with a second window over the per-(key, bucket) AGGREGATE (calendar-
+bounded rows, never corpus rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark.operators.aggregations import time_bucket
+
+
+def m4_downsample(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    *,
+    bucket_alias: str = "bucket_ts",
+) -> DataFrame:
+    """M4 downsampling: per (key, pixel-bucket) the four extremes that
+    make a downsampled line chart pixel-exact — first/last by time,
+    min/max by value, each with its timestamp where meaningful.
+
+    One hash aggregate, map-side combined: the corpus collapses to
+    |keys| × |buckets| rows in the mappers, so the shuffle carries the
+    rendered chart, not the data. Every extreme is a lexicographic
+    struct min/max (exact comparisons, no floats summed), so rows
+    hash identically cross-engine. Tie rules are part of the
+    contract: ``first`` is the value at the smallest (ts, value)
+    pair, ``last`` at the largest; ``t_at_min`` is the EARLIEST
+    timestamp achieving the minimum value, ``t_at_max`` the LATEST
+    achieving the maximum (min/max struct ordering respectively).
+    NULL values carry no pixel and are excluded.
+    """
+    b = time_bucket(ts_col, bucket_seconds).alias(bucket_alias)
+    t, v = F.col(ts_col), F.col(value_col)
+    agg = (
+        df.filter(v.isNotNull())
+        .groupBy(b, key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.struct(t.alias("t"), v.alias("v"))).alias("_first"),
+            F.max(F.struct(t.alias("t"), v.alias("v"))).alias("_last"),
+            F.min(F.struct(v.alias("v"), t.alias("t"))).alias("_lo"),
+            F.max(F.struct(v.alias("v"), t.alias("t"))).alias("_hi"),
+        )
+    )
+    return agg.select(
+        bucket_alias,
+        key_col,
+        "n",
+        F.col("_first.v").alias("v_first"),
+        F.col("_last.v").alias("v_last"),
+        F.col("_lo.v").alias("v_min"),
+        F.col("_lo.t").alias("t_at_min"),
+        F.col("_hi.v").alias("v_max"),
+        F.col("_hi.t").alias("t_at_max"),
+    )
+
+
+def _scaled(value_col: str, decimals: int) -> Column:
+    """Value scaled to an exact integer at its decimal granularity —
+    the same cross-engine-determinism trick `time_weighted_avg` uses:
+    integer sums are order-independent, float sums are not."""
+    return F.round(F.col(value_col) * (10**decimals)).cast("long")
+
+
+def counter_delta(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    bucket_seconds: int,
+    *,
+    decimals: int = 2,
+    bucket_alias: str = "bucket_ts",
+) -> DataFrame:
+    """TimescaleDB ``counter_agg → delta``: per-bucket increase of a
+    monotone counter that resets to zero (reboots, rollovers).
+
+    Semantics: order each key's readings by (ts, id); for every
+    consecutive pair the increment is ``cur − prev`` if the counter
+    grew, else ``cur`` (a reset restarts the count from 0 and the new
+    reading is all growth). A bucket's delta sums the increments of
+    pairs whose CURRENT reading falls in the bucket — so the pair
+    straddling a bucket edge is charged to the later bucket, and the
+    key's first-ever reading contributes nothing (no prior to diff
+    against). ``n_resets`` counts downward steps the same way.
+
+    Scale shape: the sequential dependency is resolved in two tiers —
+    a lag window over (key, bucket) partitions (bounded by per-bucket
+    sample count, never corpus-sized), then the bucket-boundary pair
+    via ``lag`` over the per-(key, bucket) aggregate, whose partition
+    is calendar-bounded (8 760 rows/key/year at 1 h). No window ever
+    partitions corpus rows by the bare key. Arithmetic is exact: the
+    value is scaled to an integer at its decimal granularity, all
+    sums are BIGINT, and the only float op is one final division.
+    """
+    scale = 10**decimals
+    b = time_bucket(ts_col, bucket_seconds).alias(bucket_alias)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_in = Window.partitionBy(key_col, bucket_alias).orderBy("_ts_us", id_col)
+    staged = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col),
+            b,
+            F.col(id_col),
+            ts_us.alias("_ts_us"),
+            _scaled(value_col, decimals).alias("_c"),
+        )
+        .withColumn("_p", F.lag("_c").over(w_in))
+    )
+    inc_in = (
+        F.when(F.col("_p").isNull(), F.lit(0))
+        .when(F.col("_c") >= F.col("_p"), F.col("_c") - F.col("_p"))
+        .otherwise(F.col("_c"))
+    )
+    reset_in = F.when(
+        F.col("_p").isNotNull() & (F.col("_c") < F.col("_p")), F.lit(1)
+    ).otherwise(F.lit(0))
+    bagg = staged.groupBy(key_col, bucket_alias).agg(
+        F.sum(inc_in).alias("_inc"),
+        F.sum(reset_in).alias("_res"),
+        F.min(F.struct(F.col("_ts_us"), F.col(id_col), F.col("_c"))).alias(
+            "_first"
+        ),
+        F.max(F.struct(F.col("_ts_us"), F.col(id_col), F.col("_c"))).alias(
+            "_last"
+        ),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    # bucket-boundary pair: previous bucket's last reading vs this
+    # bucket's first — a window over AGGREGATE rows only.
+    w_b = Window.partitionBy(key_col).orderBy(bucket_alias)
+    prev_last = F.lag(F.col("_last._c")).over(w_b)
+    first_c = F.col("_first._c")
+    b_inc = (
+        F.when(prev_last.isNull(), F.lit(0))
+        .when(first_c >= prev_last, first_c - prev_last)
+        .otherwise(first_c)
+    )
+    b_res = F.when(
+        prev_last.isNotNull() & (first_c < prev_last), F.lit(1)
+    ).otherwise(F.lit(0))
+    return bagg.select(
+        key_col,
+        bucket_alias,
+        (
+            (F.col("_inc") + b_inc).cast("double") / F.lit(float(scale))
+        ).alias("counter_delta"),
+        (F.col("_res") + b_res).cast("long").alias("n_resets"),
+        "n_samples",
+    )
+
+
+def heartbeat_uptime(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    id_col: str,
+    bucket_seconds: int,
+    timeout_seconds: int,
+    *,
+    bucket_alias: str = "bucket_ts",
+) -> DataFrame:
+    """TimescaleDB ``heartbeat_agg``-style uptime: each reading
+    asserts liveness for ``[ts, ts + timeout)``; a reading before that
+    expires extends the live interval. Per (key, bucket) the output
+    is the union coverage of those intervals clipped to the bucket —
+    exact microseconds, plus the one-division ratio.
+
+    Construction: a reading's live interval is
+    ``[ts, min(next_ts, ts + timeout))`` — truncated at the next
+    reading, so consecutive intervals never overlap and their clipped
+    lengths SUM to the union (no interval-merge pass needed). The
+    last reading of a key runs the full timeout. Intervals may span
+    bucket edges, so each is exploded onto the buckets it covers —
+    the explode factor is bounded by ``ceil(timeout/bucket) + 1``
+    (generated JVM-side via ``sequence``, no shuffle), and the final
+    hash aggregate is map-side combined.
+
+    The "next reading" lookup follows the module's two-tier rule:
+    ``lead`` within (key, bucket) partitions resolves every pair but
+    the bucket-last, which takes the next bucket's first reading from
+    a ``lead`` over the per-(key, bucket) aggregate — never a
+    corpus-row window on the bare key.
+
+    Duplicate timestamps (two readings at the same microsecond) yield
+    an empty interval for the earlier one — dropped, since Spark's
+    ``sequence(lo, hi)`` would otherwise generate a DESCENDING range
+    for hi < lo and silently invent coverage.
+    """
+    bucket_us = int(bucket_seconds) * 1_000_000
+    timeout_us = int(timeout_seconds) * 1_000_000
+    b = time_bucket(ts_col, bucket_seconds).alias(bucket_alias)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_in = Window.partitionBy(key_col, bucket_alias).orderBy("_t", id_col)
+    staged = (
+        df.select(
+            F.col(key_col), b, F.col(id_col), ts_us.alias("_t")
+        )
+        .withColumn("_nxt_in", F.lead("_t").over(w_in))
+    )
+    # next bucket's first reading, from the aggregate (tiny partitions)
+    firsts = staged.groupBy(key_col, bucket_alias).agg(
+        F.min("_t").alias("_bfirst")
+    )
+    w_b = Window.partitionBy(key_col).orderBy(bucket_alias)
+    nxt_bucket = firsts.select(
+        key_col,
+        bucket_alias,
+        F.lead("_bfirst").over(w_b).alias("_nxt_bfirst"),
+    )
+    iv = (
+        staged.join(nxt_bucket, on=[key_col, bucket_alias], how="left")
+        .withColumn(
+            "_end",
+            F.least(
+                F.coalesce(
+                    F.col("_nxt_in"),
+                    F.col("_nxt_bfirst"),
+                    F.col("_t") + timeout_us,
+                ),
+                F.col("_t") + timeout_us,
+            ),
+        )
+        .filter(F.col("_end") > F.col("_t"))
+    )
+    # explode the interval onto every bucket index it touches. Integer
+    # `div`, not a double division: epoch micros (~1.7e15) divided as
+    # doubles sit within a few ulp of integer bucket boundaries.
+    lo_b = F.expr(f"_t div {bucket_us}L")
+    hi_b = F.expr(f"(_end - 1) div {bucket_us}L")
+    exploded = iv.select(
+        F.col(key_col),
+        F.col("_t"),
+        F.col("_end"),
+        F.explode(F.sequence(lo_b, hi_b)).alias("_b"),
+    )
+    covered = F.least(F.col("_end"), (F.col("_b") + 1) * bucket_us) - F.greatest(
+        F.col("_t"), F.col("_b") * bucket_us
+    )
+    return (
+        exploded.groupBy(
+            key_col,
+            F.timestamp_seconds(F.col("_b") * bucket_seconds).alias(
+                bucket_alias
+            ),
+        )
+        .agg(F.sum(covered).alias("uptime_us"))
+        .select(
+            key_col,
+            bucket_alias,
+            "uptime_us",
+            (
+                F.col("uptime_us").cast("double") / F.lit(float(bucket_us))
+            ).alias("uptime_ratio"),
+        )
+    )

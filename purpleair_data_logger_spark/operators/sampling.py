@@ -96,6 +96,64 @@ def capped_per_group(
     )
 
 
+#: modulus of the portable uniform: 2^40 buckets keeps the md5-derived
+#: integer exactly representable as a double (< 2^53), so the division
+#: below is a single correctly-rounded IEEE op on every engine.
+_U_BUCKETS = 1 << 40
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling without replacement, deterministically:
+    Efraimidis–Spirakis A-Res (reservoir) selection of ``k`` rows per
+    group, with inclusion probability proportional to ``weight_col``.
+
+    A-Res assigns each row the priority ``u^(1/w)`` for u ~ U(0,1)
+    and keeps the k largest — equivalently (and numerically safer)
+    the k largest ``ln(u)/w``. Here u is not random but the portable
+    md5 hash of the key mapped into (0, 1): the same row draws the
+    same u on any engine, any partitioning, any rerun — turning the
+    classic streaming reservoir into a deterministic top-k that a
+    SQL oracle replays exactly (same property as
+    `deterministic_sample`, but weight-proportional). The standard
+    use: length-weighted corpus subsampling, where long documents
+    must be over-represented for token-budget reasons.
+
+    Rows with NULL or non-positive weight are excluded (they have no
+    defined priority). Ties are broken by the key. Determinism note:
+    the priority involves one ``ln`` — both JVM and C libm are ≤ 1 ulp
+    here, so two rows could in principle order differently across
+    engines if their priorities agree to ~15 significant digits;
+    with 60-bit-hash-distinct u values the chance of a flip AT the
+    selection boundary is ~2⁻⁴⁰ per pair, and the score itself is
+    never emitted.
+
+    Scale: identical to `capped_per_group` — one shuffle on the group
+    key, and the rank-≤-k filter plans WindowGroupLimit(Partial)
+    before the Exchange, so every upstream task pre-prunes its groups
+    to k rows and a hot group ships k × n_tasks rows, not its full
+    count (pinned in tests/test_plans.py).
+    """
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    u = (
+        (md5_long(key.cast("string")) % _U_BUCKETS) + 1
+    ).cast("double") / F.lit(float(_U_BUCKETS + 1))
+    priority = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(F.desc(priority), key)
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     key_col: str,

@@ -1,0 +1,248 @@
+"""Planted-fixture tests for the second hyperfunction wave: M4
+downsampling, counter-reset deltas, heartbeat uptime, and weighted
+A-Res sampling (reference read-path context:
+PurpleAirPSQLQueryStatements.py:564-580 — the Grafana/TimescaleDB
+stack these operators serve at scale).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark.operators import hyperfunctions as hf
+from purpleair_data_logger_spark.operators import sampling as smp
+from purpleair_data_logger_spark.operators.dedup import md5_long
+
+
+def _ts(minute: int, second: int = 0, hour: int = 0):
+    return datetime(2024, 1, 1, hour, minute, second)
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling
+# ---------------------------------------------------------------------------
+
+
+def test_m4_extremes_and_tie_rules(spark):
+    # one 60 s bucket for key "a": first reading 2.0, last 4.0, min
+    # 1.0 achieved TWICE (t=10 and t=40) -> t_at_min is the earliest,
+    # max 9.0 achieved twice (t=20, t=50) -> t_at_max is the latest.
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(0, 5), 2.0),
+            ("a", _ts(0, 10), 1.0),
+            ("a", _ts(0, 20), 9.0),
+            ("a", _ts(0, 40), 1.0),
+            ("a", _ts(0, 50), 9.0),
+            ("a", _ts(0, 55), 4.0),
+            ("a", _ts(0, 30), None),  # NULL carries no pixel
+        ],
+        "key string, ts timestamp, value double",
+    )
+    (row,) = hf.m4_downsample(df, "ts", "key", "value", 60).collect()
+    assert row["n"] == 6
+    assert row["v_first"] == 2.0 and row["v_last"] == 4.0
+    assert row["v_min"] == 1.0 and row["t_at_min"] == _ts(0, 10)
+    assert row["v_max"] == 9.0 and row["t_at_max"] == _ts(0, 50)
+
+
+def test_m4_buckets_and_keys_are_independent(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(0, 10), 1.0),
+            ("a", _ts(1, 10), 5.0),
+            ("b", _ts(0, 20), 3.0),
+        ],
+        "key string, ts timestamp, value double",
+    )
+    out = hf.m4_downsample(df, "ts", "key", "value", 60).collect()
+    got = {(r["key"], r["bucket_ts"].minute): r["v_min"] for r in out}
+    assert got == {("a", 0): 1.0, ("a", 1): 5.0, ("b", 0): 3.0}
+
+
+# ---------------------------------------------------------------------------
+# counter_delta
+# ---------------------------------------------------------------------------
+
+
+def test_counter_delta_resets_and_bucket_boundary(spark):
+    # key "a": 10 -> 15 (+5) in bucket 0; bucket 1 opens at 3 (RESET:
+    # +3, counted), then 3 -> 8 (+5). Bucket 0 delta = 5 (first-ever
+    # reading contributes 0), bucket 1 delta = 3 + 5 = 8 with 1 reset.
+    df = spark.createDataFrame(
+        [
+            (1, "a", _ts(0, 10), 10.0),
+            (2, "a", _ts(0, 40), 15.0),
+            (3, "a", _ts(1, 10), 3.0),
+            (4, "a", _ts(1, 50), 8.0),
+        ],
+        "id long, key string, ts timestamp, value double",
+    )
+    out = hf.counter_delta(df, "ts", "key", "value", "id", 60).collect()
+    got = {
+        r["bucket_ts"].minute: (r["counter_delta"], r["n_resets"], r["n_samples"])
+        for r in out
+    }
+    assert got == {0: (5.0, 0, 2), 1: (8.0, 1, 2)}
+
+
+def test_counter_delta_monotone_equals_max_minus_first(spark):
+    # no resets: total delta across buckets == last - first reading.
+    rows = [(i, "k", _ts(i // 3, (i % 3) * 20), float(i * 7)) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "id long, key string, ts timestamp, value double"
+    )
+    out = hf.counter_delta(df, "ts", "key", "value", "id", 60).collect()
+    assert sum(r["counter_delta"] for r in out) == 8 * 7.0
+    assert all(r["n_resets"] == 0 for r in out)
+
+
+def test_counter_delta_charges_boundary_pair_to_later_bucket(spark):
+    # single pair straddling the bucket edge: bucket 0 has the first
+    # reading only (delta 0), bucket 1 gets the +2 increment.
+    df = spark.createDataFrame(
+        [(1, "a", _ts(0, 50), 1.0), (2, "a", _ts(1, 5), 3.0)],
+        "id long, key string, ts timestamp, value double",
+    )
+    out = hf.counter_delta(df, "ts", "key", "value", "id", 60).collect()
+    got = {r["bucket_ts"].minute: r["counter_delta"] for r in out}
+    assert got == {0: 0.0, 1: 2.0}
+
+
+# ---------------------------------------------------------------------------
+# heartbeat_uptime
+# ---------------------------------------------------------------------------
+
+
+def test_heartbeat_truncation_and_gap(spark):
+    # timeout 30 s, bucket 60 s. Readings at t=0, 10 (truncates the
+    # first to 10 s), then silence: second interval runs its full 30 s.
+    # Coverage in bucket 0 = 10 + 30 = 40 s.
+    df = spark.createDataFrame(
+        [(1, "a", _ts(0, 0)), (2, "a", _ts(0, 10))],
+        "id long, key string, ts timestamp",
+    )
+    (row,) = hf.heartbeat_uptime(df, "ts", "key", "id", 60, 30).collect()
+    assert row["uptime_us"] == 40_000_000
+    assert abs(row["uptime_ratio"] - 40 / 60) < 1e-12
+
+
+def test_heartbeat_interval_spans_bucket_edge(spark):
+    # reading at 0:50 with 30 s timeout: 10 s in bucket 0, 20 s in
+    # bucket 1 — the explode attributes the split exactly.
+    df = spark.createDataFrame(
+        [(1, "a", _ts(0, 50))], "id long, key string, ts timestamp"
+    )
+    out = hf.heartbeat_uptime(df, "ts", "key", "id", 60, 30).collect()
+    got = {r["bucket_ts"].minute: r["uptime_us"] for r in out}
+    assert got == {0: 10_000_000, 1: 20_000_000}
+
+
+def test_heartbeat_cross_bucket_next_reading_truncates(spark):
+    # reading at 0:50, next reading at 1:05 (within timeout 60 s):
+    # the first interval must truncate at 1:05 even though the next
+    # reading lives in ANOTHER bucket (the two-tier lead stitch).
+    df = spark.createDataFrame(
+        [(1, "a", _ts(0, 50)), (2, "a", _ts(1, 5))],
+        "id long, key string, ts timestamp",
+    )
+    out = hf.heartbeat_uptime(df, "ts", "key", "id", 60, 60).collect()
+    got = {r["bucket_ts"].minute: r["uptime_us"] for r in out}
+    # bucket 0: 10 s from the first interval; bucket 1: 5 s from the
+    # first (50->65 clipped) + 60 s full timeout of the second = 65 s
+    assert got == {0: 10_000_000, 1: 60_000_000, 2: 5_000_000}
+
+
+def test_heartbeat_duplicate_timestamp_drops_empty_interval(spark):
+    # two readings at the same microsecond: the earlier one's interval
+    # is empty and must vanish (NOT generate a descending sequence).
+    df = spark.createDataFrame(
+        [(1, "a", _ts(0, 10)), (2, "a", _ts(0, 10))],
+        "id long, key string, ts timestamp",
+    )
+    (row,) = hf.heartbeat_uptime(df, "ts", "key", "id", 60, 30).collect()
+    assert row["uptime_us"] == 30_000_000  # one full interval, once
+
+
+def test_heartbeat_uptime_never_exceeds_bucket(spark):
+    # dense 5 s cadence for 3 minutes: every covered bucket saturates
+    # at exactly the bucket length, never over (union, not sum).
+    rows = [(i, "a", _ts(i // 12, (i % 12) * 5)) for i in range(36)]
+    df = spark.createDataFrame(rows, "id long, key string, ts timestamp")
+    out = hf.heartbeat_uptime(df, "ts", "key", "id", 60, 30).collect()
+    assert all(r["uptime_us"] <= 60_000_000 for r in out)
+    got = {r["bucket_ts"].minute: r["uptime_us"] for r in out}
+    assert got[0] == 60_000_000 and got[1] == 60_000_000
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_per_group
+# ---------------------------------------------------------------------------
+
+
+def _python_a_res(rows: list[tuple[int, int]], k: int) -> list[int]:
+    """Reference A-Res over the same portable uniforms: rows are
+    (key, weight); returns the selected keys."""
+    import hashlib
+
+    M = 1 << 40
+    scored = []
+    for key, w in rows:
+        h = int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+        u = ((h % M) + 1) / (M + 1)
+        scored.append((math.log(u) / w, -key, key))
+    scored.sort(reverse=True)
+    return [key for _, _, key in scored[:k]]
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    rows = [(i, (i * 37) % 19 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long").withColumn(
+        "grp", F.lit("g")
+    )
+    out = smp.weighted_sample_per_group(df, "doc_id", "grp", "weight", 25)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == sorted(_python_a_res(rows, 25))
+
+
+def test_weighted_sample_deterministic_across_partitioning(spark):
+    rows = [(i, i % 7 + 1, "g%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long, grp string")
+    a = {
+        (r["grp"], r["doc_id"], r["sample_rank"])
+        for r in smp.weighted_sample_per_group(
+            df, "doc_id", "grp", "weight", 10
+        ).collect()
+    }
+    b = {
+        (r["grp"], r["doc_id"], r["sample_rank"])
+        for r in smp.weighted_sample_per_group(
+            df.repartition(13, "doc_id"), "doc_id", "grp", "weight", 10
+        ).collect()
+    }
+    assert a == b and len(a) == 30
+
+
+def test_weighted_sample_small_group_returns_all(spark):
+    df = spark.createDataFrame(
+        [(1, 5, "g"), (2, 1, "g"), (3, 0, "g"), (4, None, "g")],
+        "doc_id long, weight int, grp string",
+    )
+    out = smp.weighted_sample_per_group(df, "doc_id", "grp", "weight", 10)
+    # zero/NULL weights have no defined priority and are excluded
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # one row carries 10^6 × the weight of the rest: its priority
+    # ln(u)/w is ~0⁻ and must win rank 1 for any u values.
+    rows = [(i, 1) for i in range(1, 50)] + [(99, 1_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long").withColumn(
+        "grp", F.lit("g")
+    )
+    out = smp.weighted_sample_per_group(df, "doc_id", "grp", "weight", 5)
+    top = {r["doc_id"]: r["sample_rank"] for r in out.collect()}
+    assert top[99] == 1

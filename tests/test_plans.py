@@ -405,3 +405,58 @@ def test_gapfill_interpolate_growing_frames_only(spark, sf):
     assert "unboundedpreceding" in plan.lower()
     assert "unboundedfollowing" not in plan.lower()
     assert "SortMergeJoin" not in plan
+
+
+def test_m4_downsample_single_partial_aggregate(spark, sf):
+    """M4 is ONE map-side-combined hash aggregate: a single exchange
+    on (bucket, key), partial_min/partial_max of the extreme structs
+    in the mappers, zero windows, zero Python."""
+    plan = _plan(spark, sf, "m4_downsample_15min")
+    assert E.count(plan, "Exchange") == 1
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_counter_delta_windows_bounded_partitions_only(spark, sf):
+    """The within-bucket lag partitions by (key, bucket) — the bare
+    key may only key the AGGREGATE-level boundary window. Every
+    Window node's partition spec must mention the bucket column or
+    run after the bucket aggregate (two windows total, one exchange
+    chain, no Python)."""
+    plan = _plan(spark, sf, "counter_delta_hourly")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    # the corpus-row window keys on BOTH user_id and bucket_ts
+    win_args = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert any("bucket_ts" in l and "user_id" in l for l in win_args)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_heartbeat_uptime_no_bare_key_corpus_window(spark, sf):
+    """Same two-tier rule as counter_delta: the corpus-row lead keys
+    on (key, bucket); the explode is a generated sequence (no join
+    against a spine, no Python, no cartesian)."""
+    plan = _plan(spark, sf, "heartbeat_uptime_hourly")
+    win_args = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert win_args, "expected window nodes"
+    assert any("bucket_ts" in l and "user_id" in l for l in win_args)
+    assert "Generate" in plan  # sequence+explode, not a spine join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_weighted_sample_mapside_group_limit(spark, sf):
+    """A-Res top-k plans like domain_cap: WindowGroupLimit(Partial)
+    prunes each upstream task to k rows per stratum BEFORE the
+    exchange, so a hot stratum ships k x n_tasks rows, never its full
+    count; the priority expression itself stays JVM-side codegen."""
+    plan = _plan(spark, sf, "weighted_sample_docs")
+    assert E.count(plan, "WindowGroupLimit") == 2  # partial + final
+    assert E.count(plan, "Exchange") == 1
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
