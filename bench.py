@@ -106,6 +106,8 @@ HEADLINE = [
     "counter_delta_hourly",
     "heartbeat_uptime_hourly",
     "weighted_sample_docs",
+    "value_percentiles_by_event_type",
+    "lttb_downsample_events",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

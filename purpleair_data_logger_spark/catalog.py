@@ -3048,6 +3048,100 @@ def weighted_sample_docs(spark, sf_dir):
 
 
 @register(
+    "value_percentiles_by_event_type",
+    """
+    WITH vals AS (
+      SELECT event_type, value, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
+               AS rnk,
+             cnt,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM vals
+    )
+    SELECT event_type, CAST(p.p_bp AS BIGINT) AS p_bp,
+           value AS pctl_value, CAST(n AS BIGINT) AS n
+    FROM ranked CROSS JOIN (VALUES (5000), (9500), (9900)) p(p_bp)
+    WHERE rnk <= (p.p_bp * n + 9999) // 10000
+      AND (p.p_bp * n + 9999) // 10000 <= rnk + cnt - 1
+    """,
+    "A-family extension: exact P50/P95/P99 per group by nearest rank "
+    "over the distinct-value aggregate — the dashboard latency row "
+    "without interpolation lerp or a corpus sort",
+)
+def value_percentiles_by_event_type(spark, sf_dir):
+    """Exact nearest-rank P50/P95/P99 of value per event type: target
+    rank k = ⌈p·n⌉ in integer basis-point arithmetic over the
+    per-(group, value) count table — observed values, engine-portable,
+    never a corpus sort (generalizes median_value_by_event_type)."""
+    e = _t(spark, sf_dir, "events")
+    return agg.grouped_percentiles_exact(
+        e, "event_type", "value", (5000, 9500, 9900)
+    )
+
+
+def _zorder_oracle() -> str:
+    from purpleair_data_logger_spark.sinks.corpus_lake import zorder_key_sql
+
+    z = zorder_key_sql(
+        "user_id", "CAST(round(value * 100) AS BIGINT)", bits=16
+    )
+    return f"""
+    SELECT event_id, CAST({z} AS BIGINT) AS z_key
+    FROM events WHERE value IS NOT NULL
+    """
+
+
+@register(
+    "zorder_key_events",
+    _zorder_oracle(),
+    "O3 extension: Morton/Z-order clustering key (Delta/Iceberg "
+    "OPTIMIZE ZORDER BY analog) — bit-interleaved layout key so "
+    "parquet row-group min/max skips on BOTH dimensions; pure "
+    "shift/mask codegen, engine-portable",
+)
+def zorder_key_events(spark, sf_dir):
+    """The 32-bit Morton key of (sensor key, centi-scaled value):
+    the multi-dimensional clustering key `sinks/corpus_lake.py::
+    write_zordered` sorts by — 2×16 shift/mask/or terms of exact
+    integer codegen, replayed bit-for-bit by the oracle."""
+    from purpleair_data_logger_spark.sinks.corpus_lake import zorder_key
+
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("value").isNotNull()).select(
+        "event_id",
+        zorder_key(
+            F.col("user_id"),
+            F.round(F.col("value") * 100).cast("long"),
+            bits=16,
+        ).alias("z_key"),
+    )
+
+
+@register(
+    "lttb_downsample_events",
+    None,  # sequential chain dependency (each kept point depends on
+    # the previous selection) — not SQL-expressible; correctness is
+    # pytest-pinned against the importable numpy kernel
+    # (tests/test_hyperfunctions.py: reference parity, endpoint and
+    # passthrough contracts, partitioning invariance).
+    "A2 extension: LTTB perception-optimal downsampling (Steinarsson "
+    "2013) — the applyInPandas companion to m4_downsample_15min",
+)
+def lttb_downsample_events(spark, sf_dir):
+    """Per sensor key, the 50 points that best preserve the series
+    shape (largest-triangle-three-buckets): one shuffle on the key,
+    one Arrow batch + numpy kernel per series — the documented
+    pandas-UDF case for chain-dependent algorithms."""
+    e = _t(spark, sf_dir, "events")
+    return hf.lttb_downsample(e, "ts", "user_id", "value", 50)
+
+
+@register(
     "conversion_funnel",
     """
     WITH v AS (
@@ -3639,6 +3733,8 @@ _GATE_PRIORITY: list[str] = [
     "counter_delta_hourly",    # new in r4
     "heartbeat_uptime_hourly",  # new in r4
     "weighted_sample_docs",    # new in r4
+    "value_percentiles_by_event_type",  # new in r4
+    "zorder_key_events",       # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -3694,6 +3790,8 @@ _GATE_DEFER: list[str] = [
     "rolling_avg_trailing_1h",   # r1-r3 green ×3 (A4/R3); the trailing range-frame family stays gated via sensor_spike_detection (same frame, same key) and rolling_pseudo_averages' r3 row
     "knn_lsh_bucketed",          # r1-r3 green ×3; the ANN family stays gated via knn_filtered (same hyperplane-LSH bucketing + predicate) plus pytest recall pins vs the brute-force baseline
     "train_val_test_split",      # r2-r3 green ×2; leakage_safe_split (still gated) is the production split path and assign_split's bucket ranges are property-tested
+    "neardup_lsh_verified",      # r1-r3 green ×3; the MinHash near-dup family stays gated four ways in-window (minhash_lsh_candidates, neardup_incremental_batch, the cluster-dedup layer, corpus_build_final's mining stage)
+    "minhash_lsh_candidates",    # r1-r3 green ×3; the candidates stage still gates inside neardup_incremental_batch, the cluster-dedup layer, and corpus_build_final's mining stage (all in-window), and the band/recall math is pytest-pinned
 ]
 
 

@@ -564,6 +564,64 @@ def grouped_median_exact(
     )
 
 
+def grouped_percentiles_exact(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    percentiles_bp: Sequence[int],
+) -> DataFrame:
+    """Exact per-group percentiles by the nearest-rank method — the
+    P50/P95/P99 dashboard row, generalizing `grouped_median_exact`
+    (p=0.5 reproduces its ⌈n/2⌉ lower median exactly).
+
+    Percentiles are requested in basis points (9500 = P95) so the
+    target rank k = ⌈p·n⌉ is computed in pure integer arithmetic
+    (``(bp·n + 9999) div 10000``) — no float ceil, no interpolation
+    lerp, engine-portable. The returned value is an actual observed
+    value, as with the median.
+
+    Scale shape: the per-(group, value) count table is built ONCE
+    (map-side combined), cumulative ranks run over that aggregate,
+    and the requested percentiles explode against the aggregate rows
+    (×|percentiles|, still aggregate-sized) — the corpus is never
+    sorted and never windowed by the group key. Same quantize-first
+    caveat as `percent_rank_filter` for continuous double scores.
+
+    Output: (part_col, p_bp, value as ``pctl_value``, n).
+    """
+    vals = df.groupBy(part_col, value_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_cum = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(value_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(part_col)
+    ranked = vals.select(
+        F.col(part_col),
+        F.col(value_col),
+        (F.sum("_cnt").over(w_cum) - F.col("_cnt") + F.lit(1)).alias("_rank"),
+        F.col("_cnt"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    )
+    exploded = ranked.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(int(bp)).cast("long") for bp in percentiles_bp])
+        ).alias("p_bp"),
+    )
+    k = F.expr("(p_bp * _n + 9999) div 10000")
+    return exploded.filter(
+        (F.col("_rank") <= k) & (k <= F.col("_rank") + F.col("_cnt") - 1)
+    ).select(
+        part_col,
+        "p_bp",
+        F.col(value_col).alias("pctl_value"),
+        F.col("_n").alias("n"),
+    )
+
+
 def percent_rank_table(
     df: DataFrame, part_col: str, order_col: str
 ) -> DataFrame:

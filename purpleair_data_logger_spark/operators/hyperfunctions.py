@@ -93,6 +93,97 @@ def m4_downsample(
     )
 
 
+def lttb_indices(ts, vs, n_out: int):
+    """Largest-Triangle-Three-Buckets point selection (Steinarsson
+    2013): indices of the ``n_out`` points that best preserve the
+    series' visual shape. Pure numpy on one series — the per-group
+    kernel of `lttb_downsample`, importable for reference testing.
+
+    First and last points are always kept; each interior bucket keeps
+    the point maximizing the triangle area with the previously kept
+    point and the NEXT bucket's centroid. Ties take the earliest
+    point (np.argmax), so selection is deterministic for a
+    deterministically ordered series.
+    """
+    import numpy as np
+
+    n = len(ts)
+    if n_out >= n:
+        return np.arange(n)
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    # rebase x to the series start BEFORE the float conversion:
+    # epoch-nanosecond magnitudes (~1.7e18) have a 256 ns float64 ulp,
+    # while rebased offsets are exact for any series under ~104 days
+    ts = (ts - ts[0]).astype("float64")
+    vs = vs.astype("float64")
+    # bucket boundaries over the interior points [1, n-1)
+    bounds = np.linspace(1, n - 1, n_out - 1).astype("int64")
+    keep = np.empty(n_out, dtype="int64")
+    keep[0], keep[-1] = 0, n - 1
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nlo, nhi = bounds[i + 1], (bounds[i + 2] if i + 2 < n_out - 1 else n)
+        bx, by = ts[nlo:nhi].mean(), vs[nlo:nhi].mean()
+        area = np.abs(
+            (ts[a] - bx) * (vs[lo:hi] - vs[a])
+            - (ts[a] - ts[lo:hi]) * (by - vs[a])
+        )
+        a = lo + int(np.argmax(area))
+        keep[i + 1] = a
+    return keep
+
+
+def lttb_downsample(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    n_out: int,
+) -> DataFrame:
+    """Per-key LTTB downsampling to ``n_out`` points — the
+    perception-optimal companion to `m4_downsample` (M4 is
+    pixel-exact and pure-aggregate; LTTB picks the points a human
+    would call the shape of the line, but is inherently sequential
+    per series).
+
+    Spark shape: the algorithm's chain dependency (each kept point
+    depends on the previous) cannot be a window expression, so this
+    is the documented `applyInPandas` case (SURVEY §7.3 rule (b)):
+    one shuffle on the key, one Arrow batch per key, numpy kernel
+    inside. Contract: a key's series must fit one worker — true by
+    construction for dashboard renders (a render window is
+    calendar-bounded, same contract every LTTB server has). For
+    corpus-sized series, pre-aggregate with `m4_downsample` or
+    `bucketed_agg` first, then LTTB the bounded result. NULL values
+    are excluded (no pixel); rows are ordered by (ts, value) before
+    selection so ties are deterministic.
+    """
+    from pyspark.sql.types import StructType
+
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [fields[key_col], fields[ts_col], fields[value_col]]
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        keep = lttb_indices(
+            pdf[ts_col].to_numpy().astype("int64"),
+            pdf[value_col].to_numpy(),
+            n_out,
+        )
+        return pdf.iloc[keep][[key_col, ts_col, value_col]]
+
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fn, out_schema)
+    )
+
+
 def _scaled(value_col: str, decimals: int) -> Column:
     """Value scaled to an exact integer at its decimal granularity —
     the same cross-engine-determinism trick `time_weighted_avg` uses:

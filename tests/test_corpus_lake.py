@@ -142,3 +142,76 @@ def test_upsert_partitions_replaces_only_present_dirs(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         != "dynamic"
     )
+
+
+def _python_morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_python_reference(spark):
+    rows = [(i, (i * 37) % 65536, (i * 101) % 65536) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    out = df.select(
+        "id", "x", "y", corpus_lake.zorder_key("x", "y").alias("z")
+    ).collect()
+    for r in out:
+        assert r["z"] == _python_morton(r["x"], r["y"])
+
+
+def test_zorder_key_masks_high_bits_and_validates(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 65536 + 3, 5)], "id long, x long, y long")
+    (r,) = df.select(corpus_lake.zorder_key("x", "y").alias("z")).collect()
+    assert r["z"] == _python_morton(3, 5)  # bit 16 masked off
+    with pytest.raises(ValueError):
+        corpus_lake.zorder_key("x", "y", bits=0)
+    with pytest.raises(ValueError):
+        corpus_lake.zorder_key("x", "y", bits=32)
+
+
+def test_zordered_layout_skips_on_both_dimensions(spark, tmp_path):
+    """The point of the layout: every parquet row group is a tight
+    hyper-rectangle in BOTH columns. Compare against an x-sorted
+    layout, whose row groups have tight x stats but full-range y
+    stats — data-skipping on y predicates would read everything."""
+    import pyarrow.parquet as pq
+
+    n = 64
+    rows = [(i * n + j, i, j) for i in range(n) for j in range(n)]
+    df = spark.createDataFrame(rows, "id long, x long, y long").coalesce(1)
+
+    z_path = str(tmp_path / "zorder")
+    corpus_lake.write_zordered(df, z_path, zorder_cols=("x", "y"), bits=6)
+    x_path = str(tmp_path / "xsort")
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(x_path)
+    )
+
+    full_range = n - 1
+
+    def y_spreads(path):
+        spreads = []
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(2).statistics
+                spreads.append(st.max - st.min)
+        return spreads
+
+    # x-sorted: row groups span (nearly) the full y range — y
+    # predicates skip nothing.
+    xs = y_spreads(x_path)
+    assert max(xs) >= full_range - 1
+    # z-ordered: the typical row group is confined to a small y
+    # window (an unaligned range partition may straddle a Morton
+    # quadrant boundary, so bound the MEAN, not the max).
+    zs = y_spreads(z_path)
+    assert sum(zs) / len(zs) <= full_range / 2
+    assert sum(zs) / len(zs) < sum(xs) / len(xs) / 2

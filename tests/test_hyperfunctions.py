@@ -246,3 +246,140 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     out = smp.weighted_sample_per_group(df, "doc_id", "grp", "weight", 5)
     top = {r["doc_id"]: r["sample_rank"] for r in out.collect()}
     assert top[99] == 1
+
+
+# ---------------------------------------------------------------------------
+# grouped_percentiles_exact
+# ---------------------------------------------------------------------------
+
+
+def test_percentiles_nearest_rank_small_groups(spark):
+    from purpleair_data_logger_spark.operators import aggregations as agg
+
+    # group g: values 1..10 -> P50 = ceil(0.5*10)=5th = 5.0,
+    # P95 = ceil(9.5)=10th = 10.0, P99 = 10.0.
+    rows = [("g", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = agg.grouped_percentiles_exact(df, "grp", "v", (5000, 9500, 9900))
+    got = {r["p_bp"]: r["pctl_value"] for r in out.collect()}
+    assert got == {5000: 5.0, 9500: 10.0, 9900: 10.0}
+
+
+def test_percentiles_p50_matches_exact_median(spark):
+    from purpleair_data_logger_spark.operators import aggregations as agg
+
+    rows = [("a", float((i * 13) % 7)) for i in range(25)] + [
+        ("b", float((i * 5) % 11)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    med = {
+        r["grp"]: r["median"]
+        for r in agg.grouped_median_exact(df, "grp", "v").collect()
+    }
+    p50 = {
+        r["grp"]: r["pctl_value"]
+        for r in agg.grouped_percentiles_exact(df, "grp", "v", (5000,)).collect()
+    }
+    assert med == p50
+
+
+def test_percentiles_ties_share_rank_interval(spark):
+    from purpleair_data_logger_spark.operators import aggregations as agg
+
+    # 99 copies of 1.0 and one 2.0: P95 target rank 95 falls inside
+    # the tie block -> 1.0; P99 -> rank 99 -> still 1.0; P100-equiv
+    # via 10000 bp -> 2.0.
+    rows = [("g", 1.0)] * 99 + [("g", 2.0)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = agg.grouped_percentiles_exact(df, "grp", "v", (9500, 9900, 10000))
+    got = {r["p_bp"]: r["pctl_value"] for r in out.collect()}
+    assert got == {9500: 1.0, 9900: 1.0, 10000: 2.0}
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling
+# ---------------------------------------------------------------------------
+
+
+def _python_lttb(pts: list[tuple[int, float]], n_out: int) -> list[int]:
+    """Independent reference LTTB (plain loops, no numpy) returning
+    kept indices — guards the vectorized kernel."""
+    n = len(pts)
+    if n_out >= n:
+        return list(range(n))
+    import numpy as np
+
+    x0 = pts[0][0]
+    pts = [(p[0] - x0, p[1]) for p in pts]  # same rebase as the kernel
+    bounds = np.linspace(1, n - 1, n_out - 1).astype(int).tolist()
+    keep = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo, hi = bounds[i], bounds[i + 1]
+        nlo = bounds[i + 1]
+        nhi = bounds[i + 2] if i + 2 < n_out - 1 else n
+        bx = sum(p[0] for p in pts[nlo:nhi]) / (nhi - nlo)
+        by = sum(p[1] for p in pts[nlo:nhi]) / (nhi - nlo)
+        best, best_area = lo, -1.0
+        for c in range(lo, hi):
+            area = abs(
+                (pts[a][0] - bx) * (pts[c][1] - pts[a][1])
+                - (pts[a][0] - pts[c][0]) * (by - pts[a][1])
+            )
+            if area > best_area:
+                best, best_area = c, area
+        keep.append(best)
+        a = best
+    keep.append(n - 1)
+    return keep
+
+
+def test_lttb_matches_reference_and_keeps_endpoints(spark):
+    import numpy as np
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, i // 60, i % 60), math.sin(i / 7.0) * 10 + (i % 13))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(rows, "key int, ts timestamp, value double")
+    out = (
+        hf.lttb_downsample(df, "ts", "key", "value", 20)
+        .orderBy("ts")
+        .collect()
+    )
+    assert len(out) == 20
+    pts = [(i, r[2]) for i, r in enumerate(sorted(rows, key=lambda r: r[1]))]
+    # reference runs on epoch-ns x-coordinates like the kernel
+    ns = [int(r[1].timestamp() * 1e9) for r in sorted(rows, key=lambda r: r[1])]
+    ref_keep = _python_lttb(list(zip(ns, [p[1] for p in pts])), 20)
+    got_ts = [r["ts"] for r in out]
+    want_ts = [sorted(rows, key=lambda r: r[1])[i][1] for i in ref_keep]
+    assert got_ts == want_ts
+    assert out[0]["ts"] == rows[0][1] and out[-1]["ts"] == rows[-1][1]
+
+
+def test_lttb_passthrough_when_series_small(spark):
+    rows = [(1, _ts(0, i), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "key int, ts timestamp, value double")
+    out = hf.lttb_downsample(df, "ts", "key", "value", 50).collect()
+    assert len(out) == 5
+
+
+def test_lttb_partitioning_invariant(spark):
+    rows = [
+        (k, _ts(i // 60, i % 60), float((i * k) % 17))
+        for k in (1, 2)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "key int, ts timestamp, value double")
+    a = sorted(
+        (r["key"], r["ts"], r["value"])
+        for r in hf.lttb_downsample(df, "ts", "key", "value", 30).collect()
+    )
+    b = sorted(
+        (r["key"], r["ts"], r["value"])
+        for r in hf.lttb_downsample(
+            df.repartition(17), "ts", "key", "value", 30
+        ).collect()
+    )
+    assert a == b and len(a) == 60

@@ -460,3 +460,29 @@ def test_weighted_sample_mapside_group_limit(spark, sf):
     assert E.count(plan, "WindowGroupLimit") == 2  # partial + final
     assert E.count(plan, "Exchange") == 1
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_value_percentiles_window_over_aggregate_only(spark, sf):
+    """Exact P50/P95/P99 follows the percent_rank_filter discipline:
+    cumulative ranks run over the per-(group, value) COUNT aggregate
+    (map-side combined), the percentile list explodes against those
+    aggregate rows, and the corpus is never sorted or windowed by the
+    bare group key."""
+    plan = _plan(spark, sf, "value_percentiles_by_event_type")
+    assert "partial_count" in plan  # the count table combines map-side
+    win_pos = plan.find(") Window")
+    agg_pos = plan.find(") HashAggregate")
+    assert agg_pos != -1 and win_pos != -1 and agg_pos < win_pos
+    assert "Generate" in plan  # percentile explode, aggregate-sized
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_lttb_single_key_shuffle_arrow_batches(spark, sf):
+    """LTTB is the documented applyInPandas case (chain-dependent
+    selection): ONE exchange on the key feeding FlatMapGroupsInPandas
+    (Arrow), with the NULL filter and 3-column projection pushed to
+    the scan side of the shuffle."""
+    plan = _plan(spark, sf, "lttb_downsample_events")
+    assert "FlatMapGroupsInPandas" in plan
+    assert E.count(plan, "Exchange") == 1
+    assert all("props" not in s for s in E.read_schemas(plan))
