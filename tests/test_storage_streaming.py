@@ -712,3 +712,61 @@ def test_streaming_spike_flags_state_across_batches(spark, tmp_path):
     )
     for (k, ts, v), f in zip(series, flags):
         assert got[ts] == bool(f), ts
+
+
+def test_streaming_m4_matches_batch_operator(spark, tmp_path):
+    """The streaming M4 plan over a parquet stream must equal the
+    batch operator on the same data (same extremes, same tie rules,
+    same bucket alignment), with append mode emitting exactly the
+    watermark-closed windows."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+    from purpleair_data_logger_spark.streaming.downsample import (
+        m4_stream_plan,
+        streaming_m4_downsample,
+    )
+
+    base = _dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (i, "k%d" % (i % 3), base + _dt.timedelta(seconds=i * 97), float((i * 31) % 17))
+        for i in range(400)
+    ]
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        rows, "id long, key string, ts timestamp, value double"
+    )
+    df.write.parquet(src)
+
+    # 1) plan parity: the windowed M4 plan on a BATCH frame equals the
+    #    batch operator's epoch-floor bucketing exactly.
+    batch = {
+        tuple(r)
+        for r in hf.m4_downsample(df, "ts", "key", "value", 600).collect()
+    }
+    windowed = {
+        tuple(r)
+        for r in m4_stream_plan(
+            spark.read.parquet(src), "ts", "key", "value", 600
+        ).collect()
+    }
+    assert windowed == batch
+
+    # 2) streaming run: availableNow over the same source; append mode
+    #    emits the watermark-closed prefix of those same rows.
+    q = streaming_m4_downsample(
+        spark,
+        src,
+        str(tmp_path / "m4"),
+        str(tmp_path / "ckpt_m4"),
+        ts_col="ts",
+        key_col="key",
+        value_col="value",
+        bucket_seconds=600,
+        watermark="30 minutes",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "m4"))
+    got = {tuple(r) for r in out.collect()}
+    assert got  # at least the early windows closed
+    assert got <= batch  # every emitted pixel is final and identical
