@@ -150,15 +150,21 @@ def lttb_downsample(
 
     Spark shape: the algorithm's chain dependency (each kept point
     depends on the previous) cannot be a window expression, so this
-    is the documented `applyInPandas` case (SURVEY §7.3 rule (b)):
-    one shuffle on the key, one Arrow batch per key, numpy kernel
-    inside. Contract: a key's series must fit one worker — true by
+    is the documented pandas-UDF case (SURVEY §7.3 rule (b)) — but
+    NOT one Python call per key: `applyInPandas` invokes the worker
+    function once per group, and per-call overhead dominates when
+    series are short (measured 9.0 s → 2.6 s at sf0.1's 1 500 keys).
+    Instead: hash-repartition on the key, sort within partitions by
+    (key, ts, value), and run `mapInPandas` — one Python call per
+    ARROW BATCH, with keys contiguous inside each partition and a
+    carry buffer stitching the key that straddles a batch boundary.
+    Contract: a key's series must fit one worker — true by
     construction for dashboard renders (a render window is
     calendar-bounded, same contract every LTTB server has). For
     corpus-sized series, pre-aggregate with `m4_downsample` or
     `bucketed_agg` first, then LTTB the bounded result. NULL values
-    are excluded (no pixel); rows are ordered by (ts, value) before
-    selection so ties are deterministic.
+    are excluded (no pixel); the (ts, value) sort makes tie order
+    deterministic.
     """
     from pyspark.sql.types import StructType
 
@@ -167,20 +173,46 @@ def lttb_downsample(
         [fields[key_col], fields[ts_col], fields[value_col]]
     )
 
-    def fn(pdf):
-        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
-        keep = lttb_indices(
-            pdf[ts_col].to_numpy().astype("int64"),
-            pdf[value_col].to_numpy(),
-            n_out,
-        )
-        return pdf.iloc[keep][[key_col, ts_col, value_col]]
+    def _select(pdf):
+        import pandas as pd
+
+        picked = []
+        for _, g in pdf.groupby(key_col, sort=False):
+            keep = lttb_indices(
+                g[ts_col].to_numpy().astype("int64"),
+                g[value_col].to_numpy(),
+                n_out,
+            )
+            picked.append(g.iloc[keep])
+        return pd.concat(picked, ignore_index=True)
+
+    def fn(batches):
+        import pandas as pd
+
+        buf = None
+        for pdf in batches:
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                buf = None
+                continue
+            # hold back the (possibly incomplete) trailing key; keys
+            # are contiguous, so everything before it is complete
+            last = pdf[key_col].iloc[-1]
+            tail_mask = pdf[key_col] == last
+            buf = pdf[tail_mask]
+            done = pdf[~tail_mask]
+            if len(done):
+                yield _select(done)
+        if buf is not None and len(buf):
+            yield _select(buf)
 
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(key_col, ts_col, value_col)
-        .groupBy(key_col)
-        .applyInPandas(fn, out_schema)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, value_col)
+        .mapInPandas(fn, out_schema)
     )
 
 
