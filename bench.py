@@ -108,6 +108,7 @@ HEADLINE = [
     "weighted_sample_docs",
     "value_percentiles_by_event_type",
     "lttb_downsample_events",
+    "zorder_key_events",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,
