@@ -383,3 +383,121 @@ def test_lttb_partitioning_invariant(spark):
         ).collect()
     )
     assert a == b and len(a) == 60
+
+
+# ---------------------------------------------------------------------------
+# property tests: random inputs vs brute-force references
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _brute_uptime(ts_list: list[int], bucket_us: int, timeout_us: int):
+    """O(n + covered-us-sampled) reference: per-bucket union coverage
+    computed from the interval definition directly, sampling nothing —
+    sweep the sorted intervals and clip against bucket edges."""
+    out: dict[int, int] = {}
+    ts_sorted = sorted(ts_list)
+    for i, t in enumerate(ts_sorted):
+        nxt = ts_sorted[i + 1] if i + 1 < len(ts_sorted) else None
+        e = min(nxt, t + timeout_us) if nxt is not None else t + timeout_us
+        if e <= t:
+            continue
+        b = t // bucket_us
+        while b * bucket_us < e:
+            lo = max(t, b * bucket_us)
+            hi = min(e, (b + 1) * bucket_us)
+            out[b] = out.get(b, 0) + (hi - lo)
+            b += 1
+    return out
+
+
+@given(
+    secs=st.lists(
+        st.integers(min_value=0, max_value=600), min_size=1, max_size=40
+    ),
+    timeout=st.integers(min_value=1, max_value=180),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_heartbeat_property_matches_brute_force(spark, secs, timeout):
+    rows = [
+        (i, "k", datetime(2024, 1, 1, 0, s // 60, s % 60))
+        for i, s in enumerate(sorted(set(secs)))
+    ]
+    df = spark.createDataFrame(rows, "id long, key string, ts timestamp")
+    got = {
+        (r["bucket_ts"].hour * 60 + r["bucket_ts"].minute): r["uptime_us"]
+        for r in hf.heartbeat_uptime(df, "ts", "key", "id", 60, timeout).collect()
+    }
+    # build the reference in absolute epoch-us exactly as the operator does
+    ts_us = [
+        int((datetime(2024, 1, 1, 0, s // 60, s % 60)
+             - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+        for s in sorted(set(secs))
+    ]
+    want = _brute_uptime(ts_us, 60_000_000, timeout * 1_000_000)
+    # rekey reference buckets to minutes-of-day for comparison
+    day0 = ts_us[0] - (ts_us[0] % 86_400_000_000)
+    want_m = {
+        int((b * 60_000_000 - day0) // 60_000_000): v for b, v in want.items()
+    }
+    assert got == want_m
+
+
+def _brute_counter(rows, bucket_s):
+    """Reference: global consecutive diffs, bucket by the CURRENT
+    reading, reset adds the new value."""
+    out: dict[int, float] = {}
+    resets: dict[int, int] = {}
+    ordered = sorted(rows, key=lambda r: (r[2], r[0]))
+    for i, (_, _, ts, v) in enumerate(ordered):
+        b = (ts.hour * 3600 + ts.minute * 60 + ts.second) // bucket_s
+        out.setdefault(b, 0.0)
+        resets.setdefault(b, 0)
+        if i == 0:
+            continue
+        prev = ordered[i - 1][3]
+        if v >= prev:
+            out[b] += v - prev
+        else:
+            out[b] += v
+            resets[b] += 1
+    return out, resets
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=30
+    ),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_counter_delta_property_matches_brute_force(spark, vals):
+    # strictly increasing timestamps 37 s apart spanning bucket edges
+    rows = [
+        (i, "k", _ts((i * 37) // 60, (i * 37) % 60), float(v) / 4)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, key string, ts timestamp, value double"
+    )
+    out = hf.counter_delta(df, "ts", "key", "value", "id", 120).collect()
+    got = {
+        (r["bucket_ts"].minute * 60 + r["bucket_ts"].second) // 120
+        + r["bucket_ts"].hour * 30: (
+            round(r["counter_delta"], 6),
+            r["n_resets"],
+        )
+        for r in out
+    }
+    want_d, want_r = _brute_counter(rows, 120)
+    want = {b: (round(want_d[b], 6), want_r[b]) for b in want_d}
+    assert got == want
