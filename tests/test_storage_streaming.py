@@ -770,3 +770,92 @@ def test_streaming_m4_matches_batch_operator(spark, tmp_path):
     got = {tuple(r) for r in out.collect()}
     assert got  # at least the early windows closed
     assert got <= batch  # every emitted pixel is final and identical
+
+
+def test_streaming_counter_increments_match_batch_delta(spark, tmp_path):
+    """Per-event reset-aware increments with cross-batch state: one
+    file per micro-batch so the previous value must be CARRIED, then a
+    plain bucketed SUM over the emitted increments must equal the
+    batch counter_delta operator exactly (same bucket-charging rule)."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+    from purpleair_data_logger_spark.streaming.counter import (
+        streaming_counter_increments,
+    )
+
+    base = _dt.datetime(2024, 5, 1, 0, 0, 0)
+    # two keys, values that grow and RESET across the file boundary
+    batches = [
+        [(1, "a", 0, 10.0), (2, "a", 70, 15.5), (3, "b", 30, 100.0)],
+        [(4, "a", 140, 2.0), (5, "b", 95, 1.0), (6, "b", 150, 7.25)],
+        [(7, "a", 200, 8.0)],
+    ]
+    src = str(tmp_path / "csrc")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [
+                (rid, k, base + _dt.timedelta(seconds=s), v)
+                for rid, k, s, v in rows
+            ],
+            "id long, key string, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_counter_increments(
+        spark,
+        src,
+        str(tmp_path / "cinc"),
+        str(tmp_path / "cckpt"),
+        key_col="key",
+        ts_col="ts",
+        id_col="id",
+        value_col="value",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    inc = spark.read.parquet(str(tmp_path / "cinc"))
+    # 1) per-event semantics: resets detected across the batch boundary
+    by_id = {r["id"]: (r["increment"], r["is_reset"]) for r in inc.collect()}
+    assert by_id[1] == (0.0, False)      # first-ever reading of "a"
+    assert by_id[2] == (5.5, False)
+    assert by_id[4] == (2.0, True)       # reset carried across batches
+    assert by_id[5] == (1.0, True)
+    assert by_id[6] == (6.25, False)
+
+    # 2) bucketed SUM over increments == the batch operator
+    from pyspark.sql import functions as F
+    from purpleair_data_logger_spark.operators.aggregations import time_bucket
+
+    all_rows = spark.read.parquet(src)
+    batch = {
+        (r["key"], r["bucket_ts"]): (
+            r["counter_delta"],
+            r["n_resets"],
+            r["n_samples"],
+        )
+        for r in hf.counter_delta(
+            all_rows, "ts", "key", "value", "id", 120
+        ).collect()
+    }
+    rolled = {
+        (r["key"], r["bucket_ts"]): (
+            r["counter_delta"],
+            r["n_resets"],
+            r["n_samples"],
+        )
+        for r in inc.groupBy(
+            time_bucket("ts", 120).alias("bucket_ts"), "key"
+        )
+        .agg(
+            # exact rollup: sum the scaled BIGINTs, divide once — the
+            # batch operator's arithmetic, order-independent
+            (F.sum("increment_scaled").cast("double") / F.lit(100.0)).alias(
+                "counter_delta"
+            ),
+            F.sum(F.col("is_reset").cast("long")).alias("n_resets"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .collect()
+    }
+    assert rolled == batch
