@@ -109,6 +109,7 @@ HEADLINE = [
     "value_percentiles_by_event_type",
     "lttb_downsample_events",
     "zorder_key_events",
+    "sliding_active_users",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

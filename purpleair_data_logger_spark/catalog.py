@@ -3123,6 +3123,52 @@ def zorder_key_events(spark, sf_dir):
 
 
 @register(
+    "sliding_active_users",
+    """
+    WITH bounds AS (
+      SELECT time_bucket(INTERVAL '15 minutes', min(ts))
+               - INTERVAL '45 minutes' AS lo,
+             max(ts) AS hi
+      FROM events
+    ), starts AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS ws
+      FROM bounds
+    )
+    SELECT s.ws AS window_start,
+           count(DISTINCT e.user_id) AS active_users,
+           count(*) AS n_events
+    FROM starts s
+    JOIN events e ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL '1 hour'
+    GROUP BY 1
+    """,
+    "A/R-family extension: sliding-window distinct actives (1 h "
+    "window, 15 min slide) — the overlapping-window mode the tumbling "
+    "A1-A3 family doesn't exercise; Spark window(ts, len, slide) "
+    "replicated by a window-start spine range-join in the oracle",
+)
+def sliding_active_users(spark, sf_dir):
+    """Hourly active sensors/users at 15-minute granularity: Spark's
+    sliding `window()` assigns each event to its 4 overlapping
+    epoch-aligned windows (a ×(len/slide) Expand, then one exact
+    distinct aggregate). Only non-empty windows emit — matching the
+    oracle's inner spine join."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        e.groupBy(w.alias("_w"))
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            "active_users",
+            "n_events",
+        )
+    )
+
+
+@register(
     "lttb_downsample_events",
     None,  # sequential chain dependency (each kept point depends on
     # the previous selection) — not SQL-expressible; correctness is
@@ -3735,6 +3781,7 @@ _GATE_PRIORITY: list[str] = [
     "weighted_sample_docs",    # new in r4
     "value_percentiles_by_event_type",  # new in r4
     "zorder_key_events",       # new in r4
+    "sliding_active_users",    # new in r4
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -3792,6 +3839,7 @@ _GATE_DEFER: list[str] = [
     "train_val_test_split",      # r2-r3 green ×2; leakage_safe_split (still gated) is the production split path and assign_split's bucket ranges are property-tested
     "neardup_lsh_verified",      # r1-r3 green ×3; the MinHash near-dup family stays gated four ways in-window (minhash_lsh_candidates, neardup_incremental_batch, the cluster-dedup layer, corpus_build_final's mining stage)
     "minhash_lsh_candidates",    # r1-r3 green ×3; the candidates stage still gates inside neardup_incremental_batch, the cluster-dedup layer, and corpus_build_final's mining stage (all in-window), and the band/recall math is pytest-pinned
+    "embedding_neardup_lsh_verified",  # r2-r3 green ×2; the hyperplane-LSH family stays gated via embedding_cluster_dedup + knn_filtered (both in-window) and the full-pipeline DuckDB oracle remains in the catalog
 ]
 
 

@@ -859,3 +859,91 @@ def test_streaming_counter_increments_match_batch_delta(spark, tmp_path):
         .collect()
     }
     assert rolled == batch
+
+
+def test_streaming_heartbeat_intervals_match_batch(spark, tmp_path):
+    """Stateful interval closure across micro-batches: a newer reading
+    truncates the held interval (even from a LATER batch), and the
+    event-time timeout flushes the tail once the watermark passes
+    last + timeout. The emitted interval set must be exactly the batch
+    operator's [ts, min(next, ts+timeout)) chain, and its clip-to-
+    bucket rollup must equal batch heartbeat_uptime."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+    from purpleair_data_logger_spark.streaming.heartbeat import (
+        streaming_heartbeat_intervals,
+    )
+
+    base = _dt.datetime(2024, 6, 1, 0, 0, 0)
+
+    def t(s):
+        return base + _dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "hbsrc")
+    batches = [
+        [(1, "a", 0), (2, "a", 40), (3, "b", 10)],
+        [(4, "a", 130), (5, "b", 200)],
+        [(6, "zz", 3600)],   # sentinel: advances the watermark
+        [(7, "zz", 7200)],   # second sentinel: timeout batch runs past it
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(rid, k, t(s)) for rid, k, s in rows],
+            "id long, key string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_heartbeat_intervals(
+        spark,
+        src,
+        str(tmp_path / "hbout"),
+        str(tmp_path / "hbckpt"),
+        key_col="key",
+        ts_col="ts",
+        id_col="id",
+        timeout_seconds=60,
+        watermark="1 second",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "hbout"))
+    base_us = int((base - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    got = {
+        (r["key"], (r["t_us"] - base_us) // 1_000_000,
+         (r["end_us"] - base_us) // 1_000_000)
+        for r in out.filter("key != 'zz'").collect()
+    }
+    # a: 0->40 (truncated), 40->100 (full timeout; 130 is later),
+    #    130->190 (timeout flush); b: 10->70, 200->260 (flush)
+    assert got == {
+        ("a", 0, 40),
+        ("a", 40, 100),
+        ("a", 130, 190),
+        ("b", 10, 70),
+        ("b", 200, 260),
+    }
+
+    # rollup parity: clip emitted intervals to 60 s buckets == batch
+    want = {
+        (r["key"], r["bucket_ts"]): r["uptime_us"]
+        for r in hf.heartbeat_uptime(
+            spark.read.parquet(src).filter("key != 'zz'"),
+            "ts",
+            "key",
+            "id",
+            60,
+            60,
+        ).collect()
+    }
+    rolled: dict = {}
+    for r in out.filter("key != 'zz'").collect():
+        b = r["t_us"] // 60_000_000
+        while b * 60_000_000 < r["end_us"]:
+            lo = max(r["t_us"], b * 60_000_000)
+            hi = min(r["end_us"], (b + 1) * 60_000_000)
+            key = (r["key"], _dt.datetime(1970, 1, 1)
+                   + _dt.timedelta(seconds=b * 60))
+            rolled[key] = rolled.get(key, 0) + (hi - lo)
+            b += 1
+    assert rolled == want
