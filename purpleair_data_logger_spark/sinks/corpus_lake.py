@@ -96,46 +96,58 @@ def upsert_partitions(
         spark.conf.set(key, prev)
 
 
-def zorder_key(x, y, *, bits: int = 16):
+def zorder_key(*cols, bits: int = 16):
     """Morton (Z-order) key: interleave the low ``bits`` bits of two
-    non-negative integer columns — the multi-dimensional clustering
-    key behind Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+    or more non-negative integer columns — the multi-dimensional
+    clustering key behind Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+    Bit ``i`` of column ``j`` lands at position ``i·n + j`` (for two
+    columns: x on even bits, y on odd — the classic layout).
 
     Why it matters at 100 TB: parquet data-skipping prunes row groups
     by per-column min/max. A layout sorted by ONE column gives perfect
     stats on it and useless full-range stats on every other; sorting
-    by the interleaved key makes every row group a small hyper-rectangle
-    in BOTH dimensions, so predicates on either column (or both)
-    skip. The expression is 2·bits shift/mask/or terms of exact
-    integer codegen — no UDF, engine-portable (the DuckDB oracle
-    replays it with the same ``>> & <<`` arithmetic).
+    by the interleaved key makes every row group a small
+    hyper-rectangle in ALL n dimensions, so predicates on any
+    clustered column (or several) skip. The expression is n·bits
+    shift/mask/or terms of exact integer codegen — no UDF,
+    engine-portable (the DuckDB oracle replays it with the same
+    ``>> & <<`` arithmetic).
 
     Contract: inputs must already be quantized to ``[0, 2^bits)``
     (rank, hash-bucket, or scaled value — the caller owns the
     quantizer, because a data-dependent min/max scan is a separate
-    pass). Bits above ``bits`` are masked off. ``bits ≤ 31`` keeps
-    the key in a positive int64.
+    pass). Bits above ``bits`` are masked off. ``n·bits ≤ 63`` keeps
+    the key in a positive int64; resolution trades off against
+    dimension count (16 bits × 2 cols, 10 bits × 6 cols, …).
     """
-    if not 1 <= bits <= 31:
-        raise ValueError(f"bits must be in [1, 31], got {bits}")
-    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
-    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    n = len(cols)
+    if n < 2:
+        raise ValueError(f"zorder_key needs >= 2 columns, got {n}")
+    if not 1 <= bits or n * bits > 63:
+        raise ValueError(
+            f"n*bits must be in [2, 63], got {n} cols x {bits} bits"
+        )
+    casted = [
+        (F.col(c) if isinstance(c, str) else c).cast("long") for c in cols
+    ]
     key = F.lit(0).cast("long")
     for i in range(bits):
-        key = key.bitwiseOR(
-            F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for j, c in enumerate(casted):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+            )
     return key
 
 
-def zorder_key_sql(x: str, y: str, *, bits: int = 16) -> str:
+def zorder_key_sql(*cols: str, bits: int = 16) -> str:
     """The DuckDB/ANSI replica of `zorder_key` for oracle SQL."""
+    n = len(cols)
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        for j, c in enumerate(cols):
+            terms.append(f"((({c} >> {i}) & 1) << {i * n + j})")
     return "(" + " | ".join(terms) + ")"
 
 
@@ -143,17 +155,18 @@ def write_zordered(
     df: DataFrame,
     path: str,
     *,
-    zorder_cols: tuple[str, str],
+    zorder_cols: Sequence[str],
     bits: int = 16,
     target_rows_per_file: int = 1_000_000,
     mode: str = "overwrite",
 ) -> None:
-    """Write the frame clustered by the Morton key of two quantized
-    columns: a range-partition + in-partition sort on the key
-    (`repartitionByRange` samples the key distribution, so files are
-    balanced even when the key space is sparse), giving every file AND
-    row group tight min/max on both dimensions. The read side needs
-    nothing special — plain parquet data-skipping does the pruning.
+    """Write the frame clustered by the Morton key of two or more
+    quantized columns: a range-partition + in-partition sort on the
+    key (`repartitionByRange` samples the key distribution, so files
+    are balanced even when the key space is sparse), giving every file
+    AND row group tight min/max on every clustered dimension. The read
+    side needs nothing special — plain parquet data-skipping does the
+    pruning.
     """
     zk = zorder_key(*zorder_cols, bits=bits)
     n_files = int(

@@ -215,3 +215,31 @@ def test_zordered_layout_skips_on_both_dimensions(spark, tmp_path):
     zs = y_spreads(z_path)
     assert sum(zs) / len(zs) <= full_range / 2
     assert sum(zs) / len(zs) < sum(xs) / len(xs) / 2
+
+
+def test_zorder_key_three_dimensions(spark):
+    def ref(vals, bits, n):
+        z = 0
+        for i in range(bits):
+            for j in range(n):
+                z |= ((vals[j] >> i) & 1) << (i * n + j)
+        return z
+
+    rows = [
+        (i, (i * 37) % 1024, (i * 101) % 1024, (i * 7) % 1024)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, x long, y long, w long")
+    out = df.select(
+        "x", "y", "w",
+        corpus_lake.zorder_key("x", "y", "w", bits=10).alias("z"),
+    ).collect()
+    for r in out:
+        assert r["z"] == ref((r["x"], r["y"], r["w"]), 10, 3)
+    # n*bits > 63 rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        corpus_lake.zorder_key("x", "y", "w", bits=22)
+    with pytest.raises(ValueError):
+        corpus_lake.zorder_key("x")
