@@ -110,6 +110,7 @@ HEADLINE = [
     "lttb_downsample_events",
     "zorder_key_events",
     "sliding_active_users",
+    "asof_next_error",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

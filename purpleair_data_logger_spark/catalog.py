@@ -3123,6 +3123,51 @@ def zorder_key_events(spark, sf_dir):
 
 
 @register(
+    "asof_next_error",
+    """
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         errs AS (SELECT * FROM events WHERE event_type = 'error')
+    SELECT c.event_id, c.user_id, c.ts,
+           (SELECT e.ts FROM errs e
+            WHERE e.user_id = c.user_id AND e.ts >= c.ts
+            ORDER BY e.ts, e.event_id LIMIT 1) AS asof_ts,
+           (SELECT e.value FROM errs e
+            WHERE e.user_id = c.user_id AND e.ts >= c.ts
+            ORDER BY e.ts, e.event_id LIMIT 1) AS asof_value
+    FROM clicks c
+    """,
+    "temporal-join family: FORWARD as-of join (earliest match "
+    "at-or-after) — the 'next state change after this event' "
+    "direction DuckDB's native ASOF lacks; same merge-scan, mirrored "
+    "sort",
+)
+def asof_next_error(spark, sf_dir):
+    """For each click, the user's next error at-or-after it:
+    `operators.asof.asof_join(direction="forward")` — the merge-scan
+    over descending timestamps (right rows first at equal ts, so the
+    boundary stays inclusive). One shuffle + one sort, no per-row
+    probe, no range blowup."""
+    from purpleair_data_logger_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    errs = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        errs,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["ts", "value"],
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
+@register(
     "sliding_active_users",
     """
     WITH bounds AS (
@@ -3782,6 +3827,7 @@ _GATE_PRIORITY: list[str] = [
     "value_percentiles_by_event_type",  # new in r4
     "zorder_key_events",       # new in r4
     "sliding_active_users",    # new in r4
+    "asof_next_error",         # new in r4 (restores an in-window temporal-join gate)
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -3813,7 +3859,7 @@ _GATE_DEFER: list[str] = [
     "benchmark_contamination",   # r2-r3 green; same operator gates inside corpus_build_final + streaming decontamination test
     "pk_dedup",                  # R6; r1-r3 green ×3, dedup_exact_docs still gates the dedup family + crash-safe upsert pytest
     "vertical_split_rejoin",     # T4; r2-r3 green, reconstruction_join (still gated) exercises the same PK rejoin
-    "anti_join_inactive",        # r1-r3 green; 0-row compare adds little — semi_join_show_only (still gated) covers the directory-correlation family
+    "anti_join_inactive",        # r1-r3 green; 0-row compare adds little — the broadcast semi-/anti join plan shapes are pytest-pinned and sensor_directory keeps the directory family r1-r3 rows
     "sessionize_users",          # r2-r3 green ×2; the streaming session_window variant is pytest-pinned and asof/range-join still gate the temporal-join family
     "knn_cosine_bruteforce",     # r1-r3 green ×3 brute baseline; knn_filtered/knn_lsh_bucketed still gate the ANN family and pytest pins LSH/IVF recall against it
     "text_quality",              # r1-r3 green ×3; gopher_quality_gate (still gated) evaluates a superset of the same feature family
@@ -3840,6 +3886,7 @@ _GATE_DEFER: list[str] = [
     "neardup_lsh_verified",      # r1-r3 green ×3; the MinHash near-dup family stays gated four ways in-window (minhash_lsh_candidates, neardup_incremental_batch, the cluster-dedup layer, corpus_build_final's mining stage)
     "minhash_lsh_candidates",    # r1-r3 green ×3; the candidates stage still gates inside neardup_incremental_batch, the cluster-dedup layer, and corpus_build_final's mining stage (all in-window), and the band/recall math is pytest-pinned
     "embedding_neardup_lsh_verified",  # r2-r3 green ×2; the hyperplane-LSH family stays gated via embedding_cluster_dedup + knn_filtered (both in-window) and the full-pipeline DuckDB oracle remains in the catalog
+    "semi_join_show_only",       # r1-r3 green ×3; the J2/J3 broadcast semi-join plan shape is pytest-pinned (test_plans.py::test_semi_join_broadcasts_filter_table) and the directory workload keeps sensor_directory's r1-r3 rows
 ]
 
 

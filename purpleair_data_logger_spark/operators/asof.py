@@ -36,13 +36,22 @@ def asof_join(
     right_ts: str,
     right_payload: Sequence[str],
     payload_prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row, plus the latest right payload
     at-or-before its timestamp (NULLs when no prior right row).
 
     ``on``: equi-key columns (must exist in both frames).
     ``right_payload``: right columns to carry (renamed with prefix).
+    ``direction``: ``"backward"`` (default — greatest right.ts ≤
+    left.ts, DuckDB's ASOF) or ``"forward"`` (smallest right.ts ≥
+    left.ts — "the next state change after this event", which DuckDB
+    has no native form for). Forward is the same merge-scan over the
+    mirrored sort: descending timestamps with right rows still first
+    at equal ts, so the boundary stays inclusive.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = list(on)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
     tagged_right = right.select(
@@ -63,9 +72,15 @@ def asof_join(
         *lcols,
     )
     merged = tagged_right.unionByName(tagged_left)
+    ts_us = F.unix_micros(F.col("_ts").cast("timestamp"))
+    order = (
+        [ts_us, F.col("_tag")]
+        if direction == "backward"
+        else [ts_us.desc(), F.col("_tag")]
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.unix_micros(F.col("_ts").cast("timestamp")), F.col("_tag"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(

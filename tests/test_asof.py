@@ -43,3 +43,44 @@ def test_asof_join_semantics(spark):
     assert out[101]["asof_value"] == 9.0  # equal-ts tie matches
     assert out[102]["asof_value"] is None
     assert out[103]["asof_value"] is None
+
+
+def test_forward_asof_next_match_and_ties(spark):
+    """direction="forward": earliest right at-or-after each left row,
+    equal timestamps match (inclusive boundary), no later right row
+    -> NULLs."""
+
+    def _t(s):
+        return datetime.datetime(2024, 1, 1, 0, s // 60, s % 60)
+
+    left = spark.createDataFrame(
+        [(1, "u", _t(10)), (2, "u", _t(30)), (3, "u", _t(60))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", _t(30), 7.0), ("u", _t(50), 9.0)],
+        "user_id string, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in asof_join(
+            left,
+            right,
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="ts",
+            right_payload=["ts", "value"],
+            direction="forward",
+        ).collect()
+    }
+    assert out[1] == (_t(30), 7.0)   # next match strictly after
+    assert out[2] == (_t(30), 7.0)   # equal ts matches (inclusive)
+    assert out[3] == (None, None)    # nothing at-or-after
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            right_payload=["value"], direction="sideways",
+        )
