@@ -111,6 +111,7 @@ HEADLINE = [
     "zorder_key_events",
     "sliding_active_users",
     "asof_next_error",
+    "token_fertility_by_lang",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -3123,6 +3123,45 @@ def zorder_key_events(spark, sf_dir):
 
 
 @register(
+    "token_fertility_by_lang",
+    """
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
+               AS total_bpe_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS total_ws_tokens,
+           CAST(sum(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE)
+             / CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+               AS fertility
+    FROM documents GROUP BY lang
+    """,
+    "north-star mixture-design metric: tokenizer fertility "
+    "(BPE-ish tokens per whitespace word) per language — the "
+    "statistic that converts word budgets into token budgets per "
+    "stratum",
+)
+def token_fertility_by_lang(spark, sf_dir):
+    """Per-language tokenizer fertility: Σ BPE-ish tokens / Σ
+    whitespace words — exact BIGINT sums (order-independent), one
+    final division; one map-side-combined aggregate over the same
+    codegen token expressions `text_quality` uses. The number that
+    turns a per-language word budget into the token budget
+    `token_budget_sample` actually needs."""
+    d = _t(spark, sf_dir, "documents")
+    bpe = tx.bpe_token_count("text")
+    ws = tx.whitespace_token_count("text")
+    return d.groupBy("lang").agg(
+        F.sum(bpe).alias("total_bpe_tokens"),
+        F.sum(ws).alias("total_ws_tokens"),
+        (
+            F.sum(bpe).cast("double") / F.sum(ws).cast("double")
+        ).alias("fertility"),
+    )
+
+
+@register(
     "asof_next_error",
     """
     WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),

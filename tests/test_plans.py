@@ -489,3 +489,13 @@ def test_lttb_single_key_shuffle_arrow_batches(spark, sf):
     assert "FlatMapGroupsInPandas" not in plan  # the per-key slow form
     assert E.count(plan, "Exchange") == 1
     assert all("props" not in s for s in E.read_schemas(plan))
+
+
+def test_sliding_window_single_expand_partial_agg(spark, sf):
+    """Sliding windows are ONE Expand (the x4 window-overlap
+    replication) feeding a map-side-combined distinct aggregate — not
+    four scans, and no Python."""
+    plan = _plan(spark, sf, "sliding_active_users")
+    assert E.count(plan, "Expand") == 1
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
