@@ -112,6 +112,7 @@ HEADLINE = [
     "sliding_active_users",
     "asof_next_error",
     "token_fertility_by_lang",
+    "hll_daily_users_merge",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

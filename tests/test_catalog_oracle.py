@@ -47,3 +47,33 @@ def test_approx_distinct_within_hll_error_bounds(spark, sf_dir):
         assert true > 0
         rel_err = abs(est - true) / true
         assert rel_err <= 0.15, f"HLL estimate {est} vs exact {true}: rel err {rel_err:.3f}"
+
+
+def test_hll_sketch_merge_matches_exact_distincts(spark, sf_dir):
+    """`hll_daily_users_merge` has no SQL oracle (DataSketches HLL
+    bytes aren't engine-portable) — pin both levels against exact
+    counts: every per-day estimate within HLL error of that day's
+    exact distinct users, and the MERGED estimate within error of the
+    all-time exact count (the property that makes per-day sketches a
+    valid persisted artifact: union of sketches == sketch of union)."""
+    from pyspark.sql import functions as F
+
+    from purpleair_data_logger_spark.io import load_table
+
+    q = catalog.all_queries()
+    got = q["hll_daily_users_merge"].fn(spark, sf_dir).collect()
+    assert got
+    e = load_table(spark, sf_dir, "events")
+    exact_day = {
+        r["day"]: r["n"]
+        for r in e.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = e.select("user_id").distinct().count()
+    for r in got:
+        true = exact_day[r["day"]]
+        assert abs(r["est_day_users"] - true) / true <= 0.15, r
+        assert (
+            abs(r["est_total_users"] - exact_total) / exact_total <= 0.15
+        ), r
