@@ -113,6 +113,8 @@ HEADLINE = [
     "asof_next_error",
     "token_fertility_by_lang",
     "hll_daily_users_merge",
+    "mode_value_by_event_type",
+    "winsorized_event_values",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -3205,6 +3205,94 @@ def token_fertility_by_lang(spark, sf_dir):
 
 
 @register(
+    "mode_value_by_event_type",
+    """
+    WITH vals AS (
+      SELECT event_type, value, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           (max(struct_pack(c := cnt, v := value))).v AS mode,
+           CAST((max(struct_pack(c := cnt, v := value))).c AS BIGINT)
+               AS mode_count,
+           count(*) AS n_distinct
+    FROM vals GROUP BY 1
+    """,
+    "A-family extension: exact per-group mode as a lexicographic "
+    "struct argmax over the distinct-value count table — no sort, no "
+    "window, deterministic greatest-value tie rule",
+)
+def mode_value_by_event_type(spark, sf_dir):
+    """Most frequent value per event type: max(struct(count, value))
+    over the map-side-combined count table — the same struct-extreme
+    trick as M4, ties to the greatest value by contract."""
+    e = _t(spark, sf_dir, "events")
+    return agg.grouped_mode_exact(e, "event_type", "value")
+
+
+@register(
+    "winsorized_event_values",
+    """
+    WITH vals AS (
+      SELECT event_type, value, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
+               AS rnk,
+             cnt,
+             sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM vals
+    ),
+    p AS (
+      SELECT event_type, p.p_bp, value AS pctl_value
+      FROM ranked CROSS JOIN (VALUES (500), (9500)) p(p_bp)
+      WHERE rnk <= (p.p_bp * n + 9999) // 10000
+        AND (p.p_bp * n + 9999) // 10000 <= rnk + cnt - 1
+    ),
+    cuts AS (
+      SELECT event_type,
+             min(CASE WHEN p_bp = 500 THEN pctl_value END) AS lo_cut,
+             min(CASE WHEN p_bp = 9500 THEN pctl_value END) AS hi_cut
+      FROM p GROUP BY 1
+    ),
+    clipped AS (
+      SELECT e.event_type, c.lo_cut, c.hi_cut, e.value,
+             CAST(round(least(greatest(e.value, c.lo_cut), c.hi_cut)
+                        * 100) AS BIGINT) AS cv
+      FROM events e JOIN cuts c USING (event_type)
+    )
+    SELECT event_type,
+           min(lo_cut) AS lo_cut, min(hi_cut) AS hi_cut,
+           count(*) AS n,
+           CAST(sum(CASE WHEN value < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(sum(CASE WHEN value > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(sum(cv) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
+               AS winsorized_mean
+    FROM clipped GROUP BY 1
+    """,
+    "A-family extension: winsorized robust mean — values clipped to "
+    "the group's exact nearest-rank [P5, P95] (observed cutoffs, "
+    "broadcast back), aggregated as exact scaled BIGINTs with a "
+    "fixed-order final division",
+)
+def winsorized_event_values(spark, sf_dir):
+    """Outlier-robust per-group mean: clip to the exact [P5, P95]
+    observed cutoffs (the `grouped_percentiles_exact` machinery,
+    broadcast back as a 2-row-per-group table), sum the clipped
+    values as scaled BIGINTs, divide once by n and once by the scale
+    — bit-identical cross-engine, corpus never sorted."""
+    e = _t(spark, sf_dir, "events")
+    return agg.winsorized_stats(
+        e, "event_type", "value", lo_bp=500, hi_bp=9500
+    )
+
+
+@register(
     "asof_next_error",
     """
     WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),

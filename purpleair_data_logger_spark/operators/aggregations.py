@@ -622,6 +622,105 @@ def grouped_percentiles_exact(
     )
 
 
+def grouped_mode_exact(df: DataFrame, part_col: str, value_col: str) -> DataFrame:
+    """Exact per-group mode (most frequent value), deterministically:
+    argmax over the per-(group, value) count table via a lexicographic
+    struct max — ties break to the GREATEST value (documented
+    contract, same struct-ordering trick as `m4_downsample`). One
+    map-side-combined count aggregate plus one tiny aggregate over the
+    distinct-value table; the corpus is never sorted or windowed.
+
+    Output: (part_col, mode, mode_count, n_distinct).
+    """
+    vals = df.groupBy(part_col, value_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    top = F.max(F.struct(F.col("_cnt").alias("c"), F.col(value_col).alias("v")))
+    return vals.groupBy(part_col).agg(
+        top.alias("_top"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    ).select(
+        part_col,
+        F.col("_top.v").alias("mode"),
+        F.col("_top.c").alias("mode_count"),
+        "n_distinct",
+    )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    *,
+    lo_bp: int,
+    hi_bp: int,
+    decimals: int = 2,
+) -> DataFrame:
+    """Winsorized per-group statistics: clip values to the group's
+    exact nearest-rank [P(lo_bp), P(hi_bp)] percentiles, then
+    aggregate — the outlier-robust mean a metrics pipeline reports
+    when raw means are dominated by heavy tails.
+
+    Construction reuses `grouped_percentiles_exact` for the cutoffs
+    (observed values, engine-portable), broadcasts the 2-row-per-group
+    cutoff table back, clips with least/greatest, and aggregates the
+    clipped values as exact scaled BIGINTs — the mean's only float ops
+    are one division by n and one by the scale, in that fixed order,
+    so results are bit-identical cross-engine. The corpus is scanned
+    twice (once for the cutoff aggregate, once to clip) and never
+    sorted.
+
+    Output: (part_col, lo_cut, hi_cut, n, n_clipped_low,
+    n_clipped_high, winsorized_mean).
+    """
+    scale = 10**decimals
+    cuts = (
+        grouped_percentiles_exact(df, part_col, value_col, (lo_bp, hi_bp))
+        .groupBy(part_col)
+        .agg(
+            F.min(
+                F.when(F.col("p_bp") == lo_bp, F.col("pctl_value"))
+            ).alias("lo_cut"),
+            F.min(
+                F.when(F.col("p_bp") == hi_bp, F.col("pctl_value"))
+            ).alias("hi_cut"),
+        )
+    )
+    joined = df.join(F.broadcast(cuts), on=part_col)
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("lo_cut")), F.col("hi_cut")
+    )
+    c = F.round(clipped * scale).cast("long")
+    return (
+        joined.groupBy(part_col)
+        .agg(
+            F.min("lo_cut").alias("lo_cut"),
+            F.min("hi_cut").alias("hi_cut"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col(value_col) < F.col("lo_cut"), 1).otherwise(0)
+            ).alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col(value_col) > F.col("hi_cut"), 1).otherwise(0)
+            ).alias("n_clipped_high"),
+            F.sum(c).alias("_s"),
+        )
+        .select(
+            part_col,
+            "lo_cut",
+            "hi_cut",
+            "n",
+            "n_clipped_low",
+            "n_clipped_high",
+            (
+                F.col("_s").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(float(scale))
+            ).alias("winsorized_mean"),
+        )
+    )
+
+
 def percent_rank_table(
     df: DataFrame, part_col: str, order_col: str
 ) -> DataFrame:

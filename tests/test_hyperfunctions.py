@@ -501,3 +501,49 @@ def test_counter_delta_property_matches_brute_force(spark, vals):
     want_d, want_r = _brute_counter(rows, 120)
     want = {b: (round(want_d[b], 6), want_r[b]) for b in want_d}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# grouped mode + winsorized stats
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_mode_counts_and_tie_rule(spark):
+    from purpleair_data_logger_spark.operators import aggregations as agg
+
+    rows = (
+        [("a", 1.0)] * 3 + [("a", 2.0)] * 3 + [("a", 9.0)]  # tie 1.0/2.0
+        + [("b", 5.0)] * 2 + [("b", 7.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {
+        r["grp"]: (r["mode"], r["mode_count"], r["n_distinct"])
+        for r in agg.grouped_mode_exact(df, "grp", "v").collect()
+    }
+    # tie at count 3 -> the GREATEST tied value wins by contract
+    assert got == {"a": (2.0, 3, 3), "b": (5.0, 2, 2)}
+
+
+def test_winsorized_stats_clips_tails_exactly(spark):
+    from purpleair_data_logger_spark.operators import aggregations as agg
+
+    # values 1..100: P5 (nearest rank ceil(.05*100)=5) = 5, P95 = 95.
+    # winsorized mean = (5*5 + sum(5..95) + 5*95) / 100
+    rows = [("g", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    (r,) = agg.winsorized_stats(
+        df, "grp", "v", lo_bp=500, hi_bp=9500
+    ).collect()
+    assert (r["lo_cut"], r["hi_cut"]) == (5.0, 95.0)
+    assert r["n"] == 100
+    assert (r["n_clipped_low"], r["n_clipped_high"]) == (4, 5)
+    # 4 values below the cut clip to 5; 5..95 unchanged; 5 clip to 95
+    expected = (4 * 5 + sum(range(5, 96)) + 5 * 95) / 100
+    assert abs(r["winsorized_mean"] - expected) < 1e-9
+    # robustness: an absurd outlier moves the winsorized mean by at
+    # most (outlier->hi_cut is clipped), unlike the raw mean
+    df2 = df.union(spark.createDataFrame([("g", 1e9)], "grp string, v double"))
+    (r2,) = agg.winsorized_stats(
+        df2, "grp", "v", lo_bp=500, hi_bp=9500
+    ).collect()
+    assert r2["winsorized_mean"] < expected + 2.0
