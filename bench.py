@@ -115,6 +115,7 @@ HEADLINE = [
     "hll_daily_users_merge",
     "mode_value_by_event_type",
     "winsorized_event_values",
+    "value_trend_by_user",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

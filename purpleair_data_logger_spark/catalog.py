@@ -3205,6 +3205,60 @@ def token_fertility_by_lang(spark, sf_dir):
 
 
 @register(
+    "value_trend_by_user",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), t0s AS (
+      SELECT user_id, min(t) AS t0 FROM s GROUP BY 1
+    ), g AS (
+      SELECT s.user_id, count(*) AS n, min(t0s.t0) AS t0,
+             sum(s.c) AS sc,
+             sum(s.t - t0s.t0) AS st,
+             sum(s.c * (s.t - t0s.t0)) AS sct,
+             sum((s.t - t0s.t0) * (s.t - t0s.t0)) AS stt
+      FROM s JOIN t0s USING (user_id) GROUP BY 1
+    )
+    SELECT user_id, n, make_timestamp(t0 * 1000000) AS t0,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0.0
+                THEN (CAST(n AS DOUBLE) * CAST(sct AS DOUBLE)
+                      - CAST(sc AS DOUBLE) * CAST(st AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                     * 3600.0 / 100
+           END AS slope_per_hour,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0.0
+                THEN (CAST(sc AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * CAST(sct AS DOUBLE)
+                         - CAST(sc AS DOUBLE) * CAST(st AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+                           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                        * CAST(st AS DOUBLE))
+                     / CAST(n AS DOUBLE) / 100
+                ELSE CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100
+           END AS intercept
+    FROM g
+    """,
+    "A-family extension: TimescaleDB stats_agg→slope/intercept — "
+    "per-key least-squares trend with an exact-BIGINT Gram matrix "
+    "(rebased timestamps, scaled values) and fixed-order final "
+    "divisions",
+)
+def value_trend_by_user(spark, sf_dir):
+    """Per-user linear drift rate of value over time: exact integer
+    Gram sums (rebased seconds × centi-scaled values), five
+    fixed-order float ops at the end — the sensor-drift read,
+    bit-identical cross-engine."""
+    e = _t(spark, sf_dir, "events")
+    return hf.trend_stats(e, "ts", "user_id", "value")
+
+
+@register(
     "mode_value_by_event_type",
     """
     WITH vals AS (

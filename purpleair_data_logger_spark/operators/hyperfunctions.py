@@ -216,6 +216,73 @@ def lttb_downsample(
     )
 
 
+def trend_stats(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    decimals: int = 2,
+) -> DataFrame:
+    """TimescaleDB ``stats_agg → slope/intercept``: per-key least-
+    squares linear trend of a value over time — the "is this sensor
+    drifting, and how fast" read.
+
+    Determinism discipline: the Gram sums (n, Σc, Σt, Σct, Σt²) are
+    EXACT BIGINTs — value scaled to its decimal granularity,
+    timestamps rebased to the key's first reading (two-scan shape, the
+    `winsorized_stats` pattern: per-key min broadcast back) so the
+    products fit int64 — and only the final slope/intercept divisions
+    are floats, in a fixed expression order, so results are
+    bit-identical cross-engine. Overflow contract (documented, like
+    `time_weighted_avg`): rows_per_key · c_max · range_seconds < 2⁶³ —
+    with 2-decimal readings (c_max ≈ 10⁶) and a 1-year window
+    (3.2·10⁷ s) safe through ~2.9·10⁵ rows per key, i.e. ~20× the
+    reference's 65 s cadence over that year.
+
+    A key with all readings at one timestamp has an undefined slope —
+    emitted NULL, with the intercept falling back to the plain mean.
+
+    Output: (key, n, t0, slope_per_hour, intercept) — slope in value
+    units per hour, intercept in value units at t0.
+    """
+    scale = 10**decimals
+    t = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    staged = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        t.alias("_t"),
+        _scaled(value_col, decimals).alias("_c"),
+    )
+    t0s = staged.groupBy(key_col).agg(F.min("_t").alias("_t0"))
+    j = staged.join(F.broadcast(t0s), on=key_col).withColumn(
+        "_dt", F.col("_t") - F.col("_t0")
+    )
+    g = j.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_t0").alias("_t0"),
+        F.sum("_c").alias("_sc"),
+        F.sum("_dt").alias("_st"),
+        F.sum(F.col("_c") * F.col("_dt")).alias("_sct"),
+        F.sum(F.col("_dt") * F.col("_dt")).alias("_stt"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    num = d("n") * d("_sct") - d("_sc") * d("_st")
+    den = d("n") * d("_stt") - d("_st") * d("_st")
+    slope = num / den  # value-scale units per second
+    return g.select(
+        key_col,
+        "n",
+        F.timestamp_seconds(F.col("_t0")).alias("t0"),
+        F.when(den != 0.0, slope * 3600.0 / scale).alias("slope_per_hour"),
+        F.when(
+            den != 0.0,
+            (d("_sc") - slope * d("_st")) / d("n") / scale,
+        )
+        .otherwise(d("_sc") / d("n") / scale)
+        .alias("intercept"),
+    )
+
+
 def _scaled(value_col: str, decimals: int) -> Column:
     """Value scaled to an exact integer at its decimal granularity —
     the same cross-engine-determinism trick `time_weighted_avg` uses:

@@ -547,3 +547,37 @@ def test_winsorized_stats_clips_tails_exactly(spark):
         df2, "grp", "v", lo_bp=500, hi_bp=9500
     ).collect()
     assert r2["winsorized_mean"] < expected + 2.0
+
+
+# ---------------------------------------------------------------------------
+# trend_stats (stats_agg -> slope/intercept)
+# ---------------------------------------------------------------------------
+
+
+def test_trend_slope_recovers_planted_line(spark):
+    # value = 10 + 0.5 * hours_elapsed, sampled every 12 min -> slope
+    # exactly 0.5/h, intercept exactly 10 at t0 (integer Gram, exact).
+    rows = [
+        (i, "a", _ts((i * 12) % 60, 0, (i * 12) // 60), 10.0 + 0.5 * (i * 12) / 60)
+        for i in range(11)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, key string, ts timestamp, value double"
+    )
+    (r,) = hf.trend_stats(df, "ts", "key", "value").collect()
+    assert r["n"] == 11
+    assert abs(r["slope_per_hour"] - 0.5) < 1e-12
+    assert abs(r["intercept"] - 10.0) < 1e-12
+    assert r["t0"] == _ts(0)
+
+
+def test_trend_degenerate_single_timestamp(spark):
+    # all readings at one instant: slope undefined (NULL), intercept
+    # falls back to the plain mean.
+    df = spark.createDataFrame(
+        [(1, "a", _ts(5), 2.0), (2, "a", _ts(5), 4.0)],
+        "id long, key string, ts timestamp, value double",
+    )
+    (r,) = hf.trend_stats(df, "ts", "key", "value").collect()
+    assert r["slope_per_hour"] is None
+    assert abs(r["intercept"] - 3.0) < 1e-12
