@@ -43,6 +43,18 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def scale_half_up(values: np.ndarray, scale: int) -> np.ndarray:
+    """Scale doubles to integers with HALF-AWAY-FROM-ZERO rounding —
+    Spark's ``F.round`` semantics. numpy's ``np.round`` is half-EVEN
+    (banker's), which silently diverges from the batch operators on
+    exact-.5 scaled values; every streaming mirror must use this
+    helper so stream and batch produce identical integers."""
+    x = values * scale
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+        np.int64
+    )
+
+
 def increments_pandas(
     cs: np.ndarray, seed_c: int | None
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -81,10 +93,7 @@ def counter_stateful_func(decimals: int):
             last_c, initialized = state.get
             if initialized:
                 seed = int(last_c)
-        cs = (
-            np.round(pdf.iloc[:, 3].to_numpy(dtype=np.float64) * scale)
-            .astype(np.int64)
-        )
+        cs = scale_half_up(pdf.iloc[:, 3].to_numpy(dtype=np.float64), scale)
         inc, reset = increments_pandas(cs, seed)
         state.update(
             (int(cs[-1]) if len(cs) else (seed or 0), True)

@@ -947,3 +947,84 @@ def test_streaming_heartbeat_intervals_match_batch(spark, tmp_path):
             rolled[key] = rolled.get(key, 0) + (hi - lo)
             b += 1
     assert rolled == want
+
+
+def test_streaming_trend_matches_batch_stats_agg(spark, tmp_path):
+    """Incremental Gram-state regression: after the last micro-batch,
+    each key's emitted slope/intercept must equal the batch trend_stats
+    answer bit-for-bit (same exact integer sums, same fixed-order
+    float tail), with per-batch rows showing the estimate converging
+    as n grows."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+    from purpleair_data_logger_spark.streaming.trend import streaming_trend
+
+    base = _dt.datetime(2024, 7, 1, 0, 0, 0)
+    # key "a": clean line 5 + 1.2/h with 6-min cadence (0.12/step —
+    # exactly representable at centi precision, so quantization adds
+    # no bias); key "b": noisy alternating values (nontrivial
+    # residuals)
+    rows = []
+    for i in range(30):
+        ts = base + _dt.timedelta(minutes=6 * i)
+        rows.append((i, "a", ts, 5.0 + 0.12 * i))
+        rows.append((100 + i, "b", ts, 10.0 + (i % 3) * 0.5 - 0.02 * i))
+    src = str(tmp_path / "trsrc")
+    for chunk in (rows[:20], rows[20:40], rows[40:]):
+        spark.createDataFrame(
+            chunk, "id long, key string, ts timestamp, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_trend(
+        spark,
+        src,
+        str(tmp_path / "trout"),
+        str(tmp_path / "trckpt"),
+        key_col="key",
+        ts_col="ts",
+        id_col="id",
+        value_col="value",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "trout"))
+    # final row per key = the one with max n
+    import pyspark.sql.functions as F
+
+    final = {
+        r["key"]: r
+        for r in out.orderBy("n").collect()  # later rows overwrite
+    }
+    batch = {
+        r["key"]: r
+        for r in hf.trend_stats(
+            spark.read.parquet(src), "ts", "key", "value"
+        ).collect()
+    }
+    for k in ("a", "b"):
+        assert final[k]["n"] == batch[k]["n"] == 30
+        assert final[k]["slope_per_hour"] == batch[k]["slope_per_hour"], k
+        assert final[k]["intercept"] == batch[k]["intercept"], k
+        assert final[k]["t0"] == batch[k]["t0"], k
+    # the clean line recovers its planted slope exactly
+    assert abs(batch["a"]["slope_per_hour"] - 1.2) < 1e-12
+    # convergence evidence: each key emitted one row per touching batch
+    assert out.filter("key = 'a'").count() == 3
+
+
+def test_scale_half_up_matches_spark_round_semantics():
+    """numpy's np.round is half-EVEN; Spark's F.round is
+    half-away-from-zero. The streaming mirrors must use the half-up
+    helper or their scaled integers silently diverge from batch on
+    exact-.5 values (caught by the trend parity test)."""
+    import numpy as np
+
+    from purpleair_data_logger_spark.streaming.counter import scale_half_up
+
+    vals = np.array([0.125, 0.135, -0.125, 1.005, 2.0])
+    got = scale_half_up(vals, 100)
+    assert got.tolist() == [13, 14, -13, 100, 200]  # 1.005*100 = 100.49..
+    # np.round would have produced 12 (half-even) for 0.125
+    assert np.round(0.125 * 100) == 12
