@@ -581,3 +581,39 @@ def test_trend_degenerate_single_timestamp(spark):
     (r,) = hf.trend_stats(df, "ts", "key", "value").collect()
     assert r["slope_per_hour"] is None
     assert abs(r["intercept"] - 3.0) < 1e-12
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-2000, max_value=2000), min_size=2, max_size=25
+    ),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_trend_property_matches_numpy_lstsq(spark, vals):
+    """Random series: the exact-Gram slope/intercept must agree with
+    numpy's float least squares to float tolerance (the Gram sums are
+    exact, so any disagreement beyond rounding is a formula bug)."""
+    import numpy as np
+
+    rows = [
+        (i, "k", _ts((i * 7) // 60, (i * 7) % 60), v / 100.0)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, key string, ts timestamp, value double"
+    )
+    (r,) = hf.trend_stats(df, "ts", "key", "value").collect()
+    t = np.array([7.0 * i for i in range(len(vals))])
+    v = np.array(vals, dtype=np.float64) / 100.0
+    if np.all(t == t[0]):
+        assert r["slope_per_hour"] is None
+        return
+    slope_s, intercept = np.polyfit(t, v, 1)
+    assert abs(r["slope_per_hour"] - slope_s * 3600) < 1e-6 * max(
+        1.0, abs(slope_s * 3600)
+    )
+    assert abs(r["intercept"] - intercept) < 1e-6
