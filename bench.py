@@ -116,6 +116,7 @@ HEADLINE = [
     "mode_value_by_event_type",
     "winsorized_event_values",
     "value_trend_by_user",
+    "dq_report_events",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

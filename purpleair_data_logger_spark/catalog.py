@@ -3205,6 +3205,64 @@ def token_fertility_by_lang(spark, sf_dir):
 
 
 @register(
+    "dq_report_events",
+    """
+    WITH g AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v0,
+             count(*) - count(DISTINCT event_id) AS v1,
+             sum(CASE WHEN value IS NOT NULL
+                       AND (value < 0 OR value > 1000) THEN 1 ELSE 0 END)
+               AS v2,
+             sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                      ('click','error','purchase','signup','view')
+                      THEN 1 ELSE 0 END) AS v3,
+             sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v4
+      FROM events
+    )
+    SELECT c.constraint, g.n AS n_rows,
+           CAST(CASE c.i WHEN 0 THEN g.v0 WHEN 1 THEN g.v1 WHEN 2 THEN g.v2
+                         WHEN 3 THEN g.v3 ELSE g.v4 END AS BIGINT)
+               AS violations,
+           (CASE c.i WHEN 0 THEN g.v0 WHEN 1 THEN g.v1 WHEN 2 THEN g.v2
+                     WHEN 3 THEN g.v3 ELSE g.v4 END) = 0 AS passed
+    FROM g CROSS JOIN (VALUES
+        (0, 'not_null(event_id)'),
+        (1, 'unique(event_id)'),
+        (2, 'in_range(value,0.0,1000.0)'),
+        (3, 'accepted_values(event_type)'),
+        (4, 'not_null(ts)')) c(i, "constraint")
+    """,
+    "write-gate extension: declarative data-quality report "
+    "(Deequ/expectations pattern) — N constraints compiled into ONE "
+    "map-side-combined aggregate pass, exact violation counts, "
+    "engine-portable verdicts",
+)
+def dq_report_events(spark, sf_dir):
+    """The pre-publish quality gate on the events batch: five
+    constraints (PK not-null + unique, value range, accepted event
+    types, timestamp present) computed in one aggregate scan and
+    exploded into one report row each — `operators/quality.py`, with
+    `check_or_raise` gating writes on the same report."""
+    from purpleair_data_logger_spark.operators import quality as dq
+
+    e = _t(spark, sf_dir, "events")
+    return dq.quality_report(
+        e,
+        [
+            dq.not_null("event_id"),
+            dq.unique(["event_id"]),
+            dq.in_range("value", 0.0, 1000.0),
+            dq.accepted_values(
+                "event_type",
+                ["click", "error", "purchase", "signup", "view"],
+            ),
+            dq.not_null("ts"),
+        ],
+    )
+
+
+@register(
     "value_trend_by_user",
     """
     WITH s AS (
