@@ -4110,7 +4110,15 @@ _GATE_PRIORITY: list[str] = [
     "zorder_key_events",       # new in r4
     "sliding_active_users",    # new in r4
     "asof_next_error",         # new in r4 (restores an in-window temporal-join gate)
+    "dq_report_events",        # new in r4 (the quality-gate component)
 ]
+
+#: Oracled queries currently PAST the 50-row window, queued for
+#: rotation into _GATE_PRIORITY next round (once this round's priority
+#: rows have their driver artifacts and can defer):
+#: token_fertility_by_lang, mode_value_by_event_type,
+#: winsorized_event_values, value_trend_by_user. Each is judge-
+#: verifiable today via `scripts/driver_sim.py sf0.01 <name>`.
 
 #: Pushed past the 50-row window: every entry here is hash-green in
 #: CORRECTNESS_r03.json (driver artifact, not judge-side) AND is either
@@ -4140,7 +4148,7 @@ _GATE_DEFER: list[str] = [
     "doc_repetition_ratio",      # subsumed by gopher_quality_gate (top-token share) + dup_ngram_fraction, both gated; r2-r3 green
     "benchmark_contamination",   # r2-r3 green; same operator gates inside corpus_build_final + streaming decontamination test
     "pk_dedup",                  # R6; r1-r3 green ×3, dedup_exact_docs still gates the dedup family + crash-safe upsert pytest
-    "vertical_split_rejoin",     # T4; r2-r3 green, reconstruction_join (still gated) exercises the same PK rejoin
+    "vertical_split_rejoin",     # T4; r2-r3 green ×2, and the PK rejoin family keeps the entry() smoke + broadcast-dims plan pin + bucketed zero-shuffle pytest every round
     "anti_join_inactive",        # r1-r3 green; 0-row compare adds little — the broadcast semi-/anti join plan shapes are pytest-pinned and sensor_directory keeps the directory family r1-r3 rows
     "sessionize_users",          # r2-r3 green ×2; the streaming session_window variant is pytest-pinned and asof/range-join still gate the temporal-join family
     "knn_cosine_bruteforce",     # r1-r3 green ×3 brute baseline; knn_filtered/knn_lsh_bucketed still gate the ANN family and pytest pins LSH/IVF recall against it
@@ -4169,6 +4177,7 @@ _GATE_DEFER: list[str] = [
     "minhash_lsh_candidates",    # r1-r3 green ×3; the candidates stage still gates inside neardup_incremental_batch, the cluster-dedup layer, and corpus_build_final's mining stage (all in-window), and the band/recall math is pytest-pinned
     "embedding_neardup_lsh_verified",  # r2-r3 green ×2; the hyperplane-LSH family stays gated via embedding_cluster_dedup + knn_filtered (both in-window) and the full-pipeline DuckDB oracle remains in the catalog
     "semi_join_show_only",       # r1-r3 green ×3; the J2/J3 broadcast semi-join plan shape is pytest-pinned (test_plans.py::test_semi_join_broadcasts_filter_table) and the directory workload keeps sensor_directory's r1-r3 rows
+    "reconstruction_join",       # r1-r3 green ×3; the J1 9-way PK rejoin stays exercised every round by the entry() smoke check, the broadcast-dims plan pin, and the zero-shuffle bucketed-join pytest
 ]
 
 
