@@ -117,6 +117,7 @@ HEADLINE = [
     "winsorized_event_values",
     "value_trend_by_user",
     "dq_report_events",
+    "downtime_incidents",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -3205,6 +3205,35 @@ def token_fertility_by_lang(spark, sf_dir):
 
 
 @register(
+    "downtime_incidents",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    )
+    SELECT user_id, prev AS gap_start_ts, ts AS gap_end_ts,
+           CAST(epoch_us(ts) - epoch_us(prev) AS BIGINT) AS gap_us
+    FROM s
+    WHERE prev IS NOT NULL
+      AND epoch_us(ts) - epoch_us(prev) > 1800000000
+    """,
+    "R-family extension: downtime incident report — gaps between "
+    "consecutive readings beyond the threshold (the WHEN/how-long "
+    "inverse of heartbeat_agg), two-tier lag so no corpus-row window "
+    "keys on the bare sensor id",
+)
+def downtime_incidents(spark, sf_dir):
+    """Every >30-min silence per sensor key with its exact start/end/
+    duration: in-partition lag over (key, day) plus a boundary stitch
+    over the per-day aggregate — the VERDICT r3 skew rule applied to
+    gap detection."""
+    e = _t(spark, sf_dir, "events")
+    return hf.gap_incidents(e, "ts", "user_id", "event_id", 1800)
+
+
+@register(
     "dq_report_events",
     """
     WITH g AS (

@@ -216,6 +216,55 @@ def lttb_downsample(
     )
 
 
+def gap_incidents(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    id_col: str,
+    threshold_seconds: int,
+    *,
+    partition_seconds: int = 86_400,
+) -> DataFrame:
+    """Downtime incident report: per key, every gap between
+    consecutive readings longer than ``threshold`` — the inverse of
+    `heartbeat_uptime` (that answers "how covered was each bucket";
+    this answers "WHEN exactly did the sensor go dark, and for how
+    long", the row an alerting pipeline files a ticket from).
+
+    Same two-tier rule as `counter_delta`: the consecutive-pair lag
+    runs over (key, calendar-partition) windows — bounded partitions —
+    and the partition-boundary pair stitches via ``lag`` over the
+    per-(key, partition) AGGREGATE, so no corpus-row window ever keys
+    on the bare sensor id. A reading's in-partition ``lag`` is NULL
+    exactly when it's the partition's first row, which is when the
+    boundary value applies — so one ``coalesce`` resolves both tiers.
+    Gaps are exact microsecond longs; a key's first-ever reading has
+    no predecessor and reports nothing.
+    """
+    threshold_us = int(threshold_seconds) * 1_000_000
+    b = time_bucket(ts_col, partition_seconds).alias("_pb")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_in = Window.partitionBy(key_col, "_pb").orderBy("_t", id_col)
+    staged = (
+        df.select(F.col(key_col), b, F.col(id_col), ts_us.alias("_t"))
+        .withColumn("_prev_in", F.lag("_t").over(w_in))
+    )
+    lasts = staged.groupBy(key_col, "_pb").agg(F.max("_t").alias("_plast"))
+    w_b = Window.partitionBy(key_col).orderBy("_pb")
+    boundary = lasts.select(
+        key_col, "_pb", F.lag("_plast").over(w_b).alias("_prev_bound")
+    )
+    joined = staged.join(boundary, on=[key_col, "_pb"], how="left")
+    prev = F.coalesce(F.col("_prev_in"), F.col("_prev_bound"))
+    gap = F.col("_t") - prev
+    return joined.filter(prev.isNotNull() & (gap > threshold_us)).select(
+        key_col,
+        F.timestamp_micros(prev).alias("gap_start_ts"),
+        F.timestamp_micros(F.col("_t")).alias("gap_end_ts"),
+        gap.alias("gap_us"),
+    )
+
+
 def trend_stats(
     df: DataFrame,
     ts_col: str,

@@ -617,3 +617,32 @@ def test_trend_property_matches_numpy_lstsq(spark, vals):
         1.0, abs(slope_s * 3600)
     )
     assert abs(r["intercept"] - intercept) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# gap_incidents
+# ---------------------------------------------------------------------------
+
+
+def test_gap_incidents_cross_partition_boundary(spark):
+    """A gap spanning the calendar-partition edge must still be
+    detected (the boundary stitch), with exact start/end/duration; a
+    key's first-ever reading reports nothing."""
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", dt(2024, 1, 1, 23, 0)),
+            (2, "a", dt(2024, 1, 2, 1, 30)),   # 2.5 h gap across midnight
+            (3, "a", dt(2024, 1, 2, 1, 40)),   # 10 min — under threshold
+            (4, "b", dt(2024, 1, 5, 0, 0)),    # first-ever: no report
+        ],
+        "id long, key string, ts timestamp",
+    )
+    out = hf.gap_incidents(df, "ts", "key", "id", 1800).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r["key"] == "a"
+    assert r["gap_start_ts"] == dt(2024, 1, 1, 23, 0)
+    assert r["gap_end_ts"] == dt(2024, 1, 2, 1, 30)
+    assert r["gap_us"] == 2 * 3600 * 1_000_000 + 30 * 60 * 1_000_000
