@@ -499,3 +499,51 @@ def test_sliding_window_single_expand_partial_agg(spark, sf):
     assert E.count(plan, "Expand") == 1
     assert "partial_" in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_trend_mapside_gram_and_broadcast_rebase(spark, sf):
+    """The Gram sums are a map-side-combined hash aggregate on the
+    key (never a window), and the t0 rebase attaches as a broadcast
+    join — no sort-merge, no Python."""
+    plan = _plan(spark, sf, "value_trend_by_user")
+    assert "partial_" in plan
+    assert E.count(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_winsorized_broadcast_cutoffs_no_corpus_sort(spark, sf):
+    """Cutoffs come from the aggregate-side percentile table and
+    broadcast back; the corpus itself is never sorted or windowed."""
+    plan = _plan(spark, sf, "winsorized_event_values")
+    assert E.count(plan, "BroadcastHashJoin") >= 1
+    # the only Window runs over the per-(group, value) AGGREGATE —
+    # evidenced by a partial-count aggregate upstream of it
+    win_pos = plan.find(") Window")
+    assert win_pos != -1 and "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_mode_two_aggregates_no_window(spark, sf):
+    """Mode = count aggregate + struct-argmax aggregate, both
+    map-side combined. The argmax stage plans as SortAggregate (struct
+    buffers have no hash-agg support — the curation min_by precedent),
+    but its sort runs over the DISTINCT-VALUE table the count stage
+    already collapsed, never over corpus rows. Zero windows."""
+    plan = _plan(spark, sf, "mode_value_by_event_type")
+    assert E.count(plan, "HashAggregate") == 2   # partial+final count
+    assert E.count(plan, "SortAggregate") == 2   # partial+final argmax
+    assert "partial_max" in plan                 # argmax combines map-side
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_downtime_windows_bounded_partitions_only(spark, sf):
+    """The corpus-row lag keys on (key, calendar partition); the bare
+    key may only key the aggregate-level boundary window."""
+    plan = _plan(spark, sf, "downtime_incidents")
+    win_args = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert any("_pb" in l and "user_id" in l for l in win_args)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
