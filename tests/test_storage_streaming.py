@@ -1028,3 +1028,64 @@ def test_scale_half_up_matches_spark_round_semantics():
     assert got.tolist() == [13, 14, -13, 100, 200]  # 1.005*100 = 100.49..
     # np.round would have produced 12 (half-even) for 0.125
     assert np.round(0.125 * 100) == 12
+
+
+def test_streaming_sliding_approx_actives(spark, tmp_path):
+    """The sliding-window mode runs in Structured Streaming too:
+    overlapping 10-min windows sliding by 5 min over a file stream,
+    with approx_count_distinct (the streaming-safe distinct — exact
+    countDistinct is unsupported in streaming aggs). Closed windows
+    must estimate each window's exact batch distinct within HLL error
+    and carry exact event counts."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    base = _dt.datetime(2024, 8, 1, 0, 0, 0)
+    rows = [
+        (i, i % 7, base + _dt.timedelta(seconds=i * 13)) for i in range(400)
+    ]
+    src = str(tmp_path / "slsrc")
+    spark.createDataFrame(
+        rows, "id long, user_id long, ts timestamp"
+    ).coalesce(2).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .withWatermark("ts", "1 minute")
+    )
+    plan = (
+        stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("_w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("_w.start").alias("window_start"), "approx_users", "n_events")
+    )
+    q = (
+        plan.writeStream.format("parquet")
+        .option("path", str(tmp_path / "slout"))
+        .option("checkpointLocation", str(tmp_path / "slckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "slout")).collect()
+    assert got  # early windows closed under the watermark
+    batch = {
+        r["window_start"]: (r["exact_users"], r["n_events"])
+        for r in spark.read.parquet(src)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("_w"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("_w.start").alias("window_start"), "exact_users", "n_events")
+        .collect()
+    }
+    for r in got:
+        exact_users, n_events = batch[r["window_start"]]
+        assert r["n_events"] == n_events  # counts are exact
+        assert abs(r["approx_users"] - exact_users) <= max(1, 0.15 * exact_users)
