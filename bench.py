@@ -118,6 +118,9 @@ HEADLINE = [
     "value_trend_by_user",
     "dq_report_events",
     "downtime_incidents",
+    "state_agg_user_event",
+    "state_timeline_transitions",
+    "m4_lttb_downsample_events",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,
@@ -154,15 +157,25 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     total = 0.0
+    stable_set = set(STABLE_SUBSET)
     for name in HEADLINE:
         q = queries[name]
-        # min of two runs: measures the plan, not JIT/page-cache luck
-        best = float("inf")
-        for _ in range(2):
+        # min-of-N measures the plan, not JIT/page-cache luck. The
+        # stable subset (the round-over-round comparison basis) gets a
+        # third run so its minima shed the host's ambient contention
+        # (r4 saw identical-code totals drift 17.5→26.7 s); every
+        # recorded run lands in BENCH_DETAIL's "runs" so the noise
+        # itself is auditable.
+        n_runs = 3 if name in stable_set else 2
+        secs = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            secs.append(time.perf_counter() - t0)
+        runs[name] = [round(s, 3) for s in secs]
+        best = min(secs)
         timings[name] = round(best, 3)
         total += best
 
@@ -316,20 +329,39 @@ def main() -> None:
     # so the stdout line carries totals plus only the stable-subset
     # per-query timings (bounded: the subset is append-frozen), and
     # BENCH_DETAIL.json carries everything.
+    stable_median = round(
+        sum(
+            sorted(runs[n])[len(runs[n]) // 2]
+            for n in STABLE_SUBSET
+            if n in runs
+        ),
+        3,
+    )
     detail = {
         "metric": "headline-queries wall time (noop sink, local)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
         "evidence_legs": sorted(xover_legs),
         "evidence_sec": round(evidence_total, 3),
         "stable_subset": STABLE_SUBSET,
         "stable_subset_sec": stable,
+        "stable_subset_median_sec": stable_median,
         "sf": sf,
+        "wall_clock_unix": round(time.time(), 1),
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
+    # Append-only history: one complete per-query record per bench run.
+    # BENCH_r02/r03 lost their per-query data to the driver's 2000-char
+    # stdout tail, and BENCH_DETAIL.json is clobbered by every run at
+    # any SF — this file is the durable record neither failure mode can
+    # touch. bench_compare pools same-SF history entries into its
+    # best-prior baseline.
+    with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as fh:
+        fh.write(json.dumps(detail, sort_keys=True) + "\n")
     line = json.dumps(
         {
             "metric": "headline-queries wall time (noop sink, local)",

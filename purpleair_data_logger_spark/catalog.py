@@ -2870,7 +2870,7 @@ def multimodal_frame_sample(spark, sf_dir):
     """
     WITH vals AS (
       SELECT event_type, value, count(*) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     ranked AS (
       SELECT event_type, value,
@@ -3052,7 +3052,7 @@ def weighted_sample_docs(spark, sf_dir):
     """
     WITH vals AS (
       SELECT event_type, value, count(*) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     ranked AS (
       SELECT event_type, value,
@@ -3234,12 +3234,74 @@ def downtime_incidents(spark, sf_dir):
 
 
 @register(
+    "state_agg_user_event",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS nxt
+      FROM events WHERE event_type IS NOT NULL
+    )
+    SELECT user_id, event_type,
+           CAST(sum(nxt - t) AS BIGINT) AS duration_us,
+           count(*) AS n_samples
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    "R-family extension: TimescaleDB state_agg — time-in-state per "
+    "(key, state) under LOCF, exact BIGINT microseconds; the "
+    "channel_state/channel_flags read "
+    "(PurpleAirPSQLQueryStatements.py:28-31), two-tier lead so no "
+    "corpus-row window keys on the bare sensor id",
+)
+def state_agg_user_event(spark, sf_dir):
+    """How long each sensor key spent in each state (event_type as
+    the categorical), LOCF semantics — each reading's state holds
+    until the next reading; the last reading's open tail contributes
+    nothing (the streaming mirrors own the live tail).
+    `hf.state_agg`: bounded (key, day) lead windows + a boundary
+    stitch over the per-day aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return hf.state_agg(e, "ts", "user_id", "event_type", "event_id")
+
+
+@register(
+    "state_timeline_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_st
+      FROM events WHERE event_type IS NOT NULL
+    )
+    SELECT user_id, ts AS transition_ts,
+           prev_st AS from_state, event_type AS to_state
+    FROM s WHERE prev_st IS NOT NULL AND prev_st <> event_type
+    """,
+    "R-family extension: TimescaleDB timeline_agg — the ordered "
+    "state-transition edge list (WHEN each key changed state), "
+    "two-tier lag with a deterministic struct-max boundary stitch",
+)
+def state_timeline_transitions(spark, sf_dir):
+    """Every state CHANGE per sensor key: (key, transition_ts,
+    from_state, to_state) — the companion read to state_agg's
+    per-state totals. `hf.state_timeline`: in-partition lag over
+    (key, day) plus previous-day-last-state stitch via a
+    lexicographic struct max (deterministic under duplicate
+    timestamps)."""
+    e = _t(spark, sf_dir, "events")
+    return hf.state_timeline(e, "ts", "user_id", "event_type", "event_id")
+
+
+@register(
     "dq_report_events",
     """
     WITH g AS (
       SELECT count(*) AS n,
              sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v0,
-             count(*) - count(DISTINCT event_id) AS v1,
+             count(*) - count(DISTINCT struct_pack(k := event_id)) AS v1,
              sum(CASE WHEN value IS NOT NULL
                        AND (value < 0 OR value > 1000) THEN 1 ELSE 0 END)
                AS v2,
@@ -3350,7 +3412,7 @@ def value_trend_by_user(spark, sf_dir):
     """
     WITH vals AS (
       SELECT event_type, value, count(*) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     )
     SELECT event_type,
            (max(struct_pack(c := cnt, v := value))).v AS mode,
@@ -3376,7 +3438,7 @@ def mode_value_by_event_type(spark, sf_dir):
     """
     WITH vals AS (
       SELECT event_type, value, count(*) AS cnt
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
     ),
     ranked AS (
       SELECT event_type, value,
@@ -3404,6 +3466,7 @@ def mode_value_by_event_type(spark, sf_dir):
              CAST(round(least(greatest(e.value, c.lo_cut), c.hi_cut)
                         * 100) AS BIGINT) AS cv
       FROM events e JOIN cuts c USING (event_type)
+      WHERE e.value IS NOT NULL
     )
     SELECT event_type,
            min(lo_cut) AS lo_cut, min(hi_cut) AS hi_cut,
@@ -3465,7 +3528,7 @@ def asof_next_error(spark, sf_dir):
         "event_id", "ts", "user_id"
     )
     errs = e.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", "value"
+        "user_id", "ts", "value", "event_id"
     )
     return asof_join(
         clicks,
@@ -3475,6 +3538,11 @@ def asof_next_error(spark, sf_dir):
         right_ts="ts",
         right_payload=["ts", "value"],
         direction="forward",
+        # pins WHICH same-timestamp error wins, replaying the oracle's
+        # ORDER BY e.ts, e.event_id LIMIT 1 (smallest id at the
+        # boundary ts) — without it the carried payload is
+        # partitioning-dependent when (user_id, ts) collides
+        tiebreaker="event_id",
     ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
 
 
@@ -3541,6 +3609,28 @@ def lttb_downsample_events(spark, sf_dir):
     pandas-UDF case for chain-dependent algorithms."""
     e = _t(spark, sf_dir, "events")
     return hf.lttb_downsample(e, "ts", "user_id", "value", 50)
+
+
+@register(
+    "m4_lttb_downsample_events",
+    None,  # the LTTB stage's sequential selection is not
+    # SQL-expressible (same rationale as lttb_downsample_events); the
+    # M4 stage's aggregate is the oracled m4_downsample_15min shape,
+    # and the composition is pytest-pinned to equal
+    # lttb_downsample(m4 extreme points) exactly.
+    "A2 extension: the SCALE.md corpus-series path as ONE operator — "
+    "M4 pre-aggregation (distributed, ≤4 points/bucket) feeding LTTB "
+    "over the bounded extreme-point series (VERDICT r4 #8)",
+)
+def m4_lttb_downsample_events(spark, sf_dir):
+    """Downsample each sensor's series to 50 shape-preserving points
+    without ever shipping a raw series to one worker: M4 15-min
+    extremes first (pure aggregate — the stage that must scale),
+    then LTTB over the ≤4-points-per-bucket result. This is the
+    contract users are told to follow for series that exceed one
+    worker; `hf.m4_then_lttb` pins it as a single call."""
+    e = _t(spark, sf_dir, "events")
+    return hf.m4_then_lttb(e, "ts", "user_id", "value", 900, 50)
 
 
 @register(
@@ -4024,7 +4114,7 @@ def gapfill_interpolate_hourly(spark, sf_dir):
     SELECT user_id, bucket_ts,
            CAST(sum(v_scaled * d_us) AS DOUBLE)
              / CAST(sum(d_us) AS DOUBLE) / 100.0 AS time_weighted_avg,
-           sum(d_us) AS covered_us, count(*) AS n_samples
+           CAST(sum(d_us) AS BIGINT) AS covered_us, count(*) AS n_samples
     FROM d GROUP BY 1, 2
     """,
     "A-family extension: TimescaleDB time_weight('LOCF') -> average "
@@ -4092,12 +4182,10 @@ def sensor_spike_detection(spark, sf_dir):
 #: leakage-split/frame-sample. Gate these first (VERDICT r3 #1).
 _GATE_PRIORITY: list[str] = [
     "neardup_cluster_dedup",
-    "neardup_clusters_star",
     "neardup_cluster_keep_best",
     "corpus_build_final",
     "leakage_safe_split",
     "neardup_incremental_batch",
-    "quality_percentile_gate",
     "domain_cap_sample",
     "document_chunking",
     "sequence_packing",
@@ -4106,7 +4194,6 @@ _GATE_PRIORITY: list[str] = [
     "dup_ngram_fraction",      # new in r4
     "gopher_quality_gate",     # new in r4
     "keyword_extraction",      # new in r4
-    "event_value_histogram",   # new in r4
     "embedding_cluster_dedup", # new in r4
     "bigram_collocations",     # new in r4
     "containment_neardups",    # new in r4
@@ -4119,7 +4206,6 @@ _GATE_PRIORITY: list[str] = [
     "multimodal_resize",       # new in r4
     "token_budget_mixture",    # new in r4
     "quality_classifier_gate", # new in r4
-    "gapfill_locf_hourly",     # new in r4
     "time_weighted_hourly",    # new in r4
     "sensor_spike_detection",  # new in r4
     "bigram_lm_fluency",       # new in r4
@@ -4130,9 +4216,7 @@ _GATE_PRIORITY: list[str] = [
     "event_type_pivot",        # new in r4
     "conversion_funnel",       # new in r4
     "weekly_retention_cohorts",  # new in r4
-    "median_value_by_event_type",  # new in r4
     "m4_downsample_15min",     # new in r4
-    "counter_delta_hourly",    # new in r4
     "heartbeat_uptime_hourly",  # new in r4
     "weighted_sample_docs",    # new in r4
     "value_percentiles_by_event_type",  # new in r4
@@ -4140,14 +4224,18 @@ _GATE_PRIORITY: list[str] = [
     "sliding_active_users",    # new in r4
     "asof_next_error",         # new in r4 (restores an in-window temporal-join gate)
     "dq_report_events",        # new in r4 (the quality-gate component)
+    # --- r5 rotation: the five oracled queries that had no driver row
+    # across r1-r4 (judge-verified green at sf0.01 in VERDICT r4); four
+    # multiply-green r4 rows with still-gated family siblings moved to
+    # _GATE_DEFER to make room (VERDICT r4 ask #2).
+    "token_fertility_by_lang",     # rotated in r5 (never driver-gated)
+    "mode_value_by_event_type",    # rotated in r5 (never driver-gated)
+    "winsorized_event_values",     # rotated in r5 (never driver-gated)
+    "value_trend_by_user",         # rotated in r5 (never driver-gated)
+    "downtime_incidents",          # rotated in r5 (never driver-gated)
+    "state_agg_user_event",        # new in r5 (TimescaleDB state_agg)
+    "state_timeline_transitions",  # new in r5 (TimescaleDB timeline_agg)
 ]
-
-#: Oracled queries currently PAST the 50-row window, queued for
-#: rotation into _GATE_PRIORITY next round (once this round's priority
-#: rows have their driver artifacts and can defer):
-#: token_fertility_by_lang, mode_value_by_event_type,
-#: winsorized_event_values, value_trend_by_user. Each is judge-
-#: verifiable today via `scripts/driver_sim.py sf0.01 <name>`.
 
 #: Pushed past the 50-row window: every entry here is hash-green in
 #: CORRECTNESS_r03.json (driver artifact, not judge-side) AND is either
@@ -4206,6 +4294,12 @@ _GATE_DEFER: list[str] = [
     "minhash_lsh_candidates",    # r1-r3 green ×3; the candidates stage still gates inside neardup_incremental_batch, the cluster-dedup layer, and corpus_build_final's mining stage (all in-window), and the band/recall math is pytest-pinned
     "embedding_neardup_lsh_verified",  # r2-r3 green ×2; the hyperplane-LSH family stays gated via embedding_cluster_dedup + knn_filtered (both in-window) and the full-pipeline DuckDB oracle remains in the catalog
     "semi_join_show_only",       # r1-r3 green ×3; the J2/J3 broadcast semi-join plan shape is pytest-pinned (test_plans.py::test_semi_join_broadcasts_filter_table) and the directory workload keeps sensor_directory's r1-r3 rows
+    "neardup_clusters_star",     # r4 green; the cluster layer stays gated ×2 in-window (neardup_cluster_dedup, neardup_cluster_keep_best) and both CC algorithms keep their adversarial-graph pytest parity
+    "gapfill_locf_hourly",       # r4 green; gapfill_interpolate_hourly (in-window) exercises the same bucket-spine generate + fill shape, LOCF vs interpolate being the only delta
+    "median_value_by_event_type",  # r4 green; median is the p50 special case of value_percentiles_by_event_type (in-window), and the rotated-in mode/winsorized rows keep the exact-order-statistics family triple-gated
+    "counter_delta_hourly",      # r4 green; the two-tier lag family stays gated via value_trend_by_user (rotated in, same shape) and the streaming counter mirror keeps its batch-parity pytest
+    "quality_percentile_gate",   # r4 green; the percent-rank-gate family stays gated via ccnet_quality_buckets + dq_report_events (both in-window) and the cutoff math is shared with the r5-gated winsorized/percentile rows
+    "event_value_histogram",     # r4 green; a width_bucket groupBy subsumed by the still-gated m4/percentile aggregation family; histogram bucketing is pytest-pinned
     "reconstruction_join",       # r1-r3 green ×3; the J1 9-way PK rejoin stays exercised every round by the entry() smoke check, the broadcast-dims plan pin, and the zero-shuffle bucketed-join pytest
 ]
 

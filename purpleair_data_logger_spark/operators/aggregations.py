@@ -536,9 +536,18 @@ def grouped_median_exact(
     if its distinct-value table approaches row count.
 
     Output: (part_col, median, n) with ``median`` of value_col's type.
+
+    NULL contract (shared by the whole exact-order-statistics family):
+    NULL values carry no observation — they are filtered before the
+    count table, matching SQL aggregate semantics and the m4/counter/
+    trend operators. Without the filter, Spark's window ORDER BY sorts
+    NULLS FIRST while DuckDB sorts NULLS LAST, shifting every non-null
+    rank cross-engine (round-4 advisory).
     """
-    vals = df.groupBy(part_col, value_col).agg(
-        F.count(F.lit(1)).alias("_cnt")
+    vals = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(part_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     w_cum = (
         Window.partitionBy(part_col)
@@ -588,9 +597,15 @@ def grouped_percentiles_exact(
     caveat as `percent_rank_filter` for continuous double scores.
 
     Output: (part_col, p_bp, value as ``pctl_value``, n).
+
+    NULLs carry no observation (see `grouped_median_exact`): filtered
+    before the count table so ranks agree cross-engine regardless of
+    NULLS FIRST/LAST ordering defaults.
     """
-    vals = df.groupBy(part_col, value_col).agg(
-        F.count(F.lit(1)).alias("_cnt")
+    vals = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(part_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     w_cum = (
         Window.partitionBy(part_col)
@@ -631,9 +646,14 @@ def grouped_mode_exact(df: DataFrame, part_col: str, value_col: str) -> DataFram
     distinct-value table; the corpus is never sorted or windowed.
 
     Output: (part_col, mode, mode_count, n_distinct).
+
+    NULLs carry no observation (family contract — see
+    `grouped_median_exact`).
     """
-    vals = df.groupBy(part_col, value_col).agg(
-        F.count(F.lit(1)).alias("_cnt")
+    vals = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(part_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     top = F.max(F.struct(F.col("_cnt").alias("c"), F.col(value_col).alias("v")))
     return vals.groupBy(part_col).agg(
@@ -686,7 +706,12 @@ def winsorized_stats(
             ).alias("hi_cut"),
         )
     )
-    joined = df.join(F.broadcast(cuts), on=part_col)
+    # NULLs carry no observation (family contract): without this
+    # filter F.greatest(NULL, lo_cut) skips the NULL and the row is
+    # silently clipped to lo_cut and counted into the mean.
+    joined = df.filter(F.col(value_col).isNotNull()).join(
+        F.broadcast(cuts), on=part_col
+    )
     clipped = F.least(
         F.greatest(F.col(value_col), F.col("lo_cut")), F.col("hi_cut")
     )

@@ -37,6 +37,7 @@ def asof_join(
     right_payload: Sequence[str],
     payload_prefix: str = "asof_",
     direction: str = "backward",
+    tiebreaker: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the latest right payload
     at-or-before its timestamp (NULLs when no prior right row).
@@ -49,15 +50,32 @@ def asof_join(
     has no native form for). Forward is the same merge-scan over the
     mirrored sort: descending timestamps with right rows still first
     at equal ts, so the boundary stays inclusive.
+    ``tiebreaker``: optional right-side column pinning which right row
+    wins when several share the boundary timestamp for the same key —
+    without it the carried payload is whichever row the scan saw last
+    (partitioning-dependent, a latent nondeterminism flagged in the
+    round-4 advisory). The contract replays the deterministic LATERAL
+    subquery: backward matches ``ORDER BY ts DESC, tb DESC LIMIT 1``
+    (greatest tiebreaker wins), forward matches ``ORDER BY ts, tb
+    LIMIT 1`` (smallest wins).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = list(on)
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    tb_cols_right = (
+        [F.col(tiebreaker).alias("_tb")] if tiebreaker is not None else []
+    )
+    tb_cols_left = (
+        [F.lit(None).cast(dict(right.dtypes)[tiebreaker]).alias("_tb")]
+        if tiebreaker is not None
+        else []
+    )
     tagged_right = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
+        *tb_cols_right,
         *[F.col(c).alias(f"{payload_prefix}{c}") for c in right_payload],
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
     )
@@ -65,6 +83,7 @@ def asof_join(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
+        *tb_cols_left,
         *[
             F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{payload_prefix}{c}")
             for c in right_payload
@@ -78,6 +97,17 @@ def asof_join(
         if direction == "backward"
         else [ts_us.desc(), F.col("_tag")]
     )
+    if tiebreaker is not None:
+        # the winning right row must sort LAST among its same-ts tag-0
+        # group (F.last carries it): asc puts the greatest last for
+        # backward, desc puts the smallest last for forward. Left rows
+        # carry a NULL _tb and sort within their own tag-1 group, where
+        # relative order is irrelevant (right rows all precede them).
+        order.append(
+            F.col("_tb").asc_nulls_last()
+            if direction == "backward"
+            else F.col("_tb").desc_nulls_last()
+        )
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order)

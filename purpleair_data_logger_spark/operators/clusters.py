@@ -16,8 +16,10 @@ O(component diameter) rounds. Near-dup graphs are dense little
 cliques-with-bridges (diameter 2-4 in practice), so propagation
 converges in a handful of rounds; each round is one shuffle-bounded
 equi-join + a map-side-combinable min-aggregate, and lineage is
-truncated per round with ``localCheckpoint`` so the plan doesn't grow
-superlinearly. For adversarial high-diameter graphs (long chains)
+truncated per round so the plan doesn't grow superlinearly — via
+``localCheckpoint`` by default, or reliable ``df.checkpoint()`` into a
+caller-supplied ``checkpoint_dir`` for cluster runs where an executor
+loss must not kill the multi-round job (see `_checkpointer`). For adversarial high-diameter graphs (long chains)
 `connected_components_star` implements the alternating
 large-star/small-star algorithm (Kiveris et al., "Connected Components
 in MapReduce and Beyond", SoCC'14), which converges in O(log² n)
@@ -37,12 +39,32 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _checkpointer(df_sample: DataFrame, checkpoint_dir: str | None):
+    """Per-round lineage truncation strategy.
+
+    ``checkpoint_dir=None`` (default): ``localCheckpoint`` — blocks
+    live in executor storage, zero extra I/O, right for interactive /
+    single-node runs. BUT executor-held blocks die with the executor:
+    on a 1000-executor cluster one preempted node kills the whole
+    20-round job (round-4 verdict #2). Production runs pass a
+    reliable ``checkpoint_dir`` (HDFS/S3/cluster-visible path): rounds
+    then persist via ``df.checkpoint()`` and a lost executor only
+    recomputes its own partitions from the checkpoint files.
+    """
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint()
+    sc = df_sample.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str,
     dst_col: str,
     *,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Resolve the undirected graph in ``edges`` to components.
 
@@ -51,21 +73,26 @@ def connected_components(
     engine-portable canonical label. Nodes absent from ``edges``
     (singletons) are simply not emitted; join back to the corpus with
     a left join + coalesce(cluster_id, id) (see `cluster_dedup`).
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    reliable ``df.checkpoint()`` into that cluster-visible directory
+    instead of executor-memory ``localCheckpoint`` — survival of a
+    multi-round job no longer depends on every executor surviving
+    (see `_checkpointer`). Labels are identical either way.
     """
-    adj = (
+    ckpt = _checkpointer(edges, checkpoint_dir)
+    adj = ckpt(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
         .distinct()
         # Materialize once: adj is re-joined every round, and without
         # this the whole upstream pipeline (e.g. LSH mining) would be
         # recomputed per round.
-        .localCheckpoint()
     )
-    labels = (
+    labels = ckpt(
         adj.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = prev_sum is None  # empty edge set: nothing to do
@@ -74,12 +101,11 @@ def connected_components(
         propagated = adj.join(
             labels, adj["u"] == labels["node"], "inner"
         ).select(F.col("v").alias("node"), F.col("label"))
-        labels = (
+        labels = ckpt(
             labels.select("node", "label")
             .union(propagated)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -103,6 +129,7 @@ def connected_components_star(
     *,
     max_iter: int = 25,
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -124,19 +151,19 @@ def connected_components_star(
     propagation (monotone non-increasing edge-endpoint sum).
 
     Returns (node, cluster_id) for every edge-incident node, identical
-    to `connected_components`.
+    to `connected_components`. ``checkpoint_dir`` selects reliable
+    per-round checkpointing exactly as in `connected_components`.
     """
-    base = (
+    ckpt = _checkpointer(edges, checkpoint_dir)
+    base = ckpt(
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
-    nodes = (
+    nodes = ckpt(
         base.select(F.col("u").alias("node"))
         .union(base.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -185,7 +212,7 @@ def connected_components_star(
     converged = base.isEmpty()
     rounds = 0
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint()
+        e = ckpt(small_star(large_star(e)))
         rounds += 1
         cur = checksum(e)
         if cur == prev:
@@ -231,6 +258,7 @@ def cluster_dedup(
     src_col: str = "doc_id_a",
     dst_col: str = "doc_id_b",
     prefer: list[Column] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Canonical-document selection over near-dup pairs.
 
@@ -255,7 +283,9 @@ def cluster_dedup(
     ``prefer``, the survivor-selection window runs over the clustered
     subset only, never the full corpus.
     """
-    cc = connected_components(pairs, src_col, dst_col)
+    cc = connected_components(
+        pairs, src_col, dst_col, checkpoint_dir=checkpoint_dir
+    )
     if prefer is None:
         out = df.join(cc, df[id_col] == cc["node"], "left")
         cluster = F.coalesce(F.col("cluster_id"), F.col(id_col))

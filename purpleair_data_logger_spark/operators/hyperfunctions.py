@@ -216,6 +216,75 @@ def lttb_downsample(
     )
 
 
+def m4_then_lttb(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    n_out: int,
+) -> DataFrame:
+    """The corpus-scale LTTB path SCALE.md prescribes, as one
+    operator: `lttb_downsample`'s contract is that a key's series fits
+    one worker, which raw corpus series violate — so pre-aggregate
+    with M4 first (pure distributed aggregate, collapses each series
+    to ≤ 4 points per bucket while preserving the rendered shape
+    pixel-exactly), then run LTTB over the bounded extreme-point
+    series.
+
+    The M4 stage here keeps each extreme's TIMESTAMP (first/last by
+    time, min/max by value — the same struct-extreme aggregate and tie
+    rules as `m4_downsample`, which the driver gate oracles), explodes
+    the ≤ 4 (ts, value) points per (key, bucket), dedupes points that
+    are several extremes at once, and hands the result — |buckets|-
+    bounded per key, worker-sized by construction — to
+    `lttb_downsample`. Composition output is exactly
+    ``lttb_downsample(m4_points)``, pinned by the pytest parity test;
+    the stage is rows-only at the driver because LTTB's sequential
+    selection is not SQL-expressible.
+    """
+    b = time_bucket(ts_col, bucket_seconds).alias("_mb")
+    t, v = F.col(ts_col), F.col(value_col)
+    agg = (
+        df.filter(v.isNotNull())
+        .groupBy(b, key_col)
+        .agg(
+            F.min(F.struct(t.alias("t"), v.alias("v"))).alias("_first"),
+            F.max(F.struct(t.alias("t"), v.alias("v"))).alias("_last"),
+            F.min(F.struct(v.alias("v"), t.alias("t"))).alias("_lo"),
+            F.max(F.struct(v.alias("v"), t.alias("t"))).alias("_hi"),
+        )
+    )
+    pts = (
+        agg.select(
+            key_col,
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_first.t").alias(ts_col),
+                        F.col("_first.v").alias(value_col),
+                    ),
+                    F.struct(
+                        F.col("_last.t").alias(ts_col),
+                        F.col("_last.v").alias(value_col),
+                    ),
+                    F.struct(
+                        F.col("_lo.t").alias(ts_col),
+                        F.col("_lo.v").alias(value_col),
+                    ),
+                    F.struct(
+                        F.col("_hi.t").alias(ts_col),
+                        F.col("_hi.v").alias(value_col),
+                    ),
+                )
+            ).alias("_p"),
+        )
+        .select(key_col, F.col(f"_p.{ts_col}"), F.col(f"_p.{value_col}"))
+        .distinct()
+    )
+    return lttb_downsample(pts, ts_col, key_col, value_col, n_out)
+
+
 def gap_incidents(
     df: DataFrame,
     ts_col: str,
@@ -262,6 +331,133 @@ def gap_incidents(
         F.timestamp_micros(prev).alias("gap_start_ts"),
         F.timestamp_micros(F.col("_t")).alias("gap_end_ts"),
         gap.alias("gap_us"),
+    )
+
+
+def state_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    state_col: str,
+    id_col: str,
+    *,
+    partition_seconds: int = 86_400,
+) -> DataFrame:
+    """TimescaleDB ``state_agg``-style time-in-state: per (key, state)
+    the total microseconds the key spent in that state, LOCF semantics
+    — each reading's state holds until the key's NEXT reading (the
+    reference schema's ``channel_state``/``channel_flags`` columns,
+    ``PurpleAirPSQLQueryStatements.py:28-31``, are exactly this shape:
+    a categorical that changes rarely and is sampled every poll).
+
+    A key's LAST reading has no successor and contributes no duration
+    (the open-ended tail is unknowable in a batch report — the
+    streaming heartbeat/downtime mirrors own the live tail). NULL
+    states carry no sample. Consecutive same-state readings need no
+    merging: summing per-reading ``next − cur`` grouped by state
+    equals summing merged runs.
+
+    Scale shape: the same two-tier rule as `counter_delta`/
+    `gap_incidents` — the successor lookup is an in-partition ``lead``
+    over bounded (key, calendar-partition) windows, stitched at the
+    boundary by a ``lead`` over the per-(key, partition) AGGREGATE;
+    no corpus-row window ever keys on the bare sensor id. Durations
+    are exact BIGINT microseconds (engine-portable, no floats).
+
+    Output: (key, state_col, duration_us, n_samples).
+    """
+    b = time_bucket(ts_col, partition_seconds).alias("_pb")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_in = Window.partitionBy(key_col, "_pb").orderBy("_t", id_col)
+    staged = (
+        df.filter(F.col(state_col).isNotNull())
+        .select(
+            F.col(key_col),
+            b,
+            F.col(id_col),
+            F.col(state_col).alias("_st"),
+            ts_us.alias("_t"),
+        )
+        .withColumn("_next_in", F.lead("_t").over(w_in))
+    )
+    firsts = staged.groupBy(key_col, "_pb").agg(F.min("_t").alias("_pfirst"))
+    w_b = Window.partitionBy(key_col).orderBy("_pb")
+    boundary = firsts.select(
+        key_col, "_pb", F.lead("_pfirst").over(w_b).alias("_next_bound")
+    )
+    joined = staged.join(boundary, on=[key_col, "_pb"], how="left")
+    # in-partition lead is NULL exactly for the partition's last row,
+    # which is when the next partition's first reading applies
+    nxt = F.coalesce(F.col("_next_in"), F.col("_next_bound"))
+    return (
+        joined.filter(nxt.isNotNull())
+        .groupBy(key_col, F.col("_st").alias(state_col))
+        .agg(
+            F.sum(nxt - F.col("_t")).cast("long").alias("duration_us"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
+def state_timeline(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    state_col: str,
+    id_col: str,
+    *,
+    partition_seconds: int = 86_400,
+) -> DataFrame:
+    """TimescaleDB ``timeline_agg``-style state-transition log: one
+    row per reading whose state DIFFERS from the key's previous
+    reading — (key, transition_ts, from_state, to_state), the ordered
+    edge list from which any state timeline reconstructs (the
+    companion read to `state_agg`'s per-state totals: state_agg says
+    how long, this says when).
+
+    Same two-tier shape as `gap_incidents`, applied to the state
+    column: in-partition ``lag(state)`` over bounded (key,
+    calendar-partition) windows; the partition's first row (its lag is
+    NULL exactly then) stitches to the PREVIOUS partition's last state
+    via a lag over the per-(key, partition) aggregate, where "last"
+    is a lexicographic struct max over (ts, id, state) — deterministic
+    under duplicate timestamps. NULL states carry no sample; a key's
+    first-ever reading has no predecessor and is not a transition.
+    """
+    b = time_bucket(ts_col, partition_seconds).alias("_pb")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_in = Window.partitionBy(key_col, "_pb").orderBy("_t", id_col)
+    staged = (
+        df.filter(F.col(state_col).isNotNull())
+        .select(
+            F.col(key_col),
+            b,
+            F.col(id_col),
+            F.col(state_col).alias("_st"),
+            ts_us.alias("_t"),
+        )
+        .withColumn("_prev_in", F.lag("_st").over(w_in))
+    )
+    lasts = staged.groupBy(key_col, "_pb").agg(
+        F.max(
+            F.struct(
+                F.col("_t").alias("t"),
+                F.col(id_col).alias("i"),
+                F.col("_st").alias("s"),
+            )
+        )["s"].alias("_plast")
+    )
+    w_b = Window.partitionBy(key_col).orderBy("_pb")
+    boundary = lasts.select(
+        key_col, "_pb", F.lag("_plast").over(w_b).alias("_prev_bound")
+    )
+    joined = staged.join(boundary, on=[key_col, "_pb"], how="left")
+    prev = F.coalesce(F.col("_prev_in"), F.col("_prev_bound"))
+    return joined.filter(prev.isNotNull() & (prev != F.col("_st"))).select(
+        key_col,
+        F.timestamp_micros(F.col("_t")).alias("transition_ts"),
+        prev.alias("from_state"),
+        F.col("_st").alias("to_state"),
     )
 
 

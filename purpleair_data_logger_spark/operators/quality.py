@@ -53,6 +53,14 @@ def not_null(col: str) -> Constraint:
 
 
 def unique(cols: Sequence[str]) -> Constraint:
+    # The key is wrapped in a struct, so a NULL field does NOT drop the
+    # tuple from countDistinct (a struct with NULL fields is itself
+    # non-null): two NULL-keyed rows are one distinct key and one
+    # violation, exactly Deequ's uniqueness-with-NULL semantics. An
+    # oracle replaying this must wrap the key the same way —
+    # `count(DISTINCT struct_pack(k := col))` in DuckDB — since a bare
+    # `count(DISTINCT col)` excludes NULLs and undercounts distinct
+    # keys by one whenever any NULL key exists (round-4 advisory).
     key = F.struct(*[F.col(c) for c in cols])
     return Constraint(
         f"unique({','.join(cols)})",

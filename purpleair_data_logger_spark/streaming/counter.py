@@ -123,12 +123,20 @@ def counter_increments_by_key(
     ``increment_scaled`` (exact BIGINT, order-independent — the batch
     operator's arithmetic) and divide once; ``increment`` is the
     convenience double for ad-hoc reads."""
-    src = stream.select(
-        key_col,
-        F.col(ts_col).cast("timestamp").alias(ts_col),
-        F.col(id_col),
-        F.col(value_col).cast("double").alias("value"),
-    ).withWatermark(ts_col, watermark)
+    src = (
+        stream.select(
+            key_col,
+            F.col(ts_col).cast("timestamp").alias(ts_col),
+            F.col(id_col),
+            F.col(value_col).cast("double").alias("value"),
+        )
+        # NULL contract matches batch counter_delta and the trend
+        # mirror: a NULL reading carries no counter sample. Without
+        # this, NaN→int64 in scale_half_up is undefined (INT64_MIN)
+        # and poisons the carried last_c state for the key.
+        .filter(F.col("value").isNotNull())
+        .withWatermark(ts_col, watermark)
+    )
     out_schema = T.StructType(
         [
             src.schema[key_col],

@@ -18,7 +18,14 @@ Output is one row per CLOSED interval, in exact epoch microseconds —
 final and append-safe. Per-bucket uptime then composes downstream by
 the same clip-to-bucket arithmetic the batch operator uses (the
 emitted intervals are exactly the batch operator's interval set, which
-the test asserts).
+the test asserts, for sources that are in-order per key ACROSS
+micro-batches). Within a micro-batch any ordering is fine (rows are
+sorted); across batches, a reading at-or-before the currently held
+timestamp is dropped rather than folded in — the intervals up to the
+held reading were already emitted and append mode cannot retract them,
+so regressing the state would re-emit overlapping intervals (the
+round-4 advisory bug). Such drops are the same class as watermark-late
+drops, with the held timestamp as the cutoff.
 
 Scale posture: state is one (long, bool) per ACTIVE key; the per-batch
 update is one sorted pass per key chunk. The event-time timeout bounds
@@ -101,6 +108,15 @@ def heartbeat_stateful_func(timeout_us: int, key_name: str):
             last_us, initialized = state.get
             if initialized:
                 chain.append(int(last_us))
+                # Cross-batch disorder guard: a reading at-or-before the
+                # held timestamp arrived AFTER the intervals up to `held`
+                # were already emitted (append mode cannot retract them).
+                # Folding it in would regress the held state and later
+                # re-emit overlapping intervals, so such rows are dropped
+                # — the same contract as watermark-late drops, just with
+                # the held reading as the cutoff. In-order sources (and
+                # the batch operator's interval set) are unaffected.
+                ts_us = ts_us[ts_us > int(last_us)]
         chain.extend(int(t) for t in ts_us)
         held = chain[-1]
         state.update((held, True))

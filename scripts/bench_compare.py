@@ -39,26 +39,57 @@ ABS_REGRESSION_SEC = 1.0
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def load_bench(path: str) -> dict | None:
+def load_bench(path: str) -> tuple[dict | None, str]:
+    """(bench dict or None, status string for the loaded/skipped report)."""
     with open(path) as fh:
         data = json.load(fh)
     if "queries" in data:
-        return data
-    m = re.search(r'\{"metric".*\}', data.get("tail", ""))
+        return data, f"loaded ({len(data['queries'])} queries)"
+    tail = data.get("tail", "")
+    m = re.search(r'\{"metric".*\}', tail)
     if not m:
-        return None
-    return json.loads(m.group(0))
+        return None, (
+            "SKIPPED: no bench JSON line in artifact tail "
+            f"({len(tail)} chars — driver truncates at 2000; per-query "
+            "data for such rounds survives only in BENCH_HISTORY.jsonl)"
+        )
+    try:
+        bench = json.loads(m.group(0))
+    except json.JSONDecodeError:
+        return None, (
+            "SKIPPED: bench JSON line truncated mid-object by the "
+            "driver's 2000-char tail"
+        )
+    return bench, f"loaded ({len(bench['queries'])} queries)"
 
 
-def best_baseline(paths: list[str]) -> tuple[dict[str, float], dict[str, str]]:
-    """Per-query minimum across rounds + which round holds it."""
+def load_history(path: str, sf: float) -> list[tuple[str, dict]]:
+    """Same-SF entries from the append-only BENCH_HISTORY.jsonl — the
+    durable per-run record that driver tail-truncation cannot lose."""
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as fh:
+        for i, line in enumerate(fh):
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                entry = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if entry.get("sf") == sf and "queries" in entry:
+                out.append((f"history#{i + 1}", entry))
+    return out
+
+
+def best_baseline(
+    sources: list[tuple[str, dict]]
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Per-query minimum across (tag, bench) sources + which holds it."""
     best: dict[str, float] = {}
     src: dict[str, str] = {}
-    for path in paths:
-        bench = load_bench(path)
-        if bench is None:
-            continue
-        tag = os.path.basename(path)
+    for tag, bench in sources:
         for name, sec in bench["queries"].items():
             if name not in best or sec < best[name]:
                 best[name] = sec
@@ -69,18 +100,34 @@ def best_baseline(paths: list[str]) -> tuple[dict[str, float], dict[str, str]]:
 def main() -> None:
     if len(sys.argv) < 2:
         raise SystemExit(__doc__)
-    now = load_bench(sys.argv[1])
+    now, _ = load_bench(sys.argv[1])
     if now is None:
         raise SystemExit(f"{sys.argv[1]}: no bench JSON found")
-    if len(sys.argv) > 2:
+    explicit = len(sys.argv) > 2
+    if explicit:
         paths = sys.argv[2:]
-        for p in paths:
-            if load_bench(p) is None:
-                raise SystemExit(f"{p}: no bench JSON found")
     else:
         paths = sorted(glob.glob(os.path.join(REPO_ROOT, "BENCH_r*.json")))
         paths = [p for p in paths if os.path.abspath(p) != os.path.abspath(sys.argv[1])]
-    base, src = best_baseline(paths)
+    sources: list[tuple[str, dict]] = []
+    print("baseline artifacts:")
+    for p in paths:
+        bench, status = load_bench(p)
+        print(f"  {os.path.basename(p):24s} {status}")
+        if bench is None:
+            if explicit:
+                raise SystemExit(f"{p}: no bench JSON found")
+            continue
+        sources.append((os.path.basename(p), bench))
+    if not explicit:
+        hist = load_history(
+            os.path.join(REPO_ROOT, "BENCH_HISTORY.jsonl"), now.get("sf")
+        )
+        if hist:
+            print(f"  BENCH_HISTORY.jsonl      loaded ({len(hist)} same-sf runs)")
+        sources.extend(hist)
+    print()
+    base, src = best_baseline(sources)
     if not base:
         raise SystemExit(f"no usable baselines among {paths}")
     evidence = set(now.get("evidence_legs", []))

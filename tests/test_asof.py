@@ -84,3 +84,37 @@ def test_forward_asof_next_match_and_ties(spark):
             left, right, on=["user_id"], left_ts="ts", right_ts="ts",
             right_payload=["value"], direction="sideways",
         )
+
+
+def test_asof_tiebreaker_pins_same_timestamp_winner(spark):
+    """Several right rows sharing the boundary timestamp: without a
+    tiebreaker the carried payload is scan-order-dependent (round-4
+    advisory); with one, backward replays ORDER BY ts DESC, tb DESC
+    LIMIT 1 (greatest tb wins) and forward replays ORDER BY ts, tb
+    LIMIT 1 (smallest tb wins) — deterministic under any
+    partitioning."""
+
+    def _t(s):
+        return datetime.datetime(2024, 1, 1, 0, s // 60, s % 60)
+
+    left = spark.createDataFrame(
+        [(1, "u", _t(30))], "event_id long, user_id string, ts timestamp"
+    )
+    # three right rows at the same boundary ts, distinct ids/payloads
+    right = spark.createDataFrame(
+        [("u", _t(30), 201, 1.0), ("u", _t(30), 203, 3.0), ("u", _t(30), 202, 2.0)],
+        "user_id string, ts timestamp, rid long, value double",
+    ).repartition(4)
+
+    (back,) = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["rid", "value"], tiebreaker="rid",
+    ).collect()
+    assert (back["asof_rid"], back["asof_value"]) == (203, 3.0)
+
+    (fwd,) = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_payload=["rid", "value"], direction="forward",
+        tiebreaker="rid",
+    ).collect()
+    assert (fwd["asof_rid"], fwd["asof_value"]) == (201, 1.0)

@@ -296,6 +296,99 @@ def test_percentiles_ties_share_rank_interval(spark):
     assert got == {9500: 1.0, 9900: 1.0, 10000: 2.0}
 
 
+def test_state_agg_locf_durations_and_boundary_stitch(spark):
+    """state_agg: LOCF durations per (key, state) — cross-DAY
+    successor stitch (partition_seconds=86400 two-tier lead), the
+    open-ended last reading contributes nothing, NULL states carry
+    no sample."""
+    d = datetime
+
+    rows = [
+        (1, "a", d(2024, 1, 1, 23, 0), "up"),
+        (2, "a", d(2024, 1, 1, 23, 30), "down"),
+        (3, "a", d(2024, 1, 2, 0, 30), "up"),    # day-boundary stitch
+        (4, "a", d(2024, 1, 2, 1, 0), "up"),
+        (5, "a", d(2024, 1, 2, 1, 30), None),    # no sample
+        (6, "a", d(2024, 1, 2, 3, 0), "down"),   # open tail: 0 us
+    ]
+    df = spark.createDataFrame(rows, "id long, key string, ts timestamp, st string")
+    got = {
+        r["st"]: (r["duration_us"], r["n_samples"])
+        for r in hf.state_agg(df, "ts", "key", "st", "id").collect()
+    }
+    # up: 30min (23:00->23:30) + 30min (00:30->01:00) + 120min
+    # (01:00->03:00; the NULL reading is not a successor) = 180min
+    # down: 60min (23:30->00:30, ACROSS the day partition)
+    assert got == {
+        "up": (180 * 60_000_000, 3),
+        "down": (60 * 60_000_000, 1),
+    }
+
+
+def test_state_timeline_transitions_including_day_boundary(spark):
+    """state_timeline: one row per state CHANGE; the first reading of
+    a day stitches to the PREVIOUS day's last state (no phantom
+    transition when the state held overnight, a real one when it
+    changed)."""
+    d = datetime
+
+    rows = [
+        (1, "a", d(2024, 1, 1, 23, 0), "up"),
+        (2, "a", d(2024, 1, 1, 23, 30), "down"),
+        (3, "a", d(2024, 1, 2, 0, 30), "up"),
+        (4, "a", d(2024, 1, 2, 1, 0), "up"),     # same state: no row
+        (6, "a", d(2024, 1, 2, 3, 0), "down"),
+        (7, "b", d(2024, 1, 2, 0, 0), "ok"),     # first-ever: no row
+        (8, "b", d(2024, 1, 3, 5, 0), "ok"),     # held overnight: no row
+    ]
+    df = spark.createDataFrame(rows, "id long, key string, ts timestamp, st string")
+    got = sorted(
+        (r["key"], r["transition_ts"], r["from_state"], r["to_state"])
+        for r in hf.state_timeline(df, "ts", "key", "st", "id").collect()
+    )
+    assert got == [
+        ("a", d(2024, 1, 1, 23, 30), "up", "down"),
+        ("a", d(2024, 1, 2, 0, 30), "down", "up"),
+        ("a", d(2024, 1, 2, 3, 0), "up", "down"),
+    ]
+
+
+def test_order_statistics_family_ignores_nulls(spark):
+    """Family NULL contract (round-4 advisory): NULL values carry no
+    observation — median/percentiles/mode/winsorized must produce the
+    same result with NULL rows present as without. Without the filter,
+    Spark's NULLS FIRST window ordering shifts every rank (vs DuckDB's
+    NULLS LAST) and winsorized's greatest() silently clips NULLs to
+    lo_cut."""
+    from purpleair_data_logger_spark.operators import aggregations as agg
+
+    clean = [("g", float(i)) for i in range(1, 11)]
+    rows = clean + [("g", None)] * 3
+    df = spark.createDataFrame(rows, "grp string, v double")
+    df_clean = spark.createDataFrame(clean, "grp string, v double")
+
+    (m,) = agg.grouped_median_exact(df, "grp", "v").collect()
+    assert (m["median"], m["n"]) == (5.0, 10)
+
+    got = {
+        r["p_bp"]: (r["pctl_value"], r["n"])
+        for r in agg.grouped_percentiles_exact(
+            df, "grp", "v", (5000, 10000)
+        ).collect()
+    }
+    assert got == {5000: (5.0, 10), 10000: (10.0, 10)}
+
+    (mo,) = agg.grouped_mode_exact(df, "grp", "v").collect()
+    assert (mo["mode"], mo["n_distinct"]) == (10.0, 10)
+
+    (w,) = agg.winsorized_stats(df, "grp", "v", lo_bp=500, hi_bp=9500).collect()
+    (w_clean,) = agg.winsorized_stats(
+        df_clean, "grp", "v", lo_bp=500, hi_bp=9500
+    ).collect()
+    assert w == w_clean
+    assert w["n"] == 10
+
+
 # ---------------------------------------------------------------------------
 # LTTB downsampling
 # ---------------------------------------------------------------------------
@@ -383,6 +476,51 @@ def test_lttb_partitioning_invariant(spark):
         ).collect()
     )
     assert a == b and len(a) == 60
+
+
+def test_m4_then_lttb_equals_lttb_over_m4_extreme_points(spark):
+    """VERDICT r4 #8: the composed corpus-series path. The composition
+    must equal running `lttb_downsample` over the M4 extreme-point
+    series computed independently in pandas (first/last by time,
+    min/max by value per bucket, deduped) — and stay bounded by
+    n_out per key."""
+    import pandas as pd
+
+    rows = [
+        (k, datetime(2024, 1, 1, i // 60, i % 60),
+         math.sin(i / 5.0 + k) * 10 + ((i * k) % 11))
+        for k in (1, 2)
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "key int, ts timestamp, value double")
+    got = sorted(
+        (r["key"], r["ts"], r["value"])
+        for r in hf.m4_then_lttb(df, "ts", "key", "value", 900, 12).collect()
+    )
+
+    # independent M4 point set: 15-min buckets, four extremes each
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "value"])
+    pdf["bucket"] = pdf["ts"].dt.floor("900s")
+    pts = set()
+    for (k, _b), g in pdf.groupby(["key", "bucket"]):
+        g = g.sort_values(["ts", "value"], kind="stable")
+        first, last = g.iloc[0], g.iloc[-1]
+        by_v = g.sort_values(["value", "ts"], kind="stable")
+        lo, hi = by_v.iloc[0], by_v.iloc[-1]
+        for r in (first, last, lo, hi):
+            pts.add((int(k), r["ts"].to_pydatetime(), float(r["value"])))
+    pts_df = spark.createDataFrame(
+        sorted(pts), "key int, ts timestamp, value double"
+    )
+    want = sorted(
+        (r["key"], r["ts"], r["value"])
+        for r in hf.lttb_downsample(pts_df, "ts", "key", "value", 12).collect()
+    )
+    assert got == want
+    from collections import Counter
+
+    per_key = Counter(k for k, _, _ in got)
+    assert all(v == 12 for v in per_key.values())
 
 
 # ---------------------------------------------------------------------------

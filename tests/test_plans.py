@@ -436,6 +436,37 @@ def test_counter_delta_windows_bounded_partitions_only(spark, sf):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
+def test_state_agg_windows_bounded_partitions_only(spark, sf):
+    """state_agg inherits the counter_delta two-tier rule: the
+    corpus-row lead keys on (key, calendar-partition); the bare key
+    may only key the per-(key, partition) AGGREGATE boundary window.
+    Two windows total, no Python, no cartesian."""
+    plan = _plan(spark, sf, "state_agg_user_event")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    win_args = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert any("_pb" in l and "user_id" in l for l in win_args)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_state_timeline_windows_bounded_partitions_only(spark, sf):
+    """Same pin for timeline_agg's lag shape: (key, partition)-keyed
+    corpus window + aggregate-level boundary stitch only."""
+    plan = _plan(spark, sf, "state_timeline_transitions")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    win_args = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert any("_pb" in l and "user_id" in l for l in win_args)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
 def test_heartbeat_uptime_no_bare_key_corpus_window(spark, sf):
     """Same two-tier rule as counter_delta: the corpus-row lead keys
     on (key, bucket); the explode is a generated sequence (no join

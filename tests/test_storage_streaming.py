@@ -861,6 +861,113 @@ def test_streaming_counter_increments_match_batch_delta(spark, tmp_path):
     assert rolled == batch
 
 
+def test_streaming_counter_null_values_carry_no_sample(spark, tmp_path):
+    """NULL contract parity with batch counter_delta (round-4
+    advisory): a NULL reading emits no increment row and leaves the
+    carried per-key state untouched — without the filter,
+    scale_half_up's NaN→int64 cast is undefined and poisons last_c
+    for every subsequent event of the key."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.streaming.counter import (
+        streaming_counter_increments,
+    )
+
+    base = _dt.datetime(2024, 5, 2, 0, 0, 0)
+    batches = [
+        [(1, "a", 0, 10.0)],
+        [(2, "a", 60, None), (3, "b", 30, None)],  # NULL readings
+        [(4, "a", 120, 15.0), (5, "b", 90, 2.0)],
+    ]
+    src = str(tmp_path / "cnsrc")
+    for rows in batches:
+        spark.createDataFrame(
+            [
+                (rid, k, base + _dt.timedelta(seconds=s), v)
+                for rid, k, s, v in rows
+            ],
+            "id long, key string, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_counter_increments(
+        spark,
+        src,
+        str(tmp_path / "cninc"),
+        str(tmp_path / "cnckpt"),
+        key_col="key",
+        ts_col="ts",
+        id_col="id",
+        value_col="value",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    inc = spark.read.parquet(str(tmp_path / "cninc"))
+    by_id = {r["id"]: (r["increment"], r["is_reset"]) for r in inc.collect()}
+    assert set(by_id) == {1, 4, 5}          # NULL rows emit nothing
+    assert by_id[1] == (0.0, False)
+    assert by_id[4] == (5.0, False)         # 15-10 vs the CARRIED 10.0
+    assert by_id[5] == (0.0, False)         # b's first real sample
+
+
+def test_streaming_heartbeat_late_reading_before_held_is_dropped(spark, tmp_path):
+    """Cross-batch disorder (round-4 advisory): a later micro-batch
+    delivering a reading OLDER than the held one (legal within the
+    watermark) must be dropped, not folded in — folding regressed the
+    held state, silently lost the held interval, and later re-emitted
+    intervals overlapping already-written ones."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.streaming.heartbeat import (
+        streaming_heartbeat_intervals,
+    )
+
+    base = _dt.datetime(2024, 6, 2, 0, 0, 0)
+
+    def t(s):
+        return base + _dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "hblsrc")
+    batches = [
+        [(1, "a", 0), (2, "a", 100)],   # emits (0,60); held=100
+        [(3, "a", 50)],                 # LATE: before held -> dropped
+        [(6, "zz", 3600)],              # watermark advance
+        [(7, "zz", 7200)],              # timeout flush batch
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(rid, k, t(s)) for rid, k, s in rows],
+            "id long, key string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_heartbeat_intervals(
+        spark,
+        src,
+        str(tmp_path / "hblout"),
+        str(tmp_path / "hblckpt"),
+        key_col="key",
+        ts_col="ts",
+        id_col="id",
+        timeout_seconds=60,
+        watermark="10 minutes",   # wide enough that the late row is legal
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "hblout"))
+    base_us = int((base - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    got = sorted(
+        ((r["t_us"] - base_us) // 1_000_000,
+         (r["end_us"] - base_us) // 1_000_000)
+        for r in out.filter("key = 'a'").collect()
+    )
+    # the held interval survives and nothing overlaps: (0,60) + the
+    # timeout flush (100,160). The regression emitted (50,110) instead.
+    assert got == [(0, 60), (100, 160)]
+    for (a1, a2), (b1, b2) in zip(got, got[1:]):
+        assert a2 <= b1  # non-overlapping, ordered
+
+
 def test_streaming_heartbeat_intervals_match_batch(spark, tmp_path):
     """Stateful interval closure across micro-batches: a newer reading
     truncates the held interval (even from a LATER batch), and the
@@ -947,6 +1054,89 @@ def test_streaming_heartbeat_intervals_match_batch(spark, tmp_path):
             rolled[key] = rolled.get(key, 0) + (hi - lo)
             b += 1
     assert rolled == want
+
+
+def test_streaming_downtime_closed_match_batch_and_open_alerts(spark, tmp_path):
+    """VERDICT r4 #5: the alerting mirror of gap_incidents. Closed
+    (``closed=true``) rows must equal the batch operator's incident
+    set exactly — including a gap whose endpoints arrive in different
+    micro-batches — and a sensor that stays dark must raise exactly
+    ONE open (``closed=false``) alert once the watermark proves the
+    silence, later superseded (not retracted) by its closed row if the
+    sensor returns."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+    from purpleair_data_logger_spark.streaming.downtime import (
+        streaming_downtime_incidents,
+    )
+
+    base = _dt.datetime(2024, 7, 1, 0, 0, 0)
+
+    def t(s):
+        return base + _dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "dtsrc")
+    batches = [
+        [(1, "a", 0), (2, "a", 40), (3, "b", 10)],
+        [(4, "a", 130)],                  # closes a's 40->130 gap (90s)
+        [(5, "a", 160), (6, "zz", 3600)],  # watermark advance; b alert due
+        [(7, "zz", 7200)],                 # a's tail alert flushes
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(rid, k, t(s)) for rid, k, s in rows],
+            "id long, key string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_downtime_incidents(
+        spark,
+        src,
+        str(tmp_path / "dtout"),
+        str(tmp_path / "dtckpt"),
+        key_col="key",
+        ts_col="ts",
+        id_col="id",
+        threshold_seconds=60,
+        watermark="1 second",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "dtout")).collect()
+    base_us = int((base - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+
+    closed = {
+        (r["key"], (r["gap_start_us"] - base_us) // 1_000_000,
+         (r["gap_end_us"] - base_us) // 1_000_000, r["gap_us"])
+        for r in out
+        if r["closed"]
+    }
+    batch = {
+        (
+            r["key"],
+            int((r["gap_start_ts"] - base).total_seconds()),
+            int((r["gap_end_ts"] - base).total_seconds()),
+            r["gap_us"],
+        )
+        for r in hf.gap_incidents(
+            spark.read.parquet(src), "ts", "key", "id", 60
+        ).collect()
+    }
+    assert closed == batch
+    assert ("a", 40, 130, 90_000_000) in closed
+
+    opens = sorted(
+        (r["key"], (r["gap_start_us"] - base_us) // 1_000_000)
+        for r in out
+        if not r["closed"]
+    )
+    # exactly one alert per proven silence: a after its 160 s reading,
+    # b after its only reading — never re-raised on later batches
+    assert opens == [("a", 160), ("b", 10)]
+    for r in out:
+        if not r["closed"]:
+            assert r["gap_end_us"] is None and r["gap_us"] is None
 
 
 def test_streaming_trend_matches_batch_stats_agg(spark, tmp_path):
