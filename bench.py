@@ -121,6 +121,7 @@ HEADLINE = [
     "state_agg_user_event",
     "state_timeline_transitions",
     "m4_lttb_downsample_events",
+    "frequent_tokens_docs",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -3612,6 +3612,36 @@ def lttb_downsample_events(spark, sf_dir):
 
 
 @register(
+    "frequent_tokens_docs",
+    """
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    n AS (SELECT count(*) AS total FROM t)
+    SELECT tok, count(*) AS n_occurrences,
+           (SELECT total FROM n) AS n_total,
+           CAST(count(*) AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM n)
+               AS freq
+    FROM t GROUP BY tok
+    HAVING count(*) * 10000 >= 100 * (SELECT total FROM n)
+    """,
+    "north-star heavy hitters: exact frequent tokens (support >= 1%) "
+    "via the two-scan candidate/verify formulation — per-partition "
+    "pigeonhole candidates, broadcast-semi-join verify; the shuffle "
+    "carries candidates, never the distinct-token table",
+)
+def frequent_tokens_docs(spark, sf_dir):
+    """Every token at >= 1% of the corpus with its exact count —
+    stopword discovery / hot-key detection. `agg.frequent_items`: a
+    partition emits only values locally above support (provable
+    superset by pigeonhole), the corpus is re-scanned once to
+    exact-count the candidates; all thresholds are integer
+    cross-multiplications."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens("text")).alias("tok"))
+    return agg.frequent_items(toks, "tok", support_bp=100)
+
+
+@register(
     "m4_lttb_downsample_events",
     None,  # the LTTB stage's sequential selection is not
     # SQL-expressible (same rationale as lttb_downsample_events); the
@@ -4218,7 +4248,6 @@ _GATE_PRIORITY: list[str] = [
     "weekly_retention_cohorts",  # new in r4
     "m4_downsample_15min",     # new in r4
     "heartbeat_uptime_hourly",  # new in r4
-    "weighted_sample_docs",    # new in r4
     "value_percentiles_by_event_type",  # new in r4
     "zorder_key_events",       # new in r4
     "sliding_active_users",    # new in r4
@@ -4235,6 +4264,7 @@ _GATE_PRIORITY: list[str] = [
     "downtime_incidents",          # rotated in r5 (never driver-gated)
     "state_agg_user_event",        # new in r5 (TimescaleDB state_agg)
     "state_timeline_transitions",  # new in r5 (TimescaleDB timeline_agg)
+    "frequent_tokens_docs",        # new in r5 (exact heavy hitters)
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -4300,6 +4330,7 @@ _GATE_DEFER: list[str] = [
     "counter_delta_hourly",      # r4 green; the two-tier lag family stays gated via value_trend_by_user (rotated in, same shape) and the streaming counter mirror keeps its batch-parity pytest
     "quality_percentile_gate",   # r4 green; the percent-rank-gate family stays gated via ccnet_quality_buckets + dq_report_events (both in-window) and the cutoff math is shared with the r5-gated winsorized/percentile rows
     "event_value_histogram",     # r4 green; a width_bucket groupBy subsumed by the still-gated m4/percentile aggregation family; histogram bucketing is pytest-pinned
+    "weighted_sample_docs",      # r4 green; the A-Res priority-sampling family stays gated via token_budget_mixture (in-window, same WindowGroupLimit shape) + domain_cap_sample
     "reconstruction_join",       # r1-r3 green ×3; the J1 9-way PK rejoin stays exercised every round by the entry() smoke check, the broadcast-dims plan pin, and the zero-shuffle bucketed-join pytest
 ]
 

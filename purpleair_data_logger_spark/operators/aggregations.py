@@ -781,3 +781,106 @@ def percent_rank_table(
         .otherwise(F.lit(0.0))
         .alias("pr"),
     )
+
+
+def frequent_items(
+    df: DataFrame,
+    value_col: str,
+    *,
+    support_bp: int,
+) -> DataFrame:
+    """Exact heavy hitters: every value whose global frequency is at
+    least ``support_bp`` basis points of the non-null rows, with its
+    exact count — stopword discovery, hot-key detection, vocabulary
+    pruning at corpus scale.
+
+    The naive ``groupBy(value)`` shuffles EVERY distinct value — at
+    100 TB of tokens that is billions of aggregate rows moved for a
+    result of maybe a few thousand. This is the classic two-scan
+    candidate/verify formulation instead:
+
+    1. **Candidate scan** (one pass, no shuffle): each partition
+       counts its own values in one Arrow-batched pass and emits only
+       those with LOCAL frequency ≥ the support threshold, plus one
+       marker row carrying the partition's row count. The pigeonhole
+       guarantee makes the union a strict superset of the answer: if a
+       value is below threshold in every partition
+       (cnt_p·10⁴ < s·n_p for all p), summing gives
+       cnt·10⁴ < s·N — so no globally frequent value can be missed.
+       Candidates are bounded by partitions/support (e.g. 10⁴
+       partitions at 50 bp → ≤ 2M, usually far fewer), never by
+       distinct-value cardinality.
+    2. **Verify scan**: broadcast-semi-join the corpus against the
+       candidate set, exact-count ONLY those values, keep the ones
+       meeting the global threshold. The only shuffle in the whole
+       plan carries candidate rows.
+
+    All threshold comparisons are integer cross-multiplications
+    (cnt·10⁴ ≥ support_bp·N) — no float epsilon, engine-portable.
+    Output: (value_col, n_occurrences, n_total, freq) where freq is
+    the one final double division.
+    """
+    from pyspark.sql import types as T
+
+    src = df.select(F.col(value_col)).filter(F.col(value_col).isNotNull())
+    field = src.schema[value_col]
+    sbp = int(support_bp)
+    stats_schema = T.StructType(
+        [
+            T.StructField(field.name, field.dataType, True),
+            T.StructField("_cnt", T.LongType(), False),
+        ]
+    )
+    name = field.name
+
+    def gen(batches):
+        import pandas as pd
+
+        acc = None
+        n_p = 0
+        for pdf in batches:
+            n_p += len(pdf)
+            vc = pdf[name].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if n_p:
+            acc = acc.astype("int64")
+            keep = acc[acc * 10000 >= sbp * n_p]
+            out = pd.DataFrame({name: keep.index, "_cnt": keep.to_numpy()})
+            marker = pd.DataFrame({name: [None], "_cnt": [n_p]})
+            yield pd.concat([out, marker], ignore_index=True)
+
+    # small by the candidate bound; materialized once because it is
+    # read twice (total + candidate set) and recomputing would rescan
+    # the corpus
+    stats = src.mapInPandas(gen, stats_schema).localCheckpoint()
+    n_total = (
+        stats.filter(F.col(name).isNull()).agg(F.sum("_cnt")).collect()[0][0]
+    )
+    if not n_total:
+        return (
+            stats.filter(F.lit(False))
+            .select(
+                F.col(name),
+                F.col("_cnt").alias("n_occurrences"),
+                F.lit(0).cast("long").alias("n_total"),
+                F.lit(0.0).alias("freq"),
+            )
+        )
+    cands = stats.filter(F.col(name).isNotNull()).select(name).distinct()
+    return (
+        src.join(F.broadcast(cands), on=name, how="leftsemi")
+        .groupBy(name)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(
+            F.col("n_occurrences") * 10000 >= F.lit(sbp) * F.lit(int(n_total))
+        )
+        .select(
+            name,
+            "n_occurrences",
+            F.lit(int(n_total)).cast("long").alias("n_total"),
+            (
+                F.col("n_occurrences").cast("double")
+                / F.lit(float(n_total))
+            ).alias("freq"),
+        )
+    )

@@ -257,6 +257,169 @@ class SensorTableStore:
         )
         atomic.commit(self.path(table))
 
+    # -- policy catalog (F8) ----------------------------------------------
+
+    _POLICIES_FILE = "_policies.json"
+
+    def _policies_path(self) -> str:
+        return os.path.join(self.base_path, self._POLICIES_FILE)
+
+    def _load_policies(self) -> list[dict]:
+        import json
+
+        p = self._policies_path()
+        if not os.path.exists(p):
+            return []
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _save_policies(self, policies: list[dict]) -> None:
+        import json
+
+        os.makedirs(self.base_path, exist_ok=True)
+        tmp = self._policies_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(policies, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._policies_path())
+
+    def add_retention_policy(self, table: str, *, keep_days: int) -> bool:
+        """Register a retention policy (drop date partitions older than
+        ``keep_days``); returns whether a new policy was added. Mirrors
+        the reference's add-if-absent flow: it SELECTs the Timescale
+        job catalog for an existing policy before adding one
+        (`PurpleAirPSQLDataLogger.py:120-127` over the F8 lookup,
+        `PurpleAirPSQLQueryStatements.py:557-560`) — here the same
+        check is one line against the persisted policy file, and
+        duplicate registration is a no-op."""
+        return self._add_policy(
+            "policy_retention", table, {"keep_days": int(keep_days)}
+        )
+
+    def add_compression_policy(
+        self, table: str, *, after_days: int, target_partitions: int = 1
+    ) -> bool:
+        """Register a compression/compaction policy: date partitions
+        older than ``after_days`` are rewritten to ``target_partitions``
+        ZSTD files clustered on (sensor_index, ts) — the Spark analog
+        of Timescale's `add_compression_policy(..., INTERVAL '14 days')`
+        (`PurpleAirPSQLDataLogger.py:129-136`). Add-if-absent like
+        `add_retention_policy`."""
+        return self._add_policy(
+            "policy_compression",
+            table,
+            {
+                "after_days": int(after_days),
+                "target_partitions": int(target_partitions),
+            },
+        )
+
+    def _add_policy(self, proc_name: str, table: str, config: dict) -> bool:
+        if table not in S.TABLE_NAMES:
+            raise ValueError(f"unknown table {table!r}")
+        policies = self._load_policies()
+        for p in policies:
+            if p["proc_name"] == proc_name and p["table"] == table:
+                return False  # already registered — reference's no-op path
+        policies.append(
+            {"proc_name": proc_name, "table": table, "config": config}
+        )
+        self._save_policies(policies)
+        return True
+
+    def policy_catalog(self, proc_name: str | None = None) -> DataFrame:
+        """F8: the policy-catalog introspection read — one row per
+        registered lifecycle policy, optionally filtered by job kind,
+        the exact query shape of the reference's
+        ``SELECT ... FROM timescaledb_information.jobs WHERE
+        proc_name='policy_compression'``. The catalog is data the
+        store owns (a persisted JSON registry), so the read is a tiny
+        driver-built DataFrame, never a scan."""
+        import json
+
+        rows = [
+            (p["proc_name"], p["table"], json.dumps(p["config"], sort_keys=True))
+            for p in self._load_policies()
+        ]
+        df = self.spark.createDataFrame(
+            rows, "proc_name string, table_name string, config string"
+        )
+        if proc_name is not None:
+            df = df.filter(F.col("proc_name") == proc_name)
+        return df
+
+    def run_policies(self, *, now=None) -> dict[str, object]:
+        """Execute every registered policy once — the scheduled
+        maintenance tick (Timescale's background job runner; here the
+        caller owns scheduling, e.g. one Airflow/cron task). Returns
+        {f"{proc_name}:{table}": outcome} — dropped partition dirs for
+        retention, compacted partition count for compression."""
+        results: dict[str, object] = {}
+        for p in self._load_policies():
+            key = f"{p['proc_name']}:{p['table']}"
+            if p["proc_name"] == "policy_retention":
+                results[key] = self.apply_retention(
+                    p["table"], keep_days=p["config"]["keep_days"], now=now
+                )
+            elif p["proc_name"] == "policy_compression":
+                results[key] = self.compact_older_than(
+                    p["table"],
+                    after_days=p["config"]["after_days"],
+                    target_partitions=p["config"]["target_partitions"],
+                    now=now,
+                )
+        return results
+
+    def compact_older_than(
+        self,
+        table: str,
+        *,
+        after_days: int,
+        target_partitions: int = 1,
+        now=None,
+    ) -> int:
+        """Compression-tier rewrite bounded to COLD date partitions
+        (older than ``after_days``): each is rewritten in place to
+        ``target_partitions`` clustered ZSTD files via the crash-safe
+        staged rename. Hot partitions are untouched, so the job's cost
+        is bounded by the cold set, not table size. Returns the number
+        of partitions rewritten."""
+        import datetime as _dt
+
+        now = now or _dt.datetime.now(_dt.timezone.utc)
+        cutoff = (now - _dt.timedelta(days=after_days)).date()
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return 0
+        self.heal()
+        cold: list[_dt.date] = []
+        for entry in sorted(os.listdir(root)):
+            if not entry.startswith(f"{PARTITION_COL}="):
+                continue
+            try:
+                d = _dt.date.fromisoformat(entry.split("=", 1)[1])
+            except ValueError:
+                continue
+            if d < cutoff:
+                cold.append(d)
+        if not cold:
+            return 0
+        # the staged rewrite carries ONLY the cold partitions, and the
+        # commit swap is O(staged partitions): hot data is never read,
+        # rewritten, or renamed — the job's cost is the cold set.
+        df = self.spark.read.parquet(root).filter(
+            F.col(PARTITION_COL).cast("date").isin(cold)
+        )
+        (
+            df.repartition(target_partitions, "sensor_index")
+            .sortWithinPartitions("sensor_index", "data_time_stamp")
+            .write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .option("compression", "zstd")
+            .parquet(atomic.staging_path(root))
+        )
+        atomic.commit(root)
+        return len(cold)
+
     def drop_all(self, *, confirm: bool) -> None:
         """K4: destructive reset behind an explicit confirm flag
         (reference gates this on interactive y/n). Also clears any

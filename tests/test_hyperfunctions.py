@@ -523,6 +523,71 @@ def test_m4_then_lttb_equals_lttb_over_m4_extreme_points(spark):
     assert all(v == 12 for v in per_key.values())
 
 
+def test_frequent_items_exact_counts_and_partition_invariance(spark):
+    """Two-scan heavy hitters: exact counts for every value at/above
+    support, nothing below, NULLs carry no row — and the pigeonhole
+    candidate guarantee must hold under ANY partitioning (a value
+    locally rare everywhere but globally frequent is impossible; a
+    value locally frequent somewhere but globally rare is filtered by
+    the verify pass)."""
+    from purpleair_data_logger_spark.operators import aggregations as agg
+
+    # 1000 rows: 'a' x300, 'b' x120, 'c' x99, 481 distinct fillers,
+    # plus NULLs (excluded from the denominator)
+    vals = (
+        ["a"] * 300 + ["b"] * 120 + ["c"] * 99
+        + [f"f{i}" for i in range(481)] + [None] * 50
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    for parts in (1, 7, 32):
+        got = {
+            r["tok"]: (r["n_occurrences"], r["n_total"])
+            for r in agg.frequent_items(
+                df.repartition(parts), "tok", support_bp=1000
+            ).collect()
+        }
+        # support 10%: threshold cnt*10000 >= 1000*1000 -> cnt >= 100
+        assert got == {"a": (300, 1000), "b": (120, 1000)}, parts
+
+    # boundary: exactly at support is kept (c at 99/990 = 10% once
+    # NULL handling shrinks nothing further -> craft exact boundary)
+    df2 = spark.createDataFrame(
+        [(v,) for v in ["x"] * 10 + [f"y{i}" for i in range(90)]],
+        "tok string",
+    )
+    (r,) = agg.frequent_items(df2.repartition(5), "tok", support_bp=1000).collect()
+    assert (r["tok"], r["n_occurrences"], r["n_total"]) == ("x", 10, 100)
+    assert abs(r["freq"] - 0.1) < 1e-15
+
+
+def test_frequent_items_plan_has_no_full_distinct_shuffle(spark):
+    """The verify pass must be a broadcast LEFT-SEMI against the
+    candidate set followed by one hash aggregate — never a sort-merge
+    join. Exactly two shuffle exchanges may appear: the candidate-set
+    distinct (over the tiny checkpointed stats frame — bounded by
+    partitions/support) and the exact-count aggregate (carrying
+    candidate rows only). The corpus scan itself must feed the join
+    directly, never a groupBy over the full distinct-value table."""
+    import re
+
+    from purpleair_data_logger_spark.operators import aggregations as agg
+    from purpleair_data_logger_spark.plans.explain import formatted_plan
+
+    df = spark.createDataFrame(
+        [(f"t{i % 13}",) for i in range(1000)], "tok string"
+    )
+    out = agg.frequent_items(df, "tok", support_bp=500)
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    # the corpus side (the join's left branch, rendered with ':'
+    # prefixes in the tree): scan -> filter -> join, no exchange
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    corpus_branch = [l for l in tree.splitlines() if l.lstrip().startswith(":")]
+    assert corpus_branch and not any("Exchange" in l for l in corpus_branch)
+
+
 # ---------------------------------------------------------------------------
 # property tests: random inputs vs brute-force references
 # ---------------------------------------------------------------------------

@@ -81,6 +81,50 @@ def test_retention_drops_old_partitions(spark, tmp_path):
     assert store.read(S.ENVIRONMENTAL).count() == 1
 
 
+def test_policy_catalog_f8_add_if_absent_and_run(spark, tmp_path):
+    """F8 (previously the one intentionally-n/a §2 row): the
+    policy-catalog introspection read plus the add-if-absent flow the
+    reference runs against timescaledb_information.jobs
+    (PurpleAirPSQLDataLogger.py:120-127 over
+    PurpleAirPSQLQueryStatements.py:557-560). Policies persist across
+    store instances, duplicate registration is a no-op, and
+    run_policies executes retention (partition drop) + compression
+    (cold-partition ZSTD rewrite) with hot data untouched."""
+    store = _store(spark, tmp_path)
+    old_ts = BASE_TS - 40 * 86400
+    for ts in (old_ts, BASE_TS):
+        payload = _multi_payload(ts, [[1, "s1", 40, 1.5, ts]])
+        store.append_wide(X.to_storage_form(X.zip_fields_data(spark, payload)))
+
+    assert store.add_compression_policy(S.ENVIRONMENTAL, after_days=14) is True
+    assert store.add_compression_policy(S.ENVIRONMENTAL, after_days=14) is False
+    assert store.add_retention_policy(S.STATION, keep_days=14) is True
+
+    # the F8 read: filtered catalog lookup, reference query shape
+    rows = store.policy_catalog("policy_compression").collect()
+    assert [(r["proc_name"], r["table_name"]) for r in rows] == [
+        ("policy_compression", S.ENVIRONMENTAL)
+    ]
+    assert store.policy_catalog().count() == 2
+
+    # persistence: a new store instance over the same path sees them
+    store2 = SensorTableStore(spark, store.base_path, cluster_partitions=2)
+    assert store2.policy_catalog().count() == 2
+
+    now = datetime.datetime.fromtimestamp(BASE_TS, datetime.timezone.utc)
+    results = store2.run_policies(now=now)
+    assert results[f"policy_compression:{S.ENVIRONMENTAL}"] == 1
+    assert len(results[f"policy_retention:{S.STATION}"]) == 1
+    # compression preserved every row; retention dropped the old one
+    assert store2.read(S.ENVIRONMENTAL).count() == 2
+    assert store2.read(S.STATION).count() == 1
+    # second tick: cold partition already rewritten is rewritten again
+    # idempotently (same rows), retention finds nothing left to drop
+    results2 = store2.run_policies(now=now)
+    assert results2[f"policy_retention:{S.STATION}"] == []
+    assert store2.read(S.ENVIRONMENTAL).count() == 2
+
+
 def test_drop_all_requires_confirm(spark, tmp_path):
     store = _store(spark, tmp_path)
     with pytest.raises(ValueError):
@@ -1137,6 +1181,76 @@ def test_streaming_downtime_closed_match_batch_and_open_alerts(spark, tmp_path):
     for r in out:
         if not r["closed"]:
             assert r["gap_end_us"] is None and r["gap_us"] is None
+
+
+def test_streaming_state_transitions_match_batch_timeline(spark, tmp_path):
+    """Stateful mirror of state_timeline: the previous state carries
+    across micro-batches (a transition whose endpoints live in
+    different files must still be detected, a state held across the
+    boundary must NOT fake one), NULL states are skipped, and the
+    emitted set equals the batch operator's exactly."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+    from purpleair_data_logger_spark.streaming.state import (
+        streaming_state_transitions,
+    )
+
+    base = _dt.datetime(2024, 8, 1, 0, 0, 0)
+
+    def t(s):
+        return base + _dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "stsrc")
+    batches = [
+        [(1, "a", 0, "up"), (2, "a", 60, "down"), (3, "b", 10, "ok")],
+        [(4, "a", 120, "down"), (5, "b", 70, None)],   # held + NULL skip
+        [(6, "a", 200, "up"), (7, "b", 130, "ok")],    # cross-batch: a flips
+        [(8, "b", 190, "warn")],                        # b flips at last
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(rid, k, t(s), st) for rid, k, s, st in rows],
+            "id long, key string, ts timestamp, st string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_state_transitions(
+        spark,
+        src,
+        str(tmp_path / "stout"),
+        str(tmp_path / "stckpt"),
+        key_col="key",
+        ts_col="ts",
+        id_col="id",
+        state_col="st",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    base_us = int((base - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    got = sorted(
+        (r["key"], (r["transition_us"] - base_us) // 1_000_000,
+         r["from_state"], r["to_state"])
+        for r in spark.read.parquet(str(tmp_path / "stout")).collect()
+    )
+    assert got == [
+        ("a", 60, "up", "down"),
+        ("a", 200, "down", "up"),
+        ("b", 190, "ok", "warn"),
+    ]
+
+    want = sorted(
+        (
+            r["key"],
+            int((r["transition_ts"] - base).total_seconds()),
+            r["from_state"],
+            r["to_state"],
+        )
+        for r in hf.state_timeline(
+            spark.read.parquet(src), "ts", "key", "st", "id"
+        ).collect()
+    )
+    assert got == want
 
 
 def test_streaming_trend_matches_batch_stats_agg(spark, tmp_path):
