@@ -122,6 +122,7 @@ HEADLINE = [
     "state_timeline_transitions",
     "m4_lttb_downsample_events",
     "frequent_tokens_docs",
+    "frequent_tokens_by_lang",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,
@@ -330,6 +331,9 @@ def main() -> None:
     # so the stdout line carries totals plus only the stable-subset
     # per-query timings (bounded: the subset is append-frozen), and
     # BENCH_DETAIL.json carries everything.
+    import uuid
+
+    run_id = uuid.uuid4().hex[:12]
     stable_median = round(
         sum(
             sorted(runs[n])[len(runs[n]) // 2]
@@ -351,6 +355,9 @@ def main() -> None:
         "stable_subset_median_sec": stable_median,
         "sf": sf,
         "wall_clock_unix": round(time.time(), 1),
+        # lets bench_compare exclude THIS run from the history pool it
+        # baselines against (a run always appends itself below)
+        "run_id": run_id,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
@@ -374,6 +381,7 @@ def main() -> None:
             "stable_subset_sec": stable,
             "detail": "BENCH_DETAIL.json",
             "sf": sf,
+            "run_id": run_id,
         }
     )
     if len(line) > 1800:  # hard bound: never exceed the driver's parse tail
@@ -387,6 +395,7 @@ def main() -> None:
                 "stable_subset_sec": stable,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
+                "run_id": run_id,
             }
         )
     sys.stdout.flush()

@@ -3642,6 +3642,37 @@ def frequent_tokens_docs(spark, sf_dir):
 
 
 @register(
+    "frequent_tokens_by_lang",
+    """
+    WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    n AS (SELECT lang, count(*) AS total FROM t GROUP BY 1)
+    SELECT t.lang, t.tok, count(*) AS n_occurrences,
+           CAST(min(n.total) AS BIGINT) AS n_total,
+           CAST(count(*) AS DOUBLE) / CAST(min(n.total) AS DOUBLE) AS freq
+    FROM t JOIN n ON t.lang = n.lang
+    GROUP BY 1, 2
+    HAVING count(*) * 10000 >= 100 * min(n.total)
+    """,
+    "north-star per-group heavy hitters: per-language frequent tokens "
+    "(>= 1% of the language's corpus) — the pigeonhole candidate/"
+    "verify shape applied per (partition, group); per-language "
+    "stopword discovery",
+)
+def frequent_tokens_by_lang(spark, sf_dir):
+    """Per-language stopword discovery: within each language, every
+    token at >= 1% of that language's token mass with exact counts.
+    `agg.grouped_frequent_items`: candidates clear the support against
+    the GROUP's rows in each partition, totals attach by broadcast,
+    thresholds stay integer cross-multiplications."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tx.tokens("text")).alias("tok"))
+    return agg.grouped_frequent_items(
+        toks, ["lang"], "tok", support_bp=100
+    )
+
+
+@register(
     "m4_lttb_downsample_events",
     None,  # the LTTB stage's sequential selection is not
     # SQL-expressible (same rationale as lttb_downsample_events); the
@@ -4243,7 +4274,6 @@ _GATE_PRIORITY: list[str] = [
     "shipping_priority_topk",  # new in r4
     "ccnet_quality_buckets",   # new in r4
     "corpus_accounting_rollup",  # new in r4
-    "event_type_pivot",        # new in r4
     "conversion_funnel",       # new in r4
     "weekly_retention_cohorts",  # new in r4
     "m4_downsample_15min",     # new in r4
@@ -4265,6 +4295,7 @@ _GATE_PRIORITY: list[str] = [
     "state_agg_user_event",        # new in r5 (TimescaleDB state_agg)
     "state_timeline_transitions",  # new in r5 (TimescaleDB timeline_agg)
     "frequent_tokens_docs",        # new in r5 (exact heavy hitters)
+    "frequent_tokens_by_lang",     # new in r5 (per-group heavy hitters)
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -4331,6 +4362,7 @@ _GATE_DEFER: list[str] = [
     "quality_percentile_gate",   # r4 green; the percent-rank-gate family stays gated via ccnet_quality_buckets + dq_report_events (both in-window) and the cutoff math is shared with the r5-gated winsorized/percentile rows
     "event_value_histogram",     # r4 green; a width_bucket groupBy subsumed by the still-gated m4/percentile aggregation family; histogram bucketing is pytest-pinned
     "weighted_sample_docs",      # r4 green; the A-Res priority-sampling family stays gated via token_budget_mixture (in-window, same WindowGroupLimit shape) + domain_cap_sample
+    "event_type_pivot",          # r4 green; the grouping-sets family stays gated via corpus_accounting_rollup (in-window ROLLUP superset) and the pivot column-expansion is pytest-pinned
     "reconstruction_join",       # r1-r3 green ×3; the J1 9-way PK rejoin stays exercised every round by the entry() smoke check, the broadcast-dims plan pin, and the zero-shuffle bucketed-join pytest
 ]
 

@@ -884,3 +884,101 @@ def frequent_items(
             ).alias("freq"),
         )
     )
+
+
+def grouped_frequent_items(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    support_bp: int,
+) -> DataFrame:
+    """Per-group exact heavy hitters: within each group, every value
+    at ≥ ``support_bp`` basis points of the group's non-null rows —
+    per-language stopword discovery, per-tenant hot keys.
+
+    Same two-scan candidate/verify shape as `frequent_items`, with the
+    pigeonhole applied PER (partition, group): a partition emits a
+    (group, value) only when the value clears the support against the
+    group's rows in that partition, plus one marker row per group
+    carrying that partition count — summing the local failures still
+    bounds the global count, so the union is a superset per group.
+    The verify pass broadcast-semi-joins on (group, value), exact-
+    counts candidates, attaches per-group totals by broadcast, and
+    applies the global threshold as an integer cross-multiplication.
+    Output: (*group_cols, value_col, n_occurrences, n_total, freq).
+    """
+    from pyspark.sql import types as T
+
+    groups = [str(g) for g in group_cols]
+    if not groups:
+        return frequent_items(df, value_col, support_bp=support_bp)
+    src = df.select(*groups, value_col).filter(F.col(value_col).isNotNull())
+    sbp = int(support_bp)
+    fields = {f.name: f for f in src.schema.fields}
+    stats_schema = T.StructType(
+        [*(fields[g] for g in groups)]
+        + [
+            T.StructField(
+                value_col, fields[value_col].dataType, True
+            ),
+            T.StructField("_cnt", T.LongType(), False),
+        ]
+    )
+    name = value_col
+
+    def gen(batches):
+        import pandas as pd
+
+        acc = None
+        tot = None
+        for pdf in batches:
+            vc = pdf.groupby(groups + [name], sort=False).size()
+            tg = pdf.groupby(groups, sort=False).size()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            tot = tg if tot is None else tot.add(tg, fill_value=0)
+        if acc is None or not len(tot):
+            return
+        acc = acc.astype("int64")
+        tot = tot.astype("int64")
+        out = acc.reset_index(name="_cnt")
+        # group-local threshold: join each (group, value) count against
+        # its group's partition row count
+        tdf = tot.reset_index(name="_n_pg")
+        merged = out.merge(tdf, on=groups)
+        keep = merged[merged["_cnt"] * 10000 >= sbp * merged["_n_pg"]]
+        markers = tdf.rename(columns={"_n_pg": "_cnt"})
+        markers[name] = None
+        yield pd.concat(
+            [keep[groups + [name, "_cnt"]], markers[groups + [name, "_cnt"]]],
+            ignore_index=True,
+        )
+
+    stats = src.mapInPandas(gen, stats_schema).localCheckpoint()
+    totals = (
+        stats.filter(F.col(name).isNull())
+        .groupBy(*groups)
+        .agg(F.sum("_cnt").alias("_n_g"))
+    )
+    cands = (
+        stats.filter(F.col(name).isNotNull())
+        .select(*groups, name)
+        .distinct()
+    )
+    return (
+        src.join(F.broadcast(cands), on=groups + [name], how="leftsemi")
+        .groupBy(*groups, name)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .join(F.broadcast(totals), on=groups)
+        .filter(F.col("n_occurrences") * 10000 >= F.lit(sbp) * F.col("_n_g"))
+        .select(
+            *groups,
+            name,
+            "n_occurrences",
+            F.col("_n_g").alias("n_total"),
+            (
+                F.col("n_occurrences").cast("double")
+                / F.col("_n_g").cast("double")
+            ).alias("freq"),
+        )
+    )

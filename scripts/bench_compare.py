@@ -63,9 +63,15 @@ def load_bench(path: str) -> tuple[dict | None, str]:
     return bench, f"loaded ({len(bench['queries'])} queries)"
 
 
-def load_history(path: str, sf: float) -> list[tuple[str, dict]]:
+def load_history(
+    path: str, sf: float, exclude_run_id: str | None = None
+) -> list[tuple[str, dict]]:
     """Same-SF entries from the append-only BENCH_HISTORY.jsonl — the
-    durable per-run record that driver tail-truncation cannot lose."""
+    durable per-run record that driver tail-truncation cannot lose.
+    ``exclude_run_id`` drops the run under comparison itself (a bench
+    run appends to history BEFORE this script reads it; without the
+    exclusion every query would baseline against its own time at
+    x1.00 and real regressions vs prior rounds would be masked)."""
     if not os.path.exists(path):
         return []
     out = []
@@ -78,8 +84,11 @@ def load_history(path: str, sf: float) -> list[tuple[str, dict]]:
                 entry = json.loads(line)
             except json.JSONDecodeError:
                 continue
-            if entry.get("sf") == sf and "queries" in entry:
-                out.append((f"history#{i + 1}", entry))
+            if entry.get("sf") != sf or "queries" not in entry:
+                continue
+            if exclude_run_id and entry.get("run_id") == exclude_run_id:
+                continue
+            out.append((f"history#{i + 1}", entry))
     return out
 
 
@@ -121,7 +130,9 @@ def main() -> None:
         sources.append((os.path.basename(p), bench))
     if not explicit:
         hist = load_history(
-            os.path.join(REPO_ROOT, "BENCH_HISTORY.jsonl"), now.get("sf")
+            os.path.join(REPO_ROOT, "BENCH_HISTORY.jsonl"),
+            now.get("sf"),
+            exclude_run_id=now.get("run_id"),
         )
         if hist:
             print(f"  BENCH_HISTORY.jsonl      loaded ({len(hist)} same-sf runs)")

@@ -560,6 +560,32 @@ def test_frequent_items_exact_counts_and_partition_invariance(spark):
     assert abs(r["freq"] - 0.1) < 1e-15
 
 
+def test_grouped_frequent_items_per_group_support(spark):
+    """Per-group heavy hitters: support applies within each group's
+    own denominator — a value frequent in a small group must surface
+    even when globally rare, and vice versa; partition-invariant."""
+    from purpleair_data_logger_spark.operators import aggregations as agg
+
+    vals = (
+        [("en", "the")] * 50 + [("en", f"e{i}") for i in range(450)]
+        + [("fr", "le")] * 8 + [("fr", f"f{i}") for i in range(12)]
+    )
+    df = spark.createDataFrame(vals, "lang string, tok string")
+    for parts in (1, 9):
+        got = {
+            (r["lang"], r["tok"]): (r["n_occurrences"], r["n_total"])
+            for r in agg.grouped_frequent_items(
+                df.repartition(parts), ["lang"], "tok", support_bp=1000
+            ).collect()
+        }
+        # en: 50/500 = 10% -> kept; fr: 8/20 = 40% -> kept despite
+        # being globally 8/520 ≈ 1.5%
+        assert got == {
+            ("en", "the"): (50, 500),
+            ("fr", "le"): (8, 20),
+        }, parts
+
+
 def test_frequent_items_plan_has_no_full_distinct_shuffle(spark):
     """The verify pass must be a broadcast LEFT-SEMI against the
     candidate set followed by one hash aggregate — never a sort-merge

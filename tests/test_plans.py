@@ -467,6 +467,22 @@ def test_state_timeline_windows_bounded_partitions_only(spark, sf):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
+def test_m4_lttb_composition_python_only_after_aggregate(spark, sf):
+    """m4_then_lttb: the corpus-volume stage must be the map-side-
+    combined M4 aggregate (partial_ functions before the exchange);
+    the sequential LTTB kernel is the plan's ONLY Python node and runs
+    strictly downstream of the aggregate, over extreme points. No
+    windows, no sort-merge join, no cartesian."""
+    import re
+
+    plan = _plan(spark, sf, "m4_lttb_downsample_events")
+    assert "partial_" in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_heartbeat_uptime_no_bare_key_corpus_window(spark, sf):
     """Same two-tier rule as counter_delta: the corpus-row lead keys
     on (key, bucket); the explode is a generated sequence (no join
