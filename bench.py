@@ -123,6 +123,7 @@ HEADLINE = [
     "m4_lttb_downsample_events",
     "frequent_tokens_docs",
     "frequent_tokens_by_lang",
+    "state_durations_hourly",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -3267,6 +3267,46 @@ def state_agg_user_event(spark, sf_dir):
 
 
 @register(
+    "state_durations_hourly",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS nxt
+      FROM events WHERE event_type IS NOT NULL
+    ), iv AS (
+      SELECT * FROM s WHERE nxt IS NOT NULL AND nxt > t
+    ), ex AS (
+      SELECT user_id, event_type, t, nxt,
+             unnest(range(t // 3600000000, (nxt - 1) // 3600000000 + 1))
+               AS b
+      FROM iv
+    )
+    SELECT user_id, event_type,
+           make_timestamp(b * 3600000000) AS bucket_ts,
+           CAST(sum(least(nxt, (b + 1) * 3600000000)
+                    - greatest(t, b * 3600000000)) AS BIGINT) AS duration_us
+    FROM ex GROUP BY 1, 2, 3
+    """,
+    "R-family extension: TimescaleDB duration_in(state, agg, bucket) "
+    "— per-(key, state, hour) exact time-in-state under LOCF; the "
+    "state_agg totals resolved onto the dashboard time axis via the "
+    "heartbeat clip-explode",
+)
+def state_durations_hourly(spark, sf_dir):
+    """Hourly seconds-in-state per (sensor, state): LOCF intervals
+    from the two-tier lead, exploded onto the hours they span
+    (JVM-side sequence) and clipped exactly — consecutive intervals
+    never overlap so clipped lengths sum without a merge pass.
+    `hf.state_agg_bucketed`."""
+    e = _t(spark, sf_dir, "events")
+    return hf.state_agg_bucketed(
+        e, "ts", "user_id", "event_type", "event_id", 3600
+    )
+
+
+@register(
     "state_timeline_transitions",
     """
     WITH s AS (
@@ -4274,7 +4314,6 @@ _GATE_PRIORITY: list[str] = [
     "shipping_priority_topk",  # new in r4
     "ccnet_quality_buckets",   # new in r4
     "corpus_accounting_rollup",  # new in r4
-    "conversion_funnel",       # new in r4
     "weekly_retention_cohorts",  # new in r4
     "m4_downsample_15min",     # new in r4
     "heartbeat_uptime_hourly",  # new in r4
@@ -4296,6 +4335,7 @@ _GATE_PRIORITY: list[str] = [
     "state_timeline_transitions",  # new in r5 (TimescaleDB timeline_agg)
     "frequent_tokens_docs",        # new in r5 (exact heavy hitters)
     "frequent_tokens_by_lang",     # new in r5 (per-group heavy hitters)
+    "state_durations_hourly",      # new in r5 (TimescaleDB duration_in)
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -4363,6 +4403,7 @@ _GATE_DEFER: list[str] = [
     "event_value_histogram",     # r4 green; a width_bucket groupBy subsumed by the still-gated m4/percentile aggregation family; histogram bucketing is pytest-pinned
     "weighted_sample_docs",      # r4 green; the A-Res priority-sampling family stays gated via token_budget_mixture (in-window, same WindowGroupLimit shape) + domain_cap_sample
     "event_type_pivot",          # r4 green; the grouping-sets family stays gated via corpus_accounting_rollup (in-window ROLLUP superset) and the pivot column-expansion is pytest-pinned
+    "conversion_funnel",         # r4 green; the ordered-event-analytics family stays gated via weekly_retention_cohorts (in-window) and the stage-ordering semantics are pytest-pinned
     "reconstruction_join",       # r1-r3 green ×3; the J1 9-way PK rejoin stays exercised every round by the entry() smoke check, the broadcast-dims plan pin, and the zero-shuffle bucketed-join pytest
 ]
 

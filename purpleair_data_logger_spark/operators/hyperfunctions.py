@@ -399,6 +399,86 @@ def state_agg(
     )
 
 
+def state_agg_bucketed(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    state_col: str,
+    id_col: str,
+    bucket_seconds: int,
+    *,
+    partition_seconds: int = 86_400,
+    bucket_alias: str = "bucket_ts",
+) -> DataFrame:
+    """TimescaleDB ``duration_in(state, agg, bucket)``-style bucketed
+    time-in-state: per (key, state, bucket) the exact microseconds the
+    key spent in that state within the bucket — `state_agg`'s totals
+    resolved onto a dashboard time axis ("hourly seconds-in-'error'
+    per channel").
+
+    Same LOCF interval per reading as `state_agg` (``[ts, next_ts)``
+    via the two-tier lead; the open-ended last reading contributes
+    nothing), then the heartbeat-uptime explode: each interval lands
+    on every bucket it touches (JVM-side ``sequence``, no shuffle) and
+    is clipped exactly. Consecutive intervals never overlap, so the
+    clipped lengths sum without an interval-merge pass.
+
+    Scale note the bounded-timeout heartbeat doesn't need: the explode
+    factor here is interval-span / bucket — a state held for a month
+    over hourly buckets explodes ×720. That is the same expansion any
+    engine materializing a month of hourly rows pays (it IS the output
+    size), but pick ``bucket_seconds`` accordingly for sparse keys.
+    """
+    bucket_us = int(bucket_seconds) * 1_000_000
+    b = time_bucket(ts_col, partition_seconds).alias("_pb")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w_in = Window.partitionBy(key_col, "_pb").orderBy("_t", id_col)
+    staged = (
+        df.filter(F.col(state_col).isNotNull())
+        .select(
+            F.col(key_col),
+            b,
+            F.col(id_col),
+            F.col(state_col).alias("_st"),
+            ts_us.alias("_t"),
+        )
+        .withColumn("_next_in", F.lead("_t").over(w_in))
+    )
+    firsts = staged.groupBy(key_col, "_pb").agg(F.min("_t").alias("_pfirst"))
+    w_b = Window.partitionBy(key_col).orderBy("_pb")
+    boundary = firsts.select(
+        key_col, "_pb", F.lead("_pfirst").over(w_b).alias("_next_bound")
+    )
+    nxt = F.coalesce(F.col("_next_in"), F.col("_next_bound"))
+    iv = (
+        staged.join(boundary, on=[key_col, "_pb"], how="left")
+        .withColumn("_nxt", nxt)
+        .filter(F.col("_nxt").isNotNull() & (F.col("_nxt") > F.col("_t")))
+    )
+    lo_b = F.expr(f"_t div {bucket_us}L")
+    hi_b = F.expr(f"(_nxt - 1) div {bucket_us}L")
+    exploded = iv.select(
+        F.col(key_col),
+        F.col("_st"),
+        F.col("_t"),
+        F.col("_nxt"),
+        F.explode(F.sequence(lo_b, hi_b)).alias("_b"),
+    )
+    covered = F.least(F.col("_nxt"), (F.col("_b") + 1) * bucket_us) - F.greatest(
+        F.col("_t"), F.col("_b") * bucket_us
+    )
+    return (
+        exploded.groupBy(
+            key_col,
+            F.col("_st").alias(state_col),
+            F.timestamp_seconds(F.col("_b") * bucket_seconds).alias(
+                bucket_alias
+            ),
+        )
+        .agg(F.sum(covered).cast("long").alias("duration_us"))
+    )
+
+
 def state_timeline(
     df: DataFrame,
     ts_col: str,

@@ -353,6 +353,39 @@ def test_state_timeline_transitions_including_day_boundary(spark):
     ]
 
 
+def test_state_agg_bucketed_clips_and_sums_to_totals(spark):
+    """duration_in-style bucketing: an interval spanning bucket edges
+    is clipped exactly onto each hour it touches, and the per-bucket
+    rows sum back to state_agg's per-state totals."""
+    d = datetime
+
+    rows = [
+        (1, "a", d(2024, 1, 1, 0, 30), "up"),    # up 00:30 -> 01:15
+        (2, "a", d(2024, 1, 1, 1, 15), "down"),  # down 01:15 -> 03:00
+        (3, "a", d(2024, 1, 1, 3, 0), "up"),     # open tail: nothing
+    ]
+    df = spark.createDataFrame(rows, "id long, key string, ts timestamp, st string")
+    out = {
+        (r["st"], r["bucket_ts"].hour): r["duration_us"]
+        for r in hf.state_agg_bucketed(df, "ts", "key", "st", "id", 3600).collect()
+    }
+    m = 60_000_000
+    assert out == {
+        ("up", 0): 30 * m,     # 00:30 -> 01:00
+        ("up", 1): 15 * m,     # 01:00 -> 01:15
+        ("down", 1): 45 * m,   # 01:15 -> 02:00
+        ("down", 2): 60 * m,   # full hour
+    }
+    totals = {
+        r["st"]: r["duration_us"]
+        for r in hf.state_agg(df, "ts", "key", "st", "id").collect()
+    }
+    by_state: dict = {}
+    for (st, _), v in out.items():
+        by_state[st] = by_state.get(st, 0) + v
+    assert by_state == totals
+
+
 def test_order_statistics_family_ignores_nulls(spark):
     """Family NULL contract (round-4 advisory): NULL values carry no
     observation — median/percentiles/mode/winsorized must produce the
@@ -875,3 +908,40 @@ def test_gap_incidents_cross_partition_boundary(spark):
     assert r["gap_start_ts"] == dt(2024, 1, 1, 23, 0)
     assert r["gap_end_ts"] == dt(2024, 1, 2, 1, 30)
     assert r["gap_us"] == 2 * 3600 * 1_000_000 + 30 * 60 * 1_000_000
+
+
+@given(
+    counts=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=25
+    ),
+    support_bp=st.sampled_from([500, 1000, 2000, 5000]),
+    parts=st.sampled_from([1, 5, 16]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_frequent_items_property_matches_brute_force(
+    spark, counts, support_bp, parts
+):
+    """Random multisets under random partitionings: frequent_items
+    must return EXACTLY the brute-force answer — every value with
+    cnt*10⁴ ≥ support*N, with exact counts, nothing else. Exercises
+    the pigeonhole candidate guarantee at boundaries (values exactly
+    at support, single-partition, many-partition)."""
+    from purpleair_data_logger_spark.operators import aggregations as agg
+
+    rows = [(f"v{i}",) for i, c in enumerate(counts) for _ in range(c)]
+    n = len(rows)
+    want = {
+        f"v{i}": c
+        for i, c in enumerate(counts)
+        if c * 10000 >= support_bp * n
+    }
+    df = spark.createDataFrame(rows, "tok string").repartition(parts)
+    got = {
+        r["tok"]: r["n_occurrences"]
+        for r in agg.frequent_items(df, "tok", support_bp=support_bp).collect()
+    }
+    assert got == want

@@ -453,6 +453,23 @@ def test_state_agg_windows_bounded_partitions_only(spark, sf):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_state_durations_bucketed_windows_and_generate(spark, sf):
+    """state_agg_bucketed: same bounded two-tier windows as state_agg,
+    plus the heartbeat-style JVM-side sequence+explode (Generate) —
+    no spine join, no Python, no cartesian."""
+    import re
+
+    plan = _plan(spark, sf, "state_durations_hourly")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    win_args = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert any("_pb" in l and "user_id" in l for l in win_args)
+    assert "Generate" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_state_timeline_windows_bounded_partitions_only(spark, sf):
     """Same pin for timeline_agg's lag shape: (key, partition)-keyed
     corpus window + aggregate-level boundary stitch only."""
