@@ -788,6 +788,7 @@ def frequent_items(
     value_col: str,
     *,
     support_bp: int,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact heavy hitters: every value whose global frequency is at
     least ``support_bp`` basis points of the non-null rows, with its
@@ -819,6 +820,12 @@ def frequent_items(
     (cnt·10⁴ ≥ support_bp·N) — no float epsilon, engine-portable.
     Output: (value_col, n_occurrences, n_total, freq) where freq is
     the one final double division.
+
+    ``checkpoint_dir``: the candidate stats frame is materialized once
+    (read twice: total + candidate set). Default is executor-memory
+    ``localCheckpoint``; pass a cluster-visible directory for reliable
+    ``df.checkpoint()`` on long-running cluster jobs (the
+    `operators.clusters` durability argument).
     """
     from pyspark.sql import types as T
 
@@ -852,7 +859,11 @@ def frequent_items(
     # small by the candidate bound; materialized once because it is
     # read twice (total + candidate set) and recomputing would rescan
     # the corpus
-    stats = src.mapInPandas(gen, stats_schema).localCheckpoint()
+    from purpleair_data_logger_spark.operators.clusters import _checkpointer
+
+    stats = _checkpointer(src, checkpoint_dir)(
+        src.mapInPandas(gen, stats_schema)
+    )
     n_total = (
         stats.filter(F.col(name).isNull()).agg(F.sum("_cnt")).collect()[0][0]
     )
@@ -892,6 +903,7 @@ def grouped_frequent_items(
     value_col: str,
     *,
     support_bp: int,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Per-group exact heavy hitters: within each group, every value
     at ≥ ``support_bp`` basis points of the group's non-null rows —
@@ -912,7 +924,9 @@ def grouped_frequent_items(
 
     groups = [str(g) for g in group_cols]
     if not groups:
-        return frequent_items(df, value_col, support_bp=support_bp)
+        return frequent_items(
+            df, value_col, support_bp=support_bp, checkpoint_dir=checkpoint_dir
+        )
     src = df.select(*groups, value_col).filter(F.col(value_col).isNotNull())
     sbp = int(support_bp)
     fields = {f.name: f for f in src.schema.fields}
@@ -954,7 +968,11 @@ def grouped_frequent_items(
             ignore_index=True,
         )
 
-    stats = src.mapInPandas(gen, stats_schema).localCheckpoint()
+    from purpleair_data_logger_spark.operators.clusters import _checkpointer
+
+    stats = _checkpointer(src, checkpoint_dir)(
+        src.mapInPandas(gen, stats_schema)
+    )
     totals = (
         stats.filter(F.col(name).isNull())
         .groupBy(*groups)

@@ -1183,6 +1183,105 @@ def test_streaming_downtime_closed_match_batch_and_open_alerts(spark, tmp_path):
             assert r["gap_end_us"] is None and r["gap_us"] is None
 
 
+def test_streaming_gapfill_locf_matches_batch_on_closed_buckets(spark, tmp_path):
+    """Stateful gap-fill: a bucket emits exactly once, when the
+    watermark closes it — observed buckets with their max, interior
+    gaps with the LOCF carry (rows for buckets NO data ever arrived
+    for), the tail bounded by max_fill_buckets. On every bucket both
+    engines emit (the per-key range they share), the
+    (value, is_gapfilled) pair must equal batch gapfill_locf."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.operators import aggregations as agg
+    from purpleair_data_logger_spark.streaming.gapfill import (
+        streaming_gapfill_locf,
+    )
+
+    base = _dt.datetime(2024, 9, 1, 0, 0, 0)
+
+    def t(s):
+        return base + _dt.timedelta(seconds=s)
+
+    # 60 s buckets. Key a: data in buckets 0, 1 (two rows -> max), 4
+    # (gap 2-3 filled with 5.0 across a micro-batch boundary); key b:
+    # buckets 1, 2.
+    src = str(tmp_path / "gfsrc")
+    batches = [
+        [("a", 10, 3.0), ("a", 70, 5.0), ("a", 80, 4.0), ("b", 90, 7.0)],
+        # a@100 lands in bucket 1 from a LATER micro-batch while that
+        # bucket is still open (within watermark) -> must merge to max
+        [("b", 150, 8.0), ("a", 100, 9.0)],
+        [("a", 250, 6.0)],               # closes a's 2-3 gap
+        [("zz", 3600, 0.0)],             # watermark advance
+        [("zz", 7200, 0.0)],             # timeout catch-up batch
+        [("zz", 10800, 0.0)],            # second catch-up (wm lags a batch)
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(k, t(s), v) for k, s, v in rows],
+            "key string, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_gapfill_locf(
+        spark,
+        src,
+        str(tmp_path / "gfout"),
+        str(tmp_path / "gfckpt"),
+        key_col="key",
+        ts_col="ts",
+        value_col="value",
+        bucket_seconds=60,
+        max_fill_buckets=2,
+        watermark="1 second",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "gfout")).filter("key != 'zz'")
+    got = {
+        (r["key"], int((r["bucket_ts"] - base).total_seconds()) // 60): (
+            r["value_filled"],
+            r["is_gapfilled"],
+        )
+        for r in out.collect()
+    }
+    assert len(got) == out.count()  # each bucket emitted exactly once
+    # a: 0 obs, 1 obs(max 5.0), 2-3 gap@5.0, 4 obs, then ≤2 tail gaps
+    # b: 1 obs, 2 obs, then ≤2 tail gaps @8.0
+    assert got[("a", 0)] == (3.0, False)
+    assert got[("a", 1)] == (9.0, False)      # max of 5.0, 4.0, late 9.0
+    assert got[("a", 2)] == (9.0, True)
+    assert got[("a", 3)] == (9.0, True)
+    assert got[("a", 4)] == (6.0, False)
+    assert got[("a", 5)] == (6.0, True) and got[("a", 6)] == (6.0, True)
+    assert ("a", 7) not in got                # tail bounded at 2
+    assert got[("b", 1)] == (7.0, False)
+    assert got[("b", 2)] == (8.0, False)
+    assert got[("b", 3)] == (8.0, True) and got[("b", 4)] == (8.0, True)
+    assert ("b", 5) not in got
+
+    # batch parity on the shared range: batch spine is global, so
+    # compare each key's rows from its first observed bucket up to the
+    # last bucket streaming emitted for it
+    batch_rows = agg.gapfill_locf(
+        spark.read.parquet(src).filter("key != 'zz'"),
+        "ts",
+        60,
+        ["key"],
+        "value",
+    ).collect()
+    last_emitted = {}
+    first_emitted = {}
+    for k, b in got:
+        last_emitted[k] = max(last_emitted.get(k, -1), b)
+        first_emitted[k] = min(first_emitted.get(k, 1 << 60), b)
+    for r in batch_rows:
+        k = r["key"]
+        b = int((r["bucket_ts"] - base).total_seconds()) // 60
+        if first_emitted[k] <= b <= last_emitted[k]:
+            assert got[(k, b)] == (r["value_filled"], r["is_gapfilled"]), (k, b)
+
+
 def test_streaming_state_transitions_match_batch_timeline(spark, tmp_path):
     """Stateful mirror of state_timeline: the previous state carries
     across micro-batches (a transition whose endpoints live in
