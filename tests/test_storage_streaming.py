@@ -1282,6 +1282,156 @@ def test_streaming_gapfill_locf_matches_batch_on_closed_buckets(spark, tmp_path)
             assert got[(k, b)] == (r["value_filled"], r["is_gapfilled"]), (k, b)
 
 
+def test_streaming_gapfill_tail_drop_and_key_revival(spark, tmp_path):
+    """The bounded-tail contract end-to-end: a key dark past
+    max_fill_buckets stops producing flat-line rows and its state is
+    DROPPED; when the key later revives, it restarts fresh from its
+    new first bucket (no carry across the horizon, no rows for the
+    dark middle)."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.streaming.gapfill import (
+        streaming_gapfill_locf,
+    )
+
+    base = _dt.datetime(2024, 9, 2, 0, 0, 0)
+
+    def t(s):
+        return base + _dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "gfrsrc")
+    batches = [
+        [("a", 10, 2.0)],                 # bucket 0
+        [("zz", 300, 0.0)],               # wm -> ~299
+        [("zz", 400, 0.0)],               # timeout: emit b0 + 1 tail, drop
+        [("a", 900, 7.0)],                # revival: bucket 15, fresh state
+        [("zz", 3600, 0.0)],
+        [("zz", 7200, 0.0)],              # timeout: emit b15 + 1 tail, drop
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(k, t(s), v) for k, s, v in rows],
+            "key string, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_gapfill_locf(
+        spark,
+        src,
+        str(tmp_path / "gfrout"),
+        str(tmp_path / "gfrckpt"),
+        key_col="key",
+        ts_col="ts",
+        value_col="value",
+        bucket_seconds=60,
+        max_fill_buckets=1,
+        watermark="1 second",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (int((r["bucket_ts"] - base).total_seconds()) // 60,
+         r["value_filled"], r["is_gapfilled"])
+        for r in spark.read.parquet(str(tmp_path / "gfrout"))
+        .filter("key = 'a'")
+        .collect()
+    )
+    assert got == [
+        (0, 2.0, False),
+        (1, 2.0, True),     # the single allowed tail bucket
+        (15, 7.0, False),   # revival: fresh, dark middle never emitted
+        (16, 7.0, True),
+    ]
+
+
+def test_streaming_interpolate_matches_batch_between_closed_neighbors(
+    spark, tmp_path
+):
+    """Stateful linear interpolation: interior gap buckets emit the
+    batch operator's exact fill once their RIGHT observed neighbor is
+    watermark-closed (endpoints arriving in different micro-batches),
+    a late row merging into a still-open bucket shifts the fill, and
+    leading/trailing edges emit nothing (batch's NULL rows)."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.operators import aggregations as agg
+    from purpleair_data_logger_spark.streaming.interpolate import (
+        streaming_gapfill_interpolate,
+    )
+
+    base = _dt.datetime(2024, 9, 3, 0, 0, 0)
+
+    def t(s):
+        return base + _dt.timedelta(seconds=s)
+
+    # 60 s buckets. a: obs 0 (2.0) and 3 (8.0 after late merge) ->
+    # gaps 1,2 interpolate to 4.0, 6.0; b: obs 1 (1.0), 2 (2.5).
+    src = str(tmp_path / "ipsrc")
+    batches = [
+        [("a", 10, 2.0), ("b", 70, 1.0)],
+        [("a", 190, 5.0), ("b", 130, 2.5)],   # a@bucket3 provisional
+        [("a", 200, 8.0)],                     # late merge: max -> 8.0
+        [("zz", 3600, 0.0)],
+        [("zz", 7200, 0.0)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(k, t(s), v) for k, s, v in rows],
+            "key string, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_gapfill_interpolate(
+        spark,
+        src,
+        str(tmp_path / "ipout"),
+        str(tmp_path / "ipckpt"),
+        key_col="key",
+        ts_col="ts",
+        value_col="value",
+        bucket_seconds=60,
+        max_gap_buckets=50,
+        watermark="1 second",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["key"], int((r["bucket_ts"] - base).total_seconds()) // 60): (
+            r["value_filled"],
+            r["is_gapfilled"],
+        )
+        for r in spark.read.parquet(str(tmp_path / "ipout"))
+        .filter("key != 'zz'")
+        .collect()
+    }
+    assert got == {
+        ("a", 0): (2.0, False),
+        ("a", 1): (4.0, True),    # 2 + (8-2)*1/3
+        ("a", 2): (6.0, True),    # 2 + (8-2)*2/3
+        ("a", 3): (8.0, False),
+        ("b", 1): (1.0, False),
+        ("b", 2): (2.5, False),
+    }
+
+    # batch parity: the non-NULL spine rows inside each key's observed
+    # range are exactly the streaming emission
+    want = {
+        (r["key"], int((r["bucket_ts"] - base).total_seconds()) // 60): (
+            r["value_filled"],
+            r["is_gapfilled"],
+        )
+        for r in agg.gapfill_interpolate(
+            spark.read.parquet(src).filter("key != 'zz'"),
+            "ts",
+            60,
+            ["key"],
+            "value",
+        ).collect()
+        if r["value_filled"] is not None
+    }
+    assert got == want
+
+
 def test_streaming_state_transitions_match_batch_timeline(spark, tmp_path):
     """Stateful mirror of state_timeline: the previous state carries
     across micro-batches (a transition whose endpoints live in
