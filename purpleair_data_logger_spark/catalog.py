@@ -4281,6 +4281,14 @@ def sensor_spike_detection(spark, sf_dir):
 #: Never-yet-gated (no CORRECTNESS_r{1..3} row) and new-this-round
 #: queries — the whole cluster-resolution layer plus packing/chunking/
 #: leakage-split/frame-sample. Gate these first (VERDICT r3 #1).
+#:
+#: Rotation state after r5: every oracled catalog query has (or, with
+#: this round's window, gets) at least one driver correctness row
+#: across r1-r5 — the r5 window adds the five r4 stragglers plus all
+#: five r5-new oracled queries. r6 queue: nothing is un-gated; rotate
+#: long-deferred families back in (oldest driver row first, e.g. the
+#: r1-only rows) so no query's last artifact goes more than ~4 rounds
+#: stale.
 _GATE_PRIORITY: list[str] = [
     "neardup_cluster_dedup",
     "neardup_cluster_keep_best",
