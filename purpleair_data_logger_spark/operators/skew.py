@@ -105,3 +105,55 @@ def replicated_skew_join(
     )
     out = salted_big.join(replicated_small, on=[key, "_salt"], how="inner")
     return out.drop("_salt")
+
+
+def hot_cold_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    hot_keys: DataFrame | None = None,
+    support_bp: int = 100,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot/cold split equi-join: rows whose key is HOT join against a
+    broadcast of the small side's hot subset (the hot key never enters
+    a shuffle at all); everything else takes the ordinary shuffle
+    join; the union is exactly the plain join.
+
+    Complements the module's other two strategies: AQE skew-splitting
+    re-plans a skewed SORT-MERGE partition at runtime — but both sides
+    have already shuffled, a hot key's rows still all land (split) on
+    reducers, and stream-static joins can't re-plan at all.
+    `replicated_skew_join` salts when the small side exceeds the
+    broadcast budget. This one removes the hot keys' shuffle entirely
+    whenever the small side's HOT SUBSET (|hot keys| rows ×
+    replication) fits a broadcast — almost always, since hot keys are
+    few by definition.
+
+    ``hot_keys``: a one-column DataFrame of hot key values. Default
+    None detects them with `aggregations.frequent_items` over the big
+    side's key column at ``support_bp`` — the two-scan heavy-hitter
+    pass whose candidate bound makes detection itself skew-proof.
+
+    ``how``: ``inner`` or ``left`` (the split partitions the LEFT side
+    exactly, so those are the semantics-preserving modes; right/full
+    would double-count unmatched small rows across the legs).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    if hot_keys is None:
+        from purpleair_data_logger_spark.operators.aggregations import (
+            frequent_items,
+        )
+
+        hot_keys = frequent_items(
+            big.select(key), key, support_bp=support_bp
+        ).select(key)
+    hot = F.broadcast(hot_keys.select(key).distinct())
+    big_hot = big.join(hot, key, "leftsemi")
+    big_cold = big.join(hot, key, "leftanti")
+    small_hot = small.join(hot, key, "leftsemi")
+    hot_out = big_hot.join(F.broadcast(small_hot), key, how)
+    cold_out = big_cold.join(small, key, how)
+    return hot_out.unionByName(cold_out)

@@ -153,3 +153,60 @@ def test_salted_agg_spreads_hot_key(spark, sf_dir):
         .count()
     )
     assert partials > 1, "hot key not spread over multiple salt buckets"
+
+
+def test_hot_cold_join_matches_plain_and_splits_plan(spark, sf_dir):
+    """hot_cold_join must equal the plain join row-for-row (inner AND
+    left, including left rows with no match) while the plan shows the
+    split: a broadcast join for the hot leg unioned with a shuffle
+    join for the cold leg — the hot key never enters an exchange."""
+    sk = _skewed_events(spark, sf_dir, copies=2)
+    users = (
+        sk.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 3 != 1)  # some users unmatched
+        .withColumn("segment", F.col("user_id") % 5)
+    )
+    hot = spark.createDataFrame([(HOT_USER,)], "user_id long")
+
+    for how in ("inner", "left"):
+        plain = (
+            sk.join(users, "user_id", how)
+            .groupBy("user_id", "segment")
+            .count()
+        )
+        split = (
+            skew.hot_cold_join(sk, users, "user_id", hot_keys=hot, how=how)
+            .groupBy("user_id", "segment")
+            .count()
+        )
+        p = {(r["user_id"], r["segment"]): r["count"] for r in plain.collect()}
+        s = {(r["user_id"], r["segment"]): r["count"] for r in split.collect()}
+        assert s == p, how
+
+    with _skew_confs(spark):  # autoBroadcast off: broadcasts are explicit
+        plan = explain.formatted_plan(
+            skew.hot_cold_join(sk, users, "user_id", hot_keys=hot)
+        )
+    assert "BroadcastHashJoin" in plan  # the hot leg
+    assert "Union" in plan
+
+
+def test_hot_cold_join_detects_hot_keys_via_frequent_items(spark, sf_dir):
+    """Default detection path: with no hot_keys given, the heavy-hitter
+    pass finds the planted 30%-share user and the join still equals
+    the plain join."""
+    sk = _skewed_events(spark, sf_dir, copies=2)
+    users = sk.select("user_id").distinct().withColumn(
+        "segment", F.col("user_id") % 5
+    )
+    plain = sk.join(users, "user_id", "inner").count()
+    split = skew.hot_cold_join(
+        sk, users, "user_id", support_bp=1000  # 10%: catches the hot user
+    ).count()
+    assert split == plain
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skew.hot_cold_join(sk, users, "user_id", how="full")
