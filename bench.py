@@ -124,6 +124,7 @@ HEADLINE = [
     "frequent_tokens_docs",
     "frequent_tokens_by_lang",
     "state_durations_hourly",
+    "asap_smooth_events",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

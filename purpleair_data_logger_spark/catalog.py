@@ -3713,6 +3713,30 @@ def frequent_tokens_by_lang(spark, sf_dir):
 
 
 @register(
+    "asap_smooth_events",
+    None,  # the window search is an iterative optimization (roughness
+    # argmin under a kurtosis constraint) — not SQL-expressible; the
+    # kernel is pytest-pinned against an independent reference loop
+    # and the operator against the kernel (the lttb precedent).
+    "A2/A4 extension: ASAP smoothing (Rong & Bailis VLDB'17; "
+    "TimescaleDB asap_smooth) — the auto-parameterized "
+    "roughness-minimal, kurtosis-preserving moving average a "
+    "dashboard draws instead of a hand-tuned one",
+)
+def asap_smooth_events(spark, sf_dir):
+    """Smooth each sensor's hourly mean series with the ASAP-chosen
+    window: minimal roughness among windows that preserve kurtosis
+    (spikes survive). Pre-aggregated to the calendar-bounded hourly
+    series first — the same series-fits-one-worker contract as LTTB —
+    then one Arrow-batched kernel pass per key."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        agg.time_bucket("ts", 3600).alias("bucket_ts"), "user_id"
+    ).agg(F.avg("value").alias("v"))
+    return hf.asap_smooth(hourly, "bucket_ts", "user_id", "v", max_window=24)
+
+
+@register(
     "m4_lttb_downsample_events",
     None,  # the LTTB stage's sequential selection is not
     # SQL-expressible (same rationale as lttb_downsample_events); the

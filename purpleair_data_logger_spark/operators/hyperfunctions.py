@@ -216,6 +216,133 @@ def lttb_downsample(
     )
 
 
+def asap_window_and_smooth(vs, max_window: int):
+    """ASAP smoothing-parameter search (Rong & Bailis, "ASAP:
+    Prioritizing Attention via Time Series Smoothing", VLDB 2017;
+    TimescaleDB ``asap_smooth``): pick the moving-average window that
+    MINIMIZES ROUGHNESS (std of the smoothed series' first
+    differences) SUBJECT TO preserving kurtosis (smoothed kurtosis ≥
+    original — so spikes/anomalies survive the smoothing instead of
+    being averaged away). Returns (window, trailing-aligned smoothed
+    values of length len(vs) − window + 1).
+
+    The paper prunes the search with autocorrelation peaks because it
+    targets million-point raw series; this engine's contract (same as
+    `lttb_downsample`) pre-aggregates to a calendar-bounded series
+    first, so the search space is ≤ ``max_window`` candidates over ≤ a
+    few thousand points and an EXHAUSTIVE scan is cheaper than the
+    pruning bookkeeping — and exactly reproducible by an independent
+    reference loop, which the pytest does.
+    """
+    import numpy as np
+
+    vs = np.asarray(vs, dtype=np.float64)
+    n = len(vs)
+
+    def kurtosis(x):
+        m = x.mean()
+        d = x - m
+        m2 = (d * d).mean()
+        if m2 == 0:
+            return float("-inf")
+        return float((d**4).mean() / (m2 * m2))
+
+    def roughness(x):
+        if len(x) < 2:
+            return 0.0
+        return float(np.diff(x).std())
+
+    orig_kurt = kurtosis(vs)
+    best_w, best_vals, best_r = 1, vs, roughness(vs)
+    hi = min(int(max_window), n)
+    for w in range(2, hi + 1):
+        sm = np.convolve(vs, np.full(w, 1.0 / w), mode="valid")
+        if kurtosis(sm) >= orig_kurt and roughness(sm) < best_r:
+            best_w, best_vals, best_r = w, sm, roughness(sm)
+    return best_w, best_vals
+
+
+def asap_smooth(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    *,
+    max_window: int = 100,
+) -> DataFrame:
+    """Per-key ASAP smoothing: the automatically-parameterized moving
+    average a dashboard should draw instead of a hand-tuned one —
+    roughness-minimal, kurtosis-preserving (see
+    `asap_window_and_smooth`).
+
+    Spark shape: identical to `lttb_downsample` (the chain-dependent
+    pandas case): hash-repartition on the key, sort within partitions,
+    ONE Python call per Arrow batch via ``mapInPandas`` with a carry
+    buffer for the key straddling a batch boundary. Same
+    series-fits-one-worker contract — pre-aggregate corpus-sized
+    series (`bucketed_agg` / `m4_downsample`) first. Output: one row
+    per smoothed point (trailing-aligned: a point's timestamp is its
+    window's END) plus the chosen window, NULL values excluded.
+    """
+    from pyspark.sql import types as T
+
+    fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            fields[key_col],
+            fields[ts_col],
+            T.StructField("value_smoothed", T.DoubleType()),
+            T.StructField("window", T.IntegerType()),
+        ]
+    )
+
+    def _smooth(pdf):
+        import pandas as pd
+
+        out = []
+        for _, g in pdf.groupby(key_col, sort=False):
+            vs = g[value_col].to_numpy(dtype="float64")
+            w, sm = asap_window_and_smooth(vs, max_window)
+            out.append(
+                pd.DataFrame(
+                    {
+                        key_col: g[key_col].iloc[w - 1 :].to_numpy(),
+                        ts_col: g[ts_col].iloc[w - 1 :].to_numpy(),
+                        "value_smoothed": sm,
+                        "window": w,
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    def fn(batches):
+        import pandas as pd
+
+        buf = None
+        for pdf in batches:
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                buf = None
+                continue
+            last = pdf[key_col].iloc[-1]
+            tail_mask = pdf[key_col] == last
+            buf = pdf[tail_mask]
+            done = pdf[~tail_mask]
+            if len(done):
+                yield _smooth(done)
+        if buf is not None and len(buf):
+            yield _smooth(buf)
+
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(key_col, ts_col, F.col(value_col).cast("double").alias(value_col))
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, value_col)
+        .mapInPandas(fn, out_schema)
+    )
+
+
 def m4_then_lttb(
     df: DataFrame,
     ts_col: str,

@@ -945,3 +945,105 @@ def test_frequent_items_property_matches_brute_force(
         for r in agg.frequent_items(df, "tok", support_bp=support_bp).collect()
     }
     assert got == want
+
+
+def _brute_asap(vs, max_window):
+    """Independent plain-loop ASAP reference: exhaustive window scan,
+    numpy used only for the convolution-free running mean."""
+    def kurt(x):
+        n = len(x)
+        m = sum(x) / n
+        m2 = sum((v - m) ** 2 for v in x) / n
+        if m2 == 0:
+            return float("-inf")
+        return (sum((v - m) ** 4 for v in x) / n) / (m2 * m2)
+
+    def rough(x):
+        if len(x) < 2:
+            return 0.0
+        d = [b - a for a, b in zip(x, x[1:])]
+        mu = sum(d) / len(d)
+        return (sum((v - mu) ** 2 for v in d) / len(d)) ** 0.5
+
+    ok_orig = kurt(vs)
+    best = (1, list(vs), rough(vs))
+    for w in range(2, min(max_window, len(vs)) + 1):
+        sm = [sum(vs[i : i + w]) / w for i in range(len(vs) - w + 1)]
+        if kurt(sm) >= ok_orig and rough(sm) < best[2]:
+            best = (w, sm, rough(sm))
+    return best
+
+
+def test_asap_kernel_matches_reference_and_preserves_anomaly(spark):
+    """The vectorized kernel must pick the same window as the
+    independent loop reference. The planted 16-point anomaly plateau
+    is the paper's motivating case: windows narrower than the plateau
+    shrink noise while keeping its amplitude (kurtosis RISES — the
+    constraint admits them), wider windows flatten it (kurtosis falls
+    below original — rejected), so the chosen window smooths as much
+    as possible WITHOUT averaging the anomaly away."""
+    import numpy as np
+
+    vs = [
+        ((((i * 2654435761) ^ (i >> 3)) % 1000) / 1000.0 - 0.5) * 1.2
+        for i in range(240)
+    ]
+    for j in range(120, 136):
+        vs[j] += 6.0
+    w, sm = hf.asap_window_and_smooth(vs, 40)
+    bw, bsm, _ = _brute_asap(vs, 40)
+    assert w == bw
+    assert 1 < w < 16  # smooths, but never wider than the anomaly
+    assert np.allclose(sm, bsm, rtol=0, atol=1e-9)
+    # anomaly survives at (nearly) full amplitude
+    assert max(sm) > 5.0
+    # roughness reduced vs raw
+    assert np.diff(sm).std() < np.diff(np.array(vs)).std()
+
+
+def test_asap_overwhelming_spike_keeps_identity(spark):
+    """A single-point spike in an otherwise smooth series drives the
+    ORIGINAL kurtosis so high no window can preserve it — ASAP then
+    refuses to smooth (window 1, identity): averaging would be the
+    silent anomaly-erasure the constraint exists to prevent."""
+    vs = [math.sin(i / 3.0) + 0.3 * math.sin(i * 1.7) for i in range(120)]
+    vs[60] += 8.0
+    w, sm = hf.asap_window_and_smooth(vs, 30)
+    assert w == 1 and list(sm) == vs
+
+
+def test_asap_operator_applies_kernel_per_key(spark):
+    """Operator ≡ kernel per key, trailing alignment, and partition
+    invariance (the mapInPandas carry-buffer path)."""
+    import numpy as np
+
+    rows = []
+    for k in (1, 2):
+        for i in range(90):
+            v = ((((i * 2654435761 * k) ^ (i >> 2)) % 1000) / 1000.0 - 0.5)
+            if 40 <= i < 40 + 8 * k:  # per-key anomaly plateau
+                v += 4.0
+            rows.append((k, datetime(2024, 1, 1, i // 60, i % 60), v))
+    df = spark.createDataFrame(rows, "key int, ts timestamp, v double")
+    for parts in (1, 7):
+        out = hf.asap_smooth(
+            df.repartition(parts), "ts", "key", "v", max_window=20
+        )
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["key"], []).append(
+                (r["ts"], r["value_smoothed"], r["window"])
+            )
+        for k in (1, 2):
+            series = sorted(
+                (t, v) for kk, t, v in rows if kk == k
+            )
+            w, sm = hf.asap_window_and_smooth(
+                [v for _, v in series], 20
+            )
+            pts = sorted(got[k])
+            assert len(pts) == len(series) - w + 1
+            assert all(p[2] == w for p in pts)
+            assert np.allclose([p[1] for p in pts], sm, atol=1e-9)
+            # trailing alignment: first output ts is the w-th input ts
+            assert pts[0][0] == series[w - 1][0]
