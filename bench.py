@@ -125,6 +125,9 @@ HEADLINE = [
     "frequent_tokens_by_lang",
     "state_durations_hourly",
     "asap_smooth_events",
+    "cusum_drift_by_user",
+    "mad_outliers_by_event_type",
+    "stats2d_click_error_by_user",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

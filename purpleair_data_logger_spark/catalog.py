@@ -4297,6 +4297,183 @@ def sensor_spike_detection(spark, sf_dir):
     )
 
 
+@register(
+    "cusum_drift_by_user",
+    """
+    WITH f AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    t AS (
+      SELECT user_id,
+             CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+      FROM f GROUP BY 1
+    ),
+    d AS (
+      SELECT f.user_id, f.event_id, f.ts, f.value, f.v - t.mu - 200 AS dd
+      FROM f JOIN t USING (user_id)
+    ),
+    p AS (
+      SELECT *, CAST(sum(dd) OVER w AS BIGINT) AS ps
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT *, ps - least(CAST(0 AS BIGINT), min(ps) OVER w2) AS sc
+      FROM p
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, value, CAST(sc AS DOUBLE) / 100.0 AS cusum
+    FROM s WHERE sc > 30000
+    """,
+    "A4/R3 extension: Page's one-sided CUSUM drift detector as pure "
+    "window algebra — S_i = P_i - min prefix(P), exact scaled-BIGINT "
+    "arithmetic, the slow-drift alert a MAX-threshold panel misses",
+)
+def cusum_drift_by_user(spark, sf_dir):
+    """Upward CUSUM alarms per sensor key against its own truncating
+    integer-scaled mean, slack 2.00 and threshold 300.00 value units.
+    The sequential recurrence max(0, S+d) is rewritten as prefix-sum
+    minus running-min-of-prefix-sum — two windows, no UDF — and runs
+    two-tier over (key, calendar-day) partitions per the skew rule."""
+    e = _t(spark, sf_dir, "events")
+    return hf.cusum_scan(
+        e,
+        "ts",
+        "user_id",
+        "value",
+        "event_id",
+        slack=2.0,
+        threshold=300.0,
+    )
+
+
+@register(
+    "mad_outliers_by_event_type",
+    """
+    WITH e AS (
+      SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    vals1 AS (SELECT event_type, value, count(*) AS cnt FROM e GROUP BY 1, 2),
+    rank1 AS (
+      SELECT event_type, value,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
+               AS rnk,
+             cnt, sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM vals1
+    ),
+    med AS (
+      SELECT event_type, value AS group_median FROM rank1
+      WHERE rnk <= (n + 1) // 2 AND (n + 1) // 2 <= rnk + cnt - 1
+    ),
+    d AS (
+      SELECT e.event_id, e.event_type, e.value, med.group_median,
+             abs(e.value - med.group_median) AS adev
+      FROM e JOIN med USING (event_type)
+    ),
+    vals2 AS (SELECT event_type, adev, count(*) AS cnt FROM d GROUP BY 1, 2),
+    rank2 AS (
+      SELECT event_type, adev,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY adev
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
+               AS rnk,
+             cnt, sum(cnt) OVER (PARTITION BY event_type) AS n
+      FROM vals2
+    ),
+    mad AS (
+      SELECT event_type, adev AS group_mad FROM rank2
+      WHERE rnk <= (n + 1) // 2 AND (n + 1) // 2 <= rnk + cnt - 1
+    )
+    SELECT d.event_id, d.event_type, d.value, d.group_median, mad.group_mad,
+           (d.value - d.group_median) / mad.group_mad AS robust_z
+    FROM d JOIN mad USING (event_type)
+    WHERE mad.group_mad > 0 AND d.adev > 3.5 * mad.group_mad
+    """,
+    "exact-order-statistics family extension: median-absolute-deviation "
+    "robust outlier flags (Iglewicz–Hodges k=3.5) — the 50%-breakdown "
+    "alternative to the z-score spike detector, and the outlier-filter "
+    "pass a training-data pipeline runs before normalization",
+)
+def mad_outliers_by_event_type(spark, sf_dir):
+    """Rows whose |value − group median| exceeds 3.5 × the group MAD —
+    both center and spread are exact lower medians over the
+    distinct-value count table (no corpus sort, no interpolation), so
+    the flagged set is bit-identical across engines."""
+    e = _t(spark, sf_dir, "events")
+    return agg.mad_outliers(e, "event_type", "value", ["event_id"], k=3.5)
+
+
+@register(
+    "stats2d_click_error_by_user",
+    """
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM b GROUP BY 1
+    )
+    SELECT user_id, n AS n_pairs, sx AS sum_x, sy AS sum_y,
+      CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+        CAST(n * sxy - sx * sy AS DOUBLE)
+          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE))
+      END AS corr_click_error,
+      CASE WHEN (n * sxx - sx * sx) > 0 THEN
+        CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+      END AS slope,
+      CASE WHEN (n * sxx - sx * sx) > 0 THEN
+        (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+          / CAST(n AS DOUBLE)
+      END AS intercept
+    FROM s
+    """,
+    "A-family extension: TimescaleDB stats_agg(y, x) 2-D — per-key "
+    "corr/OLS slope/intercept between hourly click and error counts, "
+    "from exact BIGINT power sums (float corr() aggregates are "
+    "summation-order-divergent across engines)",
+)
+def stats2d_click_error_by_user(spark, sf_dir):
+    """Does clicking correlate with erroring, per user? Hourly count
+    pairs (spine = every hour the user emitted ANY event), then the
+    six exact integer power sums collapse each user to one row; the
+    closed forms are evaluated in one fixed float expression each —
+    bit-identical cross-engine. Two map-side-combined shuffles, the
+    second on the narrower bare key."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id", agg.time_bucket("ts", 3600).alias("bucket_ts")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    return hf.stats2d_exact(
+        hourly,
+        "user_id",
+        "x",
+        "y",
+        corr_alias="corr_click_error",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.
@@ -4334,21 +4511,18 @@ _GATE_PRIORITY: list[str] = [
     "cross_doc_dup_ngrams",    # new in r4
     "unigram_rarity",          # new in r4
     "cross_doc_span_removal",  # new in r4
-    "vocab_encode",            # new in r4
     "knn_filtered",            # new in r4
     "multimodal_resize",       # new in r4
     "token_budget_mixture",    # new in r4
     "quality_classifier_gate", # new in r4
     "time_weighted_hourly",    # new in r4
     "sensor_spike_detection",  # new in r4
-    "bigram_lm_fluency",       # new in r4
     "gapfill_interpolate_hourly",  # new in r4
     "shipping_priority_topk",  # new in r4
     "ccnet_quality_buckets",   # new in r4
     "corpus_accounting_rollup",  # new in r4
     "weekly_retention_cohorts",  # new in r4
     "m4_downsample_15min",     # new in r4
-    "heartbeat_uptime_hourly",  # new in r4
     "value_percentiles_by_event_type",  # new in r4
     "zorder_key_events",       # new in r4
     "sliding_active_users",    # new in r4
@@ -4368,6 +4542,9 @@ _GATE_PRIORITY: list[str] = [
     "frequent_tokens_docs",        # new in r5 (exact heavy hitters)
     "frequent_tokens_by_lang",     # new in r5 (per-group heavy hitters)
     "state_durations_hourly",      # new in r5 (TimescaleDB duration_in)
+    "cusum_drift_by_user",         # new in r5 (CUSUM via window algebra)
+    "mad_outliers_by_event_type",  # new in r5 (MAD robust outliers)
+    "stats2d_click_error_by_user", # new in r5 (exact stats_agg 2D)
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -4437,6 +4614,9 @@ _GATE_DEFER: list[str] = [
     "event_type_pivot",          # r4 green; the grouping-sets family stays gated via corpus_accounting_rollup (in-window ROLLUP superset) and the pivot column-expansion is pytest-pinned
     "conversion_funnel",         # r4 green; the ordered-event-analytics family stays gated via weekly_retention_cohorts (in-window) and the stage-ordering semantics are pytest-pinned
     "reconstruction_join",       # r1-r3 green ×3; the J1 9-way PK rejoin stays exercised every round by the entry() smoke check, the broadcast-dims plan pin, and the zero-shuffle bucketed-join pytest
+    "vocab_encode",              # r4 green; corpus_vocabulary (in-window) gates the same top-k vocab build, and the encode application is pytest-pinned against it
+    "bigram_lm_fluency",         # r4 green; bigram_collocations (in-window) gates the same bigram-count aggregate, and the LM scoring math is pytest-pinned
+    "heartbeat_uptime_hourly",   # r4 green; the interval/gap family stays gated ×2 in-window (downtime_incidents, time_weighted_hourly) and the streaming heartbeat mirror keeps its batch-parity pytest
 ]
 
 

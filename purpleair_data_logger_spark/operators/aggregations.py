@@ -1000,3 +1000,73 @@ def grouped_frequent_items(
             ).alias("freq"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    id_cols: list[str],
+    *,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection via the median absolute
+    deviation — flag rows where |value − median| > k · MAD (k = 3.5 is
+    the classical Iglewicz–Hodges cutoff scaled to MAD units). The
+    robust alternative to the z-score spike detector
+    (`rolling_zscore_flags`): median and MAD have a 50% breakdown
+    point, so the outliers themselves cannot drag the threshold the
+    way they drag a mean/stddev.
+
+    Cross-engine exactness without integer scaling: both center and
+    spread are exact lower medians (`grouped_median_exact` — observed
+    values picked by rank, never interpolated), and every float op on
+    the row path (one subtraction, one abs, one multiply, one divide)
+    is a single IEEE operation on identical operands — no
+    order-sensitive summation anywhere, so the flagged set and the
+    emitted robust z-scores are bit-identical across engines.
+
+    Plan shape: two exact-median passes (each a map-side-combined
+    count-table aggregate + a window over the AGGREGATE, per the
+    `grouped_median_exact` scale rule) and two joins of per-group
+    1-row tables back onto the corpus — both broadcastable; the corpus
+    is scanned, never sorted and never windowed. Degenerate groups
+    (MAD = 0, i.e. >50% of mass on one value) flag nothing rather
+    than everything and emit no rows.
+
+    Output: flagged rows only —
+    (*id_cols, part_col, value_col, group_median, group_mad,
+    robust_z) with robust_z = (value − median) / MAD, signed.
+    """
+    med = grouped_median_exact(df, part_col, value_col).select(
+        part_col, F.col("median").alias("group_median")
+    )
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*id_cols, part_col, value_col)
+        .join(F.broadcast(med), on=part_col)
+        .withColumn(
+            "_adev", F.abs(F.col(value_col) - F.col("group_median"))
+        )
+    )
+    mad = grouped_median_exact(base, part_col, "_adev").select(
+        part_col, F.col("median").alias("group_mad")
+    )
+    return (
+        base.join(F.broadcast(mad), on=part_col)
+        .filter(
+            (F.col("group_mad") > 0)
+            & (F.col("_adev") > F.lit(k) * F.col("group_mad"))
+        )
+        .select(
+            *id_cols,
+            part_col,
+            value_col,
+            "group_median",
+            "group_mad",
+            (
+                (F.col(value_col) - F.col("group_median"))
+                / F.col("group_mad")
+            ).alias("robust_z"),
+        )
+    )

@@ -936,3 +936,203 @@ def heartbeat_uptime(
             ).alias("uptime_ratio"),
         )
     )
+
+
+def cusum_scan(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    slack: float,
+    threshold: float,
+    decimals: int = 2,
+    partition_seconds: int = 86_400,
+) -> DataFrame:
+    """One-sided upward CUSUM change-point detection per key — the
+    classic Page (1954) drift detector a monitoring stack runs next to
+    the Grafana threshold panels (the reference's alerting read is a
+    plain MAX panel, ``PurpleAirPSQLQueryStatements.py:564-580``;
+    CUSUM catches the slow drift a MAX threshold misses).
+
+    Semantics: per key, readings ordered by (ts, id). The target is
+    the key's integer-truncated mean (exact: BIGINT sum of the
+    decimal-scaled values, integer division by n — Spark ``div`` and
+    DuckDB ``//`` both truncate toward zero, so the target is
+    bit-identical cross-engine). With
+    d_i = v_i − target − slack, the detector is the recurrence
+    S_0 = 0, S_i = max(0, S_{i−1} + d_i), and a row alarms when
+    S_i > threshold.
+
+    The recurrence is NOT evaluated sequentially: by the prefix
+    identity S_i = P_i − min_{0≤j≤i} P_j (P = prefix sum of d,
+    P_0 = 0), the whole scan is two window functions — a running sum
+    and a running min of that sum — pure window algebra, no UDF, no
+    driver loop. Arithmetic is exact BIGINT end-to-end (decimal-scaled
+    values), so the alarm set is bit-identical across engines; the
+    only float op is the final descale of the emitted statistic.
+
+    Scale shape: the same two-tier rule as `counter_delta` — both
+    windows run inside (key, calendar-partition) partitions, then the
+    cross-partition carry (running total and running min-prefix) is
+    resolved by windows over the per-(key, partition) AGGREGATE and
+    joined back. No window ever partitions corpus rows by the bare
+    key. The target-mean join is a plain equi-join on the key (AQE
+    picks broadcast when the per-key aggregate is small).
+
+    Output: the alarm rows only —
+    (key, id, ts_col, value_col, cusum) with ``cusum`` = S_i in value
+    units.
+    """
+    scale = 10**decimals
+    k_scaled = int(round(slack * scale))
+    h_scaled = int(round(threshold * scale))
+    b = time_bucket(ts_col, partition_seconds).alias("_pb")
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    filtered = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        b,
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col),
+        ts_us.alias("_t"),
+        _scaled(value_col, decimals).alias("_v"),
+    )
+    targets = filtered.groupBy(key_col).agg(
+        F.sum("_v").alias("_sv"), F.count(F.lit(1)).alias("_n")
+    )
+    targets = targets.select(
+        key_col, F.expr("_sv div _n").alias("_mu")
+    )
+    staged = filtered.join(targets, on=key_col).withColumn(
+        "_d", F.col("_v") - F.col("_mu") - F.lit(k_scaled)
+    )
+    w_in = (
+        Window.partitionBy(key_col, "_pb")
+        .orderBy("_t", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = staged.withColumn("_ps", F.sum("_d").over(w_in))
+    w_in2 = (
+        Window.partitionBy(key_col, "_pb")
+        .orderBy("_t", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = staged.withColumn("_pm", F.min("_ps").over(w_in2))
+    # per-(key, partition) aggregate: partition total and min-prefix
+    pagg = staged.groupBy(key_col, "_pb").agg(
+        F.sum("_d").alias("_tot"), F.min("_ps").alias("_minp")
+    )
+    w_b_off = (
+        Window.partitionBy(key_col)
+        .orderBy("_pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pagg = pagg.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_b_off), F.lit(0))
+    ).withColumn("_gm", F.col("_off") + F.col("_minp"))
+    w_b_carry = (
+        Window.partitionBy(key_col)
+        .orderBy("_pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = pagg.select(
+        key_col,
+        "_pb",
+        "_off",
+        # min global-prefix over PREVIOUS partitions; 0 (= P_0, the
+        # empty prefix) is folded in below, so NULL→0 is harmless
+        F.coalesce(F.min("_gm").over(w_b_carry), F.lit(0)).alias("_carry"),
+    )
+    joined = staged.join(boundary, on=[key_col, "_pb"])
+    p_global = F.col("_off") + F.col("_ps")
+    prefmin = F.least(
+        F.lit(0).cast("long"),
+        F.col("_carry"),
+        F.col("_off") + F.col("_pm"),
+    )
+    s_stat = p_global - prefmin
+    return (
+        joined.withColumn("_s", s_stat)
+        .filter(F.col("_s") > F.lit(h_scaled))
+        .select(
+            key_col,
+            id_col,
+            ts_col,
+            value_col,
+            (F.col("_s").cast("double") / F.lit(float(scale))).alias("cusum"),
+        )
+    )
+
+
+def stats2d_exact(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    corr_alias: str = "corr_xy",
+    slope_alias: str = "slope",
+    intercept_alias: str = "intercept",
+) -> DataFrame:
+    """TimescaleDB ``stats_agg(y, x)``-style two-variable statistics
+    (corr / OLS slope / intercept) per group, computed from EXACT
+    integer power sums so the result is bit-identical across engines.
+
+    Float `corr()`/`covar_samp()` aggregates are summation-order
+    sensitive — Spark and DuckDB disagree in the last ulps. Here
+    ``x_col``/``y_col`` must be integer-valued (counts, decimal-scaled
+    readings); the six power sums (n, Σx, Σy, Σxy, Σx², Σy²) are then
+    exact BIGINTs with map-side partial aggregation, and the closed
+    forms are evaluated in ONE fixed float expression each:
+
+        slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+        corr      = (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)·(nΣy²−(Σy)²))
+        intercept = (Σy − slope·Σx) / n
+
+    NULL in x or y drops the row (a pair needs both coordinates);
+    degenerate groups (zero variance) emit NULL for the undefined
+    statistics rather than ±inf. BIGINT overflow bound: |nΣxy| must
+    stay under 2⁶³ — fine for count-valued series (10⁶ buckets ×
+    10⁶-scale counts); decimal-scale wider inputs down first.
+
+    Single-shuffle plan: one hash aggregate on the group key.
+    Output: (group, n_pairs, sum_x, sum_y, corr, slope, intercept).
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    g = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(x).alias("sum_x"),
+            F.sum(y).alias("sum_y"),
+            F.sum(x * y).alias("_sxy"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(y * y).alias("_syy"),
+        )
+    )
+    n = F.col("n_pairs")
+    cov_n = n * F.col("_sxy") - F.col("sum_x") * F.col("sum_y")
+    varx_n = n * F.col("_sxx") - F.col("sum_x") * F.col("sum_x")
+    vary_n = n * F.col("_syy") - F.col("sum_y") * F.col("sum_y")
+    slope = cov_n.cast("double") / varx_n.cast("double")
+    return g.select(
+        group_col,
+        "n_pairs",
+        "sum_x",
+        "sum_y",
+        F.when(
+            (varx_n > 0) & (vary_n > 0),
+            cov_n.cast("double")
+            / F.sqrt(varx_n.cast("double") * vary_n.cast("double")),
+        ).alias(corr_alias),
+        F.when(varx_n > 0, slope).alias(slope_alias),
+        F.when(
+            varx_n > 0,
+            (F.col("sum_y").cast("double") - slope * F.col("sum_x").cast("double"))
+            / n.cast("double"),
+        ).alias(intercept_alias),
+    )

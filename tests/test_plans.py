@@ -611,3 +611,42 @@ def test_downtime_windows_bounded_partitions_only(spark, sf):
     ]
     assert any("_pb" in l and "user_id" in l for l in win_args)
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_cusum_windows_bounded_partitions_only(spark, sf):
+    """cusum_scan follows the counter_delta two-tier rule: the prefix
+    sum and running-min windows key on (user_id, calendar partition);
+    the bare key may only key the per-(key, partition) AGGREGATE
+    carry windows. No Python, no cartesian."""
+    import re
+
+    plan = _plan(spark, sf, "cusum_drift_by_user")
+    win_args = [
+        l for l in plan.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    # every corpus-row windowspec mentions the calendar partition col
+    assert any("_pb" in l and "user_id" in l for l in win_args)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_mad_outliers_broadcasts_median_tables(spark, sf):
+    """Both per-group 1-row tables (median, MAD) join back onto the
+    corpus as broadcasts; the corpus itself is never sorted and never
+    windowed — windows only run over the distinct-value AGGREGATE."""
+    plan = _plan(spark, sf, "mad_outliers_by_event_type")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_stats2d_two_aggregates_no_window(spark, sf):
+    """stats2d is aggregate-only: the hourly pair table then the six
+    power sums — two map-side-combined exchanges, zero windows, zero
+    Python, no join at all."""
+    plan = _plan(spark, sf, "stats2d_click_error_by_user")
+    assert E.count(plan, "Exchange") == 2
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan

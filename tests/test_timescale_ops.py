@@ -241,3 +241,180 @@ def test_grouped_median_property_vs_sorted_reference(spark):
         assert got == want
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (hyperfunctions.cusum_scan)
+# ---------------------------------------------------------------------------
+
+
+def _cusum_ref(rows, slack, threshold, decimals=2):
+    """Sequential reference recurrence: per key, S_0=0,
+    S_i = max(0, S_{i-1} + v_i - mu - k); alarm when S_i > h.
+    Returns {(key, rid): cusum_in_value_units}."""
+    scale = 10**decimals
+    by_key = {}
+    for key, rid, ts, v in rows:
+        if v is not None:
+            by_key.setdefault(key, []).append((ts, rid, int(round(v * scale))))
+    out = {}
+    k_s = int(round(slack * scale))
+    h_s = int(round(threshold * scale))
+    for key, items in by_key.items():
+        items.sort()
+        total = sum(v for _, _, v in items)
+        # truncating division toward zero, as Spark `div` / DuckDB `//`
+        mu = total // len(items) if total >= 0 else -((-total) // len(items))
+        s = 0
+        for ts, rid, v in items:
+            s = max(0, s + v - mu - k_s)
+            if s > h_s:
+                out[(key, rid)] = s / scale
+    return out
+
+
+def _cusum_rows():
+    """Two keys over several hours: key 'a' holds a baseline of 10.0
+    then bursts to 25.0 for six readings spanning an HOUR BOUNDARY
+    (exercises the cross-partition carry at partition_seconds=3600);
+    key 'b' stays flat (never alarms). A NULL value is interleaved."""
+    rows = []
+    for i in range(40):
+        rows.append(("a", i, datetime(2024, 1, 1, i // 10, (i % 10) * 6), 10.0))
+    for j, i in enumerate(range(40, 46)):
+        rows.append(("a", i, datetime(2024, 1, 1, i // 10, (i % 10) * 6), 25.0))
+    rows.append(("a", 99, datetime(2024, 1, 1, 5, 0), None))
+    for i in range(30):
+        rows.append(("b", 200 + i, datetime(2024, 1, 1, i // 10, (i % 10) * 6), 7.5))
+    return rows
+
+
+def test_cusum_matches_sequential_recurrence(spark):
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+
+    rows = _cusum_rows()
+    df = spark.createDataFrame(rows, "key string, rid long, ts timestamp, value double")
+    got = {
+        (r["key"], r["rid"]): r["cusum"]
+        for r in hf.cusum_scan(
+            df, "ts", "key", "value", "rid",
+            slack=1.0, threshold=20.0, partition_seconds=3600,
+        ).collect()
+    }
+    want = _cusum_ref(rows, 1.0, 20.0)
+    assert got == want
+    assert want, "fixture must actually alarm"
+    assert all(k == "a" for k, _ in want), "flat key must not alarm"
+
+
+def test_cusum_two_tier_equals_single_partition(spark):
+    """partition_seconds=3600 (many calendar partitions per key) and
+    partition_seconds=10**9 (everything in one partition — the carry
+    logic degenerates) must produce identical alarm sets."""
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+
+    rows = _cusum_rows()
+    df = spark.createDataFrame(rows, "key string, rid long, ts timestamp, value double")
+    kw = dict(slack=1.0, threshold=20.0)
+    a = hf.cusum_scan(df, "ts", "key", "value", "rid", partition_seconds=3600, **kw)
+    b = hf.cusum_scan(df, "ts", "key", "value", "rid", partition_seconds=10**9, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cusum_below_threshold_is_empty(spark):
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+
+    rows = [("a", i, datetime(2024, 1, 1, 0, i), 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "key string, rid long, ts timestamp, value double")
+    assert (
+        hf.cusum_scan(
+            df, "ts", "key", "value", "rid", slack=1.0, threshold=3.0
+        ).count()
+        == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers (aggregations.mad_outliers)
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_flags_planted_points_only(spark):
+    """9 baseline points tightly around 50 plus one wild point: median
+    50.0, MAD 1.0, so only |v-50| > 3.5 flags. The wild point cannot
+    drag the threshold (robustness) — unlike a mean/stddev z-score."""
+    base = [50.0 + d for d in (-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0)]
+    rows = [("t", i, v) for i, v in enumerate(base)] + [("t", 99, 500.0)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    got = agg.mad_outliers(df, "event_type", "value", ["event_id"], k=3.5).collect()
+    assert [(r["event_id"], r["value"]) for r in got] == [(99, 500.0)]
+    r = got[0]
+    assert r["group_median"] == 50.0 and r["group_mad"] == 1.0
+    assert r["robust_z"] == 450.0
+
+
+def test_mad_outliers_degenerate_group_flags_nothing(spark):
+    """>50% of mass on one value → MAD = 0 → no flags (not all flags)."""
+    rows = [("t", i, 10.0) for i in range(6)] + [("t", 10, 99.0)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    assert agg.mad_outliers(df, "event_type", "value", ["event_id"]).count() == 0
+
+
+def test_mad_outliers_matches_numpy_reference(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.lognormal(3.0, 0.8, 400), 2)
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_type string, event_id long, value double")
+    got = {r["event_id"] for r in
+           agg.mad_outliers(df, "event_type", "value", ["event_id"], k=3.5).collect()}
+
+    def lower_median(a):
+        s = np.sort(a)
+        return float(s[(len(s) + 1) // 2 - 1])
+
+    med = lower_median(vals)
+    mad = lower_median(np.abs(vals - med))
+    want = {i for i, v in enumerate(vals) if abs(v - med) > 3.5 * mad}
+    assert got == want and want
+
+
+# ---------------------------------------------------------------------------
+# Exact 2-D stats (hyperfunctions.stats2d_exact)
+# ---------------------------------------------------------------------------
+
+
+def test_stats2d_matches_numpy(spark):
+    import numpy as np
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+
+    rng = np.random.RandomState(3)
+    x = rng.randint(0, 50, 200)
+    y = (0.6 * x + rng.randint(0, 20, 200)).astype("int64")
+    rows = [("g", int(a), int(b)) for a, b in zip(x, y)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long")
+    r = hf.stats2d_exact(df, "grp", "x", "y").collect()[0]
+    assert r["n_pairs"] == 200
+    assert r["sum_x"] == int(x.sum()) and r["sum_y"] == int(y.sum())
+    assert abs(r["corr_xy"] - float(np.corrcoef(x, y)[0, 1])) < 1e-12
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(r["slope"] - slope) < 1e-9
+    assert abs(r["intercept"] - intercept) < 1e-9
+
+
+def test_stats2d_degenerate_and_nulls(spark):
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+
+    rows = [
+        ("const_x", 5, 1), ("const_x", 5, 9),        # zero x-variance
+        ("ok", 1, 2), ("ok", 2, 4), ("ok", None, 7), # NULL pair dropped
+        ("ok", 3, None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, x int, y int")
+    out = {r["grp"]: r for r in hf.stats2d_exact(df, "grp", "x", "y").collect()}
+    assert out["const_x"]["corr_xy"] is None
+    assert out["const_x"]["slope"] is None
+    assert out["const_x"]["intercept"] is None
+    ok = out["ok"]
+    assert ok["n_pairs"] == 2 and ok["slope"] == 2.0 and ok["intercept"] == 0.0
