@@ -1642,3 +1642,161 @@ def test_streaming_sliding_approx_actives(spark, tmp_path):
         exact_users, n_events = batch[r["window_start"]]
         assert r["n_events"] == n_events  # counts are exact
         assert abs(r["approx_users"] - exact_users) <= max(1, 0.15 * exact_users)
+
+
+def test_streaming_cusum_alarms_match_batch(spark, tmp_path):
+    """CUSUM alarms with cross-batch carried state: one file per
+    micro-batch so the statistic must be CARRIED, calibration targets
+    passed as the batch operator's truncated per-key means — the
+    emitted alarm set must equal `hf.cusum_scan`'s exactly (same
+    scaled-BIGINT arithmetic, same alarm boundary)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+    from purpleair_data_logger_spark.streaming.cusum import (
+        streaming_cusum_alarms,
+    )
+
+    base = _dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = []
+    # key "a": baseline 10.0, then a burst of 25.0 straddling the
+    # second/third file; key "b" flat (never alarms)
+    for i in range(20):
+        rows.append((i, "a", i * 60, 10.0))
+    for i in range(20, 28):
+        rows.append((i, "a", i * 60, 25.0))
+    for i in range(15):
+        rows.append((100 + i, "b", i * 60, 7.5))
+    batches = [rows[:15], rows[15:30], rows[30:]]
+    src = str(tmp_path / "qsrc")
+    for chunk in batches:
+        spark.createDataFrame(
+            [
+                (rid, k, base + _dt.timedelta(seconds=s), v)
+                for rid, k, s, v in chunk
+            ],
+            "id long, key string, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    all_rows = spark.read.parquet(src)
+    slack, threshold = 1.0, 30.0
+    batch_alarms = {
+        (r["key"], r["id"]): r["cusum"]
+        for r in hf.cusum_scan(
+            all_rows, "ts", "key", "value", "id",
+            slack=slack, threshold=threshold,
+        ).collect()
+    }
+    assert batch_alarms and {k for k, _ in batch_alarms} == {"a"}
+
+    # calibration = the batch operator's target: truncated mean of the
+    # scaled values per key, descaled back to value units
+    targets = (
+        all_rows.groupBy("key")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("_sv"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "key",
+            (F.expr("_sv div _n").cast("double") / 100.0).alias("target"),
+        )
+    )
+    q = streaming_cusum_alarms(
+        spark,
+        src,
+        targets,
+        str(tmp_path / "qout"),
+        str(tmp_path / "qckpt"),
+        key_col="key",
+        ts_col="ts",
+        id_col="id",
+        value_col="value",
+        target_col="target",
+        slack=slack,
+        threshold=threshold,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["key"], r["id"]): r["cusum"]
+        for r in spark.read.parquet(str(tmp_path / "qout")).collect()
+    }
+    assert got == batch_alarms
+
+
+def test_streaming_cusum_drops_out_of_order_rows(spark, tmp_path):
+    """A later file whose readings predate the held timestamp must be
+    dropped (append mode cannot retract), leaving the statistic and
+    subsequent alarms identical to the stream without the stale file."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.streaming.cusum import (
+        streaming_cusum_alarms,
+    )
+
+    base = _dt.datetime(2024, 5, 1, 0, 0, 0)
+
+    def write(path, chunks):
+        for chunk in chunks:
+            spark.createDataFrame(
+                [
+                    (rid, "a", base + _dt.timedelta(seconds=s), v)
+                    for rid, s, v in chunk
+                ],
+                "id long, key string, ts timestamp, value double",
+            ).coalesce(1).write.mode("append").parquet(path)
+
+    clean = [[(0, 0, 10.0), (1, 60, 30.0)], [(2, 120, 30.0), (3, 180, 30.0)]]
+    stale = [
+        clean[0],
+        # rid 9 predates the held timestamp (60) → dropped
+        [(9, 30, 1000.0)],
+        clean[1],
+    ]
+    outs = []
+    for tag, chunks in (("clean", clean), ("stale", stale)):
+        src = str(tmp_path / f"{tag}src")
+        write(src, chunks)
+        targets = spark.createDataFrame([("a", 10.0)], "key string, target double")
+        q = streaming_cusum_alarms(
+            spark,
+            src,
+            targets,
+            str(tmp_path / f"{tag}out"),
+            str(tmp_path / f"{tag}ck"),
+            key_col="key",
+            ts_col="ts",
+            id_col="id",
+            value_col="value",
+            target_col="target",
+            slack=1.0,
+            threshold=25.0,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+        outs.append(
+            sorted(
+                (r["id"], r["cusum"])
+                for r in spark.read.parquet(str(tmp_path / f"{tag}out")).collect()
+            )
+        )
+    assert outs[0] == outs[1] and outs[0]
+
+
+def test_cusum_batch_kernel_matches_sequential_loop():
+    import numpy as np
+
+    from purpleair_data_logger_spark.streaming.cusum import cusum_batch_kernel
+
+    rng = np.random.RandomState(11)
+    for seed_s in (0, 7, 123):
+        ds = rng.randint(-50, 40, 300).astype(np.int64)
+        s_vec, final = cusum_batch_kernel(ds, seed_s)
+        s, ref = seed_s, []
+        for d in ds:
+            s = max(0, s + int(d))
+            ref.append(s)
+        assert s_vec.tolist() == ref and final == ref[-1]
