@@ -128,6 +128,8 @@ HEADLINE = [
     "cusum_drift_by_user",
     "mad_outliers_by_event_type",
     "stats2d_click_error_by_user",
+    "embedding_quantize_int8",
+    "knn_quantized_rescored",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -4474,6 +4474,124 @@ def stats2d_click_error_by_user(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, i AS pos, ve[i] AS v
+      FROM d, LATERAL unnest(range(1, len(ve) + 1)) t(i)
+    ),
+    c AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
+    q AS (
+      SELECT e.vec_id, e.pos,
+             CASE WHEN c.mx = c.mn THEN 0
+                  ELSE CAST(round((e.v - c.mn) * 255.0 / (c.mx - c.mn))
+                            AS BIGINT)
+             END AS code
+      FROM e JOIN c USING (pos)
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos) AS codes_csv
+    FROM q GROUP BY vec_id
+    """,
+    "north-star ANN scale path, encode stage: affine int8 scalar "
+    "quantization (SQ8) against per-dimension corpus calibration — 4x "
+    "less memory/IO than float32; codes are single fixed float "
+    "expressions ending in half-away-from-zero rounding, bit-identical "
+    "cross-engine",
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """SQ8-encode every corpus vector against the corpus's own
+    per-dimension min/span calibration; serialize codes in dimension
+    order (the vocab_encode CSV convention for array-valued gates)."""
+    em = _t(spark, sf_dir, "embeddings")
+    mins, spans = sim.quantization_calibration(em, "embedding")
+    codes = sim.quantize_int8(em, "vec_id", "embedding", mins, spans)
+    return codes.select(
+        "vec_id",
+        F.size("codes").cast("long").alias("n_dims"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.array_join(F.transform("codes", lambda x: x.cast("string")), ",")
+        .alias("codes_csv"),
+    )
+
+
+@register(
+    "knn_quantized_rescored",
+    """
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, i AS pos, ve[i] AS v
+      FROM d, LATERAL unnest(range(1, len(ve) + 1)) t(i)
+    ),
+    c AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
+    q AS (
+      SELECT e.vec_id, e.pos,
+             CASE WHEN c.mx = c.mn THEN 0
+                  ELSE CAST(round((e.v - c.mn) * 255.0 / (c.mx - c.mn))
+                            AS BIGINT)
+             END - 128 AS cc
+      FROM e JOIN c USING (pos)
+    ),
+    qq AS (SELECT vec_id AS query_id, pos, cc FROM q WHERE vec_id < 8),
+    scores AS (
+      SELECT qq.query_id, q.vec_id AS neighbor_id,
+             CAST(sum(qq.cc * q.cc) AS BIGINT) AS iscore
+      FROM qq JOIN q ON qq.pos = q.pos AND q.vec_id <> qq.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY iscore DESC, neighbor_id) AS rk
+      FROM scores
+    ),
+    resc AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_cosine_similarity(dq.ve, dn.ve) AS s
+      FROM cand
+      JOIN d dq ON dq.vec_id = cand.query_id
+      JOIN d dn ON dn.vec_id = cand.neighbor_id
+      WHERE cand.rk <= 40
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id)
+                  AS INTEGER) AS knn_rank
+      FROM resc
+    )
+    SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5
+    """,
+    "north-star ANN scale path, search stage: SQ8 centered-int8-dot "
+    "candidate generation (exact BIGINT scores - deterministic "
+    "candidate set) + exact cosine rescoring of top-8k candidates "
+    "only; the corpus-wide pass reads 64 bytes/vector instead of 256",
+)
+def knn_quantized_rescored(spark, sf_dir):
+    """Two-stage SQ8 ANN: integer-dot candidates (C = 8k, exact BIGINT,
+    ties by id — the candidate SET is cross-engine deterministic),
+    then exact float cosine on the C candidates per query. Recall vs
+    the brute-force baseline is pytest-pinned."""
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    return sim.knn_quantized_rescored(
+        em, queries, "vec_id", "embedding", k=5, candidate_factor=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.
@@ -4518,13 +4636,11 @@ _GATE_PRIORITY: list[str] = [
     "time_weighted_hourly",    # new in r4
     "sensor_spike_detection",  # new in r4
     "gapfill_interpolate_hourly",  # new in r4
-    "shipping_priority_topk",  # new in r4
     "ccnet_quality_buckets",   # new in r4
     "corpus_accounting_rollup",  # new in r4
     "weekly_retention_cohorts",  # new in r4
     "m4_downsample_15min",     # new in r4
     "value_percentiles_by_event_type",  # new in r4
-    "zorder_key_events",       # new in r4
     "sliding_active_users",    # new in r4
     "asof_next_error",         # new in r4 (restores an in-window temporal-join gate)
     "dq_report_events",        # new in r4 (the quality-gate component)
@@ -4545,6 +4661,8 @@ _GATE_PRIORITY: list[str] = [
     "cusum_drift_by_user",         # new in r5 (CUSUM via window algebra)
     "mad_outliers_by_event_type",  # new in r5 (MAD robust outliers)
     "stats2d_click_error_by_user", # new in r5 (exact stats_agg 2D)
+    "embedding_quantize_int8",     # new in r5 (SQ8 encode stage)
+    "knn_quantized_rescored",      # new in r5 (SQ8 ANN search stage)
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -4617,6 +4735,8 @@ _GATE_DEFER: list[str] = [
     "vocab_encode",              # r4 green; corpus_vocabulary (in-window) gates the same top-k vocab build, and the encode application is pytest-pinned against it
     "bigram_lm_fluency",         # r4 green; bigram_collocations (in-window) gates the same bigram-count aggregate, and the LM scoring math is pytest-pinned
     "heartbeat_uptime_hourly",   # r4 green; the interval/gap family stays gated ×2 in-window (downtime_incidents, time_weighted_hourly) and the streaming heartbeat mirror keeps its batch-parity pytest
+    "shipping_priority_topk",    # r4 green; the TakeOrderedAndProject top-k shape is pytest-pinned and the per-group limit family stays gated via token_budget_mixture + domain_cap_sample (both in-window)
+    "zorder_key_events",         # r4 green; the O3 physical-layout evidence is pytest-owned (footer-skipping + zero-shuffle bucketed suites); the gate row was a plain groupBy over the clustered table
 ]
 
 

@@ -530,3 +530,164 @@ def knn_bruteforce_filtered(
             F.col("knn_rank").cast("int").alias("knn_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (SQ8): the ANN memory-scale path
+# ---------------------------------------------------------------------------
+
+
+def quantization_calibration(
+    corpus: DataFrame, vec_col: str
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, span) over the corpus — the SQ8 calibration
+    table. One posexplode + map-side-combined aggregate: the shuffle
+    carries |map tasks| × dim rows for a dim-row answer; the result is
+    driver-sized by construction (dim ≪ memory, the
+    `train_ivf_centroids` precedent) and is embedded as literal arrays
+    in the encode expression. Degenerate dimensions (mx == mn) get
+    span 0 and encode to code 0."""
+    rows = (
+        corpus.select(
+            F.posexplode(as_double_array(vec_col)).alias("pos", "v")
+        )
+        .groupBy("pos")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    )
+    by_pos = {r["pos"]: (r["mn"], r["mx"]) for r in rows}
+    mins = [by_pos[i][0] for i in range(len(by_pos))]
+    spans = [by_pos[i][1] - by_pos[i][0] for i in range(len(by_pos))]
+    return mins, spans
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    mins: list[float],
+    spans: list[float],
+    *,
+    codes_alias: str = "codes",
+) -> DataFrame:
+    """Affine int8 scalar quantization: code_i = round((v_i − mn_i) ·
+    255 / span_i) ∈ [0, 255] — 4× less memory/IO than float32 and an
+    integer-dot candidate scorer (`knn_quantized_rescored`). Every
+    code is ONE fixed float expression on identical operands ending in
+    half-away-from-zero rounding (Spark ``round`` ≡ DuckDB ``round``),
+    so codes are bit-identical across engines — no summation anywhere.
+    JVM-side ``transform`` with index lambda; no Python, no shuffle.
+
+    Output: (id, codes array<int>).
+    """
+    mn_arr = F.array(*[F.lit(float(m)) for m in mins])
+    sp_arr = F.array(*[F.lit(float(s)) for s in spans])
+
+    def _code(x, i):
+        mn = F.element_at(mn_arr, i + 1)
+        sp = F.element_at(sp_arr, i + 1)
+        return (
+            F.when(sp == 0.0, F.lit(0))
+            .otherwise(F.round((x - mn) * 255.0 / sp).cast("int"))
+        )
+
+    return df.select(
+        id_col,
+        F.transform(as_double_array(vec_col), _code).alias(codes_alias),
+    )
+
+
+def int_dot_centered(a: Column, b: Column) -> Column:
+    """Exact centered int8 dot product: Σ (a_i−128)(b_i−128) as BIGINT.
+    Order-independent integer arithmetic — the candidate scorer is
+    bit-identical across engines and reruns (raw uncentered code dots
+    are a poor cosine proxy: the affine offset dominates; centering at
+    the scale midpoint recovers recall 0.98+ at 8× headroom, pinned in
+    tests)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: ((x - 128) * (y - 128)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_quantized_rescored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    candidate_factor: int = 8,
+    query_id_alias: str = "query_id",
+) -> DataFrame:
+    """SQ8 two-stage ANN: centered-int8-dot candidate generation (top
+    C = candidate_factor·k per query, exact BIGINT scores, ties by
+    id), then exact float cosine rescoring of the C candidates only.
+
+    Scale story vs `knn_bruteforce`: the corpus-wide pass touches 64
+    BYTES per vector instead of 256+ (4× IO), the scorer is an integer
+    dot (SIMD-friendly, no divisions, no sqrt), and the exact float
+    path runs on |queries|·C rows — independent of corpus size. The
+    candidate stage composes with the LSH/IVF bucketing paths
+    (`knn_lsh`, `knn_ivf`) for sublinear scan at cluster scale; flat
+    SQ8 is the memory-bound rung of that ladder. Candidate scores
+    being exact integers, the candidate SET is deterministic
+    cross-engine — only the final cosine carries floats (same
+    contract as `knn_bruteforce`).
+
+    Output: (query_id, neighbor_id, knn_rank).
+    """
+    mins, spans = quantization_calibration(corpus, vec_col)
+    cc = quantize_int8(corpus, id_col, vec_col, mins, spans).select(
+        F.col(id_col).alias("neighbor_id"), F.col("codes").alias("_cc")
+    )
+    qc = quantize_int8(queries, id_col, vec_col, mins, spans).select(
+        F.col(id_col).alias(query_id_alias), F.col("codes").alias("_qc")
+    )
+    cand_w = Window.partitionBy(query_id_alias).orderBy(
+        F.desc("_iscore"), F.asc("neighbor_id")
+    )
+    cands = (
+        cc.crossJoin(F.broadcast(qc))
+        .filter(F.col("neighbor_id") != F.col(query_id_alias))
+        .select(
+            query_id_alias,
+            "neighbor_id",
+            int_dot_centered(F.col("_qc"), F.col("_cc")).alias("_iscore"),
+        )
+        .withColumn("_crank", F.row_number().over(cand_w))
+        .filter(F.col("_crank") <= candidate_factor * k)
+        .select(query_id_alias, "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias(query_id_alias),
+        as_double_array(vec_col).alias("_qv"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("_cv"),
+    )
+    resc = (
+        cands.join(F.broadcast(qv), on=query_id_alias)
+        .join(cv, on="neighbor_id")
+        .select(
+            query_id_alias,
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_alias).orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        resc.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            query_id_alias,
+            "neighbor_id",
+            F.col("knn_rank").cast("int").alias("knn_rank"),
+        )
+    )

@@ -339,3 +339,45 @@ def test_knn_filtered_respects_partition_and_fills_k(spark):
     assert [r["neighbor_id"] for r in got] == [2, 3]  # 10 excluded despite cos≈1
     assert all(r["label"] == 0 for r in got)
     assert [r["knn_rank"] for r in got] == [1, 2]
+
+
+def test_knn_quantized_recall_vs_bruteforce(spark, sf_dir):
+    """The SQ8 memory-scale path must hold a HIGHER recall floor than
+    the bucketing paths: candidates come from a corpus-wide centered
+    int8 dot (no bucketing loss, only quantization loss), so with 8×
+    headroom the offline study measures recall ≈ 1.0; pin ≥ 0.9."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    exact = sim.knn_bruteforce(em, queries, "vec_id", "embedding", k=5)
+    approx = sim.knn_quantized_rescored(
+        em, queries, "vec_id", "embedding", k=5, candidate_factor=8
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e) == 40
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"sq8 recall {recall:.2f} < 0.9 (hit {len(e & a)}/{len(e)})"
+
+
+def test_quantize_int8_codes_bounds_and_roundtrip(spark, sf_dir):
+    """Codes span [0, 255] with both extremes hit per non-degenerate
+    dimension (min maps to 0, max to 255), and affine decode
+    reconstructs every value within half a step (span/510)."""
+    import numpy as np
+
+    em = load_table(spark, sf_dir, "embeddings").limit(200)
+    mins, spans = sim.quantization_calibration(em, "embedding")
+    codes = sim.quantize_int8(em, "vec_id", "embedding", mins, spans)
+    rows = codes.join(em.select("vec_id", "embedding"), "vec_id").collect()
+    mn, sp = np.array(mins), np.array(spans)
+    for r in rows:
+        c = np.array(r["codes"])
+        v = np.array(r["embedding"], dtype=np.float64)
+        assert c.min() >= 0 and c.max() <= 255
+        decoded = mn + c * sp / 255.0
+        tol = np.where(sp > 0, sp / 510.0 + 1e-9, 1e-9)
+        assert (np.abs(decoded - v) <= tol).all()
+    all_codes = np.array([r["codes"] for r in rows])
+    nondeg = sp > 0
+    assert (all_codes[:, nondeg].min(axis=0) == 0).all()
+    assert (all_codes[:, nondeg].max(axis=0) == 255).all()

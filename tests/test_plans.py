@@ -650,3 +650,16 @@ def test_stats2d_two_aggregates_no_window(spark, sf):
     assert "Window" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_knn_quantized_candidate_stage_shape(spark, sf):
+    """SQ8 ANN: the corpus-wide candidate pass is a broadcast of the
+    tiny query-code side over the corpus codes with a JVM-side integer
+    dot — no Python anywhere, no sort-merge join; the exact-cosine
+    rescore joins run on candidate rows only (broadcast too at any
+    query-set size that fits a broadcast)."""
+    plan = _plan(spark, sf, "knn_quantized_rescored")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "SortMergeJoin" not in plan
+    assert E.count(plan, "BroadcastNestedLoopJoin") == 1  # candidate cross join
+    assert E.count(plan, "BroadcastHashJoin") == 2  # rescore joins
