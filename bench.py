@@ -130,6 +130,7 @@ HEADLINE = [
     "stats2d_click_error_by_user",
     "embedding_quantize_int8",
     "knn_quantized_rescored",
+    "pricing_summary",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

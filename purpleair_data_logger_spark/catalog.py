@@ -4592,6 +4592,95 @@ def knn_quantized_rescored(spark, sf_dir):
     )
 
 
+@register(
+    "pricing_summary",
+    """
+    WITH b AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    ),
+    g AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(qty) AS BIGINT) AS sum_qty,
+             CAST(sum(price_c) AS BIGINT) AS sbp,
+             CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) AS sdp,
+             CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct))
+                  AS BIGINT) AS sch,
+             CAST(sum(disc_pct) AS BIGINT) AS sd,
+             CAST(count(*) AS BIGINT) AS count_order
+      FROM b GROUP BY 1, 2
+    )
+    SELECT l_returnflag, l_linestatus, sum_qty,
+           CAST(sbp AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sch AS DOUBLE) / 1000000.0 AS sum_charge,
+           CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+           CAST(sbp AS DOUBLE) / count_order / 100.0 AS avg_price,
+           CAST(sd AS DOUBLE) / count_order / 100.0 AS avg_disc,
+           count_order
+    FROM g
+    """,
+    "A-family flagship: the TPC-H Q1 pricing summary (pushdown date "
+    "filter, ONE map-side-combined aggregate over the fact table) in "
+    "exact-cents BIGINT arithmetic — float sums are summation-order "
+    "nondeterministic, so every money column is scaled to its decimal "
+    "granularity, summed as integers, and divided once at the end",
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape over the lineitem fact table: per
+    (returnflag, linestatus) quantity/price/discount/charge sums and
+    means. All money arithmetic is exact — cents, basis-point discount
+    and tax factors — so sums are BIGINT (order-independent) and the
+    only float ops are the final fixed-order divisions mirrored in the
+    oracle. The scan reads 6 of 11 columns with the date predicate
+    pushed to parquet; one Exchange total (plan-pinned).
+
+    Overflow contract: Σ price_c·(100−d)·(100+t) < 2⁶³ holds to ~10⁸
+    lineitems per group at TPC-H price scale; beyond that, widen the
+    charge sum to DECIMAL(38,0) (same expression, same determinism).
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.round(F.col("l_quantity")).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        F.sum(price_c).alias("_sbp"),
+        F.sum(price_c * (F.lit(100) - disc_pct)).alias("_sdp"),
+        F.sum(
+            price_c * (F.lit(100) - disc_pct) * (F.lit(100) + tax_pct)
+        ).alias("_sch"),
+        F.sum(disc_pct).alias("_sd"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        (F.col("_sbp").cast("double") / F.lit(100.0)).alias("sum_base_price"),
+        (F.col("_sdp").cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
+        (F.col("_sch").cast("double") / F.lit(1000000.0)).alias("sum_charge"),
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias(
+            "avg_qty"
+        ),
+        (
+            F.col("_sbp").cast("double") / F.col("count_order") / F.lit(100.0)
+        ).alias("avg_price"),
+        (
+            F.col("_sd").cast("double") / F.col("count_order") / F.lit(100.0)
+        ).alias("avg_disc"),
+        "count_order",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.
@@ -4612,7 +4701,6 @@ _GATE_PRIORITY: list[str] = [
     "neardup_cluster_dedup",
     "neardup_cluster_keep_best",
     "corpus_build_final",
-    "leakage_safe_split",
     "neardup_incremental_batch",
     "domain_cap_sample",
     "document_chunking",
@@ -4663,6 +4751,7 @@ _GATE_PRIORITY: list[str] = [
     "stats2d_click_error_by_user", # new in r5 (exact stats_agg 2D)
     "embedding_quantize_int8",     # new in r5 (SQ8 encode stage)
     "knn_quantized_rescored",      # new in r5 (SQ8 ANN search stage)
+    "pricing_summary",             # new in r5 (TPC-H Q1 exact-cents flagship)
 ]
 
 #: Pushed past the 50-row window: every entry here is hash-green in
@@ -4737,6 +4826,7 @@ _GATE_DEFER: list[str] = [
     "heartbeat_uptime_hourly",   # r4 green; the interval/gap family stays gated ×2 in-window (downtime_incidents, time_weighted_hourly) and the streaming heartbeat mirror keeps its batch-parity pytest
     "shipping_priority_topk",    # r4 green; the TakeOrderedAndProject top-k shape is pytest-pinned and the per-group limit family stays gated via token_budget_mixture + domain_cap_sample (both in-window)
     "zorder_key_events",         # r4 green; the O3 physical-layout evidence is pytest-owned (footer-skipping + zero-shuffle bucketed suites); the gate row was a plain groupBy over the clustered table
+    "leakage_safe_split",        # r4 green; its split stage is re-gated inside corpus_build_final (in-window) and the CC family keeps neardup_cluster_dedup + keep_best in-window
 ]
 
 

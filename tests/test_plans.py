@@ -663,3 +663,20 @@ def test_knn_quantized_candidate_stage_shape(spark, sf):
     assert "SortMergeJoin" not in plan
     assert E.count(plan, "BroadcastNestedLoopJoin") == 1  # candidate cross join
     assert E.count(plan, "BroadcastHashJoin") == 2  # rescore joins
+
+
+def test_pricing_summary_single_shuffle_pushdown(spark, sf):
+    """TPC-H Q1: the whole query is one map-side-combined aggregate —
+    partial+final HashAggregate around a single Exchange, the shipdate
+    predicate pushed to the parquet scan, only the 7 needed columns
+    read (props-style pruning on the fact table), and no Python, no
+    Join, no Window anywhere."""
+    plan = _plan(spark, sf, "pricing_summary")
+    assert E.count(plan, "HashAggregate") == 2
+    assert E.count(plan, "Exchange") == 1
+    assert "LessThanOrEqual(l_shipdate" in " ".join(E.pushed_filters(plan))
+    assert all("l_comment" not in s and "l_orderkey" not in s
+               for s in E.read_schemas(plan))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
