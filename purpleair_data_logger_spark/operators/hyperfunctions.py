@@ -938,6 +938,70 @@ def heartbeat_uptime(
     )
 
 
+def candlestick(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    bucket_seconds: int,
+    *,
+    decimals: int = 2,
+    bucket_alias: str = "bucket_ts",
+) -> DataFrame:
+    """TimescaleDB ``candlestick_agg`` (OHLC): per (key, bucket) the
+    open/high/low/close of the value series plus an exact mean and the
+    sample count — the financial-rollup read every Grafana candlestick
+    panel issues, and the compaction step that turns a raw tick table
+    into a per-bucket OHLC hypertable.
+
+    open/close are the values at the lexicographically first/last
+    (ts, id) of the bucket — the ``counter_delta`` struct-extreme
+    trick, deterministic under duplicate timestamps because the id
+    breaks ties. Scale shape: ONE map-side-combined aggregate (the M4
+    shape) — the shuffle carries |keys| × |buckets| rows, never raw
+    ticks; no window, no sort, no join. o/h/l/c are raw values (no
+    float summation anywhere); the mean sums the value scaled to its
+    decimal granularity as BIGINT and divides once, in a fixed order
+    mirrored by the oracle.
+    """
+    scale = 10**decimals
+    b = time_bucket(ts_col, bucket_seconds).alias(bucket_alias)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    staged = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        b,
+        ts_us.alias("_ts_us"),
+        F.col(id_col).alias("_id"),
+        F.col(value_col).cast("double").alias("_v"),
+        _scaled(value_col, decimals).alias("_c"),
+    )
+    g = staged.groupBy(key_col, bucket_alias).agg(
+        F.min(F.struct("_ts_us", "_id", "_v")).alias("_o"),
+        F.max(F.struct("_ts_us", "_id", "_v")).alias("_cl"),
+        F.max("_v").alias("high_value"),
+        F.min("_v").alias("low_value"),
+        F.sum("_c").alias("_s"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    return g.select(
+        key_col,
+        bucket_alias,
+        F.col("_o._v").alias("open_value"),
+        "high_value",
+        "low_value",
+        F.col("_cl._v").alias("close_value"),
+        (
+            F.col("_s").cast("double")
+            / F.col("n_samples")
+            / F.lit(float(scale))
+        ).alias("avg_value"),
+        F.col("_o._ts_us").alias("open_ts_us"),
+        F.col("_cl._ts_us").alias("close_ts_us"),
+        "n_samples",
+    )
+
+
 def cusum_scan(
     df: DataFrame,
     ts_col: str,
