@@ -4490,8 +4490,9 @@ def stats2d_click_error_by_user(spark, sf_dir):
     q AS (
       SELECT e.vec_id, e.pos,
              CASE WHEN c.mx = c.mn THEN 0
-                  ELSE CAST(round((e.v - c.mn) * 255.0 / (c.mx - c.mn))
-                            AS BIGINT)
+                  ELSE least(greatest(
+                         CAST(round((e.v - c.mn) * 255.0 / (c.mx - c.mn))
+                              AS BIGINT), 0), 255)
              END AS code
       FROM e JOIN c USING (pos)
     )
@@ -4540,8 +4541,9 @@ def embedding_quantize_int8(spark, sf_dir):
     q AS (
       SELECT e.vec_id, e.pos,
              CASE WHEN c.mx = c.mn THEN 0
-                  ELSE CAST(round((e.v - c.mn) * 255.0 / (c.mx - c.mn))
-                            AS BIGINT)
+                  ELSE least(greatest(
+                         CAST(round((e.v - c.mn) * 255.0 / (c.mx - c.mn))
+                              AS BIGINT), 0), 255)
              END - 128 AS cc
       FROM e JOIN c USING (pos)
     ),

@@ -919,6 +919,12 @@ def grouped_frequent_items(
     counts candidates, attaches per-group totals by broadcast, and
     applies the global threshold as an integer cross-multiplication.
     Output: (*group_cols, value_col, n_occurrences, n_total, freq).
+
+    NULL contract (repo-wide): NULL carries no observation — rows with
+    a NULL value OR a NULL group key are filtered out explicitly (the
+    verify pass joins on the group keys, and SQL NULL never equals
+    NULL, so a null-keyed group could never survive verification; the
+    candidate scan filters it too so the two passes agree).
     """
     from pyspark.sql import types as T
 
@@ -928,6 +934,8 @@ def grouped_frequent_items(
             df, value_col, support_bp=support_bp, checkpoint_dir=checkpoint_dir
         )
     src = df.select(*groups, value_col).filter(F.col(value_col).isNotNull())
+    for g in groups:
+        src = src.filter(F.col(g).isNotNull())
     sbp = int(support_bp)
     fields = {f.name: f for f in src.schema.fields}
     stats_schema = T.StructType(

@@ -100,13 +100,16 @@ def asof_join(
     if tiebreaker is not None:
         # the winning right row must sort LAST among its same-ts tag-0
         # group (F.last carries it): asc puts the greatest last for
-        # backward, desc puts the smallest last for forward. Left rows
-        # carry a NULL _tb and sort within their own tag-1 group, where
+        # backward, desc puts the smallest last for forward. NULL
+        # tiebreakers sort FIRST so they always LOSE to any non-null
+        # value (nulls_last would let a NULL-tb right row win the
+        # carry, inverting the documented contract). Left rows carry a
+        # NULL _tb and sort within their own tag-1 group, where
         # relative order is irrelevant (right rows all precede them).
         order.append(
-            F.col("_tb").asc_nulls_last()
+            F.col("_tb").asc_nulls_first()
             if direction == "backward"
-            else F.col("_tb").desc_nulls_last()
+            else F.col("_tb").desc_nulls_first()
         )
     w = (
         Window.partitionBy(*keys)

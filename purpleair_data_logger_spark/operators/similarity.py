@@ -571,12 +571,16 @@ def quantize_int8(
     codes_alias: str = "codes",
 ) -> DataFrame:
     """Affine int8 scalar quantization: code_i = round((v_i − mn_i) ·
-    255 / span_i) ∈ [0, 255] — 4× less memory/IO than float32 and an
-    integer-dot candidate scorer (`knn_quantized_rescored`). Every
+    255 / span_i) clamped to [0, 255] — 4× less memory/IO than float32
+    and an integer-dot candidate scorer (`knn_quantized_rescored`).
+    The clamp matters for out-of-distribution inputs: queries outside
+    the corpus calibration range would otherwise produce codes outside
+    the documented range and skew centered-dot candidate scores. Every
     code is ONE fixed float expression on identical operands ending in
-    half-away-from-zero rounding (Spark ``round`` ≡ DuckDB ``round``),
-    so codes are bit-identical across engines — no summation anywhere.
-    JVM-side ``transform`` with index lambda; no Python, no shuffle.
+    half-away-from-zero rounding (Spark ``round`` ≡ DuckDB ``round``)
+    then an integer clamp, so codes are bit-identical across engines —
+    no summation anywhere. JVM-side ``transform`` with index lambda;
+    no Python, no shuffle.
 
     Output: (id, codes array<int>).
     """
@@ -586,9 +590,10 @@ def quantize_int8(
     def _code(x, i):
         mn = F.element_at(mn_arr, i + 1)
         sp = F.element_at(sp_arr, i + 1)
+        raw = F.round((x - mn) * 255.0 / sp).cast("int")
         return (
             F.when(sp == 0.0, F.lit(0))
-            .otherwise(F.round((x - mn) * 255.0 / sp).cast("int"))
+            .otherwise(F.least(F.greatest(raw, F.lit(0)), F.lit(255)))
         )
 
     return df.select(

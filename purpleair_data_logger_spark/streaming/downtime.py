@@ -92,17 +92,22 @@ def downtime_stateful_func(threshold_us: int, key_name: str):
             pdf.iloc[:, 1].to_numpy().astype("datetime64[us]").astype("int64")
         )
         chain: list[int] = []
+        prev_alerted = False
         if state.exists:
-            last_us, _alerted = state.get
+            last_us, prev_alerted = state.get
             chain.append(int(last_us))
             # heartbeat's cross-batch disorder contract (see module
             # docstring): at-or-before-held readings are dropped.
             ts_us = ts_us[ts_us > int(last_us)]
         chain.extend(int(t) for t in ts_us)
         held = chain[-1]
-        # a new reading (even a gap-closing one) starts a fresh
-        # silence-watch: alerted resets to False.
-        state.update((held, False))
+        # a new SURVIVING reading (even a gap-closing one) starts a
+        # fresh silence-watch: alerted resets to False. A batch whose
+        # every reading was disorder-dropped (stale, at-or-before the
+        # held ts) is NOT a sign of life — preserve the alerted flag
+        # so one ongoing silence never emits a second open alert.
+        survived = len(ts_us) > 0
+        state.update((held, False if survived else bool(prev_alerted)))
         state.setTimeoutTimestamp(
             max(
                 (held + threshold_us) // 1000 + 1,

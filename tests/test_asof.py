@@ -118,3 +118,49 @@ def test_asof_tiebreaker_pins_same_timestamp_winner(spark):
         tiebreaker="rid",
     ).collect()
     assert (fwd["asof_rid"], fwd["asof_value"]) == (201, 1.0)
+
+
+def test_asof_null_tiebreaker_loses(spark):
+    """A right row with a NULL tiebreaker at the boundary timestamp
+    must LOSE to any non-null tiebreaker (round-5 advisory:
+    nulls_last let the NULL row win the F.last carry, inverting the
+    documented greatest/smallest-wins contract). NULL beats nothing;
+    it only wins when it is the sole candidate."""
+
+    def _t(s):
+        return datetime.datetime(2024, 1, 1, 0, s // 60, s % 60)
+
+    left = spark.createDataFrame(
+        [(1, "u", _t(30)), (2, "v", _t(30))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _t(30), None, 9.0),  # NULL tb: must lose
+            ("u", _t(30), 201, 1.0),
+            ("u", _t(30), 205, 5.0),   # greatest non-null tb: backward winner
+            ("v", _t(30), None, 7.0),  # sole candidate: NULL still matches
+        ],
+        "user_id string, ts timestamp, rid long, value double",
+    ).repartition(4)
+
+    back = {
+        r["event_id"]: (r["asof_rid"], r["asof_value"])
+        for r in asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            right_payload=["rid", "value"], tiebreaker="rid",
+        ).collect()
+    }
+    assert back[1] == (205, 5.0)
+    assert back[2] == (None, 7.0)
+
+    fwd = {
+        r["event_id"]: (r["asof_rid"], r["asof_value"])
+        for r in asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="ts",
+            right_payload=["rid", "value"], direction="forward",
+            tiebreaker="rid",
+        ).collect()
+    }
+    assert fwd[1] == (201, 1.0)  # smallest non-null wins forward
+    assert fwd[2] == (None, 7.0)

@@ -619,6 +619,29 @@ def test_grouped_frequent_items_per_group_support(spark):
         }, parts
 
 
+def test_grouped_frequent_items_null_group_keys_excluded(spark):
+    """Round-5 advisory: NULL group keys carry no observation (the
+    documented repo-wide NULL contract) — they must be excluded
+    CONSISTENTLY from both the candidate scan and the verify pass,
+    never half-counted (pandas dropna in one pass, SQL join-miss in
+    the other), and must not perturb non-null groups' denominators."""
+    from purpleair_data_logger_spark.operators import aggregations as agg
+
+    vals = (
+        [("en", "the")] * 50 + [("en", f"e{i}") for i in range(50)]
+        + [(None, "ghost")] * 40 + [(None, f"g{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(vals, "lang string, tok string")
+    for parts in (1, 7):
+        got = {
+            (r["lang"], r["tok"]): (r["n_occurrences"], r["n_total"])
+            for r in agg.grouped_frequent_items(
+                df.repartition(parts), ["lang"], "tok", support_bp=1000
+            ).collect()
+        }
+        assert got == {("en", "the"): (50, 100)}, parts
+
+
 def test_frequent_items_plan_has_no_full_distinct_shuffle(spark):
     """The verify pass must be a broadcast LEFT-SEMI against the
     candidate set followed by one hash aggregate — never a sort-merge

@@ -381,3 +381,26 @@ def test_quantize_int8_codes_bounds_and_roundtrip(spark, sf_dir):
     nondeg = sp > 0
     assert (all_codes[:, nondeg].min(axis=0) == 0).all()
     assert (all_codes[:, nondeg].max(axis=0) == 255).all()
+
+
+def test_quantize_int8_clamps_out_of_calibration_vectors(spark):
+    """Round-5 advisory: a query vector OUTSIDE the corpus calibration
+    range must clamp to the documented [0, 255] code range, not spill
+    past it and skew centered-dot candidate scores."""
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [1.0, 20.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mins, spans = sim.quantization_calibration(corpus, "embedding")
+    assert mins == [0.0, 10.0] and spans == [1.0, 10.0]
+    ood = spark.createDataFrame(
+        [(9, [-5.0, 35.0]), (10, [0.5, 15.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in sim.quantize_int8(ood, "vec_id", "embedding", mins, spans)
+        .collect()
+    }
+    assert got[9] == [0, 255]      # below-min -> 0, above-max -> 255
+    assert got[10] == [128, 128]   # in-range unaffected by the clamp

@@ -1800,3 +1800,61 @@ def test_cusum_batch_kernel_matches_sequential_loop():
             s = max(0, s + int(d))
             ref.append(s)
         assert s_vec.tolist() == ref and final == ref[-1]
+
+
+def test_streaming_downtime_stale_batch_preserves_alerted(spark, tmp_path):
+    """Round-5 advisory: a micro-batch whose every reading is
+    disorder-dropped (stale, at-or-before the held timestamp) is NOT a
+    sign of life — it must not reset the ``alerted`` flag nor re-raise
+    a second open alert for the same ongoing silence. Sequence: a goes
+    dark, the watermark proves it (one open alert), a STALE reading
+    for a arrives (dropped by the disorder contract), the watermark
+    advances again — exactly one open alert total."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.streaming.downtime import (
+        streaming_downtime_incidents,
+    )
+
+    base = _dt.datetime(2024, 7, 1, 0, 0, 0)
+
+    def t(s):
+        return base + _dt.timedelta(seconds=s)
+
+    src = str(tmp_path / "dtsrc2")
+    batches = [
+        [(1, "a", 0), (2, "zz", 3600)],   # watermark -> 3599s
+        [(3, "zz", 3700)],                # a times out here: ONE alert
+        [(4, "a", 0)],                    # stale duplicate: dropped
+        [(5, "zz", 7200)],                # watermark advance: no re-alert
+    ]
+    for rows in batches:
+        spark.createDataFrame(
+            [(rid, k, t(s)) for rid, k, s in rows],
+            "id long, key string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_downtime_incidents(
+        spark,
+        src,
+        str(tmp_path / "dtout2"),
+        str(tmp_path / "dtckpt2"),
+        key_col="key",
+        ts_col="ts",
+        id_col="id",
+        threshold_seconds=60,
+        watermark="1 second",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "dtout2")).collect()
+    base_us = int((base - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    a_opens = [
+        (r["gap_start_us"] - base_us) // 1_000_000
+        for r in out
+        if r["key"] == "a" and not r["closed"]
+    ]
+    assert a_opens == [0], f"one silence must alert exactly once: {a_opens}"
+    # and no phantom closed incident was fabricated from the stale row
+    assert not [r for r in out if r["key"] == "a" and r["closed"]]
