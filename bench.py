@@ -351,13 +351,14 @@ def main() -> None:
         3,
     )
     detail = {
-        "metric": "headline-queries wall time (noop sink, local)",
+        "metric": "catalog wall time excluding evidence foils (noop sink, local)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "runs": runs,
         "evidence_legs": sorted(xover_legs),
         "evidence_sec": round(evidence_total, 3),
+        "value_excludes_evidence": True,
         "stable_subset": STABLE_SUBSET,
         "stable_subset_sec": stable,
         "stable_subset_median_sec": stable_median,
@@ -380,12 +381,13 @@ def main() -> None:
         fh.write(json.dumps(detail, sort_keys=True) + "\n")
     line = json.dumps(
         {
-            "metric": "headline-queries wall time (noop sink, local)",
+            "metric": "catalog wall time excluding evidence foils (noop sink, local)",
             "value": round(total, 3),
             "unit": "sec",
             "queries": {n: timings[n] for n in STABLE_SUBSET if n in timings},
             "n_queries_total": len(timings),
             "evidence_sec": round(evidence_total, 3),
+            "value_excludes_evidence": True,
             "stable_subset_sec": stable,
             "detail": "BENCH_DETAIL.json",
             "sf": sf,
@@ -395,11 +397,12 @@ def main() -> None:
     if len(line) > 1800:  # hard bound: never exceed the driver's parse tail
         line = json.dumps(
             {
-                "metric": "headline-queries wall time (noop sink, local)",
+                "metric": "catalog wall time excluding evidence foils (noop sink, local)",
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {},
                 "evidence_sec": round(evidence_total, 3),
+                "value_excludes_evidence": True,
                 "stable_subset_sec": stable,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,

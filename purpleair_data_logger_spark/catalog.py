@@ -68,19 +68,70 @@ def register(name: str, oracle: str | None, survey_ref: str):
     return deco
 
 
+def _artifact_rounds() -> dict[str, int] | None:
+    """Newest driver-gate round per query, read from the committed
+    ``CORRECTNESS_r*.json`` artifacts at the repo root. Returns None
+    when no artifacts are present (fresh clone / installed package) —
+    callers fall back to the hand-maintained gate lists."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    files = sorted(root.glob("CORRECTNESS_r*.json"))
+    if not files:
+        return None
+    newest: dict[str, int] = {}
+    for f in files:
+        m = re.search(r"r(\d+)", f.name)
+        if not m:
+            continue
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        rnd = int(m.group(1))
+        for q in data:
+            newest[q] = max(newest.get(q, 0), rnd)
+    return newest
+
+
 def all_queries() -> dict[str, Query]:
     """Registry in DRIVER-GATE order, not source order.
 
     The driver's correctness gate records the first 50 entries of this
-    dict per round. Source order left the 12 newest operators (the
-    cluster-resolution layer, packing, chunking, leakage split)
-    permanently outside the window (VERDICT.md r3 §Next-round #1), so
-    ordering is explicit: never-yet-gated and newly-added queries
-    first, queries whose correctness is already pinned by an earlier
-    round's artifact AND redundant with a still-gated query last.
-    Every query stays in the catalog — deferral only moves a row past
-    position 50, it never removes the oracle.
+    dict per round. Since round 6 the ordering is COMPUTED from the
+    committed ``CORRECTNESS_r*.json`` artifacts (VERDICT r5 #1 —
+    automate the rotation policy instead of re-litigating it each
+    round): oracled queries sort oldest-artifact-first (never-gated
+    queries, round 0, lead), ties broken by registry order, and
+    rows-only (``oracle=None``) queries sort past every oracled one so
+    the 50-row window stays all-oracled by construction. With 113+
+    oracled queries and a 50-row window, every query is re-gated at
+    least every ⌈N/50⌉ = 3 rounds — the freshness horizon the r5
+    VERDICT asked to enforce ("no oracled query's newest driver row
+    exceeds ~4 rounds old"); `_validate_gate_lists` checks it
+    executable-ly against the artifacts.
+
+    When no artifacts are present (installed package, fresh clone) the
+    explicit `_GATE_PRIORITY` / `_GATE_DEFER` lists order the registry
+    as in rounds 1-5. Every query stays in the catalog — deferral only
+    moves a row past position 50, it never removes the oracle.
     """
+    newest = _artifact_rounds()
+    if newest is not None:
+        idx = {name: i for i, name in enumerate(_REGISTRY)}
+        names = sorted(
+            _REGISTRY,
+            key=lambda n: (
+                _REGISTRY[n].oracle is None,  # rows-only past the window
+                newest.get(n, 0),             # oldest artifact first
+                idx[n],                       # stable registry tiebreak
+            ),
+        )
+        return {n: _REGISTRY[n] for n in names}
     ordered: dict[str, Query] = {}
     for name in _GATE_PRIORITY:
         ordered[name] = _REGISTRY[name]
@@ -4688,17 +4739,14 @@ def pricing_summary(spark, sf_dir):
 # correctness rows for the FIRST 50 entries; these lists decide which.
 # ---------------------------------------------------------------------------
 
-#: Never-yet-gated (no CORRECTNESS_r{1..3} row) and new-this-round
-#: queries — the whole cluster-resolution layer plus packing/chunking/
-#: leakage-split/frame-sample. Gate these first (VERDICT r3 #1).
-#:
-#: Rotation state after r5: every oracled catalog query has (or, with
-#: this round's window, gets) at least one driver correctness row
-#: across r1-r5 — the r5 window adds the five r4 stragglers plus all
-#: five r5-new oracled queries. r6 queue: nothing is un-gated; rotate
-#: long-deferred families back in (oldest driver row first, e.g. the
-#: r1-only rows) so no query's last artifact goes more than ~4 rounds
-#: stale.
+#: FALLBACK ordering only since round 6: when the committed
+#: CORRECTNESS_r*.json artifacts are present (they always are in the
+#: driver's checkout), `all_queries` computes the gate order from them
+#: directly — oldest-artifact-first, rows-only past the window — so
+#: rotation is automatic and these lists no longer need per-round
+#: hand-editing. They are kept (frozen at their r5 state) purely so an
+#: artifact-less install still gets a deterministic, all-oracled
+#: window.
 _GATE_PRIORITY: list[str] = [
     "neardup_cluster_dedup",
     "neardup_cluster_keep_best",
@@ -4843,14 +4891,36 @@ def _validate_gate_lists() -> None:
     # the driver's correctness gate records the first 50 rows of
     # all_queries(); keeping that window all-oracled is a standing
     # invariant — a rows-only query slipping in silently weakens the
-    # gate, so adding one to the priority list must move an oracled
-    # query in alongside it (or defer the rows-only one explicitly).
+    # gate. Holds by construction under artifact ordering; checked
+    # here so the explicit-list fallback can never break it either.
     window = list(all_queries())[:50]
     unoracled = [n for n in window if _REGISTRY[n].oracle is None]
     if unoracled:
         raise RuntimeError(
             f"driver gate window contains non-oracled queries: {unoracled}"
         )
+    # Freshness horizon (VERDICT r5 #1): assuming the upcoming round
+    # gates exactly this window, no oracled query's newest driver row
+    # may end up more than 4 rounds old. With ⌈N_oracled/50⌉ ≤ 3 the
+    # oldest-artifact-first ordering satisfies this structurally; the
+    # check fires if the catalog ever outgrows the window's rotation
+    # capacity (or someone regresses the ordering).
+    newest = _artifact_rounds()
+    if newest:
+        upcoming = max(newest.values()) + 1
+        stale = [
+            n
+            for n in _REGISTRY
+            if _REGISTRY[n].oracle is not None
+            and n not in window
+            and upcoming - newest.get(n, upcoming) > 4
+        ]
+        if stale:
+            raise RuntimeError(
+                "oracled queries would exceed the 4-round freshness "
+                f"horizon at round {upcoming} and are not in the gate "
+                f"window: {stale}"
+            )
 
 
 _validate_gate_lists()

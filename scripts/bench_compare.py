@@ -157,6 +157,13 @@ def main() -> None:
         )
     new = sorted(set(now["queries"]) - set(base) - evidence)
     print(f"\nshared={len(shared)} new={len(new)} evidence={len(evidence)}")
+    if "value" in now:
+        print(
+            f"headline (value): {now['value']:.3f}s — evidence foils "
+            f"EXCLUDED ({now.get('evidence_sec', 0):.3f}s timed "
+            "separately); grows with catalog size, compare per-query "
+            "or via the stable subset"
+        )
     if "stable_subset_sec" in now:
         print(f"stable-subset subtotal: {now['stable_subset_sec']:.3f}s "
               f"(r1-era rows, comparable round-over-round)")

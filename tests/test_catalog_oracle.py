@@ -77,3 +77,47 @@ def test_hll_sketch_merge_matches_exact_distincts(spark, sf_dir):
         assert (
             abs(r["est_total_users"] - exact_total) / exact_total <= 0.15
         ), r
+
+
+def test_gate_window_rotates_oldest_artifact_first():
+    """VERDICT r5 #1: the 50-row driver gate window is computed from
+    the committed CORRECTNESS_r*.json artifacts — oracled queries in
+    oldest-newest-artifact order, rows-only queries pushed past every
+    oracled one — so rotation is automatic and no oracled query's
+    newest driver row can exceed the ⌈N/50⌉-round horizon."""
+    import json
+    from pathlib import Path
+
+    root = Path(catalog.__file__).resolve().parent.parent
+    arts = sorted(root.glob("CORRECTNESS_r*.json"))
+    assert arts, "driver artifacts expected in the repo checkout"
+    newest: dict[str, int] = {}
+    for f in arts:
+        rnd = int(f.stem.split("_r")[1])
+        for q in json.loads(f.read_text()):
+            newest[q] = max(newest.get(q, 0), rnd)
+
+    names = list(catalog.all_queries())
+    window = names[:50]
+    # window is all-oracled (the standing gate invariant)
+    assert all(catalog._REGISTRY[n].oracle is not None for n in window)
+    # rows-only queries all sort past every oracled query
+    reg = catalog._REGISTRY
+    first_rows_only = min(
+        (i for i, n in enumerate(names) if reg[n].oracle is None),
+        default=len(names),
+    )
+    assert all(
+        reg[n].oracle is None for n in names[first_rows_only:]
+    )
+    # oracled section is sorted by newest-artifact round ascending
+    rounds = [newest.get(n, 0) for n in names[:first_rows_only]]
+    assert rounds == sorted(rounds)
+    # a query never seen in any artifact (round 0) would gate first
+    assert min(rounds) == rounds[0]
+    # freshness: nothing OUTSIDE the window is staler than anything
+    # inside it
+    if len(names[:first_rows_only]) > 50:
+        assert max(newest.get(n, 0) for n in window) <= min(
+            newest.get(n, 0) for n in names[50:first_rows_only]
+        )
