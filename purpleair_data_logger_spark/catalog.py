@@ -581,11 +581,17 @@ def semi_join_show_only(spark, sf_dir):
     """
     SELECT c_custkey FROM customer
     WHERE c_custkey < 150
-      AND c_custkey NOT IN (SELECT user_id FROM events)
+      AND c_custkey NOT IN (SELECT user_id FROM events
+                            WHERE user_id IS NOT NULL)
     """,
     "J2 complement (anti-join; sensors present in directory but silent)",
 )
 def anti_join_inactive(spark, sf_dir):
+    # NULL contract: a NULL user_id carries no observation, so it must
+    # not poison the exclusion set — SQL `NOT IN` collapses to the
+    # empty set when the subquery yields a NULL (three-valued logic),
+    # while Spark's left_anti keeps non-matching rows; the oracle
+    # filters NULLs to pin the anti-join semantics (fuzz-found, r6).
     e = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
     return c.join(
@@ -675,7 +681,7 @@ def asof_last_click(spark, sf_dir):
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ), sessions AS (
       SELECT user_id, ts,
@@ -870,7 +876,8 @@ def multimodal_features(spark, sf_dir):
     SELECT doc_id AS media_id,
            CAST(6 AS INT) AS width,
            CAST(4 AS INT) AS height,
-           CAST(24 AS INT) AS n_bytes,
+           CAST(CASE WHEN text IS NULL THEN NULL ELSE 24 END AS INT)
+               AS n_bytes,
            upper(substr(sha256(text), 1, 48)) AS payload_hex
     FROM documents
     """,
@@ -2457,7 +2464,8 @@ def token_budget_mixture(spark, sf_dir):
     """
     WITH r AS (SELECT lang, doc_id, n_chars,
                  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
-               FROM documents)
+               FROM documents
+               WHERE lang IS NOT NULL AND n_chars IS NOT NULL)
     SELECT lang, doc_id, n_chars, pr FROM r WHERE pr >= 0.75
     """,
     "north-star percentile quality gate: top quartile per language by exact percent_rank",
@@ -2740,7 +2748,13 @@ def corpus_build_final(spark, sf_dir):
         .filter(F.col("keep"))
         .select("doc_id")
     )
-    corpus = d.join(survivors, "doc_id").filter(F.col("doc_id") % 50 != 0)
+    # left_semi, not inner: a duplicate-PK corpus row must pass the
+    # survivor gate once per source row, never be MULTIPLIED by the
+    # survivor table's own duplicate rows (fuzz-found, r6 — the oracle
+    # filters `documents` rows, the SQL shape of a semi join).
+    corpus = d.join(survivors, "doc_id", "left_semi").filter(
+        F.col("doc_id") % 50 != 0
+    )
     bench = d.filter(F.col("doc_id") % 50 == 0)
     flagged = tx.ngram_contamination(corpus, bench, "doc_id", "text", n=4)
     clean = corpus.join(flagged.select("doc_id"), "doc_id", "left_anti")
@@ -2824,7 +2838,8 @@ def domain_cap_sample(spark, sf_dir):
 @register(
     "document_chunking",
     """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE text IS NOT NULL),
     s AS (SELECT doc_id, len(w) AS n,
             list_transform(range(1, greatest(len(w) - 10, 1) + 1, 30),
                            st -> array_to_string(w[st:st+39], ' ')) AS chunks
@@ -2891,7 +2906,7 @@ def sequence_packing(spark, sf_dir):
     """
     WITH p AS (SELECT doc_id AS media_id, text,
                  greatest(length(text) // 64, 1) AS n_avail
-               FROM documents),
+               FROM documents WHERE text IS NOT NULL),
     m AS (SELECT media_id, text, n_avail, least(4, n_avail) AS m FROM p),
     f AS (SELECT media_id, CAST(k AS INT) AS frame_idx,
              CAST(k * (n_avail // m) * 64 AS BIGINT) AS frame_offset,
@@ -2993,6 +3008,7 @@ def m4_downsample_15min(spark, sf_dir):
              CAST(round(value * 100) AS BIGINT) AS c,
              time_bucket(INTERVAL '1 hour', ts) AS bucket_ts
       FROM events WHERE value IS NOT NULL
+        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
     ), d AS (
       SELECT user_id, bucket_ts, c,
              lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
@@ -3025,6 +3041,7 @@ def counter_delta_hourly(spark, sf_dir):
     """
     WITH s AS (
       SELECT user_id, epoch_us(ts) AS t, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
     ), iv AS (
       SELECT user_id, t,
              least(coalesce(lead(t) OVER (PARTITION BY user_id
@@ -3262,7 +3279,7 @@ def token_fertility_by_lang(spark, sf_dir):
       SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev
-      FROM events
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
     )
     SELECT user_id, prev AS gap_start_ts, ts AS gap_end_ts,
            CAST(epoch_us(ts) - epoch_us(prev) AS BIGINT) AS gap_us
@@ -3293,6 +3310,7 @@ def downtime_incidents(spark, sf_dir):
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ) AS nxt
       FROM events WHERE event_type IS NOT NULL
+        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
     )
     SELECT user_id, event_type,
            CAST(sum(nxt - t) AS BIGINT) AS duration_us,
@@ -3326,6 +3344,7 @@ def state_agg_user_event(spark, sf_dir):
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ) AS nxt
       FROM events WHERE event_type IS NOT NULL
+        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
     ), iv AS (
       SELECT * FROM s WHERE nxt IS NOT NULL AND nxt > t
     ), ex AS (
@@ -3366,6 +3385,7 @@ def state_durations_hourly(spark, sf_dir):
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
              ) AS prev_st
       FROM events WHERE event_type IS NOT NULL
+        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
     )
     SELECT user_id, ts AS transition_ts,
            prev_st AS from_state, event_type AS to_state
@@ -3452,6 +3472,7 @@ def dq_report_events(spark, sf_dir):
              CAST(floor(epoch(ts)) AS BIGINT) AS t,
              CAST(round(value * 100) AS BIGINT) AS c
       FROM events WHERE value IS NOT NULL
+        AND user_id IS NOT NULL AND ts IS NOT NULL
     ), t0s AS (
       SELECT user_id, min(t) AS t0 FROM s GROUP BY 1
     ), g AS (
@@ -4355,6 +4376,7 @@ def sensor_spike_detection(spark, sf_dir):
       SELECT user_id, event_id, ts, value,
              CAST(round(value * 100) AS BIGINT) AS v
       FROM events WHERE value IS NOT NULL
+        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
     ),
     t AS (
       SELECT user_id,
@@ -4529,7 +4551,7 @@ def stats2d_click_error_by_user(spark, sf_dir):
     "embedding_quantize_int8",
     """
     WITH d AS (
-      SELECT vec_id,
+      SELECT DISTINCT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
       FROM embeddings
     ),
@@ -4561,8 +4583,11 @@ def stats2d_click_error_by_user(spark, sf_dir):
 def embedding_quantize_int8(spark, sf_dir):
     """SQ8-encode every corpus vector against the corpus's own
     per-dimension min/span calibration; serialize codes in dimension
-    order (the vocab_encode CSV convention for array-valued gates)."""
-    em = _t(spark, sf_dir, "embeddings")
+    order (the vocab_encode CSV convention for array-valued gates).
+    Vector identity is the PK: a re-ingested duplicate vec_id row
+    collapses before encoding (fuzz r6 — the oracle's unnest-regroup
+    collapses duplicates implicitly, so both engines must)."""
+    em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
     mins, spans = sim.quantization_calibration(em, "embedding")
     codes = sim.quantize_int8(em, "vec_id", "embedding", mins, spans)
     return codes.select(
@@ -4580,7 +4605,7 @@ def embedding_quantize_int8(spark, sf_dir):
     "knn_quantized_rescored",
     """
     WITH d AS (
-      SELECT vec_id,
+      SELECT DISTINCT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
       FROM embeddings
     ),
@@ -4638,7 +4663,7 @@ def knn_quantized_rescored(spark, sf_dir):
     ties by id — the candidate SET is cross-engine deterministic),
     then exact float cosine on the C candidates per query. Recall vs
     the brute-force baseline is pytest-pinned."""
-    em = _t(spark, sf_dir, "embeddings")
+    em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
     queries = em.filter(F.col("vec_id") < 8)
     return sim.knn_quantized_rescored(
         em, queries, "vec_id", "embedding", k=5, candidate_factor=8

@@ -754,9 +754,19 @@ def percent_rank_table(
     aggregate — the shared two-pass core of `percent_rank_filter` (its
     docstring carries the full scale rationale). Broadcast-join the
     result back to attach a percentile to every row without ever
-    window-partitioning the corpus by the group key."""
-    vals = df.groupBy(part_col, order_col).agg(
-        F.count(F.lit(1)).alias("_cnt")
+    window-partitioning the corpus by the group key.
+
+    NULL contract (fuzz-found, r6): rows with a NULL group key or a
+    NULL order value carry no rankable observation and are dropped —
+    the attach-back join could never match a NULL key anyway (SQL
+    NULL ≠ NULL), so leaving them in here would rank rows the filter
+    then silently loses; callers' oracles mirror the filter."""
+    vals = (
+        df.filter(
+            F.col(part_col).isNotNull() & F.col(order_col).isNotNull()
+        )
+        .groupBy(part_col, order_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
     )
     w_cum = (
         Window.partitionBy(part_col)

@@ -62,6 +62,21 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = list(on)
+    # NULL contract, matching SQL ASOF LEFT JOIN three-valued logic
+    # (fuzz-found, r6): a right row with a NULL key or NULL timestamp
+    # can never win a comparison — drop it; a LEFT row with a NULL key
+    # or NULL timestamp can never match but must still be emitted
+    # (left join) with NULL payloads — bypass it around the merge so
+    # it neither lands in the NULL-key window partition (where it
+    # would spuriously match NULL-key right rows) nor shifts the sort
+    # (Spark windows order NULLS FIRST, DuckDB NULLS LAST).
+    null_probe = F.lit(False)
+    for c in (*keys, left_ts):
+        null_probe = null_probe | F.col(c).isNull()
+    bypass_src = left.filter(null_probe)
+    left = left.filter(~null_probe)
+    for c in (*keys, right_ts):
+        right = right.filter(F.col(c).isNotNull())
     lcols = [c for c in left.columns if c not in keys and c != left_ts]
     tb_cols_right = (
         [F.col(tiebreaker).alias("_tb")] if tiebreaker is not None else []
@@ -116,21 +131,43 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # The carry is ROW-atomic: one struct holding the whole right
+    # payload, NULL on left rows, carried with a single
+    # last(ignorenulls). Per-column last(ignorenulls) would smear — a
+    # matched right row whose payload VALUE is NULL must yield that
+    # NULL, not reach past it to an older right row's value
+    # (fuzz-found, r6; SQL ASOF emits the matched row's columns as-is).
+    payload_struct = F.when(
+        F.col("_tag") == 0,
+        F.struct(
+            *[F.col(f"{payload_prefix}{c}").alias(c) for c in right_payload]
+        ),
+    )
     filled = merged.select(
         *keys,
         "_ts",
         "_tag",
         *lcols,
+        F.last(payload_struct, ignorenulls=True).over(w).alias("_pl"),
+    )
+    matched = filled.filter(F.col("_tag") == 1).select(
+        *keys,
+        F.col("_ts").alias(left_ts),
+        *lcols,
         *[
-            F.last(F.col(f"{payload_prefix}{c}"), ignorenulls=True)
-            .over(w)
+            F.col(f"_pl.{c}").alias(f"{payload_prefix}{c}")
+            for c in right_payload
+        ],
+    )
+    bypass = bypass_src.select(
+        *keys,
+        F.col(left_ts),
+        *lcols,
+        *[
+            F.lit(None)
+            .cast(dict(right.dtypes)[c])
             .alias(f"{payload_prefix}{c}")
             for c in right_payload
         ],
     )
-    return filled.filter(F.col("_tag") == 1).select(
-        *keys,
-        F.col("_ts").alias(left_ts),
-        *lcols,
-        *[f"{payload_prefix}{c}" for c in right_payload],
-    )
+    return matched.unionByName(bypass)

@@ -263,8 +263,17 @@ def minhash_signatures(
       LSH pipeline is oracle-checkable. An earlier portable family
       re-md5'd the hex digest per seed (64 string hashes per exploded
       row) and benched ~7x slower than this at sf0.1.
+
+    NULL contract (fuzz-found, r6): a NULL text has no shingles and no
+    signature — filtered. Without the filter, ``concat_ws`` coerces
+    the NULL token slice to the '' shingle, making every NULL-text
+    document a perfect near-duplicate of every other (and of genuinely
+    empty documents) on the Spark side only, while SQL NULL
+    propagation silently excludes them oracle-side.
     """
-    ex = parallelize_small_scan(df, id_col).select(
+    ex = parallelize_small_scan(
+        df.filter(F.col(text_col).isNotNull()), id_col
+    ).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
     )
     if hash_family == "md5":

@@ -43,6 +43,19 @@ from pyspark.sql import functions as F
 from purpleair_data_logger_spark.operators.aggregations import time_bucket
 
 
+def _placeable(df: DataFrame, *cols: str) -> DataFrame:
+    """NULL contract for the sequential/two-tier operators (fuzz
+    sweep, r6): a reading missing its key, timestamp, or PK tiebreaker
+    cannot be placed on the (key, time) axis — it is dropped, in BOTH
+    engines. Leaving such rows in would make every lag/lead and
+    boundary stitch engine-dependent (Spark windows sort NULLS FIRST,
+    DuckDB NULLS LAST; SQL joins never match NULL keys), which is
+    exactly the divergence class the round-6 fuzz sweep surfaced."""
+    for c in cols:
+        df = df.filter(F.col(c).isNotNull())
+    return df
+
+
 def m4_downsample(
     df: DataFrame,
     ts_col: str,
@@ -438,6 +451,7 @@ def gap_incidents(
     no predecessor and reports nothing.
     """
     threshold_us = int(threshold_seconds) * 1_000_000
+    df = _placeable(df, key_col, ts_col, id_col)
     b = time_bucket(ts_col, partition_seconds).alias("_pb")
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w_in = Window.partitionBy(key_col, "_pb").orderBy("_t", id_col)
@@ -497,7 +511,8 @@ def state_agg(
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w_in = Window.partitionBy(key_col, "_pb").orderBy("_t", id_col)
     staged = (
-        df.filter(F.col(state_col).isNotNull())
+        _placeable(df, key_col, ts_col, id_col)
+        .filter(F.col(state_col).isNotNull())
         .select(
             F.col(key_col),
             b,
@@ -561,7 +576,8 @@ def state_agg_bucketed(
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w_in = Window.partitionBy(key_col, "_pb").orderBy("_t", id_col)
     staged = (
-        df.filter(F.col(state_col).isNotNull())
+        _placeable(df, key_col, ts_col, id_col)
+        .filter(F.col(state_col).isNotNull())
         .select(
             F.col(key_col),
             b,
@@ -635,7 +651,8 @@ def state_timeline(
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w_in = Window.partitionBy(key_col, "_pb").orderBy("_t", id_col)
     staged = (
-        df.filter(F.col(state_col).isNotNull())
+        _placeable(df, key_col, ts_col, id_col)
+        .filter(F.col(state_col).isNotNull())
         .select(
             F.col(key_col),
             b,
@@ -700,7 +717,9 @@ def trend_stats(
     """
     scale = 10**decimals
     t = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
-    staged = df.filter(F.col(value_col).isNotNull()).select(
+    staged = _placeable(df, key_col, ts_col).filter(
+        F.col(value_col).isNotNull()
+    ).select(
         F.col(key_col),
         t.alias("_t"),
         _scaled(value_col, decimals).alias("_c"),
@@ -779,7 +798,8 @@ def counter_delta(
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w_in = Window.partitionBy(key_col, bucket_alias).orderBy("_ts_us", id_col)
     staged = (
-        df.filter(F.col(value_col).isNotNull())
+        _placeable(df, key_col, ts_col, id_col)
+        .filter(F.col(value_col).isNotNull())
         .select(
             F.col(key_col),
             b,
@@ -875,7 +895,8 @@ def heartbeat_uptime(
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w_in = Window.partitionBy(key_col, bucket_alias).orderBy("_t", id_col)
     staged = (
-        df.select(
+        _placeable(df, key_col, ts_col, id_col)
+        .select(
             F.col(key_col), b, F.col(id_col), ts_us.alias("_t")
         )
         .withColumn("_nxt_in", F.lead("_t").over(w_in))
@@ -968,7 +989,9 @@ def candlestick(
     scale = 10**decimals
     b = time_bucket(ts_col, bucket_seconds).alias(bucket_alias)
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    staged = df.filter(F.col(value_col).isNotNull()).select(
+    staged = _placeable(df, key_col, ts_col, id_col).filter(
+        F.col(value_col).isNotNull()
+    ).select(
         F.col(key_col),
         b,
         ts_us.alias("_ts_us"),
@@ -1054,7 +1077,9 @@ def cusum_scan(
     h_scaled = int(round(threshold * scale))
     b = time_bucket(ts_col, partition_seconds).alias("_pb")
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    filtered = df.filter(F.col(value_col).isNotNull()).select(
+    filtered = _placeable(df, key_col, ts_col, id_col).filter(
+        F.col(value_col).isNotNull()
+    ).select(
         F.col(key_col),
         b,
         F.col(id_col),

@@ -106,16 +106,25 @@ def extract_features(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _none = {"width": None, "height": None, "features": None}
         for pdf in batches:
+            # NULL payload contract (fuzz-found, r6): nothing to
+            # decode -> NULL width/height/features, matching SQL NULL
+            # propagation (sha256(NULL) = NULL) instead of silently
+            # decoding the empty payload.
             decoded = [
-                decoder(p, mt)
+                decoder(p, mt) if p is not None else _none
                 for p, mt in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [d["width"] for d in decoded],
-                    "height": [d["height"] for d in decoded],
+                    "width": pd.array(
+                        [d["width"] for d in decoded], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [d["height"] for d in decoded], dtype="Int32"
+                    ),
                     "features": [d["features"] for d in decoded],
                 }
             )
@@ -180,6 +189,9 @@ def sample_frames(
         for pdf in batches:
             ids, idxs, offs, digs = [], [], [], []
             for mid, p, mt in zip(pdf["media_id"], pdf["payload"], pdf["media_type"]):
+                if p is None:
+                    # NULL payload: no media, no frames (fuzz r6)
+                    continue
                 for k, off, dig in frame_extractor(p, mt, frame_size, n_frames):
                     ids.append(mid)
                     idxs.append(k)
@@ -246,8 +258,10 @@ def resize_media(
                     "media_id": pdf["media_id"],
                     "width": pd.Series([width] * len(pdf), dtype="int32"),
                     "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    # NULL payload resizes to NULL (fuzz r6): SQL
+                    # NULL propagation, not a resample of b""
                     "payload": [
-                        resizer(p, mt, width, height)
+                        resizer(p, mt, width, height) if p is not None else None
                         for p, mt in zip(pdf["payload"], pdf["media_type"])
                     ],
                 }

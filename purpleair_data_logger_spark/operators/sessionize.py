@@ -37,7 +37,14 @@ def sessionize(
 
     Output: input columns + ``session_id`` (1-based per key, ordered by
     time). Deterministic for unique (key, ts) pairs.
+
+    NULL contract (fuzz-found, r6): an event without a timestamp
+    cannot be placed in any session and is dropped — leaving it in
+    would make the numbering engine-dependent (Spark windows sort
+    NULLS FIRST, DuckDB NULLS LAST, shifting every lag). NULL keys
+    form their own single group, identically in both engines.
     """
+    df = df.filter(F.col(ts_col).isNotNull())
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = Window.partitionBy(key_col).orderBy(ts_us)
     prev_ts = F.lag(ts_us).over(w)

@@ -128,13 +128,18 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, *, prefix_tokens: int
     """Document fingerprint: md5 over the normalized token prefix.
 
     A cheap rolling-hash-style identity for clustering/bucketing; md5 so
-    external engines can reproduce it bit-for-bit.
+    external engines can reproduce it bit-for-bit. NULL text has no
+    identity and propagates to a NULL fingerprint (SQL semantics —
+    ``concat_ws`` would otherwise silently coerce NULL to md5(''), the
+    empty document's fingerprint; fuzz-found, r6).
     """
     toks = tokens(F.lower(F.col(text_col)))
     prefix = F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))
     return df.select(
         F.col(id_col),
-        F.md5(prefix).alias("fingerprint_md5"),
+        F.when(F.col(text_col).isNotNull(), F.md5(prefix)).alias(
+            "fingerprint_md5"
+        ),
     )
 
 
@@ -462,18 +467,20 @@ def keyword_extraction(
     Plan: tf = repartition(id) → token explode → groupBy(id, tok)
     [no second Exchange — hashpartitioning(id) satisfies it]; document
     frequency comes from its OWN pruned scan branch — per-doc
-    `array_distinct` then explode → groupBy(tok) — NOT from
-    re-aggregating the tf table (referencing tf twice would make
-    Spark recompute the whole scan+explode+aggregate subtree; the
-    distinct-explode branch ships one row per (doc, distinct token)
-    into a map-side-combined count, the cheapest correct df). The
-    df-table and the N-docs scalar broadcast back onto tf
-    [partitioning on id preserved — the 1-row scalar join is a
-    broadcast nested loop by construction, the standard scalar-subquery
-    shape] → per-doc top-k window [no new Exchange]. Three Exchanges
-    total (doc-id, vocab-sized, 1-row), pinned; the per-doc window
-    partitions are bounded by per-doc vocabulary, never corpus-sized.
-    Ties break on the token string, so output is deterministic.
+    `array_distinct` then explode → countDistinct(id) per token — NOT
+    from re-aggregating the tf table (referencing tf twice would make
+    Spark recompute the whole scan+explode+aggregate subtree). The
+    distinct doc count (rather than a row count) keeps df honest when
+    the same doc id is ingested twice (fuzz r6); Spark plans it as the
+    standard two-phase distinct aggregate — map-side (tok, id) dedup,
+    one pair shuffle, one count. The df-table and the N-docs scalar
+    broadcast back onto tf [partitioning on id preserved — the 1-row
+    scalar join is a broadcast nested loop by construction, the
+    standard scalar-subquery shape] → per-doc top-k window [no new
+    Exchange]. Four Exchanges total (doc-id, df pair + count, 1-row),
+    pinned; the per-doc window partitions are bounded by per-doc
+    vocabulary, never corpus-sized. Ties break on the token string, so
+    output is deterministic.
     """
     from pyspark.sql import Window
 
@@ -483,10 +490,18 @@ def keyword_extraction(
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # df counts DOCUMENTS, not rows: countDistinct(id) keeps the count
+    # honest when the same doc_id is ingested twice (fuzz-found, r6 —
+    # a plain row count silently inflated df on duplicate-PK rows).
+    # Spark plans the distinct as a two-phase partial aggregate over
+    # (tok, id) pairs already deduped per-row by array_distinct.
     dfreq = (
-        df.select(F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.countDistinct(F.col(id_col)).alias("df"))
     )
     n_docs = df.select(
         F.count(F.lit(1)).alias("n_docs")
@@ -746,6 +761,10 @@ def chunk_documents(
     if overlap_tokens >= chunk_tokens:
         raise ValueError("overlap_tokens must be < chunk_tokens")
     step = chunk_tokens - overlap_tokens
+    # NULL text has no tokens and yields no chunks (fuzz r6) — without
+    # the filter, greatest(NULL, 1) fabricates one start position and
+    # concat_ws coerces the NULL slice to md5('').
+    df = df.filter(F.col(text_col).isNotNull())
     toks = tokens(text_col)
     n = F.size(toks)
     starts = F.sequence(

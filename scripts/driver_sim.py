@@ -19,17 +19,26 @@ from purpleair_data_logger_spark.session import get_spark  # noqa: E402
 from tests.oracle import compare  # noqa: E402
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+def sweep(
+    sf_dir: str,
+    only: set[str] | None = None,
+    *,
+    smoke: bool = True,
+    failures: list[tuple[str, str]] | None = None,
+) -> int:
+    """Run the driver's verify flow against ``sf_dir``. Importable so
+    scripts/fuzz_oracle.py can re-run the identical comparison over a
+    mutated copy of the testdata. ``failures`` (if given) collects
+    (query, message) pairs for the caller."""
     spark = get_spark("driver-sim")
     spark.sparkContext.setLogLevel("ERROR")
 
-    t0 = time.time()
-    smoke = entrymod.entry(spark)
-    rows = smoke.collect()
-    print(f"[smoke] entry() -> {len(rows)} rows, schema={smoke.columns} "
-          f"({time.time()-t0:.1f}s)")
+    if smoke:
+        t0 = time.time()
+        sm = entrymod.entry(spark)
+        rows = sm.collect()
+        print(f"[smoke] entry() -> {len(rows)} rows, schema={sm.columns} "
+              f"({time.time()-t0:.1f}s)")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -50,9 +59,17 @@ def main() -> int:
         status = "OK " if ok else "BAD"
         n_ok += ok
         n_bad += not ok
+        if not ok and failures is not None:
+            failures.append((name, msg))
         print(f"[{status}] {name}: {msg} ({time.time()-t0:.1f}s)", flush=True)
     print(f"passed={n_ok} failed={n_bad}")
     return 1 if n_bad else 0
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    return sweep(sf_dir, only)
 
 
 if __name__ == "__main__":

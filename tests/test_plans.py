@@ -199,12 +199,14 @@ def test_dup_ngram_fraction_single_shuffle_jvm_only(spark, sf):
 def test_keyword_extraction_shuffles_broadcast_df(spark, sf):
     """tf rides the doc-id repartition and the per-doc top-k window
     reuses that partitioning; document frequency and the N-docs scalar
-    are independent map-side-combined branches broadcast back — 3
-    plain Exchanges (doc-id, vocab, 1-row scalar), and the tf subtree
-    is never duplicated (exactly one groupBy(id, tok) aggregate
-    pair)."""
+    are independent map-side-combined branches broadcast back — 4
+    plain Exchanges (doc-id, the df distinct-pair + count pair, 1-row
+    scalar; df counts DISTINCT docs since r6's duplicate-PK fuzz fix,
+    which is Spark's standard two-phase distinct aggregate with
+    map-side (tok, id) dedup), and the tf subtree is never duplicated
+    (exactly one groupBy(id, tok) aggregate pair)."""
     plan = _plan(spark, sf, "keyword_extraction")
-    assert E.count(plan, "Exchange") == 3  # exact-header match: plain only
+    assert E.count(plan, "Exchange") == 4  # exact-header match: plain only
     assert E.count(plan, "BroadcastExchange") == 2
     assert plan.count("partial_count") <= 3  # tf, df, n_docs — no recompute
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
