@@ -584,6 +584,19 @@ def quantize_int8(
 
     Output: (id, codes array<int>).
     """
+    return df.select(
+        id_col,
+        sq8_codes(as_double_array(vec_col), mins, spans).alias(codes_alias),
+    )
+
+
+def sq8_codes(
+    vec: Column, mins: list[float], spans: list[float]
+) -> Column:
+    """The SQ8 encode expression itself (see `quantize_int8` for the
+    numeric contract) — exposed as a Column so composed operators
+    (`knn_ivf_quantized`) can encode inline on an already-projected
+    vector column without a second corpus scan."""
     mn_arr = F.array(*[F.lit(float(m)) for m in mins])
     sp_arr = F.array(*[F.lit(float(s)) for s in spans])
 
@@ -596,10 +609,7 @@ def quantize_int8(
             .otherwise(F.least(F.greatest(raw, F.lit(0)), F.lit(255)))
         )
 
-    return df.select(
-        id_col,
-        F.transform(as_double_array(vec_col), _code).alias(codes_alias),
-    )
+    return F.transform(vec, _code)
 
 
 def int_dot_centered(a: Column, b: Column) -> Column:
@@ -658,6 +668,143 @@ def knn_quantized_rescored(
     cands = (
         cc.crossJoin(F.broadcast(qc))
         .filter(F.col("neighbor_id") != F.col(query_id_alias))
+        .select(
+            query_id_alias,
+            "neighbor_id",
+            int_dot_centered(F.col("_qc"), F.col("_cc")).alias("_iscore"),
+        )
+        .withColumn("_crank", F.row_number().over(cand_w))
+        .filter(F.col("_crank") <= candidate_factor * k)
+        .select(query_id_alias, "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias(query_id_alias),
+        as_double_array(vec_col).alias("_qv"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("_cv"),
+    )
+    resc = (
+        cands.join(F.broadcast(qv), on=query_id_alias)
+        .join(cv, on="neighbor_id")
+        .select(
+            query_id_alias,
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_alias).orderBy(
+        F.desc("_sim"), F.asc("neighbor_id")
+    )
+    return (
+        resc.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            query_id_alias,
+            "neighbor_id",
+            F.col("knn_rank").cast("int").alias("knn_rank"),
+        )
+    )
+
+
+def knn_ivf_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    n_assign: int = 3,
+    candidate_factor: int = 8,
+    centroids: list[list[float]] | None = None,
+    calibration: tuple[list[float], list[float]] | None = None,
+    query_id_alias: str = "query_id",
+) -> DataFrame:
+    """The composed top rung of the ANN ladder: IVF list pruning →
+    centered-int8 (SQ8) candidate scoring WITHIN the probed lists →
+    exact float cosine rescore of the survivors. Faiss calls this
+    shape IVF-SQ8; it is the 100 TB search endpoint both component
+    docstrings gesture at.
+
+    Why the composition matters at scale — the two rungs cut
+    orthogonal costs and multiply:
+    * IVF (`knn_ivf`) makes the scan SUBLINEAR: only
+      ~n_assign·nprobe/n_lists of the corpus is touched per query,
+      but each touched row still carried a float vector (256+ B).
+    * SQ8 (`knn_quantized_rescored`) makes each touched row CHEAP:
+      64 B of codes and an integer dot, but the flat variant still
+      scans every row.
+    Composed, a probed-list candidate row costs 64 bytes and an
+    integer dot, the probe itself prunes ~75%+ of the corpus, and
+    exact float work is |queries|·C rows — independent of corpus
+    size.
+
+    Plan shape (pinned in tests/test_plans.py): both index-build
+    artifacts (centroids k×dim, calibration 2×dim) are driver-side
+    literals; corpus rows are scanned once, encode + list-assign in
+    the same projection (one Arrow pass for the assignment matmul, the
+    encode is pure JVM `transform`); the candidate join is a broadcast
+    equi-join on list_id (never a cross join — the flat SQ8 scan's
+    BroadcastNestedLoopJoin disappears here); candidate scores are
+    exact BIGINTs so the candidate set stays deterministic
+    cross-engine; rescore joins are broadcast on candidate rows only.
+
+    Recall floor vs brute force is pinned in tests/test_llm_ops.py
+    (the `knn_ivf` precedent — rows-only at the driver gate because
+    k-means training is iterative, not SQL-expressible).
+
+    Output: (query_id, neighbor_id, knn_rank).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, vec_col, n_lists=n_lists)
+    norms = [sum(x * x for x in c) ** 0.5 or 1.0 for c in centroids]
+    unit = [[x / n for x in c] for c, n in zip(centroids, norms)]
+    if calibration is None:
+        calibration = quantization_calibration(corpus, vec_col)
+    mins, spans = calibration
+
+    # One corpus scan: project → SQ8-encode (JVM) + multi-assign
+    # (one Arrow matmul) in the same stage; floats are dropped before
+    # the join so the shuffled/broadcast-probed payload is 64 B codes.
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            as_double_array(vec_col).alias("_cv"),
+        )
+        .select(
+            "neighbor_id",
+            sq8_codes(F.col("_cv"), mins, spans).alias("_cc"),
+            F.explode(
+                nearest_lists(F.col("_cv"), unit, n_assign)
+            ).alias("list_id"),
+        )
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias(query_id_alias),
+            as_double_array(vec_col).alias("_qv"),
+        )
+        .select(
+            query_id_alias,
+            sq8_codes(F.col("_qv"), mins, spans).alias("_qc"),
+            F.explode(
+                nearest_lists(F.col("_qv"), unit, nprobe)
+            ).alias("list_id"),
+        )
+    )
+    cand_w = Window.partitionBy(query_id_alias).orderBy(
+        F.desc("_iscore"), F.asc("neighbor_id")
+    )
+    cands = (
+        c.join(F.broadcast(probes), on="list_id")
+        .filter(F.col("neighbor_id") != F.col(query_id_alias))
+        # multi-assign × multi-probe lands the same (query, neighbor)
+        # pair through up to n_assign·nprobe shared lists; codes are
+        # identical on every copy, so dedup before scoring
+        .dropDuplicates([query_id_alias, "neighbor_id"])
         .select(
             query_id_alias,
             "neighbor_id",

@@ -667,6 +667,22 @@ def test_knn_quantized_candidate_stage_shape(spark, sf):
     assert E.count(plan, "BroadcastHashJoin") == 2  # rescore joins
 
 
+def test_knn_ivf_quantized_plan_shape(spark, sf):
+    """IVF-SQ8 composition (VERDICT r5 #3): the candidate join must be
+    a broadcast EQUI-join on list_id — the flat SQ8 scan's cross join
+    (BroadcastNestedLoopJoin) must disappear under IVF pruning — with
+    Arrow-vectorized assignment (never row-pickled Python), the SQ8
+    encode JVM-side in the same projection, and no sort-merge join
+    anywhere."""
+    plan = _plan(spark, sf, "knn_ivf_quantized")
+    assert "BroadcastHashJoin" in plan and "list_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_pricing_summary_single_shuffle_pushdown(spark, sf):
     """TPC-H Q1: the whole query is one map-side-combined aggregate —
     partial+final HashAggregate around a single Exchange, the shipdate
