@@ -4462,6 +4462,68 @@ def cusum_drift_by_user(spark, sf_dir):
 
 
 @register(
+    "cusum_twosided_by_user",
+    """
+    WITH f AS (
+      SELECT user_id, event_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    t AS (
+      SELECT user_id,
+             CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
+      FROM f GROUP BY 1
+    ),
+    d AS (
+      SELECT f.user_id, f.event_id, f.ts, f.value,
+             f.v - t.mu - 200 AS du, f.v - t.mu + 200 AS dd
+      FROM f JOIN t USING (user_id)
+    ),
+    p AS (
+      SELECT *, CAST(sum(du) OVER w AS BIGINT) AS psu,
+                CAST(sum(dd) OVER w AS BIGINT) AS psd
+      FROM d
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s AS (
+      SELECT *,
+             psu - least(CAST(0 AS BIGINT), min(psu) OVER w2) AS su,
+             greatest(CAST(0 AS BIGINT), max(psd) OVER w2) - psd AS sd
+      FROM p
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id, ts, value,
+           CAST(su AS DOUBLE) / 100.0 AS cusum_high,
+           CAST(sd AS DOUBLE) / 100.0 AS cusum_low,
+           CASE WHEN su > 30000 AND sd > 30000 THEN 'both'
+                WHEN su > 30000 THEN 'up' ELSE 'down' END AS alarm_side
+    FROM s WHERE su > 30000 OR sd > 30000
+    """,
+    "two-sided Page CUSUM: the downward-drift accumulator (clogged "
+    "sensor under-reading) runs beside the upward one in the same "
+    "Window node — running max of prefix mirrors the running min",
+)
+def cusum_twosided_by_user(spark, sf_dir):
+    """Two-sided CUSUM alarms per sensor key (VERDICT r5 #4): both
+    Page accumulators via the symmetric prefix identities (S⁺ = P⁺ −
+    min prefix, S⁻ = max prefix − P⁻), exact scaled-BIGINT, one
+    Window node per tier — same shuffle count as the one-sided scan."""
+    e = _t(spark, sf_dir, "events")
+    return hf.cusum_scan_twosided(
+        e,
+        "ts",
+        "user_id",
+        "value",
+        "event_id",
+        slack=2.0,
+        threshold=300.0,
+    )
+
+
+@register(
     "mad_outliers_by_event_type",
     """
     WITH e AS (

@@ -163,6 +163,163 @@ def cusum_alarms_by_key(
     )
 
 
+_STATE_SCHEMA_2S = T.StructType(
+    [
+        T.StructField("s_hi_scaled", T.LongType()),
+        T.StructField("s_lo_scaled", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("initialized", T.BooleanType()),
+    ]
+)
+
+
+def cusum_twosided_stateful_func(slack: float, threshold: float, decimals: int):
+    """Two-sided detector update (VERDICT r5 #4): the downward
+    accumulator S⁻_i = max(0, S⁻_{i−1} + (μ − v_i − k)) is the SAME
+    recurrence as the upward one on negated-deviation input, so
+    `cusum_batch_kernel` runs twice per key chunk — one cumsum +
+    min-accumulate each — and the state carries both statistics."""
+    scale = 10**decimals
+    k_s = int(round(slack * scale))
+    h_s = int(round(threshold * scale))
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # columns: key, ts, id, value, target, _ts_us
+        pdf = pdf.sort_values(["_ts_us", pdf.columns[2]], kind="stable")
+        seed_hi, seed_lo, last_ts = 0, 0, np.iinfo(np.int64).min
+        if state.exists:
+            s_hi, s_lo, last_ts_us, initialized = state.get
+            if initialized:
+                seed_hi, seed_lo, last_ts = int(s_hi), int(s_lo), int(last_ts_us)
+        # disorder contract: at-or-before the held timestamp → dropped
+        pdf = pdf[pdf["_ts_us"].to_numpy() > last_ts]
+        if len(pdf):
+            vs = scale_half_up(
+                pdf.iloc[:, 3].to_numpy(dtype=np.float64), scale
+            )
+            mu = scale_half_up(
+                pdf.iloc[:, 4].to_numpy(dtype=np.float64), scale
+            )
+            s_hi, final_hi = cusum_batch_kernel(vs - mu - k_s, seed_hi)
+            s_lo, final_lo = cusum_batch_kernel(mu - vs - k_s, seed_lo)
+            state.update(
+                (final_hi, final_lo, int(pdf["_ts_us"].iloc[-1]), True)
+            )
+            hi_alarm = s_hi > h_s
+            lo_alarm = s_lo > h_s
+            out = pdf.iloc[:, :4].copy()
+            out["cusum_high"] = s_hi.astype(np.float64) / float(scale)
+            out["cusum_low"] = s_lo.astype(np.float64) / float(scale)
+            out["alarm_side"] = np.select(
+                [hi_alarm & lo_alarm, hi_alarm], ["both", "up"], "down"
+            )
+            yield out[hi_alarm | lo_alarm]
+        else:
+            state.update((seed_hi, seed_lo, last_ts, True))
+
+    return update
+
+
+def cusum_twosided_alarms_by_key(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    target_col: str,
+    *,
+    slack: float,
+    threshold: float,
+    decimals: int = 2,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Two-sided mirror of `cusum_alarms_by_key`: same calibration
+    join, same disorder contract, state carries (S⁺, S⁻). Output:
+    (key, ts, id, value, cusum_high, cusum_low, alarm_side) — alarm
+    rows only, matching `hf.cusum_scan_twosided`'s contract."""
+    src = (
+        stream.select(
+            key_col,
+            F.col(ts_col).cast("timestamp").alias(ts_col),
+            F.col(id_col),
+            F.col(value_col).cast("double").alias("value"),
+            F.col(target_col).cast("double").alias("_target"),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
+        )
+        .filter(F.col("value").isNotNull() & F.col("_target").isNotNull())
+        .withWatermark(ts_col, watermark)
+    )
+    out_schema = T.StructType(
+        [
+            src.schema[key_col],
+            src.schema[ts_col],
+            src.schema[id_col],
+            T.StructField("value", T.DoubleType()),
+            T.StructField("cusum_high", T.DoubleType()),
+            T.StructField("cusum_low", T.DoubleType()),
+            T.StructField("alarm_side", T.StringType()),
+        ]
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        cusum_twosided_stateful_func(slack, threshold, decimals),
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA_2S,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_cusum_twosided_alarms(
+    spark: SparkSession,
+    source_path: str,
+    targets: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    target_col: str,
+    slack: float,
+    threshold: float,
+    decimals: int = 2,
+    watermark: str = "1 hour",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """File-source wrapper for the two-sided detector (the
+    `streaming_cusum_alarms` template)."""
+    reader = spark.readStream.schema(spark.read.parquet(source_path).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_path).join(targets, on=key_col)
+    out = cusum_twosided_alarms_by_key(
+        stream,
+        key_col,
+        ts_col,
+        id_col,
+        value_col,
+        target_col,
+        slack=slack,
+        threshold=threshold,
+        decimals=decimals,
+        watermark=watermark,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_cusum_alarms(
     spark: SparkSession,
     source_path: str,

@@ -632,6 +632,26 @@ def test_cusum_windows_bounded_partitions_only(spark, sf):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_cusum_twosided_same_window_node_both_sides(spark, sf):
+    """The two-sided scan inherits the one-sided pin AND must not pay
+    for the second accumulator: all four corpus-row window aggregates
+    (both prefix sums, running min, running max) share one
+    (key, calendar-partition) Window node, so the number of Window
+    operators — and of Exchanges — equals the one-sided plan's."""
+    import re
+
+    plan1 = _plan(spark, sf, "cusum_drift_by_user")
+    plan2 = _plan(spark, sf, "cusum_twosided_by_user")
+    win_args = [
+        l for l in plan2.splitlines() if "windowspecdefinition" in l.lower()
+    ]
+    assert any("_pb" in l and "user_id" in l for l in win_args)
+    assert "BatchEvalPython" not in plan2 and "PythonUDF" not in plan2
+    assert "CartesianProduct" not in plan2 and "BroadcastNestedLoop" not in plan2
+    assert E.count(plan2, "Window") == E.count(plan1, "Window")
+    assert E.count(plan2, "Exchange") == E.count(plan1, "Exchange")
+
+
 def test_mad_outliers_broadcasts_median_tables(spark, sf):
     """Both per-group 1-row tables (median, MAD) join back onto the
     corpus as broadcasts; the corpus itself is never sorted and never

@@ -1727,6 +1727,96 @@ def test_streaming_cusum_alarms_match_batch(spark, tmp_path):
     assert got == batch_alarms
 
 
+def test_streaming_cusum_twosided_matches_batch(spark, tmp_path):
+    """Two-sided CUSUM (VERDICT r5 #4) with cross-batch carried state:
+    an upward-bursting key, a downward-drooping key (the clogged-
+    sensor class the one-sided detector misses), and a flat key; one
+    file per micro-batch so BOTH statistics must be carried. The
+    emitted (key, id) → (cusum_high, cusum_low, alarm_side) set must
+    equal `hf.cusum_scan_twosided`'s exactly."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+    from purpleair_data_logger_spark.operators import hyperfunctions as hf
+    from purpleair_data_logger_spark.streaming.cusum import (
+        streaming_cusum_twosided_alarms,
+    )
+
+    base = _dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = []
+    # key "a": baseline 10.0 then an upward burst straddling files
+    for i in range(20):
+        rows.append((i, "a", i * 60, 10.0))
+    for i in range(20, 28):
+        rows.append((i, "a", i * 60, 25.0))
+    # key "c": baseline 10.0 then a downward droop straddling files
+    for i in range(20):
+        rows.append((200 + i, "c", i * 60, 10.0))
+    for i in range(20, 28):
+        rows.append((200 + i, "c", i * 60, 1.0))
+    # key "b": flat, never alarms
+    for i in range(15):
+        rows.append((100 + i, "b", i * 60, 7.5))
+    batches = [rows[:20], rows[20:45], rows[45:]]
+    src = str(tmp_path / "q2src")
+    for chunk in batches:
+        spark.createDataFrame(
+            [
+                (rid, k, base + _dt.timedelta(seconds=s), v)
+                for rid, k, s, v in chunk
+            ],
+            "id long, key string, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    all_rows = spark.read.parquet(src)
+    slack, threshold = 1.0, 30.0
+    batch_alarms = {
+        (r["key"], r["id"]): (r["cusum_high"], r["cusum_low"], r["alarm_side"])
+        for r in hf.cusum_scan_twosided(
+            all_rows, "ts", "key", "value", "id",
+            slack=slack, threshold=threshold,
+        ).collect()
+    }
+    sides = {v[2] for v in batch_alarms.values()}
+    keys = {k for k, _ in batch_alarms}
+    assert "up" in sides and "down" in sides  # both detectors fire
+    assert keys == {"a", "c"}
+
+    targets = (
+        all_rows.groupBy("key")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("_sv"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "key",
+            (F.expr("_sv div _n").cast("double") / 100.0).alias("target"),
+        )
+    )
+    q = streaming_cusum_twosided_alarms(
+        spark,
+        src,
+        targets,
+        str(tmp_path / "q2out"),
+        str(tmp_path / "q2ckpt"),
+        key_col="key",
+        ts_col="ts",
+        id_col="id",
+        value_col="value",
+        target_col="target",
+        slack=slack,
+        threshold=threshold,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["key"], r["id"]): (r["cusum_high"], r["cusum_low"], r["alarm_side"])
+        for r in spark.read.parquet(str(tmp_path / "q2out")).collect()
+    }
+    assert got == batch_alarms
+
+
 def test_streaming_cusum_drops_out_of_order_rows(spark, tmp_path):
     """A later file whose readings predate the held timestamp must be
     dropped (append mode cannot retract), leaving the statistic and
