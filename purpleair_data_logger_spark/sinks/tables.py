@@ -56,8 +56,15 @@ class SensorTableStore:
     def heal(self) -> dict[str, str]:
         """Recover any rewrite a crash interrupted (see `sinks.atomic`).
         Run on construction and before/after every destructive rewrite;
-        returns {table: action} for the tables that needed repair."""
+        returns {table: action} for the tables that needed repair. A
+        multi-table snapshot (upsert_wide's all-or-none publish) heals
+        FIRST, as a unit — its members must never be healed
+        per-table, or a staged-but-unpublished member would roll
+        forward alone."""
         actions = {}
+        snap = atomic.heal_snapshot(self.base_path)
+        if snap:
+            actions["__snapshot__"] = snap
         for t in S.TABLE_NAMES:
             p = os.path.join(self.base_path, t)
             action = atomic.heal(p)
@@ -172,7 +179,22 @@ class SensorTableStore:
             .distinct()
             .collect()
         ]
-        for table, part in vertical_split(wide).items():
+        # All-or-none across the nine tables (the reference's
+        # one-transaction contract, PurpleAirPSQLDataLogger.py:347):
+        # stage EVERY table first under a _SNAPSHOT_PENDING intent
+        # marker, then flip the marker and swap — a reader healing
+        # after a crash at ANY point sees reading R in all nine tables
+        # or in none, preserving the J1 reconstruction join's
+        # PK-completeness invariant mid-publish. Staging writes are
+        # independent per table, so they share the executor pool from
+        # driver threads like append_wide's.
+        parts = vertical_split(wide)
+        atomic.snapshot_begin(
+            self.base_path, [self.path(t) for t in parts]
+        )
+
+        def _stage(item):
+            table, part = item
             out = part
             if os.path.isdir(self.path(table)):
                 survivors = (
@@ -186,12 +208,21 @@ class SensorTableStore:
                     )
                 )
                 out = part.unionByName(survivors)
-            # Stage (reads live lazily while writing the sibling), then
-            # rename-swap the touched partitions into place.
             self._prepare(out).write.mode("overwrite").partitionBy(
                 PARTITION_COL
             ).parquet(atomic.staging_path(self.path(table)))
-            atomic.commit(self.path(table))
+
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        try:
+            with ThreadPoolExecutor(max_workers=len(parts)) as pool:
+                list(pool.map(_stage, parts.items()))
+        except BaseException:
+            # in-process failure: roll the whole snapshot back now
+            # (a crash instead would be healed identically on reopen)
+            atomic.heal_snapshot(self.base_path)
+            raise
+        atomic.snapshot_commit(self.base_path)
 
     # -- read path ---------------------------------------------------------
 

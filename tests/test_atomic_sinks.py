@@ -133,6 +133,109 @@ def test_commit_refuses_uncommitted_staging(spark, tmp_path):
         shutil.rmtree(atomic.staging_path(live), ignore_errors=True)
 
 
+def _stage_snapshot_then_crash(spark, store, *, tables_to_stage=None):
+    """Replay upsert_wide's snapshot staging (intent marker + staged
+    rewrite per table), then 'crash' before the marker flip. With
+    ``tables_to_stage`` given, only those members finish staging —
+    simulating a crash mid-staging."""
+    batch = _wide(spark, BASE_TS, [[1, "s1", 99, 9.9, 0]])
+    parts = X.vertical_split(batch.dropDuplicates(S.KEY_COLUMNS))
+    atomic.snapshot_begin(store.base_path, [store.path(t) for t in parts])
+    batch_dates = [
+        r[0]
+        for r in batch.select(
+            F.to_date(F.col("data_time_stamp")).alias("d")
+        ).distinct().collect()
+    ]
+    for table, part in parts.items():
+        if tables_to_stage is not None and table not in tables_to_stage:
+            continue
+        survivors = (
+            spark.read.parquet(store.path(table))
+            .filter(F.col(PARTITION_COL).isin(batch_dates))
+            .drop(PARTITION_COL)
+            .join(part.select(*S.KEY_COLUMNS), on=S.KEY_COLUMNS, how="left_anti")
+        )
+        store._prepare(part.unionByName(survivors)).write.mode(
+            "overwrite"
+        ).partitionBy(PARTITION_COL).parquet(
+            atomic.staging_path(store.path(table))
+        )
+    return parts
+
+
+def _pk_sets(store):
+    return {
+        t: frozenset(
+            (r["sensor_index"], r["data_time_stamp"])
+            for r in store.read(t).select(*S.KEY_COLUMNS).collect()
+        )
+        for t in S.TABLE_NAMES
+    }
+
+
+def test_snapshot_crash_between_table_commits_rolls_all_forward(spark, tmp_path):
+    """The window VERDICT r5 #5 names: writer dies BETWEEN two tables'
+    commits (some members swapped, some still staged, marker flipped).
+    A healing reader must see the new reading in ALL nine tables —
+    never the J1-breaking partial publish."""
+    store = _seeded_store(spark, tmp_path)
+    parts = _stage_snapshot_then_crash(spark, store)
+    # the snapshot committed (marker flipped)…
+    import os as _os
+
+    _os.replace(
+        _os.path.join(store.base_path, atomic.SNAPSHOT_PENDING),
+        _os.path.join(store.base_path, atomic.SNAPSHOT_COMMIT),
+    )
+    # …but the writer died after swapping only three member tables
+    for t in list(parts)[:3]:
+        atomic.commit(store.path(t))
+
+    reopened = SensorTableStore(spark, store.base_path, cluster_partitions=2)
+    pks = _pk_sets(reopened)
+    assert len(set(pks.values())) == 1  # all nine tables agree on PKs
+    env = {
+        (r["sensor_index"], r["data_time_stamp"]): r["humidity"]
+        for r in reopened.read(S.ENVIRONMENTAL).collect()
+    }
+    assert len(env) == 3 and 99 in env.values()  # the snapshot landed
+    assert not _os.path.exists(
+        _os.path.join(store.base_path, atomic.SNAPSHOT_COMMIT)
+    )
+
+
+def test_snapshot_crash_mid_staging_rolls_all_back(spark, tmp_path):
+    """Writer dies mid-staging: some members staged COMPLETELY (their
+    own _SUCCESS present), others not, marker still PENDING. A member's
+    private _SUCCESS must NOT publish it — the snapshot never
+    committed, so every table reads back wholly old."""
+    store = _seeded_store(spark, tmp_path)
+    before = _pk_sets(store)
+    env_before = sorted(
+        (r["sensor_index"], r["data_time_stamp"], r["humidity"])
+        for r in store.read(S.ENVIRONMENTAL).collect()
+    )
+    _stage_snapshot_then_crash(
+        spark, store, tables_to_stage={S.ENVIRONMENTAL, S.STATION}
+    )
+    import os as _os
+
+    assert atomic.is_committed(atomic.staging_path(store.path(S.ENVIRONMENTAL)))
+
+    reopened = SensorTableStore(spark, store.base_path, cluster_partitions=2)
+    assert _pk_sets(reopened) == before
+    env_after = sorted(
+        (r["sensor_index"], r["data_time_stamp"], r["humidity"])
+        for r in reopened.read(S.ENVIRONMENTAL).collect()
+    )
+    assert env_after == env_before  # the staged-with-_SUCCESS member too
+    for t in S.TABLE_NAMES:
+        assert not _os.path.isdir(atomic.staging_path(store.path(t)))
+    for marker in (atomic.SNAPSHOT_PENDING, atomic.SNAPSHOT_COMMIT):
+        assert not _os.path.exists(_os.path.join(store.base_path, marker))
+
+
 def test_upsert_and_compact_end_to_end_after_crash_history(spark, tmp_path):
     """Full-path sanity: a store that has healed from a crash still
     upserts and compacts correctly afterwards."""
