@@ -1817,6 +1817,129 @@ def test_streaming_cusum_twosided_matches_batch(spark, tmp_path):
     assert got == batch_alarms
 
 
+def test_streaming_mad_matches_sequential_kernel(spark, tmp_path):
+    """Streaming MAD outliers (VERDICT r5 #8): the documented
+    approximate-carry contract — streamed flags/estimates across
+    micro-batch boundaries must equal a sequential replay of the
+    tracker kernel on the full ordered series BIT-FOR-BIT, planted
+    spikes over the stationary baseline must flag, and the median
+    tracker must land within O(step) of the true median."""
+    import datetime as _dt
+
+    import numpy as np
+    from purpleair_data_logger_spark.streaming.mad import (
+        mad_track_pandas,
+        streaming_mad_outliers,
+    )
+
+    base = _dt.datetime(2024, 5, 1, 0, 0, 0)
+    cycle = [9.0, 10.0, 11.0, 10.0]
+    rows = []
+    for i in range(45):
+        v = 50.0 if i in (20, 40) else cycle[i % 4]
+        rows.append((i, "a", i * 60, v))
+    batches = [rows[:15], rows[15:30], rows[30:]]
+    src = str(tmp_path / "madsrc")
+    for chunk in batches:
+        spark.createDataFrame(
+            [
+                (rid, k, base + _dt.timedelta(seconds=s), v)
+                for rid, k, s, v in chunk
+            ],
+            "id long, key string, ts timestamp, value double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    steps = dict(median_step=0.5, mad_step=0.25, k=3.5, min_samples=8)
+    q = streaming_mad_outliers(
+        spark,
+        src,
+        str(tmp_path / "madout"),
+        str(tmp_path / "madckpt"),
+        key_col="key",
+        ts_col="ts",
+        id_col="id",
+        value_col="value",
+        max_files_per_trigger=1,
+        **steps,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: (r["median_est"], r["mad_est"], r["robust_z"])
+        for r in spark.read.parquet(str(tmp_path / "madout")).collect()
+    }
+
+    vals = np.array([v for _, _, _, v in rows])
+    flags, meds, mads, (m, d, n) = mad_track_pandas(
+        vals, steps["median_step"], steps["mad_step"], steps["k"],
+        steps["min_samples"], None,
+    )
+    expected = {
+        i: (meds[i], mads[i], (vals[i] - meds[i]) / mads[i])
+        for i in np.flatnonzero(flags)
+    }
+    assert got == expected  # bit-exact across micro-batch boundaries
+    assert {20, 40} <= set(got)  # both planted spikes flagged
+    assert len(got) <= 4  # the stationary baseline stays quiet
+    assert abs(m - 10.0) <= 2 * steps["median_step"]  # tracker converged
+    assert n == 45
+
+
+def test_streaming_mad_drops_out_of_order_rows(spark, tmp_path):
+    """A later file predating the held timestamp is dropped (the
+    trackers are order-dependent and append mode cannot retract):
+    output equals the stream without the stale file."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.streaming.mad import (
+        streaming_mad_outliers,
+    )
+
+    base = _dt.datetime(2024, 5, 1, 0, 0, 0)
+    cycle = [9.0, 10.0, 11.0, 10.0]
+    head = [(i, i * 60, cycle[i % 4]) for i in range(12)]
+    tail = [(12, 720, 50.0), (13, 780, 10.0)]
+    clean = [head, tail]
+    # rid 99 predates the held timestamp (660) → dropped; its huge
+    # value must not move the trackers
+    stale = [head, [(99, 300, 1000.0)], tail]
+    outs = []
+    for tag, chunks in (("clean", clean), ("stale", stale)):
+        src = str(tmp_path / f"mad{tag}src")
+        for chunk in chunks:
+            spark.createDataFrame(
+                [
+                    (rid, "a", base + _dt.timedelta(seconds=s), v)
+                    for rid, s, v in chunk
+                ],
+                "id long, key string, ts timestamp, value double",
+            ).coalesce(1).write.mode("append").parquet(src)
+        q = streaming_mad_outliers(
+            spark,
+            src,
+            str(tmp_path / f"mad{tag}out"),
+            str(tmp_path / f"mad{tag}ckpt"),
+            key_col="key",
+            ts_col="ts",
+            id_col="id",
+            value_col="value",
+            median_step=0.5,
+            mad_step=0.25,
+            min_samples=8,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+        outs.append(
+            sorted(
+                (r["id"], r["median_est"], r["mad_est"])
+                for r in spark.read.parquet(
+                    str(tmp_path / f"mad{tag}out")
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+    assert [i for i, _, _ in outs[0]] == [12]  # the true spike, once
+
+
 def test_streaming_cusum_drops_out_of_order_rows(spark, tmp_path):
     """A later file whose readings predate the held timestamp must be
     dropped (append mode cannot retract), leaving the statistic and
