@@ -4524,6 +4524,132 @@ def cusum_twosided_by_user(spark, sf_dir):
 
 
 @register(
+    "edit_distance_neardups",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, n_chars // 64 AS band,
+             lower(substr(text, 1, 48)) AS pfx
+      FROM documents
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(a.pfx, b.pfx) AS ed
+      FROM base a JOIN base b
+        ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT DISTINCT id_a, id_b, CAST(ed AS INT) AS edit_dist
+    FROM p WHERE ed <= 12
+    """,
+    "character-level fuzzy dedup: blocked Levenshtein pairs (typo/OCR "
+    "variants token-set methods miss) — banded O(t·n) DP on a capped "
+    "prefix, equi-join blocking, never a corpus cross join",
+)
+def edit_distance_neardups(spark, sf_dir):
+    """Edit-distance near-dup pairs over (lang, 64-char length band)
+    blocks with the threshold-banded Levenshtein DP on a 48-char
+    lowercased prefix. Completes the near-dup ladder at the character
+    level (MinHash = token sets, SimHash = weighted features,
+    embedding-LSH = semantics, Levenshtein = keystrokes); the full
+    blocking → capped-DP → threshold pipeline replays in DuckDB."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.edit_distance_neardups(
+        d, "doc_id", "text", block_cols=["lang"], len_col="n_chars"
+    )
+
+
+@register(
+    "late_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+    "TPC-H Q4 shape: EXISTS-correlated semi-join from the order table "
+    "into the fact table with a per-order lateness predicate, then a "
+    "tiny priority rollup",
+)
+def late_order_priority(spark, sf_dir):
+    """Orders placed in 1995 with at least one line item shipped more
+    than 60 days after the order date, counted per priority class —
+    the TPC-H Q4 pattern (EXISTS → left-semi equi-join on the order
+    key with the non-equi lateness predicate evaluated inside the
+    join). Scale shape: the date predicate prunes the orders side
+    before the join; the semi join shuffles on o_orderkey (AQE
+    broadcast when the pruned side is small), emits each order at
+    most once regardless of line-item fan-out, and the final rollup
+    is a map-side-combined aggregate over |orders| rows."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, on=cond, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+    )
+
+
+@register(
+    "copurchase_pairs",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    p AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+    FROM p GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 100
+    """,
+    "market-basket pair mining: per-order self-join bounded by basket "
+    "size, pair-count aggregate, deterministic top-100",
+)
+def copurchase_pairs(spark, sf_dir):
+    """Top co-purchased part pairs: distinct (order, part) → self
+    equi-join on the order key → pair-count rollup → deterministic
+    top-100 (ties broken on the pair). Scale shape: the quadratic
+    term is bounded by basket size (≤ C(12,2) = 66 pairs per order
+    here, a data invariant — never corpus²); the self-join shuffles
+    once on l_orderkey and both sides reuse that partitioning; the
+    pair aggregate is map-side combined and the top-100 plans as
+    TakeOrderedAndProject, never a global sort of all pairs."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@register(
     "mad_outliers_by_event_type",
     """
     WITH e AS (

@@ -703,6 +703,44 @@ def test_knn_ivf_quantized_plan_shape(spark, sf):
     assert "BatchEvalPython" not in plan
 
 
+def test_edit_distance_neardups_blocked_equijoin(spark, sf):
+    """Levenshtein near-dups: the candidate stage must be a blocked
+    EQUI-join on (lang, length band) — never a corpus cross join — with
+    the thresholded levenshtein evaluated post-join in pure codegen
+    (no Python)."""
+    plan = _plan(spark, sf, "edit_distance_neardups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_late_order_priority_semi_join_pruned(spark, sf):
+    """TPC-H Q4 shape: EXISTS plans as a left-semi join (each order
+    emitted at most once regardless of line-item fan-out), the 1995
+    date predicate is pushed to the orders scan, and the priority
+    rollup is map-side combined."""
+    plan = _plan(spark, sf, "late_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "o_orderdate" in pushed
+    assert E.count(plan, "HashAggregate") == 2
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_copurchase_pairs_one_join_take_ordered(spark, sf):
+    """Market-basket pairs: one self equi-join on the order key, a
+    map-side-combined pair count, and the top-100 as
+    TakeOrderedAndProject — never a global sort of all pairs."""
+    plan = _plan(spark, sf, "copurchase_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-100, not a global sort
+    assert "l_orderkey" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
 def test_pricing_summary_single_shuffle_pushdown(spark, sf):
     """TPC-H Q1: the whole query is one map-side-combined aggregate —
     partial+final HashAggregate around a single Exchange, the shipdate

@@ -1817,6 +1817,84 @@ def test_streaming_cusum_twosided_matches_batch(spark, tmp_path):
     assert got == batch_alarms
 
 
+def test_streaming_frequent_items_mg_guarantees(spark, tmp_path):
+    """Streaming Misra–Gries heavy hitters: across micro-batches the
+    latest per-group snapshot must satisfy the MG invariants vs the
+    exact counts — no false negatives at the support threshold,
+    min_count ≤ true ≤ min_count + err_bound, and O(1/support) summary
+    size — mirroring the batch grouped_frequent_items contract with
+    bounded state."""
+    import datetime as _dt
+
+    from collections import Counter
+
+    from purpleair_data_logger_spark.streaming.frequent import (
+        streaming_frequent_items,
+    )
+
+    # two groups with zipf-ish token streams: "hot" tokens well above
+    # the 10% support, a mid token near it, and a long tail below
+    def tokens(seed: int):
+        out = []
+        for i in range(300):
+            if i % 3 == 0:
+                out.append("hot1")
+            elif i % 4 == 1:
+                out.append("hot2")
+            elif i % 10 == 2:
+                out.append("mid")
+            else:
+                out.append(f"tail{(i * 7 + seed) % 40}")
+        return out
+
+    base = _dt.datetime(2024, 5, 1)
+    rows = []
+    for g, seed in (("en", 0), ("de", 3)):
+        for i, tok in enumerate(tokens(seed)):
+            rows.append((g, tok, base + _dt.timedelta(seconds=i)))
+    batches = [rows[0::3], rows[1::3], rows[2::3]]
+    src = str(tmp_path / "mgsrc")
+    for chunk in batches:
+        spark.createDataFrame(
+            chunk, "lang string, tok string, ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    support_bp = 1000  # 10% → k = 9 counters per group
+    q = streaming_frequent_items(
+        spark,
+        src,
+        str(tmp_path / "mgout"),
+        str(tmp_path / "mgckpt"),
+        group_col="lang",
+        value_col="tok",
+        support_bp=support_bp,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "mgout")).collect()
+    exact = {
+        g: Counter(tok for gg, tok, _ in rows if gg == g)
+        for g in ("en", "de")
+    }
+    for g in ("en", "de"):
+        latest_seen = max(r["rows_seen"] for r in out if r["lang"] == g)
+        assert latest_seen == 300  # all three files counted
+        snap = {
+            r["item"]: (r["min_count"], r["err_bound"])
+            for r in out
+            if r["lang"] == g and r["rows_seen"] == latest_seen
+        }
+        assert len(snap) <= 9  # O(1/support) state, never cardinality
+        threshold = support_bp * latest_seen / 10_000
+        for tok, true_count in exact[g].items():
+            if true_count >= threshold:
+                assert tok in snap, f"false negative {g}/{tok}"
+        for tok, (mc, err) in snap.items():
+            true_count = exact[g][tok]
+            assert mc <= true_count <= mc + err, (g, tok, mc, err, true_count)
+
+
 def test_streaming_mad_matches_sequential_kernel(spark, tmp_path):
     """Streaming MAD outliers (VERDICT r5 #8): the documented
     approximate-carry contract — streamed flags/estimates across
