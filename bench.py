@@ -131,6 +131,29 @@ HEADLINE = [
     "embedding_quantize_int8",
     "knn_quantized_rescored",
     "pricing_summary",
+    # r7: full catalog coverage — these registry rows were never
+    # benched (the r6-new queries and the fast F/X-family rows).
+    # New-to-bench rows enter bench_compare without a baseline, so
+    # they widen coverage without touching round-over-round totals.
+    "snapshot_filters",
+    "max_age_recency",
+    "sensor_directory",
+    "directory_parse_index",
+    "union_priority_tiers",
+    "anti_join_inactive",
+    "epoch_roundtrip",
+    "json_props_extract",
+    "text_normalize",
+    "doc_fingerprint",
+    "embedding_norms",
+    "approx_distinct_profile",
+    "knn_ivf_quantized",
+    "cusum_twosided_by_user",
+    "edit_distance_neardups",
+    "late_order_priority",
+    "copurchase_pairs",
+    "small_quantity_revenue",
+    "above_avg_orders",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,
@@ -151,6 +174,17 @@ STABLE_SUBSET = [
     "ingest_events_9tables",
 ]
 
+#: Catalog rows that are EVIDENCE FOILS, not production plans: timed in
+#: the main loop (and kept inside the frozen STABLE_SUBSET composition
+#: so its subtotal stays comparable to r1-r6), but reported under
+#: "evidence_legs" and excluded from the headline "value" and from
+#: bench_compare's regression guard. embedding_neardup_cosine is the
+#: O(block²) exact baseline whose production path is
+#: embedding_neardup_lsh_verified (VERDICT r6 #1: the quadratic row
+#: crossed the 2x guard purely by drifting with host noise; the guard
+#: is for production plans). See its catalog docstring.
+EVIDENCE_ROWS = {"embedding_neardup_cosine"}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -169,6 +203,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     total = 0.0
+    evidence_total = 0.0
     stable_set = set(STABLE_SUBSET)
     for name in HEADLINE:
         q = queries[name]
@@ -187,7 +222,10 @@ def main() -> None:
         runs[name] = [round(s, 3) for s in secs]
         best = min(secs)
         timings[name] = round(best, 3)
-        total += best
+        if name in EVIDENCE_ROWS:
+            evidence_total += best
+        else:
+            total += best
 
     # Write path: events mapped onto the sensor reading shape, conformed
     # to the full 115-field schema, vertically split and written to all
@@ -210,19 +248,36 @@ def main() -> None:
         F.col("value").alias("pm2.5_atm"),
         (F.col("value") / 2).alias("temperature"),
     )
-    best = float("inf")
-    for _ in range(2):
+    # De-noised per VERDICT r6 #2 (2.3-4.5 s spread across
+    # identical-code runs made this the headline's noisiest row):
+    # one UNTIMED warm-up write first (JIT-compiles the parquet write
+    # path and the committer, faults in the page cache for the events
+    # scan), then best-of-3 with the tempdir created BEFORE the clock
+    # starts and removed after it stops, and every attempt recorded in
+    # BENCH_DETAIL's "runs" so residual variance is auditable.
+    cluster_parts = int(os.environ.get("SPARK_GRAFT_CPUS", 8))
+
+    def _ingest_once(tmp: str) -> float:
+        t0 = time.perf_counter()
+        wide = X.to_storage_form(as_readings)
+        store = SensorTableStore(spark, tmp, cluster_partitions=cluster_parts)
+        store.append_wide(wide)
+        return time.perf_counter() - t0
+
+    warm_tmp = tempfile.mkdtemp(prefix="bench_ingest_warm_")
+    try:
+        _ingest_once(warm_tmp)  # untimed warm-up
+    finally:
+        shutil.rmtree(warm_tmp, ignore_errors=True)
+    ingest_secs = []
+    for _ in range(3):
         tmp = tempfile.mkdtemp(prefix="bench_ingest_")
         try:
-            t0 = time.perf_counter()
-            wide = X.to_storage_form(as_readings)
-            store = SensorTableStore(
-                spark, tmp, cluster_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", 8))
-            )
-            store.append_wide(wide)
-            best = min(best, time.perf_counter() - t0)
+            ingest_secs.append(_ingest_once(tmp))
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+    runs["ingest_events_9tables"] = [round(s, 3) for s in ingest_secs]
+    best = min(ingest_secs)
     timings["ingest_events_9tables"] = round(best, 3)
     total += best
 
@@ -323,7 +378,6 @@ def main() -> None:
     # excluded from "value": the quadratic xover baselines exist to be
     # slow (that is the recorded evidence), so folding them into the
     # headline total would make round-over-round totals incomparable.
-    evidence_total = 0.0
     for name, build in xover_legs.items():
         t0 = time.perf_counter()
         build().write.format("noop").mode("overwrite").save()
@@ -356,7 +410,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs": runs,
-        "evidence_legs": sorted(xover_legs),
+        "evidence_legs": sorted(set(xover_legs) | EVIDENCE_ROWS),
         "evidence_sec": round(evidence_total, 3),
         "value_excludes_evidence": True,
         "stable_subset": STABLE_SUBSET,
@@ -386,6 +440,11 @@ def main() -> None:
             "unit": "sec",
             "queries": {n: timings[n] for n in STABLE_SUBSET if n in timings},
             "n_queries_total": len(timings),
+            # headline evidence rows only: bench_compare must see the
+            # classification in the driver artifact's tail line (the
+            # xover_* foils never appear in the line's queries dict, so
+            # listing them here would only burn tail budget)
+            "evidence_legs": sorted(EVIDENCE_ROWS),
             "evidence_sec": round(evidence_total, 3),
             "value_excludes_evidence": True,
             "stable_subset_sec": stable,
@@ -401,6 +460,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": {},
+                "evidence_legs": sorted(EVIDENCE_ROWS),
                 "evidence_sec": round(evidence_total, 3),
                 "value_excludes_evidence": True,
                 "stable_subset_sec": stable,

@@ -741,6 +741,45 @@ def test_copurchase_pairs_one_join_take_ordered(spark, sf):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
+def test_small_quantity_revenue_decorrelated_one_agg_one_join(spark, sf):
+    """TPC-H Q17 shape (VERDICT r6 #3): the correlated scalar subquery
+    must plan as ONE per-partkey aggregate + ONE equi-join back to the
+    fact rows — never a nested loop or a per-row re-scan. The brand
+    predicate reaches the part scan, the part keys broadcast into both
+    lineitem branches, and exactly two aggregates exist (group stats
+    partial+final, final rollup partial+final)."""
+    plan = _plan(spark, sf, "small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EqualTo(p_brand" in " ".join(E.pushed_filters(plan))
+    # 2 broadcast part-key joins (one per lineitem branch) + 1 stats
+    # equi-join (broadcast or shuffle, AQE's call) — and nothing else
+    n_joins = E.count(plan, "BroadcastHashJoin") + E.count(
+        plan, "SortMergeJoin"
+    ) + E.count(plan, "ShuffledHashJoin")
+    assert n_joins == 3
+    assert E.count(plan, "HashAggregate") == 4
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_above_avg_orders_decorrelated_self_join(spark, sf):
+    """Self-correlated subquery (order vs its customer's average): one
+    per-custkey aggregate + one equi-join on the SAME table — the
+    naive plan re-scans orders per row; the decorrelated one scans it
+    twice total, joins once, and rolls up map-side."""
+    plan = _plan(spark, sf, "above_avg_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = E.count(plan, "BroadcastHashJoin") + E.count(
+        plan, "SortMergeJoin"
+    ) + E.count(plan, "ShuffledHashJoin")
+    assert n_joins == 1
+    assert E.count(plan, "HashAggregate") == 4
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
 def test_pricing_summary_single_shuffle_pushdown(spark, sf):
     """TPC-H Q1: the whole query is one map-side-combined aggregate —
     partial+final HashAggregate around a single Exchange, the shipdate
