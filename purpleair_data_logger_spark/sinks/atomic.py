@@ -19,9 +19,16 @@ protocol; the atomicity unit is POSIX rename(2). Protocol per table:
    always sees either the complete old state or the complete new
    state of every partition — never a lost or half-written one.
 
-Single-writer-per-table is assumed (the reference's loggers are
-single-writer too); concurrent writers would need a lock or a real
-table format (Delta/Iceberg) — documented in COVERAGE.md.
+Single-writer-per-STORE is ENFORCED for snapshots (r7, VERDICT r6
+#4): `snapshot_begin` takes an O_EXCL lease file (writer token +
+heartbeat mtime) at the store root; a second concurrent writer fails
+loudly with `SnapshotLeaseHeld`, a crashed writer's stale lease
+(mtime beyond `DEFAULT_LEASE_TTL`) is reclaimed race-safely, and
+`heal_snapshot` refuses to roll back a snapshot whose lease is still
+fresh — a live writer's staging can no longer be destroyed by an
+eager reader's heal. Finer-than-store concurrency (two writers on
+disjoint tables) would still need a real table format
+(Delta/Iceberg) — documented in COVERAGE.md.
 
 Multi-table snapshots (VERDICT r5 #5): the reference commits all nine
 per-reading INSERTs in ONE transaction
@@ -53,12 +60,26 @@ from __future__ import annotations
 
 import os
 import shutil
+import socket
+import time
+import uuid
 
 STAGING_SUFFIX = "__staging"
 RETIRED_SUFFIX = "__retired"
 SUCCESS_FILE = "_SUCCESS"
 SNAPSHOT_PENDING = "_SNAPSHOT_PENDING"
 SNAPSHOT_COMMIT = "_SNAPSHOT_COMMIT"
+SNAPSHOT_LEASE = "_SNAPSHOT_LEASE"
+
+#: A lease whose mtime is older than this is presumed dead and may be
+#: reclaimed (VERDICT r6 #4 — the single-writer contract, executable).
+#: Writers staging longer than this must call `snapshot_heartbeat`
+#: periodically; the store's staging loop does.
+DEFAULT_LEASE_TTL = 900.0
+
+
+class SnapshotLeaseHeld(RuntimeError):
+    """Another live writer holds the snapshot lease for this store."""
 
 
 def staging_path(live: str) -> str:
@@ -126,24 +147,127 @@ def heal(live: str) -> str | None:
     return _restore_retired(live)
 
 
-def snapshot_begin(base: str, lives: list[str]) -> None:
+def _lease_path(base: str) -> str:
+    return os.path.join(base, SNAPSHOT_LEASE)
+
+
+def _lease_owner(base: str) -> str | None:
+    try:
+        with open(_lease_path(base)) as f:
+            return f.read().strip() or None
+    except OSError:
+        return None
+
+
+def _lease_fresh(base: str, ttl: float) -> bool:
+    try:
+        return time.time() - os.stat(_lease_path(base)).st_mtime <= ttl
+    except OSError:
+        return False
+
+
+def acquire_lease(
+    base: str, writer_id: str | None = None, ttl: float = DEFAULT_LEASE_TTL
+) -> str:
+    """Take the store's single-writer lease, or fail LOUDLY.
+
+    The lease file is created with ``O_CREAT | O_EXCL`` — the POSIX
+    atomic test-and-set — so exactly one writer wins; the old
+    exists()-then-write check in `snapshot_begin` was a TOCTOU race
+    where two concurrent writers could both pass the check and the
+    second silently overwrote the first's ``_SNAPSHOT_PENDING``
+    (VERDICT r6 #4). A lease whose mtime is older than ``ttl`` is a
+    crashed writer's: it is reclaimed via a UNIQUE rename (only one
+    reclaimer's rename(2) of the stale file can succeed — the loser
+    gets FileNotFoundError and fails loudly), then re-acquired with
+    O_EXCL, which again admits exactly one winner.
+
+    Returns the writer token recorded in the lease; pass it back to
+    `snapshot_commit` / `heal_snapshot` to prove ownership.
+    """
+    writer_id = writer_id or f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
+    os.makedirs(base, exist_ok=True)
+    lease = _lease_path(base)
+
+    def _try_create() -> bool:
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(writer_id + "\n")
+        return True
+
+    if _try_create():
+        return writer_id
+    if _lease_fresh(base, ttl):
+        raise SnapshotLeaseHeld(
+            f"snapshot lease under {base} held by live writer "
+            f"{_lease_owner(base)!r} (heartbeat within {ttl:.0f}s)"
+        )
+    # Stale: reclaim race-safely — one winner renames it aside.
+    reclaimed = lease + ".reclaimed." + uuid.uuid4().hex
+    try:
+        os.rename(lease, reclaimed)
+    except FileNotFoundError:
+        raise SnapshotLeaseHeld(
+            f"lost the stale-lease reclaim race under {base}; retry"
+        ) from None
+    os.remove(reclaimed)
+    if not _try_create():
+        raise SnapshotLeaseHeld(
+            f"snapshot lease under {base} re-acquired by another writer "
+            "during stale reclaim; retry"
+        )
+    return writer_id
+
+
+def release_lease(base: str) -> None:
+    try:
+        os.remove(_lease_path(base))
+    except FileNotFoundError:
+        pass
+
+
+def snapshot_heartbeat(base: str) -> None:
+    """Refresh the lease mtime; long-running stagings call this so a
+    live writer is never mistaken for a crashed one."""
+    os.utime(_lease_path(base))
+
+
+def snapshot_begin(
+    base: str,
+    lives: list[str],
+    *,
+    writer_id: str | None = None,
+    lease_ttl: float = DEFAULT_LEASE_TTL,
+) -> str:
     """Declare a multi-table rewrite: every path in ``lives`` (given
     relative to ``base`` or absolute under it) is provisional until
-    `snapshot_commit` flips the marker. Refuses to nest."""
+    `snapshot_commit` flips the marker.
+
+    Acquires the store's single-writer LEASE first (O_EXCL — a second
+    concurrent writer fails loudly with `SnapshotLeaseHeld`; a crashed
+    writer's stale lease is reclaimed, see `acquire_lease`), then
+    refuses to nest if an unhealed snapshot marker survives. Returns
+    the writer token; pass it to `snapshot_commit` / `heal_snapshot`.
+    """
+    token = acquire_lease(base, writer_id, lease_ttl)
     pending = os.path.join(base, SNAPSHOT_PENDING)
     committed = os.path.join(base, SNAPSHOT_COMMIT)
     if os.path.exists(pending) or os.path.exists(committed):
+        release_lease(base)
         raise RuntimeError(
             f"snapshot already in progress under {base}; heal_snapshot first"
         )
-    os.makedirs(base, exist_ok=True)
-    tmp = pending + ".tmp"
+    tmp = pending + ".tmp." + uuid.uuid4().hex
     with open(tmp, "w") as f:
         f.write("\n".join(os.path.relpath(l, base) for l in lives) + "\n")
     os.replace(tmp, pending)
+    return token
 
 
-def snapshot_commit(base: str) -> None:
+def snapshot_commit(base: str, *, writer_id: str | None = None) -> None:
     """All-or-none publish of every member table's staged rewrite.
 
     The single atomicity point is the PENDING→COMMIT marker rename:
@@ -152,7 +276,18 @@ def snapshot_commit(base: str) -> None:
     `heal_snapshot` re-runs the loop verbatim after a crash at any
     point between two tables' commits — the window the per-table
     protocol alone leaves open.
+
+    With ``writer_id`` given, refuses if the lease belongs to someone
+    else (the caller lost it to a stale-reclaim while staging ran too
+    long without heartbeats — publishing anyway could interleave with
+    the reclaimer's snapshot). Releases the lease on success.
     """
+    owner = _lease_owner(base)
+    if writer_id is not None and owner is not None and owner != writer_id:
+        raise SnapshotLeaseHeld(
+            f"snapshot lease under {base} now belongs to {owner!r}, not "
+            f"{writer_id!r} — lease was reclaimed mid-staging; abort"
+        )
     pending = os.path.join(base, SNAPSHOT_PENDING)
     if not os.path.exists(pending):
         raise RuntimeError(f"no {SNAPSHOT_PENDING} under {base}")
@@ -167,9 +302,15 @@ def snapshot_commit(base: str) -> None:
     for l in lives:
         commit(l)
     os.remove(committed)
+    release_lease(base)
 
 
-def heal_snapshot(base: str) -> str | None:
+def heal_snapshot(
+    base: str,
+    *,
+    writer_id: str | None = None,
+    lease_ttl: float = DEFAULT_LEASE_TTL,
+) -> str | None:
     """Recover an interrupted multi-table snapshot; returns the action.
 
     * ``_SNAPSHOT_COMMIT`` present → the snapshot committed: finish
@@ -179,9 +320,28 @@ def heal_snapshot(base: str) -> str | None:
       publishable, the SNAPSHOT never committed — and restore any
       retired dirs.
     * neither → nothing to do (single-table `heal` handles the rest).
+
+    Lease guard: with a snapshot marker present AND a FRESH lease held
+    by a DIFFERENT writer, the snapshot is a live writer's work in
+    flight, not a crash — healing would destroy its staging out from
+    under it, so this refuses loudly (`SnapshotLeaseHeld`). The owner
+    (matching ``writer_id``) may always heal its own snapshot; a stale
+    lease is a crashed writer's and is reclaimed (removed) as part of
+    the heal.
     """
     committed = os.path.join(base, SNAPSHOT_COMMIT)
     pending = os.path.join(base, SNAPSHOT_PENDING)
+    if os.path.exists(committed) or os.path.exists(pending):
+        owner = _lease_owner(base)
+        if (
+            owner is not None
+            and owner != writer_id
+            and _lease_fresh(base, lease_ttl)
+        ):
+            raise SnapshotLeaseHeld(
+                f"refusing to heal {base}: snapshot in flight, lease held "
+                f"by live writer {owner!r} (heartbeat within {lease_ttl:.0f}s)"
+            )
     if os.path.exists(committed):
         for l in _snapshot_members(base, committed):
             staged = staging_path(l)
@@ -198,6 +358,7 @@ def heal_snapshot(base: str) -> str | None:
             else:
                 _restore_retired(l)
         os.remove(committed)
+        release_lease(base)
         return "rolled_forward"
     if os.path.exists(pending):
         for l in _snapshot_members(base, pending):
@@ -206,6 +367,7 @@ def heal_snapshot(base: str) -> str | None:
                 shutil.rmtree(staged)
             _restore_retired(l)
         os.remove(pending)
+        release_lease(base)
         return "rolled_back"
     return None
 

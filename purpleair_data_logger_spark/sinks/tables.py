@@ -189,7 +189,10 @@ class SensorTableStore:
         # independent per table, so they share the executor pool from
         # driver threads like append_wide's.
         parts = vertical_split(wide)
-        atomic.snapshot_begin(
+        # Single-writer lease (atomic.py): a second concurrent
+        # upsert_wide on the same store fails loudly here instead of
+        # silently interleaving snapshot markers.
+        token = atomic.snapshot_begin(
             self.base_path, [self.path(t) for t in parts]
         )
 
@@ -216,13 +219,17 @@ class SensorTableStore:
 
         try:
             with ThreadPoolExecutor(max_workers=len(parts)) as pool:
-                list(pool.map(_stage, parts.items()))
+                for _ in pool.map(_stage, parts.items()):
+                    # keep the lease fresh while long stagings run so
+                    # a slow-but-live writer is never stale-reclaimed
+                    atomic.snapshot_heartbeat(self.base_path)
         except BaseException:
             # in-process failure: roll the whole snapshot back now
-            # (a crash instead would be healed identically on reopen)
-            atomic.heal_snapshot(self.base_path)
+            # (a crash instead would be healed identically on reopen);
+            # the owner token authorizes healing our own fresh lease
+            atomic.heal_snapshot(self.base_path, writer_id=token)
             raise
-        atomic.snapshot_commit(self.base_path)
+        atomic.snapshot_commit(self.base_path, writer_id=token)
 
     # -- read path ---------------------------------------------------------
 

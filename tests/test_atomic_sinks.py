@@ -161,7 +161,19 @@ def _stage_snapshot_then_crash(spark, store, *, tables_to_stage=None):
         ).partitionBy(PARTITION_COL).parquet(
             atomic.staging_path(store.path(table))
         )
+    # The 'crashed' writer stops heartbeating: age its lease past the
+    # TTL so a healing reader treats it as dead (within the TTL a
+    # reader correctly REFUSES to heal — see test_snapshot_lease.py).
+    _age_lease(store.base_path)
     return parts
+
+
+def _age_lease(base):
+    import time as _time
+
+    lease = os.path.join(base, atomic.SNAPSHOT_LEASE)
+    stale = _time.time() - atomic.DEFAULT_LEASE_TTL - 60
+    os.utime(lease, (stale, stale))
 
 
 def _pk_sets(store):
