@@ -154,6 +154,7 @@ HEADLINE = [
     "copurchase_pairs",
     "small_quantity_revenue",
     "above_avg_orders",
+    "ann_index_append",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -2195,26 +2195,38 @@ def knn_ivf(spark, sf_dir):
 _IVF_CENTROID_CACHE: dict[tuple[str, int], list[list[float]]] = {}
 
 
-def _ivf_centroids_cached(spark, sf_dir: str, *, n_lists: int) -> list[list[float]]:
-    key = (sf_dir, n_lists)
+def _ivf_centroids_cached(
+    spark, sf_dir: str, *, n_lists: int, base_mod10: bool = False
+) -> list[list[float]]:
+    """``base_mod10`` trains on the `ann_index_append` base split only
+    (every 10th vector held out) — a frozen quantizer must never have
+    seen the append batch, or the row would test nothing."""
+    key = (sf_dir, n_lists, base_mod10)
     if key not in _IVF_CENTROID_CACHE:
         em = _t(spark, sf_dir, "embeddings")
+        if base_mod10:
+            em = em.filter(F.col("vec_id") % 10 != 0)
         _IVF_CENTROID_CACHE[key] = sim.train_ivf_centroids(
             em, "embedding", n_lists=n_lists
         )
     return _IVF_CENTROID_CACHE[key]
 
 
-_SQ8_CALIBRATION_CACHE: dict[str, tuple[list[float], list[float]]] = {}
+_SQ8_CALIBRATION_CACHE: dict[tuple, tuple[list[float], list[float]]] = {}
 
 
-def _sq8_calibration_cached(spark, sf_dir: str) -> tuple[list[float], list[float]]:
-    if sf_dir not in _SQ8_CALIBRATION_CACHE:
+def _sq8_calibration_cached(
+    spark, sf_dir: str, *, base_mod10: bool = False
+) -> tuple[list[float], list[float]]:
+    key = (sf_dir, base_mod10)
+    if key not in _SQ8_CALIBRATION_CACHE:
         em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
-        _SQ8_CALIBRATION_CACHE[sf_dir] = sim.quantization_calibration(
+        if base_mod10:
+            em = em.filter(F.col("vec_id") % 10 != 0)
+        _SQ8_CALIBRATION_CACHE[key] = sim.quantization_calibration(
             em, "embedding"
         )
-    return _SQ8_CALIBRATION_CACHE[sf_dir]
+    return _SQ8_CALIBRATION_CACHE[key]
 
 
 @register(
@@ -2239,6 +2251,48 @@ def knn_ivf_quantized(spark, sf_dir):
         em, queries, "vec_id", "embedding", k=5, n_lists=16, nprobe=4,
         centroids=_ivf_centroids_cached(spark, sf_dir, n_lists=16),
         calibration=_sq8_calibration_cached(spark, sf_dir),
+    )
+
+
+@register(
+    "ann_index_append",
+    None,
+    "incremental IVF-SQ8 index maintenance: append new vectors under "
+    "the frozen quantizer/calibration, then search the grown index "
+    "(recall-after-append + rebuild-equivalence pinned in pytest)",
+)
+def ann_index_append(spark, sf_dir):
+    """A 100 TB corpus grows after the index is built (VERDICT r6 #6):
+    new vectors must enter the IVF lists WITHOUT re-encoding the
+    existing corpus. This row exercises the full maintenance cycle:
+    build the posting index over the base corpus (every 10th vector
+    held out), `ann_index_append` the held-out batch under the FROZEN
+    centroids + SQ8 calibration (O(|new|) work — the
+    `neardup_incremental_batch` discipline applied to ANN), then
+    search the grown index. `calibration_drift` is the paired
+    re-encode trigger, pinned separately in tests/test_llm_ops.py.
+
+    Rows-only at the gate (iterative k-means index build, the
+    `knn_ivf` precedent); recall-after-append ≥ 0.8 vs brute force on
+    the GROWN corpus and exact append≡rebuild posting-row equivalence
+    are pinned in tests/test_llm_ops.py."""
+    em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
+    base = em.filter(F.col("vec_id") % 10 != 0)
+    new = em.filter(F.col("vec_id") % 10 == 0)
+    centroids = _ivf_centroids_cached(spark, sf_dir, n_lists=16, base_mod10=True)
+    calibration = _sq8_calibration_cached(spark, sf_dir, base_mod10=True)
+    index = sim.build_ivf_sq8_index(
+        base, "vec_id", "embedding",
+        centroids=centroids, calibration=calibration,
+    )
+    grown = sim.ann_index_append(
+        index, new, "vec_id", "embedding",
+        centroids=centroids, calibration=calibration,
+    )
+    queries = em.filter(F.col("vec_id") < 8)
+    return sim.knn_over_ivf_sq8_index(
+        grown, em, queries, "vec_id", "embedding",
+        k=5, nprobe=4, centroids=centroids, calibration=calibration,
     )
 
 
@@ -5252,6 +5306,7 @@ _GATE_DEFER: list[str] = [
     "lang_id",                   # r1-r3 green ×3; corpus_curation_pipeline (still gated) hash-checks the same language predictions inside its composition
     "knn_ivf",                   # no_oracle rows-only by design — the driver row adds nothing over the pytest recall pin; knn_filtered/knn_lsh_bucketed still gate the ANN family with full oracles
     "knn_ivf_quantized",         # no_oracle rows-only by design (iterative k-means index build, the knn_ivf precedent); recall + plan shape pytest-pinned, SQ8 encode fully oracled via embedding_quantize_int8/knn_quantized_rescored
+    "ann_index_append",          # no_oracle rows-only by design (same iterative index build); recall-after-append + append≡rebuild equivalence + drift trigger all pytest-pinned
     "pii_scrub",                 # r2-r3 green ×2; the same scrub stage gates inside corpus_curation_pipeline (still gated)
     "paragraph_dedup_boilerplate",  # r2-r3 green ×2; dedup family still gated via dedup_exact_docs + cluster layer, reassembly pytest-pinned
     "asof_last_click",           # r1-r3 green ×3; the temporal-join family stays gated via asof_next_error (in-window, same merge-scan), and the plan shape is pytest-pinned

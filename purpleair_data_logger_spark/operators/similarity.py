@@ -760,16 +760,62 @@ def knn_ivf_quantized(
     """
     if centroids is None:
         centroids = train_ivf_centroids(corpus, vec_col, n_lists=n_lists)
-    norms = [sum(x * x for x in c) ** 0.5 or 1.0 for c in centroids]
-    unit = [[x / n for x in c] for c, n in zip(centroids, norms)]
     if calibration is None:
         calibration = quantization_calibration(corpus, vec_col)
-    mins, spans = calibration
 
     # One corpus scan: project → SQ8-encode (JVM) + multi-assign
     # (one Arrow matmul) in the same stage; floats are dropped before
     # the join so the shuffled/broadcast-probed payload is 64 B codes.
-    c = (
+    c = build_ivf_sq8_index(
+        corpus,
+        id_col,
+        vec_col,
+        centroids=centroids,
+        calibration=calibration,
+        n_assign=n_assign,
+    )
+    return knn_over_ivf_sq8_index(
+        c,
+        corpus,
+        queries,
+        id_col,
+        vec_col,
+        k=k,
+        nprobe=nprobe,
+        candidate_factor=candidate_factor,
+        centroids=centroids,
+        calibration=calibration,
+        query_id_alias=query_id_alias,
+    )
+
+
+def _unit_centroids(centroids: list[list[float]]) -> list[list[float]]:
+    norms = [sum(x * x for x in c) ** 0.5 or 1.0 for c in centroids]
+    return [[x / n for x in c] for c, n in zip(centroids, norms)]
+
+
+def build_ivf_sq8_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    centroids: list[list[float]],
+    calibration: tuple[list[float], list[float]],
+    n_assign: int = 3,
+) -> DataFrame:
+    """Materialize the IVF-SQ8 posting rows for ``corpus``: one row per
+    (vector, assigned list) carrying the 64 B SQ8 code — the index
+    representation `knn_over_ivf_sq8_index` probes and
+    `ann_index_append` grows incrementally. One scan: SQ8 encode is
+    pure JVM ``transform``, the multi-assign is one Arrow matmul, both
+    in the same projection; the float vector is dropped from the
+    output so a persisted index costs codes + ids only.
+
+    Output: (neighbor_id, _cc array<int>, list_id int).
+    """
+    mins, spans = calibration
+    unit = _unit_centroids(centroids)
+    return (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             as_double_array(vec_col).alias("_cv"),
@@ -782,6 +828,133 @@ def knn_ivf_quantized(
             ).alias("list_id"),
         )
     )
+
+
+def ann_index_append(
+    index: DataFrame,
+    new_vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    centroids: list[list[float]],
+    calibration: tuple[list[float], list[float]],
+    n_assign: int = 3,
+) -> DataFrame:
+    """Incremental IVF-SQ8 index maintenance (VERDICT r6 #6): assign
+    and encode ONLY the new vectors against the FROZEN coarse
+    quantizer and SQ8 calibration, and union the posting rows onto the
+    existing index — O(|new|) work, the existing index is never
+    re-read or re-encoded (the `neardup_incremental_batch` discipline,
+    `operators/dedup.py`, applied to the ANN ladder).
+
+    Frozen parameters are the point AND the hazard: appended vectors
+    from a drifted distribution still land in SOME nearest list (IVF
+    degrades gracefully — recall drops only as lists grow imbalanced),
+    but SQ8 codes CLAMP at the calibration range, silently flattening
+    out-of-range dimensions. Run `calibration_drift` on each append
+    batch; when any dimension's range moves more than the tolerance,
+    re-encode (rebuild with fresh calibration) instead of appending.
+
+    Equivalence invariant (pinned in tests/test_llm_ops.py): appending
+    under frozen parameters produces EXACTLY the posting rows a full
+    `build_ivf_sq8_index` over (base ∪ new) with the same parameters
+    would — assignment and encode are deterministic per row, so
+    incremental and rebuilt indexes are interchangeable.
+    """
+    return index.unionByName(
+        build_ivf_sq8_index(
+            new_vecs,
+            id_col,
+            vec_col,
+            centroids=centroids,
+            calibration=calibration,
+            n_assign=n_assign,
+        )
+    )
+
+
+def calibration_drift(
+    new_vecs: DataFrame,
+    vec_col: str,
+    mins: list[float],
+    spans: list[float],
+    *,
+    tolerance: float = 0.2,
+) -> DataFrame:
+    """Per-dimension SQ8 calibration drift of an append batch: how far
+    the batch's [min, max] escapes the frozen calibration range,
+    relative to the calibrated span. ``needs_reencode`` flags any
+    dimension drifting past ``tolerance`` — the re-encode trigger for
+    `ann_index_append` (codes clamp at the calibration range, so
+    out-of-range mass quantizes to a constant and candidate ordering
+    degrades silently).
+
+    One posexplode + map-side-combined min/max aggregate over the NEW
+    batch only (never the indexed corpus); the calibration rides in as
+    literal arrays; output is dim rows — no collect, driver-sized by
+    construction. A degenerate calibrated dimension (span 0) flags on
+    ANY deviation (reported as drift_frac 1.0).
+
+    Output: (pos, cal_min, cal_span, new_min, new_max, drift_frac,
+    needs_reencode), ordered by pos.
+    """
+    mn_arr = F.array(*[F.lit(float(m)) for m in mins])
+    sp_arr = F.array(*[F.lit(float(s)) for s in spans])
+    agg = (
+        new_vecs.select(
+            F.posexplode(as_double_array(vec_col)).alias("pos", "v")
+        )
+        .groupBy("pos")
+        .agg(F.min("v").alias("new_min"), F.max("v").alias("new_max"))
+    )
+    cal = agg.select(
+        "pos",
+        F.element_at(mn_arr, F.col("pos") + 1).alias("cal_min"),
+        F.element_at(sp_arr, F.col("pos") + 1).alias("cal_span"),
+        "new_min",
+        "new_max",
+    )
+    escape = F.greatest(
+        F.col("cal_min") - F.col("new_min"),
+        F.col("new_max") - (F.col("cal_min") + F.col("cal_span")),
+        F.lit(0.0),
+    )
+    drift = F.when(
+        F.col("cal_span") > 0, escape / F.col("cal_span")
+    ).otherwise(F.when(escape > 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+    return (
+        cal.withColumn("drift_frac", drift)
+        .withColumn(
+            "needs_reencode", F.col("drift_frac") > F.lit(float(tolerance))
+        )
+        .orderBy("pos")
+    )
+
+
+def knn_over_ivf_sq8_index(
+    index: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    candidate_factor: int = 8,
+    centroids: list[list[float]],
+    calibration: tuple[list[float], list[float]],
+    query_id_alias: str = "query_id",
+) -> DataFrame:
+    """IVF-SQ8 search over a PREBUILT (possibly incrementally grown)
+    posting-row index — the probe/score/rescore half of
+    `knn_ivf_quantized`, decoupled so `ann_index_append`'s output is
+    queryable without rebuilding. ``corpus`` supplies the float
+    vectors for the exact rescore of surviving candidates (|q|·C rows
+    only) and must cover every id in the index.
+    """
+    mins, spans = calibration
+    unit = _unit_centroids(centroids)
+    c = index
     probes = (
         queries.select(
             F.col(id_col).alias(query_id_alias),

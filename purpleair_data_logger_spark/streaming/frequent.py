@@ -156,6 +156,85 @@ def frequent_items_by_group(
     )
 
 
+def latest_candidate_snapshot(summaries: DataFrame, group_col: str) -> DataFrame:
+    """Each group's NEWEST emitted summary from an append-mode sink:
+    ``rows_seen`` is monotone per group, so the rows at its per-group
+    max are the latest snapshot. Output: (group, item) candidate
+    pairs — at most k = ⌈10⁴/support_bp⌉−1 per group."""
+    latest = summaries.groupBy(group_col).agg(
+        F.max("rows_seen").alias("rows_seen")
+    )
+    return (
+        summaries.join(F.broadcast(latest), on=[group_col, "rows_seen"])
+        .select(group_col, "item")
+        .distinct()
+    )
+
+
+def confirm_heavy_hitters(
+    summaries: DataFrame,
+    source: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    support_bp: int,
+) -> DataFrame:
+    """The MG verify stage (VERDICT r6 #8): turn streamed CANDIDATES
+    into CONFIRMED heavy hitters with one bounded batch count.
+
+    Misra–Gries guarantees no false negatives, so the latest per-group
+    summary is a SUPERSET of the true heavy hitters; what it cannot do
+    alone is confirm the candidates inside its error band. This stage
+    is the bounded follow-up: broadcast-semi-join the source on the
+    candidate (group, item) pairs — ≤ k rows per group broadcast, the
+    count aggregate runs over candidate-matching rows only, never a
+    full-cardinality value count — then apply the support threshold as
+    the same integer cross-multiplication the batch operator uses.
+
+    Output schema and arithmetic match
+    `aggregations.grouped_frequent_items` exactly —
+    (group, value, n_occurrences, n_total, freq) — so confirmed-vs-
+    batch parity is plain set equality (pinned in pytest at every
+    emission point). Run it periodically against the summary sink
+    (the `neardup_incremental_batch` pattern: stream narrows, bounded
+    batch confirms).
+
+    NULL contract: identical to the batch operator — NULL value or
+    NULL group key carries no observation on either the counting or
+    the total side.
+    """
+    cands = latest_candidate_snapshot(summaries, group_col).withColumnRenamed(
+        "item", "_val"
+    )
+    src = (
+        source.filter(
+            F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+        )
+        .select(
+            group_col, F.col(value_col).cast("string").alias("_val")
+        )
+    )
+    totals = src.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    sbp = int(support_bp)
+    return (
+        src.join(F.broadcast(cands), on=[group_col, "_val"], how="leftsemi")
+        .groupBy(group_col, "_val")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .join(F.broadcast(totals), on=[group_col])
+        .filter(F.col("n_occurrences") * 10000 >= F.lit(sbp) * F.col("_n_g"))
+        .select(
+            group_col,
+            F.col("_val").alias(value_col),
+            "n_occurrences",
+            F.col("_n_g").alias("n_total"),
+            (
+                F.col("n_occurrences").cast("double")
+                / F.col("_n_g").cast("double")
+            ).alias("freq"),
+        )
+    )
+
+
 def streaming_frequent_items(
     spark: SparkSession,
     source_path: str,

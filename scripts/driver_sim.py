@@ -25,11 +25,14 @@ def sweep(
     *,
     smoke: bool = True,
     failures: list[tuple[str, str]] | None = None,
+    results: dict[str, dict] | None = None,
 ) -> int:
     """Run the driver's verify flow against ``sf_dir``. Importable so
     scripts/fuzz_oracle.py can re-run the identical comparison over a
     mutated copy of the testdata. ``failures`` (if given) collects
-    (query, message) pairs for the caller."""
+    (query, message) pairs for the caller; ``results`` (if given)
+    collects every query's {pass, oracled, detail, secs} — the shape
+    scripts/fuzz_oracle.py persists as FUZZ_r{N}.json."""
     spark = get_spark("driver-sim")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -61,6 +64,13 @@ def sweep(
         n_bad += not ok
         if not ok and failures is not None:
             failures.append((name, msg))
+        if results is not None:
+            results[name] = {
+                "pass": bool(ok),
+                "oracled": name in oracles,
+                "detail": msg,
+                "secs": round(time.time() - t0, 2),
+            }
         print(f"[{status}] {name}: {msg} ({time.time()-t0:.1f}s)", flush=True)
     print(f"passed={n_ok} failed={n_bad}")
     return 1 if n_bad else 0

@@ -29,6 +29,12 @@ contract ("a NULL carries no observation — filter it in BOTH
 engines"); the sweep is then kept green by
 tests/test_fuzz_contract.py, which fuzzes a small slice per run.
 
+A FULL sweep (no query filter) also writes a committed per-query
+artifact ``FUZZ_r{N}.json`` at the repo root (VERDICT r6 #7 — fuzz
+regressions as visible as gate regressions), where N is the upcoming
+round inferred from the newest CORRECTNESS_r*.json; ``--out PATH``
+overrides, ``--no-artifact`` suppresses.
+
 Usage:
     python scripts/fuzz_oracle.py [sf_dir] [query ...]
     python scripts/fuzz_oracle.py --keep ...   # leave the twin on disk
@@ -170,11 +176,30 @@ def build_mutated_dir(src_dir: str, dst_dir: str, seed: int = SEED) -> None:
             shutil.copyfile(src, dst)
 
 
+def _next_round(repo_root: str) -> int:
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"r(\d+)", os.path.basename(p)))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--keep"]
-    keep = "--keep" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    keep = "--keep" in flags
+    out_path = None
+    if "--out" in sys.argv[1:]:
+        i = sys.argv.index("--out")
+        out_path = sys.argv[i + 1]
+        args = [a for a in args if a != out_path]
     src = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tmp = tempfile.mkdtemp(prefix="fuzz_sf_")
     try:
         build_mutated_dir(src, tmp)
@@ -182,11 +207,33 @@ def main() -> int:
         from scripts.driver_sim import sweep
 
         failures: list[tuple[str, str]] = []
-        rc = sweep(tmp, only, smoke=False, failures=failures)
+        results: dict[str, dict] = {}
+        rc = sweep(tmp, only, smoke=False, failures=failures, results=results)
         if failures:
             print("\n[fuzz] divergent queries:")
             for name, msg in failures:
                 print(f"  {name}: {msg}")
+        if not only and "--no-artifact" not in flags:
+            import json
+            import time
+
+            if out_path is None:
+                out_path = os.path.join(
+                    repo_root, f"FUZZ_r{_next_round(repo_root):02d}.json"
+                )
+            artifact = {
+                "_meta": {
+                    "source_sf_dir": src,
+                    "seed": SEED,
+                    "passed": sum(r["pass"] for r in results.values()),
+                    "failed": sum(not r["pass"] for r in results.values()),
+                    "wall_clock_unix": round(time.time(), 1),
+                },
+                "queries": results,
+            }
+            with open(out_path, "w") as fh:
+                json.dump(artifact, fh, indent=1, sort_keys=True)
+            print(f"[fuzz] artifact written to {out_path}")
         return rc
     finally:
         if keep:

@@ -380,6 +380,80 @@ def test_knn_ivf_quantized_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.8, f"ivf-sq8 recall {recall:.2f} < 0.8 (hit {len(e & a)}/{len(e)})"
 
 
+def test_ann_index_append_recall_and_rebuild_equivalence(spark, sf_dir):
+    """Incremental index maintenance (VERDICT r6 #6). Two pins:
+
+    1. append ≡ rebuild — under FROZEN centroids + calibration, the
+       incrementally grown index holds EXACTLY the posting rows a full
+       rebuild over (base ∪ new) produces (assignment and SQ8 encode
+       are deterministic per row), so incremental and rebuilt indexes
+       are interchangeable at any scale;
+    2. recall-after-append ≥ 0.8 vs brute force on the GROWN corpus —
+       appended vectors are first-class: probed, scored, returned.
+    """
+    em = load_table(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
+    base = em.filter(F.col("vec_id") % 10 != 0)
+    new = em.filter(F.col("vec_id") % 10 == 0)
+    centroids = sim.train_ivf_centroids(base, "embedding", n_lists=16)
+    calibration = sim.quantization_calibration(base, "embedding")
+    kw = dict(centroids=centroids, calibration=calibration)
+    grown = sim.ann_index_append(
+        sim.build_ivf_sq8_index(base, "vec_id", "embedding", **kw),
+        new, "vec_id", "embedding", **kw,
+    )
+    rebuilt = sim.build_ivf_sq8_index(em, "vec_id", "embedding", **kw)
+
+    def _rows(df):
+        return {
+            (r["neighbor_id"], r["list_id"], tuple(r["_cc"]))
+            for r in df.collect()
+        }
+
+    assert _rows(grown) == _rows(rebuilt)
+
+    queries = em.filter(F.col("vec_id") < 8)
+    exact = sim.knn_bruteforce(em, queries, "vec_id", "embedding", k=5)
+    approx = sim.knn_over_ivf_sq8_index(
+        grown, em, queries, "vec_id", "embedding", k=5, nprobe=4, **kw
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e) == 40
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"recall-after-append {recall:.2f} < 0.8"
+    # appended ids participate: brute force ranks some new vectors
+    # into top-5 and the grown index must find them there too
+    new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    e_new = {p for p in e if p[1] in new_ids}
+    assert e_new, "fixture assumption: some true neighbors are appended"
+    assert len(e_new & a) / len(e_new) >= 0.8
+
+
+def test_calibration_drift_trigger(spark):
+    """The re-encode trigger: in-range append batches stay quiet;
+    a batch escaping the calibrated range by more than the tolerance
+    flags exactly the drifted dimensions (SQ8 codes clamp there, so
+    appending would silently flatten them)."""
+    cal_mins, cal_spans = [0.0, -1.0, 5.0], [1.0, 2.0, 0.0]
+    rows = [(1, [0.1, -0.9, 5.0]), (2, [0.9, 1.0, 5.0])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    quiet = sim.calibration_drift(df, "v", cal_mins, cal_spans).collect()
+    assert [r["needs_reencode"] for r in quiet] == [False, False, False]
+    assert [r["drift_frac"] for r in quiet] == [0.0, 0.0, 0.0]
+
+    # dim0 escapes above by 0.5 span; dim1 below by 0.25 span (under
+    # the 0.3 tolerance); dim2 (degenerate span) deviates at all
+    rows = [(1, [1.5, -1.5, 5.0]), (2, [0.2, 0.5, 5.25])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = sim.calibration_drift(
+        df, "v", cal_mins, cal_spans, tolerance=0.3
+    ).collect()
+    assert [r["needs_reencode"] for r in got] == [True, False, True]
+    assert got[0]["drift_frac"] == pytest.approx(0.5)
+    assert got[1]["drift_frac"] == pytest.approx(0.25)
+    assert got[2]["drift_frac"] == 1.0
+
+
 def test_quantize_int8_codes_bounds_and_roundtrip(spark, sf_dir):
     """Codes span [0, 255] with both extremes hit per non-degenerate
     dimension (min maps to 0, max to 255), and affine decode

@@ -1895,6 +1895,99 @@ def test_streaming_frequent_items_mg_guarantees(spark, tmp_path):
             assert mc <= true_count <= mc + err, (g, tok, mc, err, true_count)
 
 
+def test_streaming_confirmed_heavy_hitters_parity(spark, tmp_path):
+    """End-to-end MG → bounded verify (VERDICT r6 #8): at EVERY
+    emission point, confirming the streamed candidate snapshot against
+    the rows seen so far must equal the batch exact operator
+    (`grouped_frequent_items`) on the same prefix — set equality on
+    (group, value, n_occurrences, n_total), freq to float equality.
+    MG's no-false-negative guarantee makes the candidate set a
+    superset; the bounded count + identical integer threshold makes
+    the confirmed set exact."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.operators.aggregations import (
+        grouped_frequent_items,
+    )
+    from purpleair_data_logger_spark.streaming.frequent import (
+        confirm_heavy_hitters,
+        streaming_frequent_items,
+    )
+
+    def tokens(seed: int):
+        out = []
+        for i in range(300):
+            if i % 3 == 0:
+                out.append("hot1")
+            elif i % 4 == 1:
+                out.append("hot2")
+            elif i % 10 == 2:
+                out.append("mid")
+            else:
+                out.append(f"tail{(i * 7 + seed) % 40}")
+        return out
+
+    base = _dt.datetime(2024, 5, 1)
+    rows = []
+    for g, seed in (("en", 0), ("de", 3)):
+        for i, tok in enumerate(tokens(seed)):
+            rows.append((g, tok, base + _dt.timedelta(seconds=i)))
+    batches = [rows[0::3], rows[1::3], rows[2::3]]
+    schema = "lang string, tok string, ts timestamp"
+    src, out, ckpt = (
+        str(tmp_path / d) for d in ("csrc", "cout", "cckpt")
+    )
+    support_bp = 1000
+    seen: list = []
+    for chunk in batches:
+        # one file lands → restart the drained stream on the shared
+        # checkpoint (state persists) → one new emission point
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        seen.extend(chunk)
+        q = streaming_frequent_items(
+            spark, src, out, ckpt,
+            group_col="lang", value_col="tok", support_bp=support_bp,
+        )
+        q.awaitTermination(120)
+
+        from pyspark.sql import functions as _F
+
+        summaries = spark.read.parquet(out)
+        prefix = spark.createDataFrame(seen, schema)
+        # snapshot alignment: the newest emission covers exactly the
+        # rows seen so far
+        latest = {
+            r["lang"]: r["m"]
+            for r in summaries.groupBy("lang")
+            .agg(_F.max("rows_seen").alias("m"))
+            .collect()
+        }
+        per_group = {"en": 0, "de": 0}
+        for g, _, _ in seen:
+            per_group[g] += 1
+        assert latest == per_group
+
+        confirmed = confirm_heavy_hitters(
+            summaries, prefix, "lang", "tok", support_bp=support_bp
+        )
+        exact = grouped_frequent_items(
+            prefix, ["lang"], "tok", support_bp=support_bp
+        )
+        got = {
+            (r["lang"], r["tok"], r["n_occurrences"], r["n_total"]): r["freq"]
+            for r in confirmed.collect()
+        }
+        want = {
+            (r["lang"], r["tok"], r["n_occurrences"], r["n_total"]): r["freq"]
+            for r in exact.collect()
+        }
+        assert set(got) == set(want)
+        assert got == want  # freq: same division on same integers
+        assert want, "fixture must produce heavy hitters"
+
+
 def test_streaming_mad_matches_sequential_kernel(spark, tmp_path):
     """Streaming MAD outliers (VERDICT r5 #8): the documented
     approximate-carry contract — streamed flags/estimates across
