@@ -77,6 +77,13 @@ SNAPSHOT_LEASE = "_SNAPSHOT_LEASE"
 #: periodically; the store's staging loop does.
 DEFAULT_LEASE_TTL = 900.0
 
+#: Cadence for the staging-time heartbeat TIMER THREAD (ADVICE r7: a
+#: heartbeat fired only as each staged table completes lets ONE
+#: staging longer than the TTL go stale under a live writer). 15
+#: beats per TTL keeps a live writer fresh through arbitrarily long
+#: stagings.
+HEARTBEAT_INTERVAL = DEFAULT_LEASE_TTL / 15.0
+
 
 class SnapshotLeaseHeld(RuntimeError):
     """Another live writer holds the snapshot lease for this store."""
@@ -222,17 +229,62 @@ def acquire_lease(
     return writer_id
 
 
-def release_lease(base: str) -> None:
+def release_lease(base: str, owner: str | None = None) -> bool:
+    """Remove the store's lease — but only the caller's own (ADVICE
+    r7: an unconditional unlink let a slow healer delete a NEW
+    writer's live lease installed after a mid-heal stale reclaim,
+    breaking the mutual exclusion the lease exists to enforce).
+
+    With ``owner`` given, removal is race-free via the same
+    unique-rename trick `acquire_lease` uses: rename the lease aside
+    (exactly one renamer can win), read the recorded owner, and
+    either delete it (ours) or put it back. The put-back is an
+    `os.link` so a lease O_EXCL-created by a third writer inside the
+    window is never clobbered, and the original inode's mtime — the
+    heartbeat — is preserved. Returns True iff a lease we owned was
+    removed. ``owner=None`` keeps the legacy unconditional unlink for
+    callers that hold no token (tests, manual cleanup).
+    """
+    lease = _lease_path(base)
+    if owner is None:
+        try:
+            os.remove(lease)
+        except FileNotFoundError:
+            return False
+        return True
+    aside = lease + ".releasing." + uuid.uuid4().hex
     try:
-        os.remove(_lease_path(base))
+        os.rename(lease, aside)
     except FileNotFoundError:
-        pass
+        return False  # already reclaimed+released by someone else
+    with open(aside) as f:
+        actual = f.read().strip() or None
+    if actual == owner:
+        os.remove(aside)
+        return True
+    # Not ours: restore it without clobbering any newer lease.
+    try:
+        os.link(aside, lease)
+    except FileExistsError:
+        pass  # a third writer already created a fresh lease
+    os.remove(aside)
+    return False
 
 
-def snapshot_heartbeat(base: str) -> None:
-    """Refresh the lease mtime; long-running stagings call this so a
-    live writer is never mistaken for a crashed one."""
-    os.utime(_lease_path(base))
+def snapshot_heartbeat(base: str) -> bool:
+    """Refresh the lease mtime; long-running stagings call this (from
+    a timer thread, see `SensorTableStore.upsert_wide`) so a live
+    writer is never mistaken for a crashed one. Returns False instead
+    of raising when the lease file is gone (reclaimed mid-staging) —
+    the LOUD failure belongs to the commit-time ownership check
+    (`snapshot_commit` raises `SnapshotLeaseHeld`), not to a
+    background heartbeat whose exception would mask the real error
+    (ADVICE r7)."""
+    try:
+        os.utime(_lease_path(base))
+    except FileNotFoundError:
+        return False
+    return True
 
 
 def snapshot_begin(
@@ -256,7 +308,7 @@ def snapshot_begin(
     pending = os.path.join(base, SNAPSHOT_PENDING)
     committed = os.path.join(base, SNAPSHOT_COMMIT)
     if os.path.exists(pending) or os.path.exists(committed):
-        release_lease(base)
+        release_lease(base, owner=token)
         raise RuntimeError(
             f"snapshot already in progress under {base}; heal_snapshot first"
         )
@@ -283,7 +335,11 @@ def snapshot_commit(base: str, *, writer_id: str | None = None) -> None:
     the reclaimer's snapshot). Releases the lease on success.
     """
     owner = _lease_owner(base)
-    if writer_id is not None and owner is not None and owner != writer_id:
+    if writer_id is not None and owner != writer_id:
+        # owner None means the lease VANISHED (stale-reclaimed then
+        # released by another writer's heal) — publishing anyway could
+        # interleave with that writer's snapshot, so both mismatch and
+        # absence fail loudly (ADVICE r7: absence used to slip through).
         raise SnapshotLeaseHeld(
             f"snapshot lease under {base} now belongs to {owner!r}, not "
             f"{writer_id!r} — lease was reclaimed mid-staging; abort"
@@ -302,7 +358,9 @@ def snapshot_commit(base: str, *, writer_id: str | None = None) -> None:
     for l in lives:
         commit(l)
     os.remove(committed)
-    release_lease(base)
+    # Ownership-verified: tokenless callers release the owner read at
+    # entry, so a lease reclaimed mid-commit is never deleted here.
+    release_lease(base, owner=writer_id if writer_id is not None else owner)
 
 
 def heal_snapshot(
@@ -331,6 +389,7 @@ def heal_snapshot(
     """
     committed = os.path.join(base, SNAPSHOT_COMMIT)
     pending = os.path.join(base, SNAPSHOT_PENDING)
+    heal_token: str | None = None
     if os.path.exists(committed) or os.path.exists(pending):
         owner = _lease_owner(base)
         if (
@@ -342,6 +401,18 @@ def heal_snapshot(
                 f"refusing to heal {base}: snapshot in flight, lease held "
                 f"by live writer {owner!r} (heartbeat within {lease_ttl:.0f}s)"
             )
+        # Hold the lease for the DURATION of the (slow) roll, then
+        # release only what we own (ADVICE r7: the old one-shot
+        # staleness check + unconditional release let a concurrent
+        # writer reclaim the stale lease mid-heal and then have its
+        # fresh lease deleted by this healer). Owning writer: refresh
+        # our own lease; stale/absent: take it over race-safely via
+        # acquire_lease (losing that race raises SnapshotLeaseHeld —
+        # another healer/writer got there first, defer to it).
+        if owner is not None and owner == writer_id and snapshot_heartbeat(base):
+            heal_token = writer_id
+        else:
+            heal_token = acquire_lease(base, None, lease_ttl)
     if os.path.exists(committed):
         for l in _snapshot_members(base, committed):
             staged = staging_path(l)
@@ -358,7 +429,7 @@ def heal_snapshot(
             else:
                 _restore_retired(l)
         os.remove(committed)
-        release_lease(base)
+        release_lease(base, owner=heal_token)
         return "rolled_forward"
     if os.path.exists(pending):
         for l in _snapshot_members(base, pending):
@@ -367,7 +438,7 @@ def heal_snapshot(
                 shutil.rmtree(staged)
             _restore_retired(l)
         os.remove(pending)
-        release_lease(base)
+        release_lease(base, owner=heal_token)
         return "rolled_back"
     return None
 

@@ -215,20 +215,44 @@ class SensorTableStore:
                 PARTITION_COL
             ).parquet(atomic.staging_path(self.path(table)))
 
+        import threading  # noqa: PLC0415
         from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
+        # Heartbeat from a TIMER THREAD, not per staged-table
+        # completion (ADVICE r7: pool.map yields in submission order,
+        # so one staging longer than the lease TTL starved the
+        # heartbeat and let a live writer be stale-reclaimed). A
+        # vanished lease stops the beat quietly — the loud failure is
+        # snapshot_commit's ownership check, not a daemon's traceback.
+        stop_beat = threading.Event()
+
+        def _beat() -> None:
+            while not stop_beat.wait(atomic.HEARTBEAT_INTERVAL):
+                if not atomic.snapshot_heartbeat(self.base_path):
+                    return
+        beater = threading.Thread(
+            target=_beat, name="snapshot-lease-heartbeat", daemon=True
+        )
+        beater.start()
         try:
             with ThreadPoolExecutor(max_workers=len(parts)) as pool:
-                for _ in pool.map(_stage, parts.items()):
-                    # keep the lease fresh while long stagings run so
-                    # a slow-but-live writer is never stale-reclaimed
-                    atomic.snapshot_heartbeat(self.base_path)
+                list(pool.map(_stage, parts.items()))
         except BaseException:
             # in-process failure: roll the whole snapshot back now
             # (a crash instead would be healed identically on reopen);
-            # the owner token authorizes healing our own fresh lease
-            atomic.heal_snapshot(self.base_path, writer_id=token)
+            # the owner token authorizes healing our own fresh lease.
+            # If the lease was reclaimed while we staged, the
+            # reclaimer owns cleanup — don't mask the original error
+            # with SnapshotLeaseHeld.
+            stop_beat.set()
+            beater.join(timeout=5)
+            try:
+                atomic.heal_snapshot(self.base_path, writer_id=token)
+            except atomic.SnapshotLeaseHeld:
+                pass
             raise
+        stop_beat.set()
+        beater.join(timeout=5)
         atomic.snapshot_commit(self.base_path, writer_id=token)
 
     # -- read path ---------------------------------------------------------

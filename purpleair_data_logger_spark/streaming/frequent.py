@@ -206,25 +206,33 @@ def confirm_heavy_hitters(
     cands = latest_candidate_snapshot(summaries, group_col).withColumnRenamed(
         "item", "_val"
     )
+    # MG state carries candidates as STRINGS, so the semi-join runs on
+    # the string rendering — but the ORIGINAL column rides alongside
+    # and is what groups and gets emitted, so the output schema is the
+    # source's value type exactly, matching grouped_frequent_items for
+    # non-string value columns too (ADVICE r7: the old version emitted
+    # the string back, silently diverging from the pinned parity).
     src = (
         source.filter(
             F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
         )
         .select(
-            group_col, F.col(value_col).cast("string").alias("_val")
+            group_col,
+            F.col(value_col),
+            F.col(value_col).cast("string").alias("_val"),
         )
     )
     totals = src.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
     sbp = int(support_bp)
     return (
         src.join(F.broadcast(cands), on=[group_col, "_val"], how="leftsemi")
-        .groupBy(group_col, "_val")
+        .groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .join(F.broadcast(totals), on=[group_col])
         .filter(F.col("n_occurrences") * 10000 >= F.lit(sbp) * F.col("_n_g"))
         .select(
             group_col,
-            F.col("_val").alias(value_col),
+            value_col,
             "n_occurrences",
             F.col("_n_g").alias("n_total"),
             (

@@ -189,16 +189,29 @@ def _next_round(repo_root: str) -> int:
 
 
 def main() -> int:
-    flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    keep = "--keep" in flags
-    out_path = None
-    if "--out" in sys.argv[1:]:
-        i = sys.argv.index("--out")
-        out_path = sys.argv[i + 1]
-        args = [a for a in args if a != out_path]
-    src = args[0] if args else "/root/testdata/sf0.001"
-    only = set(args[1:])
+    # argparse, not hand-rolled sys.argv surgery (ADVICE r7: a
+    # trailing `--out` crashed with IndexError, and the value was
+    # spliced out of the positionals by STRING EQUALITY, silently
+    # dropping any query filter that happened to equal the out path).
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="NULL/duplicate-injection fuzz sweep over a "
+        "mutated twin of an sf dir"
+    )
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    ap.add_argument("queries", nargs="*", help="restrict to these queries")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the mutated twin dir")
+    ap.add_argument("--no-artifact", action="store_true",
+                    help="skip writing FUZZ_r{N}.json")
+    ap.add_argument("--out", default=None, metavar="PATH",
+                    help="artifact path (default FUZZ_r{next}.json)")
+    ns = ap.parse_args()
+    keep = ns.keep
+    out_path = ns.out
+    src = ns.sf_dir
+    only = set(ns.queries)
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tmp = tempfile.mkdtemp(prefix="fuzz_sf_")
     try:
@@ -213,7 +226,7 @@ def main() -> int:
             print("\n[fuzz] divergent queries:")
             for name, msg in failures:
                 print(f"  {name}: {msg}")
-        if not only and "--no-artifact" not in flags:
+        if not only and not ns.no_artifact:
             import json
             import time
 

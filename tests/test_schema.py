@@ -98,3 +98,52 @@ def test_bench_compare_absolute_guard_and_best_prior(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "no regressions" in r.stdout
+
+
+def test_bench_compare_jitter_band_and_pinned_evidence(tmp_path):
+    """ADVICE r7: (a) a sub-second row >2x best but within the +1s
+    absolute band is scheduler jitter, not a regression (asof_last_click
+    spanned 0.42-1.14s across identical-code runs); (b) the evidence
+    classification is a committed constant — an artifact declaring its
+    own regressed row as evidence is rejected, not honored."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    base = {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+            "queries": {"jittery": 0.42, "big": 3.0}}
+    # jittery 0.42 -> 1.13: 2.7x but only +0.71s -> jitter band, ok;
+    # big 3.0 -> 4.2: +1.2s but only 1.4x -> ok.
+    now_jitter = {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+                  "queries": {"jittery": 1.13, "big": 4.2}}
+    # big 3.0 -> 7.0: 2.3x AND +4.0s -> regression even though the
+    # artifact tries to exempt it via its own evidence_legs field.
+    now_selfcert = {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+                    "queries": {"jittery": 0.5, "big": 7.0},
+                    "evidence_legs": ["big"]}
+    paths = {}
+    for name, data in [("base", base), ("jit", now_jitter), ("sc", now_selfcert)]:
+        p = tmp_path / f"{name}.json"
+        p.write_text(json.dumps(data))
+        paths[name] = str(p)
+    script = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "scripts", "bench_compare.py")
+    r = subprocess.run([sys.executable, script, paths["jit"], paths["base"]],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "no regressions" in r.stdout
+    r = subprocess.run([sys.executable, script, paths["sc"], paths["base"]],
+                       capture_output=True, text=True)
+    assert r.returncode != 0
+    assert "COMMITTED classification" in (r.stdout + r.stderr)
+    # a pinned evidence row, by contrast, IS excluded from the guard
+    base_e = dict(base, queries={"embedding_neardup_cosine": 1.0, "big": 3.0})
+    now_e = {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+             "queries": {"embedding_neardup_cosine": 9.0, "big": 3.1},
+             "evidence_legs": ["embedding_neardup_cosine"]}
+    pe = tmp_path / "base_e.json"; pe.write_text(json.dumps(base_e))
+    ne = tmp_path / "now_e.json"; ne.write_text(json.dumps(now_e))
+    r = subprocess.run([sys.executable, script, str(ne), str(pe)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr

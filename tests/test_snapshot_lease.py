@@ -144,3 +144,67 @@ def test_tokenless_commit_still_works(tmp_path):
     atomic.snapshot_commit(base)
     assert not os.path.exists(os.path.join(base, atomic.SNAPSHOT_LEASE))
     assert os.path.isdir(os.path.join(live, "d=2024-01-01"))
+
+
+def test_ownership_verified_release_preserves_foreign_lease(tmp_path):
+    """ADVICE r7: release must remove only the caller's OWN lease — a
+    slow healer finishing after a mid-heal stale reclaim must not
+    delete the new writer's live lease."""
+    base = str(tmp_path)
+    atomic.acquire_lease(base, "writer-NEW")
+    # a stale former owner tries to release with its old token
+    assert atomic.release_lease(base, owner="writer-OLD") is False
+    assert atomic._lease_owner(base) == "writer-NEW"
+    # the heartbeat mtime survives the put-back (freshness preserved)
+    assert atomic._lease_fresh(base, atomic.DEFAULT_LEASE_TTL)
+    # the real owner's release succeeds
+    assert atomic.release_lease(base, owner="writer-NEW") is True
+    assert not os.path.exists(os.path.join(base, atomic.SNAPSHOT_LEASE))
+    # releasing when no lease exists is a quiet no-op either way
+    assert atomic.release_lease(base, owner="writer-NEW") is False
+    assert atomic.release_lease(base) is False
+
+
+def test_heal_holds_lease_for_its_duration(tmp_path):
+    """The healer of a crashed writer's snapshot takes OWNERSHIP of
+    the lease before the slow roll (not a one-shot staleness check),
+    so a concurrent writer cannot acquire mid-heal, and the heal's
+    final release is ownership-verified."""
+    base = str(tmp_path)
+    live = _member(base, "t1", staged_success=False)
+    atomic.snapshot_begin(base, [live], writer_id="dead-writer")
+    _age_lease(base, atomic.DEFAULT_LEASE_TTL + 60)
+    # simulate: between the healer's staleness check and its roll, we
+    # can't interleave in-process — instead verify the primitive: the
+    # heal replaces the stale lease with a FRESH one it owns, which a
+    # concurrent acquire_lease would refuse. Run the real heal and
+    # check the end state (markers healed, lease gone).
+    assert atomic.heal_snapshot(base) == "rolled_back"
+    assert not os.path.exists(os.path.join(base, atomic.SNAPSHOT_LEASE))
+    # and a foreign FRESH lease installed after a reclaim is never
+    # deleted by a late ownership-verified release (the mid-heal race
+    # distilled to its release step):
+    atomic.acquire_lease(base, "writer-NEW")
+    assert atomic.release_lease(base, owner="dead-writer") is False
+    assert atomic._lease_owner(base) == "writer-NEW"
+
+
+def test_commit_refuses_when_lease_vanished(tmp_path):
+    """ADVICE r7: owner=None at commit used to slip through the
+    ownership check — a vanished lease (reclaimed, healed, released)
+    must fail as loudly as a reassigned one."""
+    base = str(tmp_path)
+    live = _member(base, "t1")
+    token = atomic.snapshot_begin(base, [live], writer_id="slow-writer")
+    os.remove(os.path.join(base, atomic.SNAPSHOT_LEASE))
+    with pytest.raises(atomic.SnapshotLeaseHeld):
+        atomic.snapshot_commit(base, writer_id=token)
+
+
+def test_heartbeat_tolerates_missing_lease(tmp_path):
+    """ADVICE r7: a reclaimed-away lease must not blow up the
+    (background) heartbeat — the loud failure belongs to commit."""
+    base = str(tmp_path)
+    assert atomic.snapshot_heartbeat(base) is False  # no lease at all
+    atomic.acquire_lease(base, "writer-A")
+    assert atomic.snapshot_heartbeat(base) is True

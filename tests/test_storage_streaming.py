@@ -2242,3 +2242,41 @@ def test_streaming_downtime_stale_batch_preserves_alerted(spark, tmp_path):
     assert a_opens == [0], f"one silence must alert exactly once: {a_opens}"
     # and no phantom closed incident was fabricated from the stale row
     assert not [r for r in out if r["key"] == "a" and r["closed"]]
+
+
+def test_confirm_heavy_hitters_preserves_value_type(spark):
+    """ADVICE r7: MG state carries candidates as strings, but the
+    confirm stage must emit the SOURCE column's type — for a bigint
+    value column the output schema and values must match
+    `grouped_frequent_items` exactly, not a stringified copy."""
+    from purpleair_data_logger_spark.operators.aggregations import (
+        grouped_frequent_items,
+    )
+    from purpleair_data_logger_spark.streaming.frequent import (
+        confirm_heavy_hitters,
+    )
+
+    # integer-valued source: value 7 is hot (40%), 8 is mid (20%),
+    # the rest is tail
+    rows = []
+    for g in ("a", "b"):
+        for i in range(100):
+            v = 7 if i % 5 < 2 else (8 if i % 5 == 2 else 100 + i)
+            rows.append((g, v))
+    src = spark.createDataFrame(rows, "grp string, val long")
+    # MG summary snapshot: candidates as strings (superset incl. a
+    # spurious one the verify must reject)
+    summaries = spark.createDataFrame(
+        [("a", "7", 100), ("a", "8", 100), ("a", "104", 100),
+         ("b", "7", 100), ("b", "8", 100)],
+        "grp string, item string, rows_seen long",
+    )
+    confirmed = confirm_heavy_hitters(
+        summaries, src, "grp", "val", support_bp=1500
+    )
+    exact = grouped_frequent_items(src, ["grp"], "val", support_bp=1500)
+    assert dict(confirmed.dtypes) == dict(exact.dtypes)
+    assert dict(confirmed.dtypes)["val"] == "bigint"
+    got = {tuple(r) for r in confirmed.collect()}
+    want = {tuple(r) for r in exact.collect()}
+    assert got == want and want
