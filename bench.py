@@ -155,6 +155,11 @@ HEADLINE = [
     "small_quantity_revenue",
     "above_avg_orders",
     "ann_index_append",
+    # r8: grouping-sets, Q21 shape, ranked retrieval + hybrid fusion
+    "revenue_rollup_region_nation",
+    "late_sole_supplier",
+    "bm25_topk_docs",
+    "hybrid_rank_fusion",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

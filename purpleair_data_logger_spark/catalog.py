@@ -5199,6 +5199,313 @@ def pricing_summary(spark, sf_dir):
     )
 
 
+@register(
+    "revenue_rollup_region_nation",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    j AS (
+      SELECT r.r_name, n.n_name, o.total_c
+      FROM o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    )
+    SELECT r_name, n_name,
+           CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS INTEGER) AS lvl,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(total_c) AS DOUBLE) / 100.0 AS revenue
+    FROM j GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "multi-level aggregate (GROUPING SETS family): ROLLUP over the "
+    "region→nation dimension hierarchy with GROUPING-disambiguated "
+    "subtotal levels — the OLAP cube shape the read-path ladder lacked",
+)
+def revenue_rollup_region_nation(spark, sf_dir):
+    """Order revenue rolled up the region→nation hierarchy in ONE pass:
+    leaf rows, per-region subtotals, and the grand total, each tagged
+    with the grouping level (2·grouping(region)+grouping(nation)) so a
+    NULL dimension value is distinguishable from a subtotal row.
+
+    Spark plans rollup as a single Expand node feeding ONE hash
+    aggregate — three grouping sets share one shuffle, not three scans
+    + a union (what a user without grouping sets would write). Money is
+    exact-cents BIGINT summed per set with one final division.
+
+    Scale shape: Expand triples the aggregate input rows but the
+    map-side partial aggregate collapses them before the one shuffle;
+    the dimension joins broadcast (region/nation are tiny, customer
+    rides AQE). No second scan of orders at any level.
+    """
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_c"),
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "n_name", "total_c")
+    )
+    return j.rollup("r_name", "n_name").agg(
+        (F.lit(2) * F.grouping("r_name") + F.grouping("n_name"))
+        .cast("int")
+        .alias("lvl"),
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("total_c").cast("double") / F.lit(100.0)).alias("revenue"),
+    )
+
+
+@register(
+    "late_sole_supplier",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_suppkey IS NOT NULL
+    ),
+    late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM li
+      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 100
+    """,
+    "TPC-H Q21 shape: EXISTS + NOT EXISTS over the same fact table "
+    "(the sole late supplier on multi-supplier orders), decorrelated "
+    "into two per-order aggregates — never a per-row re-scan",
+)
+def late_sole_supplier(spark, sf_dir):
+    """Suppliers who were the ONLY late shipper on a multi-supplier
+    order (late = shipped >60 days after the order date), ranked by
+    how many orders they alone held up — the TPC-H Q21
+    EXISTS/NOT-EXISTS pattern.
+
+    The oracle states it in the classic correlated form; the Spark
+    plan is the set-algebra decorrelation: ONE per-order distinct-
+    supplier count (EXISTS another supplier ⇔ n_suppliers ≥ 2) and ONE
+    per-order late-supplier count (NOT EXISTS another late ⇔
+    n_late = 1), each an equi-join back on l_orderkey — the optimizer-
+    correct shape vs re-scanning lineitem per candidate row.
+
+    Scale shape: lineitem→orders is the one fact-fact equi-join (AQE
+    picks sort-merge, both sides pre-bucketable on orderkey); both
+    per-order aggregates are map-side combined on the SAME key so AQE
+    reuses the exchange; supplier is a broadcast dim; the top-100
+    plans as TakeOrderedAndProject with a deterministic s_suppkey
+    tie-break, never a global sort.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey").isNotNull())
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    late = (
+        li.filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("_n_supp"))
+        .filter(F.col("_n_supp") >= 2)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n_late"))
+        .filter(F.col("_n_late") == 1)
+        .select("l_orderkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(sole_late, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
+#: Fixed lexical query for the ranked-retrieval gate rows — four mid-
+#: frequency corpus terms; the oracles inline the same literals.
+_BM25_TERMS = ["vector", "hash", "merge", "scan"]
+
+_BM25_SCORE_SQL = """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    f AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+             CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS tf2,
+             CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf3
+      FROM t
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS l,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
+             CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
+      FROM f
+    ),
+    sc AS (
+      SELECT doc_id, dl, tf0 + tf1 + tf2 + tf3 AS tf_total,
+             (n - df0 + 0.5)/(df0 + 0.5) * (CAST(tf0 AS DOUBLE) * 2.2)
+               / (CAST(tf0 AS DOUBLE)
+                  + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)*n/l))
+           + (n - df1 + 0.5)/(df1 + 0.5) * (CAST(tf1 AS DOUBLE) * 2.2)
+               / (CAST(tf1 AS DOUBLE)
+                  + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)*n/l))
+           + (n - df2 + 0.5)/(df2 + 0.5) * (CAST(tf2 AS DOUBLE) * 2.2)
+               / (CAST(tf2 AS DOUBLE)
+                  + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)*n/l))
+           + (n - df3 + 0.5)/(df3 + 0.5) * (CAST(tf3 AS DOUBLE) * 2.2)
+               / (CAST(tf3 AS DOUBLE)
+                  + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)*n/l))
+             AS score
+      FROM f, s
+    )
+"""
+
+
+@register(
+    "bm25_topk_docs",
+    _BM25_SCORE_SQL
+    + """
+    SELECT doc_id, dl, tf_total, score,
+           CAST(rnk AS INTEGER) AS bm25_rank
+    FROM (SELECT doc_id, dl, tf_total, score,
+                 row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM sc WHERE tf_total > 0)
+    WHERE rnk <= 50
+    """,
+    "north-star ranked retrieval: BM25 top-k lexical search (odds-idf, "
+    "log-free determinism form) over the documents corpus",
+)
+def bm25_topk_docs(spark, sf_dir):
+    """Top-50 documents by BM25 for a fixed 4-term query — the lexical
+    ranker of the retrieval stack (`operators/ranking.py`; determinism
+    contract in the module docstring: integer tf/df/dl/N/L, fixed
+    left-associated float tree, odds-form idf — no cross-engine ln).
+
+    Scale shape: per-doc tf/dl are higher-order array ops in one
+    codegen'd projection (no explode); corpus stats are one broadcast
+    aggregate; the top-50 cut is TakeOrderedAndProject and ranks are
+    assigned by a window over the 50 survivors only — no global sort.
+    """
+    from purpleair_data_logger_spark.operators import ranking as rk
+
+    d = _t(spark, sf_dir, "documents")
+    return rk.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=50)
+
+
+@register(
+    "hybrid_rank_fusion",
+    _BM25_SCORE_SQL
+    + """
+    , br AS (
+      SELECT doc_id AS item_id, CAST(rnk AS INTEGER) AS bm25_rank
+      FROM (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                     AS rnk
+            FROM sc WHERE tf_total > 0)
+      WHERE rnk <= 200
+    ),
+    q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0
+    ),
+    cr AS (
+      SELECT item_id, CAST(rnk AS INTEGER) AS cos_rank
+      FROM (SELECT e.vec_id AS item_id,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(
+                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                       q.qe) DESC, e.vec_id) AS rnk
+            FROM embeddings e, q WHERE e.vec_id <> 0)
+      WHERE rnk <= 200
+    ),
+    fused AS (
+      SELECT COALESCE(b.item_id, c.item_id) AS item_id,
+             b.bm25_rank, c.cos_rank,
+             COALESCE(CAST(floor(1000000.0
+                 / CAST(b.bm25_rank + 60 AS DOUBLE)) AS BIGINT), 0)
+           + COALESCE(CAST(floor(1000000.0
+                 / CAST(c.cos_rank + 60 AS DOUBLE)) AS BIGINT), 0)
+               AS rrf_scaled
+      FROM br b FULL OUTER JOIN cr c ON b.item_id = c.item_id
+    )
+    SELECT item_id, bm25_rank, cos_rank, rrf_scaled,
+           CAST(rnk AS INTEGER) AS fused_rank
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf_scaled DESC, item_id)
+                      AS rnk
+          FROM fused)
+    WHERE rnk <= 50
+    """,
+    "north-star hybrid search: reciprocal-rank fusion of the BM25 "
+    "lexical ranking and the embedding-cosine vector ranking "
+    "(integer-scaled RRF, k=60) — the retrieval fuser every RAG "
+    "curation pipeline runs",
+)
+def hybrid_rank_fusion(spark, sf_dir):
+    """RRF fusion of lexical (BM25 top-200) and vector (cosine top-200
+    to the vec_id=0 query embedding) rankings over the shared
+    doc_id/vec_id id space; fused top-50 with both source ranks.
+
+    Contributions are ⌊1e6/(60+rank)⌋ BIGINTs, so the fused score is
+    an exact integer sum — order-free and hash-comparable; an item on
+    one list only contributes 0 from the other.
+
+    Scale shape: each signal is cut to top-R BEFORE the fusion join
+    (TakeOrderedAndProject per signal), so the full-outer join is
+    rank-list-sized — at 100 TB the corpus never reaches the fuser,
+    only two R-row lists do.
+    """
+    from purpleair_data_logger_spark.operators import ranking as rk
+
+    d = _t(spark, sf_dir, "documents")
+    em = _t(spark, sf_dir, "embeddings")
+    br = rk.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=200).select(
+        F.col("doc_id").alias("item_id"), "bm25_rank"
+    )
+    cr = sim.knn_bruteforce(
+        em, em.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=200
+    ).select(F.col("neighbor_id").alias("item_id"), F.col("knn_rank").alias("cos_rank"))
+    from purpleair_data_logger_spark.operators.ranking import rrf_fuse
+
+    return rrf_fuse(br, cr, "item_id", "bm25_rank", "cos_rank", topk=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.

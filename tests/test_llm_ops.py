@@ -499,3 +499,75 @@ def test_quantize_int8_clamps_out_of_calibration_vectors(spark):
     }
     assert got[9] == [0, 255]      # below-min -> 0, above-max -> 255
     assert got[10] == [128, 128]   # in-range unaffected by the clamp
+
+
+def test_bm25_matches_reference_formula(spark):
+    """operators/ranking.py: BM25 scores on a toy corpus must equal a
+    pure-Python evaluation of the odds-idf formula bit-for-bit, the
+    determinism-contract literals must hold (1.2+1.0 == 2.2,
+    1.0-0.75 == 0.25), and ranking must prefer the doc that matches
+    the rarer term."""
+    from purpleair_data_logger_spark.operators import ranking as rk
+
+    assert 1.2 + 1.0 == 2.2 and 1.0 - 0.75 == 0.25
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common"),
+            (2, "common common common"),
+            (3, "common filler filler filler filler filler"),
+            (4, None),          # NULL text: no observation
+            (None, "common"),   # NULL id: no observation
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["rare", "common"]
+    got = {
+        r["doc_id"]: (r["dl"], r["tf_total"], r["score"])
+        for r in rk.bm25_scores(docs, "doc_id", "text", terms).collect()
+    }
+    # corpus stats over the 3 valid docs
+    n, l = 3.0, float(3 + 3 + 6)
+    df = {"rare": 1.0, "common": 3.0}
+    tf = {1: {"rare": 1, "common": 2}, 2: {"common": 3}, 3: {"common": 1}}
+    dl = {1: 3, 2: 3, 3: 6}
+
+    def ref_score(d):
+        s = 0.0
+        for t in terms:
+            tft = float(tf[d].get(t, 0))
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            s = s + idf * (tft * 2.2) / (
+                tft + 1.2 * (0.25 + 0.75 * float(dl[d]) * n / l)
+            )
+        return s
+
+    assert set(got) == {1, 2, 3}
+    for d in (1, 2, 3):
+        assert got[d][0] == dl[d]
+        assert got[d][1] == sum(tf[d].values())
+        assert got[d][2] == ref_score(d)  # bit-exact, no tolerance
+    top = rk.bm25_topk(docs, "doc_id", "text", terms, k=3).collect()
+    assert [r["doc_id"] for r in sorted(top, key=lambda r: r["bm25_rank"])][0] == 1
+
+
+def test_rrf_fusion_integer_exact(spark):
+    """RRF: contributions are exact ⌊1e6/(60+r)⌋ BIGINTs, a missing
+    rank contributes 0, and the fused ordering breaks ties on id."""
+    from purpleair_data_logger_spark.operators import ranking as rk
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "item_id long, rank_a int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2)], "item_id long, rank_b int"
+    )
+    got = {
+        r["item_id"]: (r["rank_a"], r["rank_b"], r["rrf_scaled"], r["fused_rank"])
+        for r in rk.rrf_fuse(a, b, "item_id", "rank_a", "rank_b", topk=10).collect()
+    }
+    c = lambda r: 1_000_000 // (60 + r)  # noqa: E731
+    assert got[20] == (2, 1, c(2) + c(1), 1)
+    assert got[10] == (1, None, c(1), 2)
+    assert got[40] == (None, 2, c(2), 3)
+    assert got[30] == (3, None, c(3), 4)

@@ -795,3 +795,61 @@ def test_pricing_summary_single_shuffle_pushdown(spark, sf):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_revenue_rollup_single_expand_one_shuffle(spark, sf):
+    """GROUPING SETS family: ROLLUP must plan as ONE Expand feeding
+    ONE partial+final aggregate pair around a single Exchange — three
+    grouping levels share one shuffle, never three scans + union. The
+    dimension joins broadcast."""
+    plan = _plan(spark, sf, "revenue_rollup_region_nation")
+    assert E.count(plan, "Expand") == 1
+    assert E.count(plan, "Exchange") == 1
+    assert E.count(plan, "HashAggregate") == 2
+    assert E.count(plan, "BroadcastHashJoin") == 3
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_late_sole_supplier_decorrelated_no_rescan(spark, sf):
+    """TPC-H Q21 shape: EXISTS/NOT-EXISTS decorrelate to per-order
+    aggregates + semi joins — no nested loop, no cartesian, and the
+    top-100 is TakeOrderedAndProject with a deterministic tie-break,
+    never a global sort."""
+    plan = _plan(spark, sf, "late_sole_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_bm25_topk_codegen_projection_topk_cut(spark, sf):
+    """BM25: tf/dl are higher-order array ops in a codegen'd
+    projection (no explode, no Python); corpus stats are ONE
+    partial+final aggregate broadcast back as a single row (the only
+    nested-loop join allowed is that 1-row stats broadcast); the
+    top-50 cut is TakeOrderedAndProject so the rank window runs over
+    the k survivors, never the corpus."""
+    plan = _plan(spark, sf, "bm25_topk_docs")
+    assert "Generate" not in plan  # no explode of the token array
+    assert E.count(plan, "HashAggregate") == 2  # stats partial+final
+    assert E.count(plan, "BroadcastNestedLoopJoin") == 1  # 1-row stats
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_hybrid_rank_fusion_ranklist_sized_join(spark, sf):
+    """RRF: each signal is cut to top-R via TakeOrderedAndProject
+    BEFORE fusing, so the outer join sees two R-row lists, never the
+    corpus; the only nested-loop joins are the two 1-row broadcasts
+    (bm25 stats, the query vector); no Python anywhere."""
+    plan = _plan(spark, sf, "hybrid_rank_fusion")
+    assert E.count(plan, "TakeOrderedAndProject") == 2
+    assert E.count(plan, "BroadcastNestedLoopJoin") == 2
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
