@@ -160,6 +160,8 @@ HEADLINE = [
     "late_sole_supplier",
     "bm25_topk_docs",
     "hybrid_rank_fusion",
+    "temporal_split_embargo",
+    "ann_recall_eval",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

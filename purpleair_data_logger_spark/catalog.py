@@ -5506,6 +5506,122 @@ def hybrid_rank_fusion(spark, sf_dir):
     return rrf_fuse(br, cr, "item_id", "bm25_rank", "cos_rank", topk=50)
 
 
+@register(
+    "temporal_split_embargo",
+    """
+    SELECT event_id, ts,
+           CASE WHEN ts < TIMESTAMP '2024-01-23' THEN 'train'
+                WHEN ts >= TIMESTAMP '2024-01-25' THEN 'test'
+                ELSE 'embargo' END AS split
+    FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+    """,
+    "north-star leakage-safe TEMPORAL split: train < embargo start, "
+    "test >= cutoff, the embargo gap labeled and kept visible — the "
+    "time-axis complement of the cluster-keyed content split",
+)
+def temporal_split_embargo(spark, sf_dir):
+    """Time-based train/test assignment with a 2-day embargo before
+    the 2024-01-25 cutoff (`operators/sampling.py::temporal_split`).
+    `leakage_safe_split` guards content leakage (near-dup clusters
+    straddling splits); this guards TEMPORAL leakage (trailing-window
+    features near the boundary seeing post-cutoff behavior) — the
+    standard backtesting discipline.
+
+    Scale shape: one codegen'd CASE projection, zero shuffles;
+    timestamp comparisons are exact microsecond integers cross-engine.
+    """
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
+        .select("event_id", "ts")
+    )
+    return smp.temporal_split(
+        e, "ts", cutoff="2024-01-25", embargo="2024-01-23"
+    )
+
+
+#: Ground-truth ranking replay shared by the ANN eval oracle — the
+#: `knn_cosine_bruteforce` oracle body as a CTE chain fragment.
+_KNN_GT_SQL = """
+    gtq AS (SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 8),
+    gtp AS (
+      SELECT gtq.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(
+                 list_transform(gtq.qe, x -> CAST(x AS DOUBLE)),
+                 list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS s
+      FROM gtq, embeddings e WHERE e.vec_id <> gtq.query_id),
+    gt AS (
+      SELECT query_id, neighbor_id, knn_rank
+      FROM (SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY s DESC, neighbor_id) AS INTEGER) AS knn_rank
+            FROM gtp)
+      WHERE knn_rank <= 5)
+"""
+
+
+@register(
+    "ann_recall_eval",
+    "WITH cand AS ("
+    + _knn_lsh_oracle(n_planes=36, bands=12, dim=64, k=5, q_below=8)
+    + "),\n"
+    + _KNN_GT_SQL
+    + """
+    , hits AS (
+      SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM cand c JOIN gt g
+        ON g.query_id = c.query_id AND g.neighbor_id = c.neighbor_id
+      GROUP BY 1),
+    top1 AS (SELECT query_id, neighbor_id FROM gt WHERE knn_rank = 1),
+    rr AS (
+      SELECT c.query_id,
+             CAST(floor(1000000.0 / CAST(c.knn_rank AS DOUBLE)) AS BIGINT)
+               AS rr_scaled
+      FROM cand c JOIN top1 t
+        ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id),
+    qs AS (SELECT DISTINCT query_id FROM gt)
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_k,
+           COALESCE(r.rr_scaled, CAST(0 AS BIGINT)) AS rr_scaled
+    FROM qs q
+    LEFT JOIN hits h ON h.query_id = q.query_id
+    LEFT JOIN rr r ON r.query_id = q.query_id
+    """,
+    "retrieval-quality evaluation as a query: per-query recall@5 and "
+    "scaled reciprocal rank of the LSH ANN rung against the "
+    "brute-force ground truth — the index-quality report a 100 TB "
+    "ANN deployment runs after every index build",
+)
+def ann_recall_eval(spark, sf_dir):
+    """Evaluate `knn_lsh_bucketed` against `knn_cosine_bruteforce`
+    per query (`operators/ranking.py::retrieval_eval`): hits in the
+    top-5, recall@5, and the ⌊1e6/rank⌋-scaled reciprocal rank of the
+    ground truth's nearest neighbor. pytest pins aggregate recall
+    floors (test_llm_ops.py); this makes the evaluation itself a
+    first-class, oracle-replayable query — queries with ZERO hits
+    still emit a row, so silent index misses surface.
+
+    Scale shape: both rankings are the already-bounded k-row-per-query
+    lists, so every eval join is rank-list-sized (broadcast); exact
+    integer hit counts and floor-scaled BIGINT reciprocal ranks — no
+    float means, hash-comparable cross-engine.
+    """
+    from purpleair_data_logger_spark.operators import ranking as rk
+
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    gt = sim.knn_bruteforce(em, queries, "vec_id", "embedding", k=5)
+    cand = sim.knn_lsh(
+        em, queries, "vec_id", "embedding", k=5, n_planes=36, bands=12
+    )
+    return rk.retrieval_eval(
+        gt, cand, "query_id", "neighbor_id", "knn_rank", k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.

@@ -158,6 +158,64 @@ def rrf_contribution(rank: Column) -> Column:
     )
 
 
+def retrieval_eval(
+    gt: DataFrame,
+    cand: DataFrame,
+    query_col: str,
+    item_col: str,
+    rank_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Per-query retrieval quality of ``cand`` against ground truth
+    ``gt`` (both (query, item, rank) lists, ranks 1..k): recall@k and
+    the scaled reciprocal rank of the ground truth's TOP-1 item.
+
+    The index-evaluation operator of the ANN/retrieval stack: run it
+    with gt = brute-force cosine and cand = any ladder rung (LSH, IVF,
+    IVF-SQ8) to measure the index, or with cand = a fused ranking to
+    measure the fuser. Exact arithmetic only: recall is an integer
+    hit count over a fixed k; the reciprocal rank is the same
+    ⌊scale/rank⌋ BIGINT transform RRF uses, so results are
+    hash-comparable cross-engine (no float mean over queries — emit
+    per-query rows and aggregate downstream when needed).
+
+    A query with no candidate hits still emits a row (0 hits, 0 rr) —
+    silent misses are the failure mode an eval must surface.
+    """
+    # every joined side is ≤ |queries|·k rows by construction (both
+    # inputs are already-cut rank lists), so broadcast explicitly —
+    # post-window/limit stats are opaque to AQE, which otherwise
+    # falls back to sort-merge
+    gt_items = gt.select(query_col, item_col)
+    n_hits = (
+        cand.join(F.broadcast(gt_items), on=[query_col, item_col], how="left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("_n_hits"))
+    )
+    top1 = gt.filter(F.col(rank_col) == 1).select(query_col, item_col)
+    rr = cand.join(F.broadcast(top1), on=[query_col, item_col]).select(
+        query_col,
+        F.floor(F.lit(RRF_SCALE) / F.col(rank_col).cast("double"))
+        .cast("long")
+        .alias("_rr"),
+    )
+    qs = gt.select(query_col).distinct()
+    return (
+        qs.join(F.broadcast(n_hits), query_col, "left")
+        .join(F.broadcast(rr), query_col, "left")
+        .select(
+            query_col,
+            F.coalesce(F.col("_n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("_n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k"),
+            F.coalesce(F.col("_rr"), F.lit(0).cast("long")).alias("rr_scaled"),
+        )
+    )
+
+
 def rrf_fuse(
     ranks_a: DataFrame,
     ranks_b: DataFrame,

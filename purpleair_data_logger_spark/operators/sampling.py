@@ -245,3 +245,41 @@ def token_budget_sample(
         F.col(token_col),
         F.col("bucket_cum_tokens"),
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    cutoff: str,
+    embargo: str | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-based train/test assignment with an embargo gap — the
+    leakage-safe split for TEMPORALLY correlated data (backtests,
+    forecasting, event models), complementing the cluster-keyed
+    `assign_split` which guards against CONTENT leakage.
+
+    Rows strictly before ``embargo`` (or ``cutoff`` when no embargo)
+    are ``train``; rows at/after ``cutoff`` are ``test``; rows in
+    [embargo, cutoff) are labeled ``embargo`` and kept visible — an
+    audit row a pipeline must consciously drop, not a silent hole.
+    The embargo absorbs look-ahead bleed (features computed over
+    trailing windows near the boundary see post-cutoff behavior).
+
+    NULL contract: a NULL timestamp carries no observation — the
+    caller filters (the catalog query does), since an unknown time
+    cannot be placed on either side of the boundary.
+
+    Scale shape: one codegen'd CASE projection, zero shuffles; with a
+    date-partitioned layout the cutoff predicates become partition
+    pruning on both downstream reads.
+    """
+    lo = embargo if embargo is not None else cutoff
+    c = F.col(ts_col)
+    return df.withColumn(
+        split_col,
+        F.when(c < F.lit(lo).cast("timestamp"), F.lit("train"))
+        .when(c >= F.lit(cutoff).cast("timestamp"), F.lit("test"))
+        .otherwise(F.lit("embargo")),
+    )

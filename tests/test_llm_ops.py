@@ -571,3 +571,62 @@ def test_rrf_fusion_integer_exact(spark):
     assert got[10] == (1, None, c(1), 2)
     assert got[40] == (None, 2, c(2), 3)
     assert got[30] == (3, None, c(3), 4)
+
+
+def test_retrieval_eval_counts_and_zero_hit_rows(spark):
+    """ranking.retrieval_eval: exact hit counts, ⌊1e6/rank⌋ reciprocal
+    rank of the ground truth's top-1, and a row for a query with ZERO
+    candidate hits (silent index misses must surface)."""
+    from purpleair_data_logger_spark.operators import ranking as rk
+
+    gt = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2), (3, 30, 1)],
+        "query_id long, neighbor_id long, knn_rank int",
+    )
+    cand = spark.createDataFrame(
+        # q1: finds both, top1 at rank 2; q2: finds one (not top1);
+        # q3: finds nothing relevant
+        [(1, 11, 1), (1, 10, 2), (2, 21, 1), (2, 99, 2), (3, 98, 1)],
+        "query_id long, neighbor_id long, knn_rank int",
+    )
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall_at_k"], r["rr_scaled"])
+        for r in rk.retrieval_eval(
+            gt, cand, "query_id", "neighbor_id", "knn_rank", k=2
+        ).collect()
+    }
+    assert got[1] == (2, 1.0, 1_000_000 // 2)
+    assert got[2] == (1, 0.5, 0)   # top1 (20) absent from candidates
+    assert got[3] == (0, 0.0, 0)   # zero-hit query still emits a row
+
+
+def test_temporal_split_boundary_semantics(spark):
+    """sampling.temporal_split: embargo start is inclusive-embargo,
+    cutoff is inclusive-test; without an embargo the cutoff splits
+    train/test exactly."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.operators.sampling import temporal_split
+
+    rows = [
+        (1, _dt.datetime(2024, 1, 22, 23, 59, 59)),
+        (2, _dt.datetime(2024, 1, 23, 0, 0, 0)),
+        (3, _dt.datetime(2024, 1, 24, 12, 0, 0)),
+        (4, _dt.datetime(2024, 1, 25, 0, 0, 0)),
+        (5, _dt.datetime(2024, 1, 26, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["split"]
+        for r in temporal_split(
+            df, "ts", cutoff="2024-01-25", embargo="2024-01-23"
+        ).collect()
+    }
+    assert got == {1: "train", 2: "embargo", 3: "embargo",
+                   4: "test", 5: "test"}
+    no_embargo = {
+        r["event_id"]: r["split"]
+        for r in temporal_split(df, "ts", cutoff="2024-01-25").collect()
+    }
+    assert no_embargo == {1: "train", 2: "train", 3: "train",
+                          4: "test", 5: "test"}

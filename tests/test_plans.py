@@ -853,3 +853,28 @@ def test_hybrid_rank_fusion_ranklist_sized_join(spark, sf):
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_temporal_split_zero_shuffle_pushdown(spark, sf):
+    """Temporal split: one codegen'd CASE projection — zero shuffles,
+    no window, NULL filters pushed to the parquet scan."""
+    plan = _plan(spark, sf, "temporal_split_embargo")
+    assert E.count(plan, "Exchange") == 0
+    assert "Window" not in plan
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "IsNotNull(ts)" in pushed and "IsNotNull(event_id)" in pushed
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_ann_recall_eval_ranklist_broadcast_joins(spark, sf):
+    """Retrieval eval: every eval-side join is over already-cut
+    rank lists (≤ |queries|·k rows) and must BROADCAST — post-window
+    stats are opaque to AQE, so the hints are load-bearing; no
+    sort-merge join, no cartesian, no Python anywhere."""
+    plan = _plan(spark, sf, "ann_recall_eval")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert E.count(plan, "BroadcastHashJoin") >= 6
+    # the only nested-loop joins are the pipelines' 1-row broadcasts
+    assert E.count(plan, "BroadcastNestedLoopJoin") <= 3
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
