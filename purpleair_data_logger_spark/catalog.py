@@ -641,17 +641,40 @@ def topk_orders(spark, sf_dir):
 @register(
     "asof_last_click",
     """
-    SELECT e.event_id, e.user_id, e.ts, c.ts AS asof_ts, c.value AS asof_value
-    FROM (SELECT * FROM events WHERE event_type = 'error') e
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      ON e.user_id = c.user_id AND e.ts >= c.ts
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'click'
+            AND ts IS NOT NULL AND user_id IS NOT NULL)
+    SELECT em.event_id, em.user_id, em.ts, c.ts AS asof_ts,
+           c.value AS asof_value
+    FROM (SELECT * FROM e
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL) em
+    ASOF LEFT JOIN c ON em.user_id = c.user_id AND em.ts >= c.ts
+    UNION ALL
+    SELECT event_id, user_id, ts,
+           CAST(NULL AS TIMESTAMP) AS asof_ts,
+           CAST(NULL AS DOUBLE) AS asof_value
+    FROM e WHERE ts IS NULL OR user_id IS NULL
     """,
     "as-of join (time-series most-recent-match; merge-scan, no range blowup)",
 )
 def asof_last_click(spark, sf_dir):
     """For each error event, the user's most recent click at-or-before
     it. Spark lacks a native as-of join; `operators.asof.asof_join`
-    implements the merge-scan formulation (one shuffle + one sort)."""
+    implements the merge-scan formulation (one shuffle + one sort).
+
+    The oracle spells out the operator's documented NULL contract
+    instead of trusting DuckDB's native ASOF with NULLs (r8
+    fuzz-found, surfaced by the widened mutation stream): DuckDB's
+    sort-based ASOF treats a NULL timestamp as LARGEST on both sides —
+    a NULL-ts error "matches" the user's latest click, and a NULL-ts
+    click can itself win as that latest state, yielding rows like
+    (asof_ts=NULL, asof_value=33.6), a payload matched at an unknown
+    time. The contract (asof.py): a NULL key/ts right row can never
+    win, a NULL key/ts left row can never match but is still emitted
+    with NULL payloads — so the oracle filters the right side and
+    bypasses+unions the left NULLs explicitly."""
     from purpleair_data_logger_spark.operators.asof import asof_join
 
     e = _t(spark, sf_dir, "events")
@@ -1542,14 +1565,21 @@ def text_normalize(spark, sf_dir):
       WHERE f.n_tokens >= 20 AND f.predicted_lang <> 'und'
         AND r.top_token_share <= 0.25),
     dd AS (
-      SELECT *, min(doc_id) OVER (PARTITION BY normalized_md5) AS _canonical
-      FROM kept),
+      -- one survivor ROW per normalized text, matching the Spark
+      -- groupBy(md5) aggregate exactly: the filter form
+      -- (doc_id = min-over-md5) emits every duplicate-PK copy of the
+      -- canonical doc (r8 fuzz-found once the duplicate-PK mutation
+      -- stream shifted) — an exact-dedup stage must collapse them
+      SELECT min(doc_id) AS doc_id,
+             min_by(n_tokens, doc_id) AS n_tokens,
+             min_by(stratum, doc_id) AS stratum
+      FROM kept GROUP BY normalized_md5),
     ranked AS (
       SELECT stratum, doc_id, n_tokens,
              CAST(row_number() OVER (
                  PARTITION BY stratum
                  ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS sel_rank
-      FROM dd WHERE doc_id = _canonical)
+      FROM dd)
     SELECT stratum, doc_id, n_tokens, sel_rank
     FROM ranked WHERE sel_rank <= 20
     """,

@@ -67,9 +67,32 @@ NULL_RATES = {
     ("documents", "text"): 0.01,
     ("documents", "lang"): 0.01,
     ("documents", "source"): 0.01,
+    # r8: the TPC-H fact/dim tables joined the fuzz surface once the
+    # order/lineitem query family grew past ten members — their NULL
+    # contracts were documented filters but never executable. Rates
+    # stay low: the spec declares these columns NOT NULL, so the twin
+    # models ingestion damage, not normal data.
+    ("orders", "o_custkey"): 0.01,
+    ("orders", "o_orderdate"): 0.005,
+    ("orders", "o_orderpriority"): 0.01,
+    ("lineitem", "l_partkey"): 0.01,
+    ("lineitem", "l_suppkey"): 0.01,
+    ("lineitem", "l_shipdate"): 0.005,
+    ("lineitem", "l_quantity"): 0.005,
+    ("lineitem", "l_extendedprice"): 0.005,
+    ("lineitem", "l_discount"): 0.005,
+    ("lineitem", "l_returnflag"): 0.005,
+    ("customer", "c_nationkey"): 0.01,
 }
 #: fraction of rows re-emitted as exact duplicates (PK violations)
-DUP_EXACT_RATE = {"events": 0.005, "documents": 0.01, "embeddings": 0.01}
+DUP_EXACT_RATE = {
+    "events": 0.005,
+    "documents": 0.01,
+    "embeddings": 0.01,
+    "orders": 0.005,
+    "lineitem": 0.005,
+    "customer": 0.005,
+}
 #: events only: fraction of rows re-emitted with the SAME (user_id,
 #: ts) but a fresh event_id and a different value — the duplicate-key
 #: class that breaks "one reading per key per timestamp" assumptions
@@ -148,18 +171,42 @@ def mutate_embeddings(table: pa.Table, rng: np.random.Generator) -> pa.Table:
     return table
 
 
+def _mutate_generic(name: str):
+    """NULL injection per NULL_RATES + exact full-row duplicates —
+    the shared shape for the TPC-H tables (orders/lineitem/customer),
+    which need no table-specific key tricks."""
+
+    def mutate(table: pa.Table, rng: np.random.Generator) -> pa.Table:
+        n = table.num_rows
+        for (t, col), rate in NULL_RATES.items():
+            if t == name:
+                table = _null_out(table, col, _mask(rng, n, rate))
+        pick = np.flatnonzero(_mask(rng, n, DUP_EXACT_RATE[name]))
+        if len(pick):
+            table = pa.concat_tables(
+                [table, table.slice(0, n).take(pa.array(pick))]
+            )
+        return table
+
+    return mutate
+
+
 MUTATORS = {
     "events": mutate_events,
     "documents": mutate_documents,
     "embeddings": mutate_embeddings,
+    "orders": _mutate_generic("orders"),
+    "lineitem": _mutate_generic("lineitem"),
+    "customer": _mutate_generic("customer"),
 }
 
 
 def build_mutated_dir(src_dir: str, dst_dir: str, seed: int = SEED) -> None:
     """Write the mutated twin of ``src_dir`` into ``dst_dir``. Tables
-    without a mutator are copied verbatim (the TPC-H tables keep their
-    NOT-NULL spirit: the catalog's pricing/order queries document the
-    spec's integrity constraints)."""
+    without a mutator (region/nation/supplier/part — pure dims with
+    single-digit NULL-sensitive queries) are copied verbatim; since r8
+    the orders/lineitem/customer facts mutate too, making the TPC-H
+    family's documented NULL filters executable."""
     os.makedirs(dst_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     for fname in sorted(os.listdir(src_dir)):

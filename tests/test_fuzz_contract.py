@@ -5,7 +5,7 @@ events.value/ts/user_id/event_type/props/event_id and
 documents.text/lang/source; duplicate (user_id, ts) pairs; exact
 duplicate-PK rows in all three mutable tables; empty-string text) and
 re-runs the full Spark-vs-DuckDB oracle comparison on the twin. The
-full sweep (120 queries) runs in the verify flow; this test keeps a
+full sweep (134 queries) runs in the verify flow; this test keeps a
 representative slice green in CI — one query per divergence class the
 round-6 sweep surfaced and fixed:
 
@@ -26,6 +26,17 @@ round-6 sweep surfaced and fixed:
 * duplicate-PK df inflation / row multiply    (keyword_extraction,
                                                corpus_build_final)
 * oracle PK-collapse vs per-row encode        (embedding_quantize_int8)
+
+Since r8 the orders/lineitem/customer facts mutate too (their NULL
+filters were documented but never executable), and the widened
+mutation stream surfaced the DuckDB-ASOF NULL-ts quirk now encoded in
+the asof_last_click oracle; the slice carries the TPC-H divergence
+classes:
+
+* NULL fact keys through joins/rollups        (revenue_rollup_region_nation,
+                                               late_sole_supplier)
+* NULL measures in exact-cents aggregates     (pricing_summary)
+* NULL keys in decorrelated scalar subqueries (small_quantity_revenue)
 """
 
 from __future__ import annotations
@@ -53,6 +64,10 @@ SLICE = [
     "keyword_extraction",
     "corpus_build_final",
     "embedding_quantize_int8",
+    "revenue_rollup_region_nation",
+    "late_sole_supplier",
+    "pricing_summary",
+    "small_quantity_revenue",
 ]
 
 
