@@ -162,6 +162,7 @@ HEADLINE = [
     "hybrid_rank_fusion",
     "temporal_split_embargo",
     "ann_recall_eval",
+    "orders_snapshot_diff",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -5652,6 +5652,96 @@ def ann_recall_eval(spark, sf_dir):
     )
 
 
+@register(
+    "orders_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM old WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM old WHERE o_orderkey % 83 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                  OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                  OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                  THEN 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL) OR (n.o_orderkey IS NULL)
+       OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+       OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+       OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+    """,
+    "snapshot reconciliation (CDC diff): row-level inserted/deleted/"
+    "changed classification between two table versions — one "
+    "co-partitioned full-outer PK join, NULL-safe column compare, "
+    "unchanged rows pruned before anything downstream",
+)
+def orders_snapshot_diff(spark, sf_dir):
+    """Diff two deterministic versions of the orders table
+    (`operators/diff.py::snapshot_diff`): the 'new' snapshot drops
+    every 97th key (deleted), bumps every 89th total (changed), and
+    re-keys every 83rd row past the key space (inserted) — a
+    synthetic-but-exact CDC fixture derived in-query from the same
+    scan, so the diff's output is fully predictable and replayable.
+
+    NULL contract: NULL keys filtered both sides (unaddressable rows
+    can't be reconciled); NULL→value flips in compared columns ARE
+    changes (NULL-safe equality, `eqNullSafe` ↔ IS DISTINCT FROM).
+
+    Scale shape: one full-outer equi-join on the PK (co-partitioned /
+    bucketed layouts make it exchange-free), NULL-safe comparisons in
+    codegen — no row hashing, no Python; the unchanged filter prunes
+    ~97% of the join output immediately.
+    """
+    from purpleair_data_logger_spark.operators.diff import snapshot_diff
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    old = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(*cols)
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderpriority",
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 83 == 0).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderpriority",
+            )
+        )
+    )
+    return snapshot_diff(
+        old,
+        new,
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.

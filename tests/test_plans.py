@@ -878,3 +878,21 @@ def test_ann_recall_eval_ranklist_broadcast_joins(spark, sf):
     # the only nested-loop joins are the pipelines' 1-row broadcasts
     assert E.count(plan, "BroadcastNestedLoopJoin") <= 3
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_snapshot_diff_one_full_outer_join_codegen_compare(spark, sf):
+    """CDC diff: exactly ONE equi-join (full outer on the PK — no
+    nested loop, no second scan-compare pass), NULL-safe column
+    comparison in pure codegen (no row hashing via Python), the
+    NULL-key filter pushed to the scan, and no window anywhere."""
+    plan = _plan(spark, sf, "orders_snapshot_diff")
+    n_joins = (E.count(plan, "SortMergeJoin")
+               + E.count(plan, "ShuffledHashJoin")
+               + E.count(plan, "BroadcastHashJoin"))
+    assert n_joins == 1
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert "IsNotNull(o_orderkey)" in " ".join(E.pushed_filters(plan))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan

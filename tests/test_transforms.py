@@ -154,3 +154,42 @@ def test_rename_round_trip(spark):
     assert "pm10_0_cf_1" in renamed.columns
     back = X.rename_to_api(renamed)
     assert "0.3_um_count" in back.columns
+
+
+def test_snapshot_diff_semantics(spark):
+    """operators/diff.py: inserted/deleted/changed classification,
+    NULL→value flips count as changes (NULL-safe equality), unchanged
+    rows are dropped, NULL keys carry no observation, and duplicate-PK
+    copies fan out identically (diff stays comparable on damaged
+    input)."""
+    from purpleair_data_logger_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0),
+         (4, "d", 40.0), (None, "x", 0.0), (6, "f", 60.0), (6, "f", 60.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),            # unchanged -> dropped
+         (2, "b", 21.0),            # changed (value)
+         (3, "c", 30.0),            # changed (NULL -> value)
+         (5, "e", 50.0),            # inserted
+         (None, "y", 0.0),          # NULL key: no observation
+         (6, "f", 61.0), (6, "f", 61.0)],  # dup PK, both changed
+        "k long, s string, v double",
+    )
+    rows = [
+        (r["k"], r["status"])
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    ]
+    from collections import Counter
+
+    got = Counter(rows)
+    assert got[(2, "changed")] == 1
+    assert got[(3, "changed")] == 1
+    assert got[(4, "deleted")] == 1
+    assert got[(5, "inserted")] == 1
+    assert got[(6, "changed")] == 4  # 2x2 dup fan-out, deterministic
+    assert sum(got.values()) == 8
+    assert not any(k is None for k, _ in rows)
+    assert not any(s == "unchanged" for _, s in rows)
