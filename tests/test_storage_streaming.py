@@ -2280,3 +2280,102 @@ def test_confirm_heavy_hitters_preserves_value_type(spark):
     got = {tuple(r) for r in confirmed.collect()}
     want = {tuple(r) for r in exact.collect()}
     assert got == want and want
+
+
+def test_streaming_funnel_exact_under_disorder(spark, tmp_path):
+    """Streaming funnel mirror: EXACT parity with the batch
+    conversion_funnel at EVERY emission point under deliberately
+    out-of-order cross-batch arrival (no disorder contract needed —
+    the anchored minima are monotone and the candidate buffers hold
+    every still-possible winner)."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.streaming.funnel import streaming_funnel
+
+    base = _dt.datetime(2024, 5, 1)
+    rows = []
+    # 6 users with distinct funnel shapes: full conversion, click but
+    # no purchase, view only, purchase before click (non-qualifying),
+    # click before view (qualifies only once a straggler view lands),
+    # and interleaved repeats
+    fixtures = {
+        1: [("view", 10), ("click", 20), ("purchase", 30)],
+        2: [("view", 10), ("click", 25), ("click", 15), ("purchase", 5)],
+        3: [("view", 40)],
+        4: [("purchase", 8), ("view", 9), ("click", 50), ("purchase", 60)],
+        5: [("click", 5), ("view", 3), ("purchase", 7), ("view", 2)],
+        6: [("view", 11), ("view", 4), ("click", 6), ("click", 12),
+            ("purchase", 13), ("purchase", 5)],
+    }
+    for uid, evs in fixtures.items():
+        for et, sec in evs:
+            rows.append((uid, et, base + _dt.timedelta(seconds=sec)))
+    # deterministic NON-time-ordered split: stride-3 interleave sends
+    # later events before earlier ones within every user
+    batches = [rows[0::3], rows[1::3], rows[2::3]]
+    schema = "user_id long, event_type string, ts timestamp"
+    src, out, ckpt = (str(tmp_path / d) for d in ("fsrc", "fout", "fckpt"))
+
+    from pyspark.sql import functions as _F
+
+    seen: list = []
+    for chunk in batches:
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        seen.extend(chunk)
+        q = streaming_funnel(spark, src, out, ckpt)
+        q.awaitTermination(120)
+
+        snaps = spark.read.parquet(out)
+        latest = snaps.join(
+            snaps.groupBy("user_id").agg(
+                _F.max("events_seen").alias("events_seen")
+            ),
+            on=["user_id", "events_seen"],
+        ).dropDuplicates(["user_id"])
+        got = {
+            r["user_id"]: (
+                r["t_view_us"], r["t_click_us"], r["t_purchase_us"],
+                r["converted"],
+            )
+            for r in latest.collect()
+        }
+        # batch operator on the exact prefix, timestamps to epoch-µs.
+        # conversion_funnel's body only needs (user_id, event_type, ts).
+        prefix = spark.createDataFrame(seen, schema)
+        v = (prefix.filter(_F.col("event_type") == "view")
+             .groupBy("user_id").agg(_F.min("ts").alias("t_view")))
+        c = (prefix.join(v, "user_id")
+             .filter((_F.col("event_type") == "click")
+                     & (_F.col("ts") > _F.col("t_view")))
+             .groupBy("user_id").agg(_F.min("ts").alias("t_click")))
+        p = (prefix.join(c, "user_id")
+             .filter((_F.col("event_type") == "purchase")
+                     & (_F.col("ts") > _F.col("t_click")))
+             .groupBy("user_id").agg(_F.min("ts").alias("t_purchase")))
+        want = {
+            r["user_id"]: (
+                r["tv"], r["tc"], r["tp"], r["tp"] is not None,
+            )
+            for r in v.join(c, "user_id", "left").join(p, "user_id", "left")
+            .select(
+                "user_id",
+                _F.unix_micros("t_view").alias("tv"),
+                _F.unix_micros("t_click").alias("tc"),
+                _F.unix_micros("t_purchase").alias("tp"),
+            )
+            .collect()
+        }
+        assert got == want, (got, want)
+    # final state sanity on the fixtures: user 4's early purchase
+    # (before its click) never converts it via the buffer path alone
+    assert got[1][3] is True and got[4][3] is True and got[3][3] is False
+    # user 5: the straggler view (t=2) requalified the click at t=5
+    # and the purchase at t=7
+    assert got[5] == (
+        int(_dt.datetime(2024, 5, 1, 0, 0, 2).timestamp() * 1_000_000),
+        int(_dt.datetime(2024, 5, 1, 0, 0, 5).timestamp() * 1_000_000),
+        int(_dt.datetime(2024, 5, 1, 0, 0, 7).timestamp() * 1_000_000),
+        True,
+    )
