@@ -163,6 +163,7 @@ HEADLINE = [
     "temporal_split_embargo",
     "ann_recall_eval",
     "orders_snapshot_diff",
+    "substring_search_trigram",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -5742,6 +5742,34 @@ def orders_snapshot_diff(spark, sf_dir):
     )
 
 
+@register(
+    "substring_search_trigram",
+    """
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, 'scan merge', '')))
+                / length('scan merge') AS BIGINT) AS n_occurrences
+    FROM documents
+    WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      AND position('scan merge' IN text) > 0
+    """,
+    "grep-at-scale: literal substring search via a character-trigram "
+    "inverted-index candidate pass + exact verify — candidates bounded "
+    "by the rarest gram's posting list, never a corpus-wide contains()",
+)
+def substring_search_trigram(spark, sf_dir):
+    """Documents containing the literal 'scan merge' with exact
+    occurrence counts (`operators/text.py::substring_search`). The
+    oracle states the semantic spec (position + replace-length
+    identity); the Spark plan is the index formulation: distinct-gram
+    explode semi-joined against the broadcast query-gram set, full-
+    coverage candidates only, exact contains verify on candidates —
+    at 100 TB the exploded (gram, doc) pairs are a persisted inverted
+    index and the scan-every-byte LIKE never runs corpus-wide.
+    """
+    d = _t(spark, sf_dir, "documents")
+    return tx.substring_search(d, "doc_id", "text", "scan merge")
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.

@@ -1132,3 +1132,86 @@ def quality_classifier_score(
         margin.alias("margin"),
         (margin > 0.0).alias("quality_pass"),
     )
+
+
+def substring_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    *,
+    gram_n: int = 3,
+) -> DataFrame:
+    """Literal substring search via a character-n-gram inverted-index
+    candidate pass + exact verify — grep-at-scale.
+
+    A naive ``contains()`` scan reads every byte of a 100 TB corpus
+    per query. The index formulation bounds it: a document can contain
+    the literal only if it contains EVERY one of the query's character
+    n-grams, so the candidate pass is a distinct-gram explode
+    semi-joined against the (broadcast, tiny) query-gram set, counted
+    per doc and kept only at full coverage — candidate cardinality is
+    bounded by the query's RAREST gram's posting list, typically
+    orders of magnitude under the corpus. Only candidates pay the
+    exact ``contains`` verify + occurrence count. In a deployment the
+    exploded (gram, doc) pairs are the PERSISTED inverted index
+    (built once, queried many times — the `neardup_incremental_batch`
+    index pattern); here it is built inline so the catalog query is
+    self-contained.
+
+    Occurrence count is the exact non-overlapping-scan identity
+    (len(text) − len(replace(text, q))) / len(q) — engine-portable
+    integer arithmetic.
+
+    NULL contract: NULL text or NULL id carries no observation
+    (filtered both engines). Queries shorter than ``gram_n`` fall
+    back to the verify scan alone (no gram can prune).
+
+    Output: (id, n_occurrences) for documents containing the literal.
+    """
+    if len(query) < gram_n:
+        base = df.filter(
+            F.col(id_col).isNotNull()
+            & F.col(text_col).isNotNull()
+            & F.col(text_col).contains(query)
+        )
+    else:
+        qgrams = sorted(
+            {query[i : i + gram_n] for i in range(len(query) - gram_n + 1)}
+        )
+        docs = df.filter(
+            F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        spark = df.sparkSession
+        qg = spark.createDataFrame([(g,) for g in qgrams], ["_g"])
+        grams = docs.select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length({text_col})"
+                        f" - {gram_n - 1}, 0)), i ->"
+                        f" substring({text_col}, i, {gram_n}))"
+                    )
+                )
+            ).alias("_g"),
+        )
+        cands = (
+            grams.join(F.broadcast(qg), "_g", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_n_g"))
+            .filter(F.col("_n_g") == len(qgrams))
+            .select(id_col)
+        )
+        base = docs.join(cands, id_col, "left_semi").filter(
+            F.col(text_col).contains(query)
+        )
+    return base.select(
+        id_col,
+        (
+            (F.length(text_col) - F.length(F.replace(F.col(text_col), F.lit(query))))
+            / F.lit(len(query))
+        )
+        .cast("long")
+        .alias("n_occurrences"),
+    )

@@ -586,3 +586,34 @@ def test_bigram_lm_plan_is_join_attach_no_window(spark, sf_dir):
     plan = E.formatted_plan(df)
     assert "Window" not in plan  # hot bigrams attach by join, never a window
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_search_counts_and_fallback(spark):
+    """text.substring_search: exact non-overlapping occurrence counts,
+    full-coverage gram pruning (a doc with SOME query grams but not
+    the literal is excluded), NULL text/id carry no observation, and
+    sub-gram_n queries fall back to the verify scan."""
+    from purpleair_data_logger_spark.operators.text import substring_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "xx scan merge yy scan merge zz"),   # 2 occurrences
+            (2, "scan then merge"),                  # grams differ -> excluded
+            (3, "a scan merger"),                    # contains as prefix: 1
+            (4, None),
+            (None, "scan merge"),
+            (5, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in substring_search(docs, "doc_id", "text", "scan merge").collect()
+    }
+    assert got == {1: 2, 3: 1}
+    # short query: fallback path, same output contract
+    got2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in substring_search(docs, "doc_id", "text", "zz").collect()
+    }
+    assert got2 == {1: 1}

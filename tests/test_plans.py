@@ -896,3 +896,17 @@ def test_snapshot_diff_one_full_outer_join_codegen_compare(spark, sf):
     assert "Window" not in plan
     assert "IsNotNull(o_orderkey)" in " ".join(E.pushed_filters(plan))
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_substring_search_index_prune_shape(spark, sf):
+    """Grep-at-scale: the candidate pass must be a distinct-gram
+    explode (Generate) semi-joined against the BROADCAST query-gram
+    set — never a corpus-wide LIKE without pruning, never a cartesian;
+    exact verify runs on candidates via a second semi join."""
+    plan = _plan(spark, sf, "substring_search_trigram")
+    assert "Generate" in plan
+    assert "LeftSemi" in plan
+    assert E.count(plan, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
