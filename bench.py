@@ -164,6 +164,7 @@ HEADLINE = [
     "ann_recall_eval",
     "orders_snapshot_diff",
     "substring_search_trigram",
+    "heavy_part_suppliers",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

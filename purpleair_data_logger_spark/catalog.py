@@ -5770,6 +5770,92 @@ def substring_search_trigram(spark, sf_dir):
     return tx.substring_search(d, "doc_id", "text", "scan merge")
 
 
+@register(
+    "heavy_part_suppliers",
+    """
+    WITH heavy AS (
+      SELECT l_partkey FROM (
+        SELECT l.l_partkey, p.p_size,
+               CAST(sum(round(l.l_quantity)) AS BIGINT) AS qty_1995
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_partkey IS NOT NULL AND l.l_suppkey IS NOT NULL
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2)
+      WHERE qty_1995 > 20 * p_size
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_heavy_parts
+    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    WHERE l.l_partkey IN (SELECT l_partkey FROM heavy)
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1, 2
+    ORDER BY n_heavy_parts DESC, s_suppkey
+    LIMIT 100
+    """,
+    "TPC-H Q20 shape: IN-subquery whose members are defined by a "
+    "correlated aggregate threshold (parts shipped beyond 20x their "
+    "size in 1995), resolved to the suppliers moving them — "
+    "decorrelated to one aggregate + semi joins, never a per-row "
+    "re-scan",
+)
+def heavy_part_suppliers(spark, sf_dir):
+    """Suppliers ranked by how many 'heavy' parts they shipped in
+    1995, where heavy means the part's total 1995 shipped quantity
+    exceeds 20× its size — the TPC-H Q20 pattern (an IN-subquery whose
+    membership is itself a correlated aggregate comparison; the
+    reference schema has no partsupp table, so p_size stands in for
+    the availability threshold — the SHAPE is the point).
+
+    The oracle states the classic IN form; the Spark plan decorrelates
+    it: ONE per-(partkey, size) aggregate over the date-pruned
+    lineitem scan produces the heavy-part key set, which semi-joins
+    back into the same date-pruned fact — never a per-row re-scan of
+    lineitem per candidate.
+
+    Scale shape: the date predicate is pushed to both lineitem scans
+    (partition pruning at scale); the quantity threshold is exact
+    integer cross-multiplication (Σround(qty) > 20·size — BIGINT, no
+    float avg); the heavy-key set is aggregate-output-sized so AQE
+    broadcasts the semi join; supplier is a broadcast dim; distinct
+    part counting is a two-phase aggregate on the surviving rows; the
+    top-100 plans as TakeOrderedAndProject with a deterministic
+    s_suppkey tie-break.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_partkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+            & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        )
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    heavy = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "p_size")
+        .agg(F.sum("qty").alias("_qty"))
+        .filter(F.col("_qty") > F.lit(20) * F.col("p_size"))
+        .select("l_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.join(heavy, "l_partkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("l_partkey").alias("n_heavy_parts"))
+        .orderBy(F.desc("n_heavy_parts"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.

@@ -5,7 +5,7 @@ events.value/ts/user_id/event_type/props/event_id and
 documents.text/lang/source; duplicate (user_id, ts) pairs; exact
 duplicate-PK rows in all three mutable tables; empty-string text) and
 re-runs the full Spark-vs-DuckDB oracle comparison on the twin. The
-full sweep (135 queries) runs in the verify flow; this test keeps a
+full sweep (137 queries) runs in the verify flow; this test keeps a
 representative slice green in CI — one query per divergence class the
 round-6 sweep surfaced and fixed:
 

@@ -910,3 +910,20 @@ def test_substring_search_index_prune_shape(spark, sf):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_heavy_part_suppliers_decorrelated_semi_join(spark, sf):
+    """TPC-H Q20 shape: the IN-subquery's correlated-aggregate
+    membership must plan as ONE per-part aggregate + a semi join back
+    into the date-pruned fact — no nested loop, no re-scan per row;
+    the 1995 predicate reaches the lineitem scans and the top-100 is
+    TakeOrderedAndProject."""
+    plan = _plan(spark, sf, "heavy_part_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "l_shipdate" in pushed
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
