@@ -68,6 +68,8 @@ SLICE = [
     "late_sole_supplier",
     "pricing_summary",
     "small_quantity_revenue",
+    "orders_snapshot_diff",      # dup-PK join fan-out determinism
+    "substring_search_trigram",  # NULL/empty-text gram fabrication
 ]
 
 
