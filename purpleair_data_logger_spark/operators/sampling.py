@@ -16,6 +16,8 @@ is a literal, not a join).
 
 from __future__ import annotations
 
+from datetime import datetime
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -275,6 +277,30 @@ def temporal_split(
     date-partitioned layout the cutoff predicates become partition
     pruning on both downstream reads.
     """
+    def _parse(label: str, value: str):
+        # Driver-side guard: the arguments become plan-time literals, so a
+        # swapped/mistyped pair would otherwise SILENTLY label rows in
+        # [cutoff, embargo) as 'train' — the exact test-into-train leakage
+        # this operator exists to prevent. ISO-8601 is the documented
+        # contract (what the catalog and tests pass); reject early and
+        # loudly rather than let Spark's lenient cast mislabel.
+        try:
+            return datetime.fromisoformat(str(value))
+        except ValueError as exc:
+            raise ValueError(
+                f"temporal_split: {label}={value!r} is not an ISO-8601 "
+                f"timestamp: {exc}"
+            ) from None
+
+    cutoff_ts = _parse("cutoff", cutoff)
+    if embargo is not None:
+        embargo_ts = _parse("embargo", embargo)
+        if embargo_ts > cutoff_ts:
+            raise ValueError(
+                f"temporal_split: embargo ({embargo}) must be at or before "
+                f"cutoff ({cutoff}) — an embargo AFTER the cutoff would "
+                f"label test-period rows as 'train'"
+            )
     lo = embargo if embargo is not None else cutoff
     c = F.col(ts_col)
     return df.withColumn(

@@ -1184,13 +1184,19 @@ def substring_search(
         )
         spark = df.sparkSession
         qg = spark.createDataFrame([(g,) for g in qgrams], ["_g"])
-        grams = docs.select(
+        # Docs shorter than gram_n cannot contain the (longer) query at
+        # all — filter them BEFORE the gram pass. Without this,
+        # sequence(1, 0) yields the DESCENDING [1, 0] (Spark defaults
+        # step -1 when start > stop), fabricating a position-0 substring
+        # and truncated grams for every short/empty document — harmless
+        # to results but wasted explode work at corpus scale (ADVICE r8).
+        grams = docs.filter(F.length(text_col) >= gram_n).select(
             id_col,
             F.explode(
                 F.array_distinct(
                     F.expr(
-                        f"transform(sequence(1, greatest(length({text_col})"
-                        f" - {gram_n - 1}, 0)), i ->"
+                        f"transform(sequence(1, length({text_col})"
+                        f" - {gram_n - 1}), i ->"
                         f" substring({text_col}, i, {gram_n}))"
                     )
                 )

@@ -244,6 +244,23 @@ def release_lease(base: str, owner: str | None = None) -> bool:
     heartbeat — is preserved. Returns True iff a lease we owned was
     removed. ``owner=None`` keeps the legacy unconditional unlink for
     callers that hold no token (tests, manual cleanup).
+
+    RESIDUAL WINDOW (ADVICE r8, documented contract): between the
+    rename-aside and the link-back the lease file is absent from its
+    path, so a concurrent `acquire_lease` inside that window succeeds
+    via O_EXCL while the displaced owner still believes it holds the
+    lease. The window is a few syscalls wide and only opens when a
+    NON-owner calls release with a stale token (the owner's own
+    release deletes, never restores), and the displaced owner's next
+    `snapshot_commit` fails loudly on the ownership check — the
+    all-or-none publish is never silently interleaved, but two writers
+    CAN briefly stage concurrently into their own __staging dirs. The
+    heartbeat thread (`tables.py::_beat`) retries once across the
+    window so a live owner is not stale-reclaimed because of it. A
+    fully atomic conditional delete needs flock()/fcntl ownership,
+    which does not survive the process-crash reclaim semantics this
+    protocol is built around (mtime staleness), so the window is
+    accepted and documented instead.
     """
     lease = _lease_path(base)
     if owner is None:
@@ -413,34 +430,46 @@ def heal_snapshot(
             heal_token = writer_id
         else:
             heal_token = acquire_lease(base, None, lease_ttl)
-    if os.path.exists(committed):
-        for l in _snapshot_members(base, committed):
-            staged = staging_path(l)
-            if os.path.isdir(staged):
-                if is_committed(staged):
-                    commit(l)
-                elif _partition_entries(staged):
-                    raise RuntimeError(
-                        f"snapshot member {l} has partitions staged but no "
-                        f"{SUCCESS_FILE} despite the committed snapshot marker"
-                    )
-                else:  # husk: crash between _SUCCESS retraction and rmtree
+    if heal_token is None:
+        # No marker existed when we looked — nothing to heal. A marker
+        # that appears ONLY after this point is a live writer's freshly
+        # begun snapshot; healing it without holding its lease would
+        # destroy in-flight staging, so do not re-check here.
+        return None
+    # The roll can raise (staged-without-_SUCCESS contract violation, a
+    # shutil failure) and a concurrent healer may have finished both
+    # markers between our check and the branches below. Release the
+    # lease on EVERY exit — leaking it would block all writers for a
+    # full lease TTL (ADVICE r8).
+    try:
+        if os.path.exists(committed):
+            for l in _snapshot_members(base, committed):
+                staged = staging_path(l)
+                if os.path.isdir(staged):
+                    if is_committed(staged):
+                        commit(l)
+                    elif _partition_entries(staged):
+                        raise RuntimeError(
+                            f"snapshot member {l} has partitions staged but no "
+                            f"{SUCCESS_FILE} despite the committed snapshot marker"
+                        )
+                    else:  # husk: crash between _SUCCESS retraction and rmtree
+                        shutil.rmtree(staged)
+                else:
+                    _restore_retired(l)
+            os.remove(committed)
+            return "rolled_forward"
+        if os.path.exists(pending):
+            for l in _snapshot_members(base, pending):
+                staged = staging_path(l)
+                if os.path.isdir(staged):
                     shutil.rmtree(staged)
-            else:
                 _restore_retired(l)
-        os.remove(committed)
+            os.remove(pending)
+            return "rolled_back"
+        return None
+    finally:
         release_lease(base, owner=heal_token)
-        return "rolled_forward"
-    if os.path.exists(pending):
-        for l in _snapshot_members(base, pending):
-            staged = staging_path(l)
-            if os.path.isdir(staged):
-                shutil.rmtree(staged)
-            _restore_retired(l)
-        os.remove(pending)
-        release_lease(base, owner=heal_token)
-        return "rolled_back"
-    return None
 
 
 def _snapshot_members(base: str, marker: str) -> list[str]:

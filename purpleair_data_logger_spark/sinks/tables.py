@@ -229,7 +229,16 @@ class SensorTableStore:
         def _beat() -> None:
             while not stop_beat.wait(atomic.HEARTBEAT_INTERVAL):
                 if not atomic.snapshot_heartbeat(self.base_path):
-                    return
+                    # A missing lease is USUALLY a reclaim (stop quietly;
+                    # the loud failure is snapshot_commit's ownership
+                    # check) — but another store's release_lease momentarily
+                    # renames the file aside before linking it back
+                    # (ADVICE r8), so retry once after a short sleep
+                    # before concluding the lease is really gone.
+                    if stop_beat.wait(0.2):
+                        return
+                    if not atomic.snapshot_heartbeat(self.base_path):
+                        return
         beater = threading.Thread(
             target=_beat, name="snapshot-lease-heartbeat", daemon=True
         )

@@ -41,6 +41,14 @@ import sys
 #: trips both.
 REGRESSION_FACTOR = 2.0
 ABS_REGRESSION_SEC = 1.0
+#: The +ABS_REGRESSION_SEC band exists to filter sub-second scheduler
+#: jitter ONLY — applied to every row it would silently waive genuine
+#: 2-3x plan regressions on 0.3-1 s baselines' bigger siblings (ADVICE
+#: r8: 1.4 s -> 2.3 s is +0.9 s and 1.6x — fine; but the AND rule also
+#: waived e.g. 1.2 s -> 2.3 s at 1.9x… and would waive 1.05 -> 2.05 s
+#: at 1.95x). Above this baseline threshold the factor alone decides:
+#: a >=1 s row that doubles moved by >=1 s of real work, not jitter.
+JITTER_BASELINE_SEC = 1.0
 
 #: COMMITTED evidence-row classification (ADVICE r7: the guard must
 #: not read `evidence_legs` from the run-under-test — that lets any
@@ -177,7 +185,11 @@ def main() -> None:
     regressions = []
     for name in shared:
         b, n = base[name], now["queries"][name]
-        if n > REGRESSION_FACTOR * b and n > b + ABS_REGRESSION_SEC:
+        over_factor = n > REGRESSION_FACTOR * b
+        # Sub-JITTER_BASELINE_SEC rows need BOTH bounds (2x of 0.3 s is
+        # scheduler noise); at/above it the factor alone trips — the
+        # absolute band must not waive mid-range plan regressions.
+        if over_factor and (b >= JITTER_BASELINE_SEC or n > b + ABS_REGRESSION_SEC):
             regressions.append((name, b, n))
         print(
             f"{name:38s} best {b:7.3f} ({src[name]:>14s})  "
@@ -196,8 +208,9 @@ def main() -> None:
         print(f"stable-subset subtotal: {now['stable_subset_sec']:.3f}s "
               f"(r1-era rows, comparable round-over-round)")
     if regressions:
-        print(f"\nREGRESSIONS (> {REGRESSION_FACTOR}x best prior AND "
-              f"> +{ABS_REGRESSION_SEC}s over it):")
+        print(f"\nREGRESSIONS (> {REGRESSION_FACTOR}x best prior; sub-"
+              f"{JITTER_BASELINE_SEC}s baselines also need "
+              f"> +{ABS_REGRESSION_SEC}s):")
         for name, b, n in regressions:
             print(f"  {name}: {b:.3f} -> {n:.3f}")
         raise SystemExit(1)

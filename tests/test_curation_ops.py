@@ -617,3 +617,22 @@ def test_substring_search_counts_and_fallback(spark):
         for r in substring_search(docs, "doc_id", "text", "zz").collect()
     }
     assert got2 == {1: 1}
+
+
+def test_substring_search_short_docs_skip_gram_pass(spark):
+    """ADVICE r8: docs shorter than gram_n cannot contain the query —
+    they are filtered BEFORE gram generation (Spark's sequence(1, 0)
+    is the DESCENDING [1, 0], which fabricated truncated grams for
+    every short/empty doc). Results are unchanged; this pins the
+    empty/short-doc behavior end-to-end."""
+    from purpleair_data_logger_spark.operators.text import substring_search
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "needle"), (4, "a needle b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in substring_search(docs, "doc_id", "text", "needle").collect()
+    }
+    assert got == {3: 1, 4: 1}

@@ -630,3 +630,34 @@ def test_temporal_split_boundary_semantics(spark):
     }
     assert no_embargo == {1: "train", 2: "train", 3: "train",
                           4: "test", 5: "test"}
+
+
+def test_temporal_split_rejects_swapped_or_garbage_bounds(spark):
+    """ADVICE r8: swapped/mistyped cutoff-embargo arguments used to
+    SILENTLY label rows in [cutoff, embargo) as 'train' — the exact
+    test-into-train leakage the operator exists to prevent. Now a
+    driver-side guard raises before any row is labeled."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from purpleair_data_logger_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 24))], "event_id long, ts timestamp"
+    )
+    # Swapped arguments: embargo AFTER cutoff.
+    with _pytest.raises(ValueError, match="at or before cutoff"):
+        temporal_split(df, "ts", cutoff="2024-01-23", embargo="2024-01-25")
+    # Unparseable strings fail loudly, not via Spark's lenient cast.
+    with _pytest.raises(ValueError, match="not an ISO-8601"):
+        temporal_split(df, "ts", cutoff="not-a-date")
+    with _pytest.raises(ValueError, match="not an ISO-8601"):
+        temporal_split(df, "ts", cutoff="2024-01-25", embargo="01/23/2024")
+    # embargo == cutoff degenerates to a plain cutoff split — allowed.
+    assert (
+        temporal_split(
+            df, "ts", cutoff="2024-01-25", embargo="2024-01-25"
+        ).collect()[0]["split"]
+        == "train"
+    )

@@ -147,3 +147,37 @@ def test_bench_compare_jitter_band_and_pinned_evidence(tmp_path):
     r = subprocess.run([sys.executable, script, str(ne), str(pe)],
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_bench_compare_midrange_factor_only(tmp_path):
+    """ADVICE r8: the +1s jitter band is a SUB-second-baseline filter
+    only — at/above JITTER_BASELINE_SEC the factor alone decides, so
+    the absolute band can never waive a mid-range plan regression
+    (even if ABS_REGRESSION_SEC is later raised)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    base = {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+            "queries": {"sub": 0.45, "mid": 1.2}}
+    # sub 0.45 -> 1.3: 2.9x but +0.85s -> inside the sub-second jitter
+    # band, waived; mid 1.2 -> 1.9: 1.6x -> fine.
+    now_ok = {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+              "queries": {"sub": 1.3, "mid": 1.9}}
+    # mid 1.2 -> 2.9: 2.4x -> regression by factor alone.
+    now_bad = {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+               "queries": {"sub": 0.5, "mid": 2.9}}
+    paths = {}
+    for name, data in [("base", base), ("ok", now_ok), ("bad", now_bad)]:
+        p = tmp_path / f"{name}.json"
+        p.write_text(json.dumps(data))
+        paths[name] = str(p)
+    script = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "scripts", "bench_compare.py")
+    r = subprocess.run([sys.executable, script, paths["ok"], paths["base"]],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    r = subprocess.run([sys.executable, script, paths["bad"], paths["base"]],
+                       capture_output=True, text=True)
+    assert r.returncode == 1 and "mid" in r.stdout

@@ -208,3 +208,50 @@ def test_heartbeat_tolerates_missing_lease(tmp_path):
     assert atomic.snapshot_heartbeat(base) is False  # no lease at all
     atomic.acquire_lease(base, "writer-A")
     assert atomic.snapshot_heartbeat(base) is True
+
+
+def test_heal_releases_lease_when_roll_raises(tmp_path):
+    """ADVICE r8: heal_snapshot acquires a heal_token before the roll;
+    if the roll raises (staged-without-_SUCCESS contract violation
+    under a committed marker) the lease must be released on the way
+    out — leaking it would block every writer for a full lease TTL."""
+    base = str(tmp_path)
+    live = _member(base, "t1", staged_success=False)
+    atomic.snapshot_begin(base, [live], writer_id="crashed-writer")
+    # Corrupt state a crash can leave: marker flipped to COMMITTED but
+    # a member staged without _SUCCESS (snapshot_commit itself refuses
+    # this, so flip manually).
+    os.replace(
+        os.path.join(base, atomic.SNAPSHOT_PENDING),
+        os.path.join(base, atomic.SNAPSHOT_COMMIT),
+    )
+    _age_lease(base, atomic.DEFAULT_LEASE_TTL + 60)
+    with pytest.raises(RuntimeError, match="despite the committed"):
+        atomic.heal_snapshot(base)
+    # The failure exit released the heal lease: an operator can retry
+    # (or a writer can heal) immediately instead of waiting out the TTL.
+    assert not os.path.exists(os.path.join(base, atomic.SNAPSHOT_LEASE))
+
+
+def test_heal_releases_lease_when_markers_vanish_mid_heal(tmp_path, monkeypatch):
+    """ADVICE r8: a concurrent healer finishing between heal's marker
+    check and its branch dispatch leaves this healer holding a lease
+    with nothing to do — it must return None AND release the lease."""
+    base = str(tmp_path)
+    live = _member(base, "t1")
+    atomic.snapshot_begin(base, [live], writer_id="crashed-writer")
+    _age_lease(base, atomic.DEFAULT_LEASE_TTL + 60)
+    real_acquire = atomic.acquire_lease
+    def racing_acquire(b, writer_id=None, ttl=atomic.DEFAULT_LEASE_TTL):
+        token = real_acquire(b, writer_id, ttl)
+        # Simulate the concurrent healer completing its rollback inside
+        # the window after this healer's marker check.
+        pending = os.path.join(b, atomic.SNAPSHOT_PENDING)
+        if os.path.exists(pending):
+            os.remove(pending)
+        return token
+    monkeypatch.setattr(atomic, "acquire_lease", racing_acquire)
+    assert atomic.heal_snapshot(base) is None
+    assert not os.path.exists(os.path.join(base, atomic.SNAPSHOT_LEASE))
+    # Store is immediately writable again.
+    atomic.snapshot_begin(base, [live], writer_id="writer-next")
