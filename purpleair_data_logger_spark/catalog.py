@@ -5856,6 +5856,354 @@ def heavy_part_suppliers(spark, sf_dir):
     )
 
 
+@register(
+    "order_count_distribution",
+    """
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    )
+    GROUP BY 1
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+    "TPC-H Q13 shape: outer-join histogram — customers by how many "
+    "non-urgent orders they placed, INCLUDING the zero-order bucket "
+    "(the filter must live in the join condition, not WHERE)",
+)
+def order_count_distribution(spark, sf_dir):
+    """Distribution of customers by their count of non-urgent orders —
+    the TPC-H Q13 shape (left outer join + double aggregation). The
+    classic trap: putting the priority filter in WHERE silently turns
+    the outer join inner and drops the zero-order customers that ARE
+    the point of the histogram; it stays in the join condition.
+
+    Scale shape: customer and orders shuffle once on custkey (both
+    fact-sized at 100 TB — no broadcast); the per-customer count is a
+    map-side-combinable aggregate; the second aggregate runs over one
+    row per customer and the final histogram is tiny. The priority
+    predicate is evaluated join-side so Catalyst still pushes the
+    orders column pruning (custkey, orderkey, priority only) to the
+    scan.
+    """
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY 1
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_cents DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    "TPC-H Q18 shape: group-filter IN-subquery (orders whose total "
+    "shipped quantity exceeds a threshold) resolved to the customers "
+    "placing them — aggregate once, join the tiny survivor set back",
+)
+def large_volume_customers(spark, sf_dir):
+    """The 100 largest orders by value among those moving more than
+    250 units, with their customers — the TPC-H Q18 pattern (an
+    IN-subquery whose membership is a HAVING-filtered aggregate over
+    the fact table).
+
+    Decorrelated Spark plan: ONE per-orderkey aggregate over lineitem
+    (quantity summed as exact BIGINT units) filtered to the >250
+    survivors, which then drive equi-joins into orders and customer —
+    never a per-order re-scan of lineitem. The HAVING survivor set is
+    a tiny fraction of orders (p99 of the per-order quantity sum), so
+    AQE broadcasts it into the orders probe; money is exact cents.
+
+    Scale shape: lineitem shuffles once on l_orderkey (map-side
+    combine first); orders joins the broadcast survivor set without
+    shuffling; customer is dim-sized relative to the 100-row-bound
+    output and joins broadcast; the top-100 plans as
+    TakeOrderedAndProject with a deterministic orderkey tie-break.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_quantity")).cast("long").alias("_qty"),
+        )
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("_qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "total_cents", "sum_qty",
+        )
+        .orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "supplier_part_breadth",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND l.l_suppkey IS NOT NULL AND l.l_partkey IS NOT NULL
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    LIMIT 100
+    """,
+    "TPC-H Q16 shape: supplier breadth per part attribute with a "
+    "NOT-IN exclusion list — anti-join against the (tiny) excluded "
+    "supplier set, then a distinct-count aggregate",
+)
+def supplier_part_breadth(spark, sf_dir):
+    """How many distinct suppliers ship each (brand, size) of part,
+    excluding one brand and every supplier in arrears — the TPC-H Q16
+    pattern (NOT IN exclusion + COUNT(DISTINCT) over a dimension
+    attribute rollup; the reference schema has no partsupp table, so
+    observed lineitem (part, supplier) pairs stand in for it).
+
+    The NOT IN resolves to a broadcast left-anti join against the
+    negative-balance supplier list (exclusion lists are always tiny
+    relative to the fact); the brand filter pushes into the part
+    dimension BEFORE its broadcast join; the distinct count is
+    Spark's two-phase partial-distinct aggregate — dedup on
+    (brand, size, suppkey) map-side, count reduce-side — never a
+    global sort.
+
+    Scale shape: one shuffle on the group keys; part and the
+    exclusion list broadcast; top-100 is TakeOrderedAndProject with
+    (brand, size) completing a deterministic total order.
+    """
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") != "Brand#45")
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull() & F.col("l_partkey").isNotNull()
+    ).select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+        .limit(100)
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    WITH bal AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+      WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
+    ),
+    stat AS (
+      SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
+             CAST(count(*) AS BIGINT) AS n_c
+      FROM bal WHERE bal_c > 0
+    )
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(bal_c) AS BIGINT) AS total_bal_cents
+    FROM bal, stat
+    WHERE bal_c * n_c > sum_c
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+                              AND o_custkey IS NOT NULL)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "TPC-H Q22 shape: above-average balances with NO recent activity "
+    "— global scalar aggregate broadcast + anti-join against the "
+    "date-pruned fact",
+)
+def idle_rich_customers(spark, sf_dir):
+    """Customers whose balance beats the positive-balance average but
+    who placed no order since 2000 — the TPC-H Q22 pattern (a global
+    scalar subquery feeding a per-row comparison, plus a NOT EXISTS
+    anti-join; idleness here is recency-based since every customer in
+    the testdata has SOME order).
+
+    The scalar average never re-executes per row: one 1-row aggregate
+    (sum, count as exact cents/BIGINT) cross-joins broadcast, and the
+    comparison is exact integer cross-multiplication
+    ``bal_c * n > sum_c`` — no float-average boundary. The NOT IN is a
+    left-anti join against orders date-pruned BEFORE the join (at
+    scale that predicate is partition pruning, and the distinct
+    custkey set it leaves is months-sized, not history-sized).
+
+    Scale shape: customer scans once for the scalar and once for the
+    probe (two column-pruned reads); the anti join shuffles on
+    custkey or broadcasts the pruned side under AQE; final rollup is
+    segment-sized.
+
+    NULL contract: a NULL custkey/segment carries no observation
+    (filtered both engines); a NULL o_custkey in the subquery would
+    null the oracle's entire NOT IN under three-valued logic while
+    Spark's anti join shrugs it off — the classic NOT-IN trap, found
+    by the fuzz sweep — so it is filtered explicitly on BOTH sides.
+    """
+    bal = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey").isNotNull() & F.col("c_mktsegment").isNotNull())
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+        )
+    )
+    stat = bal.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("_sum_c"), F.count(F.lit(1)).alias("_n_c")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            & F.col("o_custkey").isNotNull()
+        )
+        .select("o_custkey")
+    )
+    return (
+        bal.crossJoin(F.broadcast(stat))
+        .filter(F.col("bal_c") * F.col("_n_c") > F.col("_sum_c"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_c").alias("total_bal_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "min_cost_supplier",
+    """
+    WITH offer AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT l_partkey, min(min_price) AS best_price FROM offer GROUP BY 1
+    )
+    SELECT o.l_partkey AS p_partkey, o.l_suppkey AS s_suppkey, s.s_name,
+           n.n_name AS nation,
+           CAST(round(o.min_price * 100) AS BIGINT) AS best_price_cents
+    FROM offer o
+    JOIN best b ON b.l_partkey = o.l_partkey AND o.min_price = b.best_price
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY p_partkey, s_suppkey
+    LIMIT 200
+    """,
+    "TPC-H Q2 shape: the per-part MINIMUM-cost supplier (correlated "
+    "min subquery) — decorrelated to one aggregate + a window min, "
+    "ties kept, never a per-part re-scan",
+)
+def min_cost_supplier(spark, sf_dir):
+    """For each part, the supplier(s) observed offering its lowest
+    price — the TPC-H Q2 pattern (a correlated MIN subquery selecting
+    the argmin row per group; lineitem's observed (part, supplier,
+    price) triples stand in for the missing partsupp table).
+
+    Decorrelated Spark plan: one (partkey, suppkey) min-price
+    aggregate shrinks the fact, then a window MIN over partkey on the
+    AGGREGATE (one row per pair, not per lineitem) with an equality
+    filter keeps every tied argmin — semantically identical to the
+    oracle's aggregate + self-join, one shuffle cheaper. Price
+    equality compares untouched parquet doubles (no arithmetic), so
+    it is bit-exact cross-engine; cents conversion happens only in
+    the output projection.
+
+    Scale shape: the fact shuffles once on (partkey, suppkey), the
+    window reuses the partkey prefix of that partitioning; supplier
+    and nation broadcast; top-200 is TakeOrderedAndProject on the
+    deterministic (partkey, suppkey) order.
+    """
+    offer = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("min_price"))
+    )
+    w = Window.partitionBy("l_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        offer.withColumn("_best", F.min("min_price").over(w))
+        .filter(F.col("min_price") == F.col("_best"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("min_price") * 100).cast("long")
+            .alias("best_price_cents"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(200)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.

@@ -70,6 +70,8 @@ SLICE = [
     "small_quantity_revenue",
     "orders_snapshot_diff",      # dup-PK join fan-out determinism
     "substring_search_trigram",  # NULL/empty-text gram fabrication
+    "idle_rich_customers",       # NOT-IN three-valued-logic trap (found r9)
+    "order_count_distribution",  # NULL keys through an OUTER join histogram
 ]
 
 

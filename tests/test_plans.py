@@ -927,3 +927,84 @@ def test_heavy_part_suppliers_decorrelated_semi_join(spark, sf):
     assert "l_shipdate" in pushed
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_order_count_distribution_outer_join_keeps_zero_bucket(spark, sf):
+    """TPC-H Q13 shape: the priority predicate lives in the JOIN
+    condition so the outer join keeps zero-order customers (pushed to
+    the orders scan only), and the histogram is two hash aggregates —
+    no window, no nested loop."""
+    plan = _plan(spark, sf, "order_count_distribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "o_orderpriority" in pushed  # join-side predicate reaches the scan
+    # the CUSTOMER scan must NOT be filtered on priority (it has no such
+    # column) and the join must stay outer: LeftOuter in the plan
+    assert "LeftOuter" in plan
+    assert E.count(plan, "HashAggregate") >= 4  # two aggs, partial+final each
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_large_volume_customers_having_survivors_broadcast(spark, sf):
+    """TPC-H Q18 shape: ONE per-orderkey aggregate over lineitem (with
+    map-side partial) feeds broadcast joins into orders and customer;
+    the top-100 is TakeOrderedAndProject — never a per-order re-scan
+    or a global sort."""
+    plan = _plan(spark, sf, "large_volume_customers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert E.count(plan, "BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    # lineitem is scanned exactly once (the aggregate), orders once,
+    # customer once: three parquet scans total
+    assert E.count(plan, "Scan parquet") == 3
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_supplier_part_breadth_anti_join_and_distinct_agg(spark, sf):
+    """TPC-H Q16 shape: the NOT-IN exclusion is a broadcast LEFT ANTI
+    join (never a per-row subquery), the brand filter reaches the part
+    scan, and COUNT(DISTINCT) plans as the two-phase partial-distinct
+    aggregate."""
+    plan = _plan(spark, sf, "supplier_part_breadth")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "p_brand" in pushed and "s_acctbal" in pushed
+    assert "TakeOrderedAndProject" in plan
+    assert E.count(plan, "HashAggregate") >= 3  # distinct expand + count phases
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_idle_rich_customers_scalar_broadcast_and_pruned_anti(spark, sf):
+    """TPC-H Q22 shape: the global average is ONE 1-row aggregate
+    broadcast back (BroadcastNestedLoopJoin on a single row — never a
+    CartesianProduct, never a per-row re-aggregation) and the NOT-IN
+    anti join probes orders date-pruned at the scan."""
+    plan = _plan(spark, sf, "idle_rich_customers")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "o_orderdate" in pushed
+    # exactly one 1-row scalar aggregate side: the BNLJ appears, and
+    # customer is scanned twice (scalar + probe), orders once
+    assert "BroadcastNestedLoopJoin" in plan
+    assert E.count(plan, "Scan parquet") == 3
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_min_cost_supplier_window_over_aggregate(spark, sf):
+    """TPC-H Q2 shape: the per-part argmin runs as a window MIN over
+    the (part, supplier) AGGREGATE — one fact shuffle, the window
+    reusing the aggregate's partitioning prefix — with broadcast dims
+    and TakeOrderedAndProject; never a self-join re-scan of lineitem."""
+    plan = _plan(spark, sf, "min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    assert E.count(plan, "BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    # lineitem scanned ONCE: 3 parquet scans total (fact + 2 dims)
+    assert E.count(plan, "Scan parquet") == 3
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
