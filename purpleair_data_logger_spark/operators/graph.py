@@ -1,0 +1,126 @@
+"""Link analysis over edge lists: PageRank in exact integer
+arithmetic.
+
+The reference repo has no graph surface (SURVEY.md §2 classifies this
+under the beyond-reference LLM-pipeline layer); the use case is
+corpus-scale link/co-occurrence graphs — co-purchase affinity,
+document hyperlink authority for crawl prioritization, citation
+weighting for sampling — where "which nodes matter" feeds curation
+the same way quality scores do.
+
+Why integers: PageRank is usually float-valued, but float summation
+order differs run-to-run under Spark partitioning AND engine-to-engine
+vs the DuckDB oracle. This implementation pins the recurrence to
+exact BIGINT arithmetic:
+
+    share(u)    = rank(u) DIV outdeg(u)
+    rank'(v)    = scale·(100−d)/100  +  (Σ_{u→v} share(u) · d) DIV 100
+
+with ``d`` the damping percentage (85 = the classic 0.85) and
+``scale`` the fixed-point unit (1e9 = rank 1.0). Every operation is
+integer, every sum order-independent, so ranks are bit-identical
+across partitionings, re-runs, and engines — the repo-wide
+exact-arithmetic discipline (`trend_stats`, `time_weighted_avg`)
+applied to an iterative algorithm. The DIV truncation loses < 1e-9
+of mass per hop, biasing ranks a hair LOW — identically in both
+engines, which is the point.
+
+Overflow contract: a node's rank is bounded by the total mass
+``scale · N`` (star-graph worst case), so the multiply-by-damping
+step needs ``scale · N · damping_pct < 2^63`` — at scale=1e9,
+N < 1.08e8 nodes. Beyond that, lower ``scale`` (every factor of 10
+buys 10× the nodes at one digit of rank precision).
+
+Scale shape (per iteration): one equi-join of the (cached, lineage-
+truncated) adjacency list with the current ranks on the source key,
+one map-side-combinable BIGINT sum grouped on the destination key —
+two shuffles per round, no windows, no Python, no collect of rank
+vectors. Lineage truncates per round exactly as the connected-
+components loop does (`clusters._checkpointer`): ``localCheckpoint``
+single-node, reliable ``df.checkpoint()`` for cluster runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark.operators.clusters import _checkpointer
+
+#: 1e9 fixed-point unit: rank 1.0 == 1_000_000_000.
+DEFAULT_SCALE = 10**9
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    n_iter: int = 8,
+    damping_pct: int = 85,
+    scale: int = DEFAULT_SCALE,
+    directed: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over ``edges``.
+
+    Returns (node, rank) with rank in ``scale`` fixed-point units
+    (initial mass = ``scale`` per node). ``directed=False`` (default)
+    symmetrizes the edge list first — the right reading for
+    co-occurrence graphs, and it guarantees no dangling nodes.
+    ``directed=True`` keeps orientation; nodes with no out-edges then
+    LEAK their damped mass each round (ranks still exact and
+    engine-portable, just not mass-conserving — the standard
+    simplification; callers needing conservation add self-loops).
+
+    Fixed ``n_iter`` rather than convergence detection keeps the
+    round count — and therefore the value — deterministic and
+    oracle-replayable; 8-10 rounds is the usual knee for ranking use.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ckpt = _checkpointer(edges, checkpoint_dir)
+    adj = ckpt(e.distinct())
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    # Node set = every node WITH out-edges (after symmetrization that is
+    # every node incident to an edge; directed dangling DESTINATIONS
+    # still receive mass through the join each round).
+    ranks = ckpt(
+        adj.select(F.col("u").alias("node"))
+        .union(adj.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("rank", F.lit(int(scale)).cast("long"))
+    )
+    teleport = int(scale) * (100 - damping_pct) // 100
+    for _ in range(n_iter):
+        shares = (
+            adj.join(deg, "u")
+            .join(ranks, F.col("u") == F.col("node"))
+            .select(
+                F.col("v").alias("node"),
+                F.expr("rank DIV _deg").alias("_share"),
+            )
+        )
+        contrib = shares.groupBy("node").agg(F.sum("_share").alias("_in"))
+        # Nodes receiving nothing this round (directed graphs only)
+        # keep the teleport term: left join from the node set.
+        ranks = ckpt(
+            ranks.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"(coalesce(_in, 0L) * {damping_pct}) DIV 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks

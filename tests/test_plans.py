@@ -1008,3 +1008,16 @@ def test_min_cost_supplier_window_over_aggregate(spark, sf):
     # lineitem scanned ONCE: 3 parquet scans total (fact + 2 dims)
     assert E.count(plan, "Scan parquet") == 3
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_pagerank_copurchase_iterative_shape(spark, sf):
+    """PageRank: each round is one adjacency-ranks equi-join + one
+    map-side-combinable BIGINT sum — no cartesian, no window over the
+    corpus, no Python; the top-50 is TakeOrderedAndProject. (Lineage
+    is checkpoint-truncated per round, so the final plan shows only
+    the LAST round over checkpointed scans — that bound is the pin.)"""
+    plan = _plan(spark, sf, "pagerank_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
