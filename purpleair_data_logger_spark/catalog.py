@@ -6282,6 +6282,87 @@ def pagerank_copurchase(spark, sf_dir):
     )
 
 
+def _countmin_oracle(width: int, depth: int) -> str:
+    """DuckDB replay of the Count-Min build + point-query pipeline:
+    same md5 row-salted buckets (via `_hex60_sql`), same cell sums,
+    same min-over-rows estimate — the sketch is deterministic, so the
+    'approximate' operator still gets a full value-hash oracle."""
+    rows_values = ", ".join(f"({r})" for r in range(depth))
+    h_cell = _hex60_sql("md5(concat('cm', CAST(r.r AS VARCHAR), '|', tok))")
+    h_query = _hex60_sql(
+        "md5(concat('cm', CAST(r.r AS VARCHAR), '|', e.tok))"
+    )
+    return f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    rws(r) AS (VALUES {rows_values}),
+    cells AS (
+      SELECT r.r AS row, {h_cell} % {width} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM t CROSS JOIN rws r
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+      FROM t GROUP BY 1
+      ORDER BY n_exact DESC, tok LIMIT 30
+    ),
+    q AS (
+      SELECT e.tok, e.n_exact, CAST(min(c.cnt) AS BIGINT) AS n_est
+      FROM exact e CROSS JOIN rws r
+      JOIN cells c ON c.row = r.r AND c.bucket = {h_query} % {width}
+      GROUP BY 1, 2
+    )
+    SELECT tok, n_exact, n_est, n_est - n_exact AS overestimate
+    FROM q ORDER BY n_exact DESC, tok
+    """
+
+
+@register(
+    "countmin_token_counts",
+    _countmin_oracle(width=2048, depth=4),
+    "mergeable Count-Min frequency sketch (portable md5 rows, "
+    "deterministic → fully oracled) point-queried at the exact top-30 "
+    "tokens; the build shuffle carries at most depth*width cells per "
+    "partition regardless of corpus size",
+)
+def countmin_token_counts(spark, sf_dir):
+    """Count-Min sketch over the document token stream
+    (`operators/sketches.py`), point-queried at the exact top-30
+    tokens — output (tok, n_exact, n_est, overestimate) makes the
+    sketch's one-sided error VISIBLE row by row (n_est >= n_exact
+    always; the driver hash pins the exact overestimates since the
+    md5 hash family is engine-portable).
+
+    Scale shape: the build is one scan + depth-way explode + one
+    map-side-combined (row, bucket) sum — the summary is <= depth*width
+    rows however big the corpus, so it BROADCASTS into the point
+    query; the exact top-30 side exists only to exhibit the error and
+    is itself one aggregate + TakeOrderedAndProject. At 100 TB the
+    sketch is the artifact you persist per day/partition and
+    `countmin_merge` (cell-wise sum) rolls up — the HLL union algebra
+    with counts.
+    """
+    from purpleair_data_logger_spark.operators import sketches as sk
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tx.tokens("text")).alias("tok"))
+    sketch = sk.countmin_table(toks, "tok", width=2048, depth=4)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(30)
+    )
+    est = sk.countmin_estimate(sketch, exact, "tok", width=2048, depth=4)
+    return est.select(
+        "tok",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overestimate"),
+    ).orderBy(F.desc("n_exact"), F.asc("tok"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.
