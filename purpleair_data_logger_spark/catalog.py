@@ -6363,6 +6363,40 @@ def countmin_token_counts(spark, sf_dir):
     ).orderBy(F.desc("n_exact"), F.asc("tok"))
 
 
+_PQ_CODEBOOK_CACHE: dict[str, list] = {}
+
+
+@register(
+    "knn_pq",
+    None,  # k-means codebook training is iterative (the knn_ivf
+    # precedent) and ADC scores are floats, so rows-only at the gate;
+    # recall vs brute force + encode determinism pinned in pytest.
+    "ANN ladder memory endpoint: product quantization (Jégou 2011) — "
+    "8 one-byte codebook ids per vector (32x vs float64), ADC "
+    "lookup-table scoring, exact rescore of survivors; recall pinned",
+)
+def knn_pq(spark, sf_dir):
+    """PQ-ADC top-5 neighbors for the first 8 vectors
+    (`operators/similarity.py::knn_pq`): the corpus-wide candidate
+    pass reads 8 BYTES per vector (n_sub=8 subspaces × 256-centroid
+    codebooks — one byte per code, 32x smaller than the float64
+    vector) and scores each with 8 table lookups; only the top-40
+    candidates per query pay exact float cosine. The codebook is an
+    offline index artifact (trained once per corpus on a bounded
+    deterministic sample, memoized per sf_dir like the IVF quantizer)
+    so repeated catalog calls measure the query path."""
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    if sf_dir not in _PQ_CODEBOOK_CACHE:
+        _PQ_CODEBOOK_CACHE[sf_dir] = sim.train_pq_codebooks(
+            em, "embedding", n_sub=8, k_codes=256
+        )
+    return sim.knn_pq(
+        em, queries, "vec_id", "embedding",
+        k=5, n_sub=8, k_codes=256, codebooks=_PQ_CODEBOOK_CACHE[sf_dir],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.

@@ -661,3 +661,78 @@ def test_temporal_split_rejects_swapped_or_garbage_bounds(spark):
         ).collect()[0]["split"]
         == "train"
     )
+
+
+def test_knn_pq_recall_vs_bruteforce(spark, sf_dir):
+    """The PQ memory endpoint (8 one-byte codes per 64-dim vector)
+    must hold the SQ8-tier recall floor: candidates come from a
+    corpus-wide ADC scan — no bucketing loss, only quantization loss —
+    and one-byte (256-centroid) per-subspace codebooks with 8x candidate headroom
+    measure ≈ 1.0 on this corpus; pin >= 0.9."""
+    from purpleair_data_logger_spark.operators import similarity as sim
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    exact = sim.knn_bruteforce(em, queries, "vec_id", "embedding", k=5)
+    approx = sim.knn_pq(
+        em, queries, "vec_id", "embedding",
+        k=5, n_sub=8, k_codes=256, candidate_factor=8,
+    )
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e) == 40
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"pq recall {recall:.2f} < 0.9 (hit {len(e & a)}/{len(e)})"
+
+
+def test_pq_encode_deterministic_and_adc_identity(spark):
+    """PQ internals: (1) codes are partitioning-invariant (argmin over
+    deterministic codebooks); (2) the ADC lookup-table score equals
+    the direct dot of the query with the DECODED (reconstructed)
+    vector — the identity ADC exploits; (3) codes are n_sub ids each
+    in [0, k_codes)."""
+    import numpy as np
+
+    from purpleair_data_logger_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(64, 16)).round(3)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = sim.train_pq_codebooks(df, "embedding", n_sub=4, k_codes=8)
+    enc = lambda d: {
+        r["vec_id"]: list(r["codes"])
+        for r in d.select(
+            "vec_id", sim.pq_codes(F.col("embedding"), books).alias("codes")
+        ).collect()
+    }
+    c1, c7 = enc(df.repartition(1)), enc(df.repartition(7))
+    assert c1 == c7
+    assert all(
+        len(cs) == 4 and all(0 <= c < 8 for c in cs) for cs in c1.values()
+    )
+    # ADC identity on one query row vs numpy reconstruction. The LUT
+    # (a pandas_udf output) must be PROJECTED before pq_adc_score uses
+    # it inside lambdas — Spark rejects Python UDF calls lexically
+    # inside higher-order functions (this mirrors knn_pq's shape).
+    q = rows[0][1]
+    qlut = spark.createDataFrame([(q,)], "qv array<double>").select(
+        sim.pq_lut(F.col("qv"), books).alias("_lut")
+    )
+    got = {
+        r["vec_id"]: r["s"]
+        for r in df.select(
+            "vec_id", sim.pq_codes(F.col("embedding"), books).alias("_codes")
+        )
+        .crossJoin(F.broadcast(qlut))
+        .select(
+            "vec_id",
+            sim.pq_adc_score(F.col("_codes"), F.col("_lut")).alias("s"),
+        )
+        .collect()
+    }
+    b = np.asarray(books)
+    qv = np.asarray(q)
+    for vid, codes in c1.items():
+        recon = np.concatenate([b[m][codes[m]] for m in range(4)])
+        assert got[vid] == pytest.approx(float(qv @ recon), rel=1e-9)
