@@ -6363,6 +6363,109 @@ def countmin_token_counts(spark, sf_dir):
     ).orderBy(F.desc("n_exact"), F.asc("tok"))
 
 
+@register(
+    "market_share_by_year",
+    """
+    WITH rev AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS order_year,
+             r.r_name AS region,
+             n.n_name AS cust_nation,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c4
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE l.l_orderkey IS NOT NULL AND o.o_custkey IS NOT NULL
+    )
+    SELECT order_year, region,
+           CAST(sum(CASE WHEN cust_nation = 'NATION_7' THEN rev_c4
+                         ELSE 0 END) AS BIGINT) AS nation_rev_c4,
+           CAST(sum(rev_c4) AS BIGINT) AS total_rev_c4,
+           CAST(sum(CASE WHEN cust_nation = 'NATION_7' THEN rev_c4
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_c4) AS DOUBLE) AS mkt_share
+    FROM rev
+    GROUP BY 1, 2
+    HAVING sum(CASE WHEN cust_nation = 'NATION_7' THEN rev_c4
+               ELSE 0 END) > 0
+    ORDER BY order_year, region
+    """,
+    "TPC-H Q8 shape: market share — a conditional aggregate against "
+    "its own group total (CASE-in-sum over one multi-way join tree, "
+    "no self-join, no second scan); money exact to the 4th decimal",
+)
+def market_share_by_year(spark, sf_dir):
+    """NATION_7's share of customer revenue per (year, region) — the
+    TPC-H Q8 market-share pattern: the numerator is a CASE-gated sum
+    over the SAME rows as the denominator, so one scan of one join
+    tree yields both (the naive form scans or self-joins twice).
+
+    Money is exact: price cents × integer discount percent gives
+    BIGINT 10⁻⁴-dollar units, both sums order-independent; the share
+    is ONE float division of two identical-integer operands —
+    bit-identical cross-engine.
+
+    Scale shape: lineitem joins orders on the fact key (both shuffle
+    once; at this SF AQE broadcasts orders), then customer, nation,
+    region attach as broadcast dims; the (year, region) rollup is
+    map-side combined; HAVING prunes empty groups post-aggregate.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull())
+        .select(
+            "l_orderkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100).cast("long")
+                )
+            ).alias("rev_c4"),
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.year("o_orderdate").alias("order_year"),
+        )
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", F.col("n_name").alias("cust_nation")
+    )
+    r = _t(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region")
+    )
+    nation_rev = F.sum(
+        F.when(F.col("cust_nation") == "NATION_7", F.col("rev_c4")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("order_year", "region")
+        .agg(
+            nation_rev.alias("nation_rev_c4"),
+            F.sum("rev_c4").alias("total_rev_c4"),
+            (
+                nation_rev.cast("double")
+                / F.sum("rev_c4").cast("double")
+            ).alias("mkt_share"),
+        )
+        .filter(F.col("nation_rev_c4") > 0)
+        .orderBy("order_year", "region")
+    )
+
+
 _PQ_CODEBOOK_CACHE: dict[str, list] = {}
 
 

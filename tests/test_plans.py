@@ -1021,3 +1021,16 @@ def test_pagerank_copurchase_iterative_shape(spark, sf):
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_market_share_single_scan_case_aggregate(spark, sf):
+    """TPC-H Q8 shape: numerator and denominator come from ONE scan of
+    ONE join tree (a CASE-gated sum next to the plain sum) — no self
+    join, no second lineitem scan; dims broadcast."""
+    plan = _plan(spark, sf, "market_share_by_year")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly five parquet scans: lineitem, orders, customer, nation, region
+    assert E.count(plan, "Scan parquet") == 5
+    assert E.count(plan, "BroadcastHashJoin") >= 3
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan

@@ -97,3 +97,59 @@ def test_null_keys_carry_no_observation(spark):
     sketch = sk.countmin_table(df, "tok", width=256, depth=2)
     total = sketch.agg(F.sum("cnt")).collect()[0][0]
     assert total == 2 * 2  # two non-null rows x two sketch rows
+
+
+def test_streaming_countmin_matches_batch(spark, tmp_path):
+    """The streaming mirror is the SAME sketch: after ingesting two
+    micro-batches, the engine-maintained cells equal the batch
+    `countmin_table` over the union exactly (cells add — no disorder
+    contract), and a point query against the streamed snapshot gives
+    identical estimates."""
+    from purpleair_data_logger_spark.streaming.countmin import countmin_stream
+
+    b1 = [(w,) for w in WORDS[:150]]
+    b2 = [(w,) for w in WORDS[150:]]
+    src = str(tmp_path / "cms_src")
+    for rows in (b1, b2):
+        (
+            spark.createDataFrame(rows, "tok string")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = countmin_stream(stream, "tok", width=64, depth=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_cells")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_cells").collect()
+    }
+    toks = spark.createDataFrame([(w,) for w in WORDS], "tok string")
+    batch = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sk.countmin_table(toks, "tok", width=64, depth=3).collect()
+    }
+    assert streamed == batch
+    # point queries against the streamed snapshot match the batch path
+    snap = spark.createDataFrame(
+        [(row, b, c) for (row, b), c in streamed.items()],
+        "row int, bucket long, cnt long",
+    )
+    keys = ["alpha", "beta", "gamma", "delta"]
+    est_stream = _est(spark, snap, keys, width=64, depth=3)
+    est_batch = _est(
+        spark, sk.countmin_table(toks, "tok", width=64, depth=3), keys,
+        width=64, depth=3,
+    )
+    assert est_stream == est_batch
