@@ -6466,6 +6466,61 @@ def market_share_by_year(spark, sf_dir):
     )
 
 
+@register(
+    "value_drift_report",
+    """
+    WITH binned AS (
+      SELECT CAST(floor(value / CAST(5.0 AS DOUBLE)) AS BIGINT) AS bin,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 0
+                           ELSE 1 END) AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_cur
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+             CAST(sum(n_cur) AS BIGINT) AS t_cur
+      FROM binned
+    ),
+    per_bin AS (
+      SELECT bin, CAST(bin AS DOUBLE) * CAST(5.0 AS DOUBLE) AS bin_lo,
+             n_ref, n_cur,
+             CASE WHEN t_ref > 0 THEN (n_ref * 10000) // t_ref
+                  ELSE 0 END AS share_ref_bp,
+             CASE WHEN t_cur > 0 THEN (n_cur * 10000) // t_cur
+                  ELSE 0 END AS share_cur_bp
+      FROM binned CROSS JOIN tot
+    ),
+    d AS (
+      SELECT *,
+             abs(share_cur_bp - share_ref_bp) AS drift_bp
+      FROM per_bin
+    ),
+    tvd AS (SELECT CAST(sum(drift_bp) // 2 AS BIGINT) AS tvd_bp FROM d)
+    SELECT bin, bin_lo, n_ref, n_cur, share_ref_bp, share_cur_bp,
+           drift_bp, tvd_bp
+    FROM d CROSS JOIN tvd
+    """,
+    "pipeline monitoring: per-bin distribution drift between two time "
+    "windows in exact floored basis points + report-level total-"
+    "variation distance — one CASE-gated scan, 1-row broadcasts, "
+    "no ln() (the PSI/KL shape without cross-engine float logs)",
+)
+def value_drift_report(spark, sf_dir):
+    """Value-distribution drift of the events stream across the
+    2024-01-16 split (`operators/aggregations.py::distribution_drift`):
+    per occupied bin, both windows' counts and floored-basis-point
+    shares, the absolute share drift, and the report-level TVD — the
+    monitoring read that catches schema-valid-but-differently-
+    distributed data before it poisons a training mix. All arithmetic
+    exact integers; output |bins| rows regardless of input size."""
+    e = _t(spark, sf_dir, "events")
+    return agg.distribution_drift(
+        e, "ts", "value", split_ts="2024-01-16", bin_width=5.0
+    )
+
+
 _PQ_CODEBOOK_CACHE: dict[str, list] = {}
 
 

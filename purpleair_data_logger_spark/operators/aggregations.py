@@ -1088,3 +1088,82 @@ def mad_outliers(
             ).alias("robust_z"),
         )
     )
+
+
+def distribution_drift(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    split_ts: str,
+    bin_width: float,
+) -> DataFrame:
+    """Distribution-drift report between two time windows — the
+    monitoring pass that catches a pipeline silently changing what it
+    emits (schema-valid but differently-distributed values), run
+    before/after every ingest change at scale instead of a
+    collect-and-plot.
+
+    Rows at/after ``split_ts`` are the CURRENT window, rows before it
+    the REFERENCE. Per occupied value bin (the `value_histogram`
+    binning): counts in each window, each window's share in floored
+    basis points (n·10⁴ DIV window total — exact integer arithmetic,
+    no float probabilities), the absolute per-bin share drift, and the
+    report-level total-variation distance ``tvd_bp`` = Σ|Δshare|/2
+    over FLOORED shares (documented contract: TVD of the discretized
+    shares, deterministic and engine-portable, unlike PSI/KL whose
+    ln() this engine deliberately avoids). An empty window yields zero
+    shares rather than a division error.
+
+    Scale shape: ONE map-side-combined (bin) aggregate with both
+    window counts as CASE-gated sums (one corpus scan — the Q8
+    discipline); the window totals and the TVD attach as GLOBAL
+    windows over the AGGREGATE rows — |occupied bins| rows in one
+    partition by construction (bins = value range / width, a
+    constant), so the empty-frame window never sees corpus-sized
+    data and the corpus is never re-scanned for a scalar. Output is
+    |occupied bins| rows regardless of input size. NULL ts/value
+    carry no observation (filtered both engines).
+    """
+    split = F.lit(split_ts).cast("timestamp")
+    is_cur = (F.col(ts_col) >= split).cast("long")
+    binned = (
+        df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.floor(F.col(value_col) / F.lit(bin_width))
+            .cast("long")
+            .alias("bin"),
+            is_cur.alias("_c"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.lit(1) - F.col("_c")).alias("n_ref"),
+            F.sum("_c").alias("n_cur"),
+        )
+    )
+    w_all = Window.partitionBy()
+    share = lambda n, t: F.when(
+        F.col(t) > 0, F.expr(f"({n} * 10000) DIV {t}")
+    ).otherwise(F.lit(0).cast("long"))
+    per_bin = (
+        binned.withColumn("_t_ref", F.sum("n_ref").over(w_all))
+        .withColumn("_t_cur", F.sum("n_cur").over(w_all))
+        .select(
+            "bin",
+            (F.col("bin").cast("double") * F.lit(bin_width)).alias("bin_lo"),
+            "n_ref",
+            "n_cur",
+            share("n_ref", "_t_ref").alias("share_ref_bp"),
+            share("n_cur", "_t_cur").alias("share_cur_bp"),
+        )
+        .withColumn(
+            "drift_bp",
+            F.abs(F.col("share_cur_bp") - F.col("share_ref_bp")),
+        )
+    )
+    return per_bin.withColumn(
+        "tvd_bp", F.expr("sum(drift_bp) OVER () DIV 2")
+    ).select(
+        "bin", "bin_lo", "n_ref", "n_cur",
+        "share_ref_bp", "share_cur_bp", "drift_bp", "tvd_bp",
+    )

@@ -1034,3 +1034,17 @@ def test_market_share_single_scan_case_aggregate(spark, sf):
     assert E.count(plan, "Scan parquet") == 5
     assert E.count(plan, "BroadcastHashJoin") >= 3
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_value_drift_report_single_scan_windowed_scalars(spark, sf):
+    """Drift report: both windows' counts come from ONE CASE-gated
+    corpus scan (the Q8 discipline); totals and the TVD attach as
+    GLOBAL windows over the tiny aggregate rows — the corpus is never
+    re-scanned for a scalar (the first draft re-scanned it 4x), and
+    no join of any kind appears."""
+    plan = _plan(spark, sf, "value_drift_report")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert E.count(plan, "Scan parquet") == 1
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan

@@ -418,3 +418,52 @@ def test_stats2d_degenerate_and_nulls(spark):
     assert out["const_x"]["intercept"] is None
     ok = out["ok"]
     assert ok["n_pairs"] == 2 and ok["slope"] == 2.0 and ok["intercept"] == 0.0
+
+
+def test_distribution_drift_planted_shift(spark):
+    """distribution_drift: a planted mass shift between windows shows
+    up bin-exact — counts, floored-bp shares, per-bin drift, and the
+    report TVD all match hand arithmetic; an empty window yields zero
+    shares, not a division error."""
+    import datetime as _dt
+
+    from purpleair_data_logger_spark.operators.aggregations import (
+        distribution_drift,
+    )
+
+    ref_t = _dt.datetime(2024, 1, 1)
+    cur_t = _dt.datetime(2024, 2, 1)
+    # ref: 8 rows in bin 0, 2 in bin 1; cur: 2 in bin 0, 8 in bin 2
+    rows = (
+        [(ref_t, 1.0)] * 8 + [(ref_t, 7.0)] * 2
+        + [(cur_t, 1.0)] * 2 + [(cur_t, 12.0)] * 8
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {
+        r["bin"]: r
+        for r in distribution_drift(
+            df, "ts", "value", split_ts="2024-01-16", bin_width=5.0
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    b0, b1, b2 = got[0], got[1], got[2]
+    assert (b0["n_ref"], b0["n_cur"]) == (8, 2)
+    assert (b1["n_ref"], b1["n_cur"]) == (2, 0)
+    assert (b2["n_ref"], b2["n_cur"]) == (0, 8)
+    assert (b0["share_ref_bp"], b0["share_cur_bp"]) == (8000, 2000)
+    assert (b1["share_ref_bp"], b1["share_cur_bp"]) == (2000, 0)
+    assert (b2["share_ref_bp"], b2["share_cur_bp"]) == (0, 8000)
+    assert b0["drift_bp"] == 6000 and b1["drift_bp"] == 2000
+    assert b2["drift_bp"] == 8000
+    # TVD = (6000 + 2000 + 8000) / 2
+    assert all(r["tvd_bp"] == 8000 for r in got.values())
+    # empty current window: shares 0, no division error
+    ref_only = spark.createDataFrame(
+        [(ref_t, 1.0)] * 4, "ts timestamp, value double"
+    )
+    one = distribution_drift(
+        ref_only, "ts", "value", split_ts="2024-01-16", bin_width=5.0
+    ).collect()
+    assert len(one) == 1
+    assert one[0]["share_ref_bp"] == 10000 and one[0]["share_cur_bp"] == 0
+    assert one[0]["tvd_bp"] == 5000
