@@ -165,6 +165,18 @@ HEADLINE = [
     "orders_snapshot_diff",
     "substring_search_trigram",
     "heavy_part_suppliers",
+    # r9: TPC-H Q13/Q18/Q16/Q22/Q2/Q8 shapes, PageRank, Count-Min,
+    # PQ-ADC, distribution drift
+    "order_count_distribution",
+    "large_volume_customers",
+    "supplier_part_breadth",
+    "idle_rich_customers",
+    "min_cost_supplier",
+    "market_share_by_year",
+    "pagerank_copurchase",
+    "countmin_token_counts",
+    "knn_pq",
+    "value_drift_report",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

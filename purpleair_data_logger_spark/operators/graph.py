@@ -86,8 +86,12 @@ def pagerank(
     if not directed:
         e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     ckpt = _checkpointer(edges, checkpoint_dir)
-    adj = ckpt(e.distinct())
-    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    dedup = e.distinct()
+    deg = dedup.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+    # Fold the out-degree INTO the adjacency once — the per-round loop
+    # then pays ONE equi-join (adj ⋈ ranks), not two; at 8-10 rounds
+    # that halves the join count of the whole job.
+    adj = ckpt(dedup.join(deg, "u").select("u", "v", "_deg"))
     # Node set = every node WITH out-edges (after symmetrization that is
     # every node incident to an edge; directed dangling DESTINATIONS
     # still receive mass through the join each round).
@@ -100,8 +104,7 @@ def pagerank(
     teleport = int(scale) * (100 - damping_pct) // 100
     for _ in range(n_iter):
         shares = (
-            adj.join(deg, "u")
-            .join(ranks, F.col("u") == F.col("node"))
+            adj.join(ranks, F.col("u") == F.col("node"))
             .select(
                 F.col("v").alias("node"),
                 F.expr("rank DIV _deg").alias("_share"),
