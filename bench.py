@@ -177,6 +177,7 @@ HEADLINE = [
     "countmin_token_counts",
     "knn_pq",
     "value_drift_report",
+    "triangle_census_copurchase",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

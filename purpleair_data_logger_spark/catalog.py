@@ -6521,6 +6521,87 @@ def value_drift_report(spark, sf_dir):
     )
 
 
+@register(
+    "triangle_census_copurchase",
+    """
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+      GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a
+                  ELSE e0.b END AS u,
+             CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b
+                  ELSE e0.a END AS v
+      FROM e0 JOIN deg da ON da.node = e0.a
+              JOIN deg db ON db.node = e0.b
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM o x JOIN o y ON x.v = y.u
+      WHERE EXISTS (SELECT 1 FROM o z WHERE z.u = x.u AND z.v = y.v)
+    ),
+    nd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           (3 * n_triangles * 1000000) // n_wedges AS gcc_ppm,
+           CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) AS gcc
+    FROM nd, ec, tri
+    """,
+    "graph analytics: exact triangle census + global clustering "
+    "coefficient via degree orientation — every triangle counted "
+    "once, wedge-join fan-out bounded O(sqrt(m)) on any graph (the "
+    "hub-skew answer); support-pruned co-purchase edges",
+)
+def triangle_census_copurchase(spark, sf_dir):
+    """Triangle count and global clustering coefficient of the
+    support-pruned co-purchase graph (edges appearing in >= 2 baskets
+    — the noise floor for co-occurrence graphs, and what keeps the
+    edge set basket-signal-sized instead of hairball-sized at any SF:
+    ~3.5k edges here at sf0.01 AND sf0.1).
+    `operators/graph.py::triangle_stats`: degree-oriented wedge join +
+    closure semi-join — the node-iterator++ shape whose fan-out stays
+    O(sqrt(m)) even with celebrity hubs. All counts exact BIGINT; the
+    coefficient is also emitted as exact ppm.
+    """
+    from purpleair_data_logger_spark.operators import graph as gr
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("pa", "pb")
+    )
+    return gr.triangle_stats(edges, "pa", "pb")
+
+
 _PQ_CODEBOOK_CACHE: dict[str, list] = {}
 
 

@@ -127,3 +127,98 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Exact global triangle census of the undirected graph: one row
+    (n_nodes, n_edges, n_wedges, n_triangles, gcc_ppm, gcc) where
+    gcc = 3·triangles / wedges is the global clustering coefficient
+    (ppm form is exact BIGINT; the float is one division of identical
+    integers, bit-identical cross-engine).
+
+    Algorithm: DEGREE ORIENTATION (the node-iterator++ / MapReduce
+    classic): orient each undirected edge from its lexicographically
+    smaller (degree, id) endpoint to the larger, so (a) every triangle
+    is counted exactly ONCE, with no /6 correction, and (b) the wedge
+    join's fan-out is bounded by the max ORIENTED out-degree —
+    O(√m) on any graph — which is the canonical answer to hub skew:
+    a celebrity node of degree 10⁶ contributes only its
+    higher-degree-neighbor edges to the join, never 10¹² wedge pairs.
+
+    Scale shape: two equi-joins over the oriented edge list (wedge
+    build + closure probe) plus degree/wedge aggregates — all
+    map-side combinable; the edge list is checkpoint-materialized once
+    (`clusters._checkpointer`) so its upstream mining pipeline is not
+    re-executed per reference. NULL/self-loop edges carry no
+    observation.
+    """
+    ckpt = _checkpointer(edges, checkpoint_dir)
+    und = ckpt(
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull()
+                & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("_da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("_db"))
+    oriented = ckpt(
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                F.struct(F.col("_da"), F.col("a"))
+                < F.struct(F.col("_db"), F.col("b")),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("_e")
+        )
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+    )
+    x = oriented.select(F.col("u").alias("xu"), F.col("v").alias("xv"))
+    y = oriented.select(F.col("u").alias("yu"), F.col("v").alias("yv"))
+    paths = x.join(y, F.col("xv") == F.col("yu"))
+    closed = paths.join(
+        oriented,
+        (F.col("xu") == F.col("u")) & (F.col("yv") == F.col("v")),
+        "left_semi",
+    )
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    counts = und.agg(
+        F.countDistinct(F.col("a")).alias("_na"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+    )
+    return (
+        nodes.crossJoin(F.broadcast(counts.select("n_edges")))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr("(3 * n_triangles * 1000000) DIV n_wedges").alias("gcc_ppm"),
+            (
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("gcc"),
+        )
+    )

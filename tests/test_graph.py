@@ -105,3 +105,38 @@ def test_pagerank_rejects_bad_damping(spark):
         pagerank(df, "src", "dst", damping_pct=0)
     with pytest.raises(ValueError, match="damping_pct"):
         pagerank(df, "src", "dst", damping_pct=100)
+
+
+def test_triangle_stats_hand_graph(spark):
+    """triangle_stats on a hand-checkable graph: K4 plus a pendant
+    node — 4 triangles (every 3-subset of the K4), 4+3+3+3+1... wedges
+    computed from degrees, gcc = 3T/W; duplicate/reversed/self-loop
+    edges collapse first."""
+    from purpleair_data_logger_spark.operators.graph import triangle_stats
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    noisy = k4 + [(2, 1), (3, 3), (4, 5)] + k4[:2]  # dup/rev/self/pendant
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    row = triangle_stats(df, "src", "dst").collect()[0]
+    # degrees: 1,2,3 -> 3; 4 -> 4; 5 -> 1
+    # wedges = 3*C(3,2) + C(4,2) + C(1,2) = 3*3 + 6 + 0 = 15
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 7
+    assert row["n_wedges"] == 15
+    assert row["n_triangles"] == 4
+    assert row["gcc_ppm"] == (3 * 4 * 1_000_000) // 15
+    assert row["gcc"] == pytest.approx(12 / 15)
+
+
+def test_triangle_stats_triangle_free(spark):
+    """A star has wedges but zero triangles; a path likewise —
+    the closure probe must not fabricate counts."""
+    from purpleair_data_logger_spark.operators.graph import triangle_stats
+
+    star = [(0, i) for i in range(1, 6)]
+    row = triangle_stats(
+        spark.createDataFrame(star, "src long, dst long"), "src", "dst"
+    ).collect()[0]
+    assert row["n_triangles"] == 0
+    assert row["n_wedges"] == 10  # C(5,2) at the hub
+    assert row["gcc_ppm"] == 0

@@ -1048,3 +1048,14 @@ def test_value_drift_report_single_scan_windowed_scalars(spark, sf):
     assert E.count(plan, "Scan parquet") == 1
     assert "Window" in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_triangle_census_no_cartesian_semi_closure(spark, sf):
+    """Triangle census: the wedge build and the closure probe are
+    equi-joins (closure is a LEFT SEMI — each wedge tested once, no
+    fan-out), never a cartesian; no window, no Python."""
+    plan = _plan(spark, sf, "triangle_census_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
