@@ -178,6 +178,7 @@ HEADLINE = [
     "knn_pq",
     "value_drift_report",
     "triangle_census_copurchase",
+    "bfs_hops_copurchase",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

@@ -6602,6 +6602,73 @@ def triangle_census_copurchase(spark, sf_dir):
     return gr.triangle_stats(edges, "pa", "pb")
 
 
+@register(
+    "bfs_hops_copurchase",
+    """
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+    walk(node, hops) AS (
+      SELECT DISTINCT l_partkey, CAST(0 AS BIGINT) FROM li
+      WHERE l_partkey < 5
+      UNION
+      SELECT e.v, w.hops + 1 FROM walk w JOIN e ON e.u = w.node
+      WHERE w.hops < 12
+    ),
+    d AS (SELECT node, CAST(min(hops) AS BIGINT) AS hops
+          FROM walk GROUP BY 1)
+    SELECT hops, CAST(count(*) AS BIGINT) AS n_parts
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    "graph analytics: multi-source BFS hop histogram over the "
+    "support-pruned co-purchase graph — frontier-expansion rounds "
+    "(diameter-bounded, early-exit), exact min-hop integers",
+)
+def bfs_hops_copurchase(spark, sf_dir):
+    """How many hops separate every part from the seed set (parts
+    0-4) in the support-pruned co-purchase graph, as a hop histogram
+    (`operators/graph.py::bfs_hops`). The oracle replays BFS as a
+    recursive reachability CTE with min-hop aggregation; the Spark
+    plan is frontier expansion with per-round settled anti-joins and
+    early exit at an empty frontier — rounds = graph diameter, not
+    the hop cap. Unreached parts are absent (∞)."""
+    from purpleair_data_logger_spark.operators import graph as gr
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("pa", "pb")
+    )
+    sources = li.filter(F.col("l_partkey") < 5).select("l_partkey")
+    hops = gr.bfs_hops(edges, "pa", "pb", sources, "l_partkey", max_hops=12)
+    return (
+        hops.groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("hops")
+    )
+
+
 _PQ_CODEBOOK_CACHE: dict[str, list] = {}
 
 

@@ -222,3 +222,64 @@ def triangle_stats(
             ).alias("gcc"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    sources: DataFrame,
+    source_col: str,
+    *,
+    max_hops: int = 12,
+    directed: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS: (node, hops) = the minimum hop count from any
+    source node, for every node within ``max_hops`` (unreached nodes
+    are absent — join back with a left join for ∞ semantics). Exact
+    integers, engine-portable, replayable by a recursive-CTE oracle.
+
+    Frontier expansion, the textbook distributed BFS: the round-k
+    frontier joins the adjacency list, candidates drop already-settled
+    nodes (anti join against the settled set), survivors settle at
+    distance k+1 and become the next frontier. Terminates EARLY when a
+    frontier empties (diameter rounds, not max_hops) — the convergence
+    collect is one scalar per round, the `connected_components`
+    discipline, with per-round lineage truncation.
+
+    Scale shape per round: one frontier⋈adjacency equi-join (frontier
+    is the small side — broadcast when it fits), one anti join against
+    settled, one distinct — no windows, no Python. State = the settled
+    set, bounded by |reachable nodes|.
+    """
+    ckpt = _checkpointer(edges, checkpoint_dir)
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    ).filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    adj = ckpt(e.distinct())
+    settled = ckpt(
+        sources.select(F.col(source_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            adj.join(
+                frontier.select(F.col("node").alias("u")), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(settled.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop).cast("long"))
+        )
+        nxt = ckpt(nxt)
+        if nxt.isEmpty():
+            break
+        settled = ckpt(settled.unionByName(nxt))
+        frontier = nxt
+    return settled

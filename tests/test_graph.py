@@ -140,3 +140,89 @@ def test_triangle_stats_triangle_free(spark):
     assert row["n_triangles"] == 0
     assert row["n_wedges"] == 10  # C(5,2) at the hub
     assert row["gcc_ppm"] == 0
+
+
+def test_bfs_hops_hand_graph(spark):
+    """bfs_hops on a path-plus-branch graph: exact min-hop distances,
+    multi-source takes the MINIMUM over sources, unreached nodes are
+    absent, early exit beats the hop cap."""
+    from purpleair_data_logger_spark.operators.graph import bfs_hops
+
+    #  1-2-3-4-5   6-7 (disconnected)   3-8 (branch)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (3, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(df, "src", "dst", src, "node", max_hops=12).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 8: 3, 5: 4}  # 6,7 unreachable
+    # multi-source: adding source 5 halves distances from the right
+    src2 = spark.createDataFrame([(1,), (5,)], "node long")
+    got2 = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(df, "src", "dst", src2, "node").collect()
+    }
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2, 8: 3}
+    # hop cap truncates the settled set
+    capped = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(df, "src", "dst", src, "node", max_hops=2).collect()
+    }
+    assert capped == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_directed_respects_orientation(spark):
+    from purpleair_data_logger_spark.operators.graph import bfs_hops
+
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    src = spark.createDataFrame([(3,)], "node long")
+    und = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(df, "src", "dst", src, "node").collect()
+    }
+    assert und == {3: 0, 2: 1, 1: 2}
+    dird = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(
+            df, "src", "dst", src, "node", directed=True
+        ).collect()
+    }
+    assert dird == {3: 0}  # nothing downstream of the sink
+
+
+def test_pagerank_overflow_contract_executable(spark):
+    """The documented overflow contract (scale*N*damping < 2^63) is
+    executable: INSIDE the bound a star graph — the worst case, all
+    mass at the hub — computes exact ranks; pushed OUTSIDE the bound
+    the engine fails LOUD (ANSI overflow error), never silently
+    wrapping (the test_overflow_contracts discipline)."""
+    from pyspark.errors.exceptions.captured import (
+        ArithmeticException,
+        SparkRuntimeException,
+    )
+
+    from purpleair_data_logger_spark.operators.graph import pagerank
+
+    star = [(0, i) for i in range(1, 5)]  # N = 5 nodes
+    df = spark.createDataFrame(star, "src long, dst long")
+    # Inside: scale*N*85 ≈ 8.5e17*5... choose scale 2e16 -> 8.5e18 < 2^63
+    safe = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, "src", "dst", n_iter=3, scale=2 * 10**16).collect()
+    }
+    assert safe[0] > safe[1] > 0  # hub dominates, all positive
+    # Outside: scale*N*85 > 2^63 — the damped multiply must overflow
+    # LOUDLY under ANSI mode (or, if ANSI is off in this session,
+    # skip — the contract is then purely documented).
+    ansi = spark.conf.get("spark.sql.ansi.enabled", "true")
+    if ansi != "true":
+        import pytest as _pytest
+
+        _pytest.skip("ANSI off: overflow contract is documented-only")
+    import pytest as _pytest
+
+    with _pytest.raises((ArithmeticException, SparkRuntimeException, Exception)) as ei:
+        pagerank(df, "src", "dst", n_iter=40, scale=4 * 10**17).collect()
+    assert "overflow" in str(ei.value).lower() or "ARITHMETIC" in str(ei.value)

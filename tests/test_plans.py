@@ -1059,3 +1059,13 @@ def test_triangle_census_no_cartesian_semi_closure(spark, sf):
     assert "LeftSemi" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_bfs_hops_frontier_no_cartesian(spark, sf):
+    """BFS: every round is a frontier-adjacency equi-join + an anti
+    join against the settled set — no cartesian, no window, no Python
+    (the final plan shows the last round over checkpointed scans)."""
+    plan = _plan(spark, sf, "bfs_hops_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
