@@ -179,6 +179,8 @@ HEADLINE = [
     "value_drift_report",
     "triangle_census_copurchase",
     "bfs_hops_copurchase",
+    "local_supplier_volume",
+    "returned_revenue_customers",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

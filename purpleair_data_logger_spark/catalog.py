@@ -6669,6 +6669,155 @@ def bfs_hops_copurchase(spark, sf_dir):
     )
 
 
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c4
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_orderkey IS NOT NULL AND l.l_suppkey IS NOT NULL
+      AND o.o_custkey IS NOT NULL
+    GROUP BY 1
+    ORDER BY revenue_c4 DESC, nation
+    """,
+    "TPC-H Q5 shape: LOCAL-supplier volume — the cross-dimension "
+    "equality (customer nation == supplier nation) rides the join "
+    "tree as a post-join predicate, one scan, exact money",
+)
+def local_supplier_volume(spark, sf_dir):
+    """1996 revenue where the customer and the line's supplier share a
+    nation — the TPC-H Q5 pattern, whose distinctive feature is the
+    EQUALITY BETWEEN TWO DIMENSIONS (c_nationkey = s_nationkey)
+    threaded through the fact: it is not a join key of either dim but
+    a predicate that only resolves after both have attached.
+
+    Scale shape: the date predicate prunes orders at the scan (and
+    partitions, at scale) BEFORE the fact join; customer, supplier,
+    nation broadcast; the nation equality evaluates post-join on
+    attached integer keys (no extra shuffle); money is exact
+    10⁻⁴-dollar BIGINT; the rollup is nation-sized.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_c4"),
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("nation")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+        .orderBy(F.desc("revenue_c4"), F.asc("nation"))
+    )
+
+
+@register(
+    "returned_revenue_customers",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS lost_revenue_c4,
+           CAST(count(*) AS BIGINT) AS n_returned_items
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND l.l_orderkey IS NOT NULL AND o.o_custkey IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue_c4 DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: returned-item revenue ranking — flag predicate "
+    "pushed to the fact scan, date-pruned orders, broadcast dims, "
+    "top-20 TakeOrderedAndProject",
+)
+def returned_revenue_customers(spark, sf_dir):
+    """The 20 customers who returned the most revenue in 1997-H1 — the
+    TPC-H Q10 pattern (fact-side flag predicate × order-side date
+    range × customer rollup × top-k). Both predicates reach their
+    scans (returnflag on lineitem, the date range on orders — at
+    scale, partition pruning); customer and nation broadcast; money
+    exact; the top-20 plans as TakeOrderedAndProject with a custkey
+    tie-break."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R") & F.col("l_orderkey").isNotNull()
+        )
+        .select(
+            "l_orderkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_c4"),
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_custkey").isNotNull()
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(
+            F.sum("rev_c4").alias("lost_revenue_c4"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+        .orderBy(F.desc("lost_revenue_c4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 _PQ_CODEBOOK_CACHE: dict[str, list] = {}
 
 

@@ -1069,3 +1069,30 @@ def test_bfs_hops_frontier_no_cartesian(spark, sf):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_local_supplier_volume_cross_dim_predicate(spark, sf):
+    """TPC-H Q5 shape: the customer-nation == supplier-nation equality
+    evaluates post-join on attached keys — no extra join, no
+    cartesian; the date range reaches the orders scan; dims
+    broadcast."""
+    plan = _plan(spark, sf, "local_supplier_volume")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "o_orderdate" in pushed
+    assert E.count(plan, "BroadcastHashJoin") >= 3
+    assert E.count(plan, "Scan parquet") == 5
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_returned_revenue_pushdown_topk(spark, sf):
+    """TPC-H Q10 shape: the returnflag predicate reaches the lineitem
+    scan and the date range the orders scan; top-20 is
+    TakeOrderedAndProject."""
+    plan = _plan(spark, sf, "returned_revenue_customers")
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "l_returnflag" in pushed and "o_orderdate" in pushed
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
