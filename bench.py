@@ -181,6 +181,7 @@ HEADLINE = [
     "bfs_hops_copurchase",
     "local_supplier_volume",
     "returned_revenue_customers",
+    "kcore_copurchase",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

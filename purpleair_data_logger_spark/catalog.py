@@ -6818,6 +6818,46 @@ def returned_revenue_customers(spark, sf_dir):
     )
 
 
+@register(
+    "kcore_copurchase",
+    None,  # peeling rounds are data-dependent (a chain peels one
+    # layer per round) — not recursive-CTE expressible; the unique-
+    # fixpoint arithmetic is pytest-pinned against a reference loop
+    # (the knn_ivf iterative precedent).
+    "graph analytics: 4-core of the support-pruned co-purchase graph "
+    "— the dense kernel that survives stripping hangers-on; peeling "
+    "rounds with broadcast anti-joins, unique fixpoint",
+)
+def kcore_copurchase(spark, sf_dir):
+    """Parts in the 4-core of the support-pruned co-purchase graph
+    (`operators/graph.py::kcore`): every member co-purchases with >= 4
+    other members WITHIN the core — the robust-hub set for
+    recommendation seeding. The k-core is unique, so the row set is
+    deterministic; the gate records rows-only (iterative peeling) and
+    pytest pins the fixpoint against an independent reference loop."""
+    from purpleair_data_logger_spark.operators import graph as gr
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("pa", "pb")
+    )
+    return gr.kcore(edges, "pa", "pb", k=4).orderBy("node")
+
+
 _PQ_CODEBOOK_CACHE: dict[str, list] = {}
 
 

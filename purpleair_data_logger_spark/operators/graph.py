@@ -283,3 +283,60 @@ def bfs_hops(
         settled = ckpt(settled.unionByName(nxt))
         frontier = nxt
     return settled
+
+
+def kcore(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    k: int,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The k-CORE of the undirected graph: the maximal subgraph in
+    which every node has degree >= k — the standard "dense kernel"
+    extractor (community seeds, spam-ring detection, robust hubs that
+    survive when hangers-on are stripped). Returns one (node) row per
+    member.
+
+    Peeling: repeatedly delete every node whose CURRENT degree is
+    below k; the fixpoint is order-independent (the k-core is unique),
+    so the result is exact and deterministic — but the ROUND COUNT is
+    data-dependent (a chain peels one layer per round), which is why
+    this operator is rows-only at the gate with a reference-loop
+    pytest pin (the `knn_ivf` iterative precedent) rather than
+    recursive-CTE oracled.
+
+    Scale shape per round: one degree aggregate + one broadcast
+    anti-join of the (small, shrinking) peel set against the edge
+    list; lineage checkpoint-truncated per round; convergence is one
+    scalar collect (the `connected_components` discipline) and
+    exceeding ``max_iter`` RAISES rather than returning a partial
+    core.
+    """
+    ckpt = _checkpointer(edges, checkpoint_dir)
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+    ).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+        & (F.col("u") != F.col("v"))
+    )
+    adj = ckpt(e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct())
+    for _ in range(max_iter):
+        deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("_d"))
+        low = deg.filter(F.col("_d") < k).select("u")
+        if low.isEmpty():
+            return adj.select(F.col("u").alias("node")).distinct()
+        adj = ckpt(
+            adj.join(F.broadcast(low), "u", "left_anti")
+            .join(
+                F.broadcast(low.select(F.col("u").alias("v"))), "v", "left_anti"
+            )
+        )
+    raise RuntimeError(
+        f"kcore(k={k}) did not converge in {max_iter} peeling rounds — "
+        "the graph peels one thin layer per round (long chains). "
+        "Raise max_iter."
+    )

@@ -226,3 +226,51 @@ def test_pagerank_overflow_contract_executable(spark):
     with _pytest.raises((ArithmeticException, SparkRuntimeException, Exception)) as ei:
         pagerank(df, "src", "dst", n_iter=40, scale=4 * 10**17).collect()
     assert "overflow" in str(ei.value).lower() or "ARITHMETIC" in str(ei.value)
+
+
+def _py_kcore(edges, k):
+    """Independent reference: naive peeling with dicts."""
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return set(adj)
+
+
+def test_kcore_hand_graph_and_reference(spark):
+    """kcore: K5 with pendant chains — the 4-core is exactly the K5;
+    the 2-core keeps the attached cycle but strips the tail; matches
+    the independent peeling reference on a composite graph."""
+    from purpleair_data_logger_spark.operators.graph import kcore
+
+    k5 = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    cycle = [(10, 11), (11, 12), (12, 10), (5, 10)]  # cycle hangs off K5
+    tail = [(1, 20), (20, 21), (21, 22)]
+    edges = k5 + cycle + tail
+    df = spark.createDataFrame(edges, "src long, dst long")
+    run = lambda kk: {
+        r["node"] for r in kcore(df, "src", "dst", k=kk).collect()
+    }
+    assert run(4) == {1, 2, 3, 4, 5}
+    assert run(2) == {1, 2, 3, 4, 5, 10, 11, 12}  # tail peels, cycle stays
+    assert run(2) == _py_kcore(edges, 2)
+    assert run(4) == _py_kcore(edges, 4)
+    assert run(6) == set() == _py_kcore(edges, 6)  # K5 max degree is 4
+
+
+def test_kcore_max_iter_raises_on_long_chain(spark):
+    from purpleair_data_logger_spark.operators.graph import kcore
+
+    chain = [(i, i + 1) for i in range(12)]  # peels one end per round
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(df, "src", "dst", k=2, max_iter=2)
