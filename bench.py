@@ -182,6 +182,8 @@ HEADLINE = [
     "local_supplier_volume",
     "returned_revenue_customers",
     "kcore_copurchase",
+    "forecast_revenue_change",
+    "top_supplier_revenue",
 ]
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,

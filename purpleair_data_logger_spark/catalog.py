@@ -6858,6 +6858,112 @@ def kcore_copurchase(spark, sf_dir):
     return gr.kcore(edges, "pa", "pb", k=4).orderBy("node")
 
 
+@register(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS promo_revenue_c4,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 shape: THE pushdown probe — one scan, every predicate "
+    "at the parquet reader, one map-side-combined exact-money "
+    "aggregate, zero joins",
+)
+def forecast_revenue_change(spark, sf_dir):
+    """Revenue that would have been gained by eliminating mid-range
+    discounts on small 1996 orders — the TPC-H Q6 pattern. The whole
+    query is one scan whose FOUR predicates (date range, discount
+    band, quantity cap) must all reach the parquet reader — row-group
+    statistics then skip most of a 100 TB fact before a byte
+    decompresses — feeding one map-side-combined aggregate. Money is
+    the exact price-cents × discount-percent BIGINT product; no join,
+    no window, no shuffle beyond the 1-row final aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round(F.col("l_discount") * 100).cast("long")
+            ).alias("promo_revenue_c4"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_rev_c4
+      FROM lineitem
+      WHERE l_suppkey IS NOT NULL
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    ),
+    best AS (SELECT max(total_rev_c4) AS m FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_c4
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_c4 = (SELECT m FROM best)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15 shape: the row(s) attaining a GLOBAL max-over-"
+    "aggregate (the classic view + scalar subquery), decorrelated to "
+    "one aggregate + a global-window max with ties kept",
+)
+def top_supplier_revenue(spark, sf_dir):
+    """The supplier(s) with the highest 1996-Q1 revenue — the TPC-H
+    Q15 pattern (a revenue VIEW consulted twice: once for the max,
+    once to select the attaining rows — ties must all surface). The
+    Spark plan aggregates ONCE and takes the max as a global window
+    over the aggregate's supplier-count-sized rows, then equality-
+    filters — exact BIGINT money makes the tie comparison exact, and
+    the fact is never scanned twice. Supplier attaches broadcast."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_suppkey").isNotNull()
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100).cast("long")
+                )
+            ).alias("total_rev_c4")
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    best = Window.partitionBy()
+    return (
+        rev.withColumn("_m", F.max("total_rev_c4").over(best))
+        .filter(F.col("total_rev_c4") == F.col("_m"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c4")
+        .orderBy("s_suppkey")
+    )
+
+
 _PQ_CODEBOOK_CACHE: dict[str, list] = {}
 
 

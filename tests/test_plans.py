@@ -1096,3 +1096,35 @@ def test_returned_revenue_pushdown_topk(spark, sf):
     assert "l_returnflag" in pushed and "o_orderdate" in pushed
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_forecast_revenue_q6_full_pushdown(spark, sf):
+    """TPC-H Q6 shape: all four predicates reach the parquet reader,
+    only the needed columns are read, and the plan is scan ->
+    partial/final aggregate — no join, no window, ONE exchange."""
+    plan = _plan(spark, sf, "forecast_revenue_change")
+    pushed = " ".join(E.pushed_filters(plan))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
+    assert "Join" not in plan and "Window" not in plan
+    assert E.count(plan, "Scan parquet") == 1
+    assert E.count(plan, "HashAggregate") == 2  # partial + final
+    assert all(
+        "l_returnflag" not in s and "l_partkey" not in s
+        for s in E.read_schemas(plan)
+    )
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_top_supplier_q15_single_fact_scan(spark, sf):
+    """TPC-H Q15 shape: the revenue view is aggregated ONCE — the max
+    is a global window over the aggregate rows, not a second scan of
+    lineitem; ties kept by equality filter; supplier broadcast."""
+    plan = _plan(spark, sf, "top_supplier_revenue")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert E.count(plan, "Scan parquet") == 2  # lineitem + supplier only
+    assert E.count(plan, "BroadcastHashJoin") >= 1
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "l_shipdate" in pushed
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
