@@ -467,3 +467,63 @@ def test_distribution_drift_planted_shift(spark):
     assert len(one) == 1
     assert one[0]["share_ref_bp"] == 10000 and one[0]["share_cur_bp"] == 0
     assert one[0]["tvd_bp"] == 5000
+
+
+def test_streaming_drift_matches_batch(spark, tmp_path):
+    """The streaming drift mirror: after two micro-batches, the
+    engine-maintained bin cells equal the batch binning exactly, and
+    the report derived from the streamed snapshot is bit-identical to
+    running batch distribution_drift over everything ingested."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from purpleair_data_logger_spark.operators.aggregations import (
+        distribution_drift,
+    )
+    from purpleair_data_logger_spark.streaming.drift import (
+        drift_bins_stream,
+        drift_report_from_bins,
+    )
+
+    ref_t = _dt.datetime(2024, 1, 1)
+    cur_t = _dt.datetime(2024, 2, 1)
+    b1 = [(ref_t, 1.0)] * 6 + [(cur_t, 12.0)] * 3
+    b2 = [(ref_t, 7.0)] * 2 + [(cur_t, 1.0)] * 4 + [(cur_t, 12.0)] * 5
+    src = str(tmp_path / "drift_src")
+    for rows in (b1, b2):
+        (
+            spark.createDataFrame(rows, "ts timestamp, value double")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = drift_bins_stream(
+        stream, "ts", "value", split_ts="2024-01-16", bin_width=5.0
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("drift_bins")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = spark.sql("SELECT * FROM drift_bins")
+    streamed_report = sorted(
+        tuple(r) for r in drift_report_from_bins(snap, bin_width=5.0).collect()
+    )
+    whole = spark.createDataFrame(b1 + b2, "ts timestamp, value double")
+    batch_report = sorted(
+        tuple(r)
+        for r in distribution_drift(
+            whole, "ts", "value", split_ts="2024-01-16", bin_width=5.0
+        ).collect()
+    )
+    assert streamed_report == batch_report
+    assert len(streamed_report) == 3  # bins 0, 1, 2 occupied
