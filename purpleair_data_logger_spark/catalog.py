@@ -5941,14 +5941,14 @@ def large_volume_customers(spark, sf_dir):
     Decorrelated Spark plan: ONE per-orderkey aggregate over lineitem
     (quantity summed as exact BIGINT units) filtered to the >250
     survivors, which then drive equi-joins into orders and customer —
-    never a per-order re-scan of lineitem. The HAVING survivor set is
-    a tiny fraction of orders (p99 of the per-order quantity sum), so
-    AQE broadcasts it into the orders probe; money is exact cents.
+    never a per-order re-scan of lineitem; money is exact cents.
 
     Scale shape: lineitem shuffles once on l_orderkey (map-side
-    combine first); orders joins the broadcast survivor set without
-    shuffling; customer is dim-sized relative to the 100-row-bound
-    output and joins broadcast; the top-100 plans as
+    combine first). The survivor set is p99-SIZED — small relative to
+    orders but still SF-proportional — so the join strategy is left
+    to AQE (it broadcasts at test scale and shuffles at 100 TB, where
+    a forced broadcast of ~1% of all orderkeys would OOM executors);
+    customer likewise joins under AQE's choice. The top-100 plans as
     TakeOrderedAndProject with a deterministic orderkey tie-break.
     """
     li = (
@@ -5971,8 +5971,8 @@ def large_volume_customers(spark, sf_dir):
     )
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             "total_cents", "sum_qty",

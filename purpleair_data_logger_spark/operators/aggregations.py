@@ -1125,9 +1125,30 @@ def distribution_drift(
     |occupied bins| rows regardless of input size. NULL ts/value
     carry no observation (filtered both engines).
     """
+    return drift_report_from_bins(
+        drift_bins(
+            df, ts_col, value_col, split_ts=split_ts, bin_width=bin_width
+        ),
+        bin_width=bin_width,
+    )
+
+
+def drift_bins(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    split_ts: str,
+    bin_width: float,
+) -> DataFrame:
+    """The drift report's binning half: per occupied bin, both
+    windows' counts as CASE-gated sums over ONE scan. Every op is an
+    unresolved-plan transform, so the SAME function builds the
+    streaming mirror's incremental aggregation (`streaming/drift.py`)
+    — batch/stream cell parity holds by construction."""
     split = F.lit(split_ts).cast("timestamp")
     is_cur = (F.col(ts_col) >= split).cast("long")
-    binned = (
+    return (
         df.filter(F.col(value_col).isNotNull() & F.col(ts_col).isNotNull())
         .select(
             F.floor(F.col(value_col) / F.lit(bin_width))
@@ -1141,12 +1162,20 @@ def distribution_drift(
             F.sum("_c").alias("n_cur"),
         )
     )
+
+
+def drift_report_from_bins(bins: DataFrame, *, bin_width: float) -> DataFrame:
+    """The drift report's arithmetic half over any (bin, n_ref, n_cur)
+    table — floored-basis-point shares, per-bin drift, report TVD —
+    as global windows over the bins-sized input (never a corpus
+    re-scan). Shared verbatim by the batch operator and the streaming
+    snapshot reader."""
     w_all = Window.partitionBy()
     share = lambda n, t: F.when(
         F.col(t) > 0, F.expr(f"({n} * 10000) DIV {t}")
     ).otherwise(F.lit(0).cast("long"))
     per_bin = (
-        binned.withColumn("_t_ref", F.sum("n_ref").over(w_all))
+        bins.withColumn("_t_ref", F.sum("n_ref").over(w_all))
         .withColumn("_t_cur", F.sum("n_cur").over(w_all))
         .select(
             "bin",

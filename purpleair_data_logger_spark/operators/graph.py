@@ -199,10 +199,7 @@ def triangle_stats(
         "left_semi",
     )
     tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
-    counts = und.agg(
-        F.countDistinct(F.col("a")).alias("_na"),
-        F.count(F.lit(1)).alias("n_edges"),
-    )
+    counts = und.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
@@ -263,6 +260,7 @@ def bfs_hops(
     adj = ckpt(e.distinct())
     settled = ckpt(
         sources.select(F.col(source_col).cast("long").alias("node"))
+        .filter(F.col("node").isNotNull())  # NULL carries no observation
         .distinct()
         .withColumn("hops", F.lit(0).cast("long"))
     )
@@ -308,9 +306,11 @@ def kcore(
     pytest pin (the `knn_ivf` iterative precedent) rather than
     recursive-CTE oracled.
 
-    Scale shape per round: one degree aggregate + one broadcast
-    anti-join of the (small, shrinking) peel set against the edge
-    list; lineage checkpoint-truncated per round; convergence is one
+    Scale shape per round: one degree aggregate + anti-joins of the
+    peel set against the edge list (AQE chooses broadcast vs shuffle —
+    round 1's peel set can be most of a sparse graph's nodes, so it is
+    NOT force-broadcast); lineage checkpoint-truncated per round;
+    convergence is one
     scalar collect (the `connected_components` discipline) and
     exceeding ``max_iter`` RAISES rather than returning a partial
     core.

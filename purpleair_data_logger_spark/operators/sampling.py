@@ -295,6 +295,12 @@ def temporal_split(
     cutoff_ts = _parse("cutoff", cutoff)
     if embargo is not None:
         embargo_ts = _parse("embargo", embargo)
+        if (embargo_ts.tzinfo is None) != (cutoff_ts.tzinfo is None):
+            raise ValueError(
+                f"temporal_split: cutoff ({cutoff}) and embargo ({embargo}) "
+                "mix timezone-aware and naive timestamps — they are not "
+                "comparable; state both in the same form"
+            )
         if embargo_ts > cutoff_ts:
             raise ValueError(
                 f"temporal_split: embargo ({embargo}) must be at or before "

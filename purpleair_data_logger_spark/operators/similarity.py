@@ -1055,6 +1055,11 @@ def train_pq_codebooks(
     brute-force baseline rank by — skipping this costs real recall on
     corpora with varied norms.
 
+    Fewer than ``k_codes`` sampled vectors duplicates centroids (the
+    evenly-spaced init repeats rows) — harmless: encode argmin ties
+    resolve to the lowest id. An EMPTY corpus raises a labeled
+    ValueError.
+
     Returns plain nested float lists (n_sub × k_codes × subdim —
     tiny) inlined as literals downstream, like `train_ivf_centroids`.
     """
@@ -1068,6 +1073,11 @@ def train_pq_codebooks(
         .select("_v")
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            "train_pq_codebooks: empty corpus (or all-NULL vectors) — "
+            "nothing to train on"
+        )
     x = np.asarray([r["_v"] for r in sample], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0

@@ -119,7 +119,6 @@ def countmin_estimate(
     probes = keys.select("*", rows).withColumn(
         "_probe", _bucket(F.col(key_col), F.col("row"), width)
     )
-    others = [c for c in keys.columns if c != key_col]
     return (
         probes.join(
             F.broadcast(sketch),

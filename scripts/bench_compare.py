@@ -42,12 +42,13 @@ import sys
 REGRESSION_FACTOR = 2.0
 ABS_REGRESSION_SEC = 1.0
 #: The +ABS_REGRESSION_SEC band exists to filter sub-second scheduler
-#: jitter ONLY — applied to every row it would silently waive genuine
-#: 2-3x plan regressions on 0.3-1 s baselines' bigger siblings (ADVICE
-#: r8: 1.4 s -> 2.3 s is +0.9 s and 1.6x — fine; but the AND rule also
-#: waived e.g. 1.2 s -> 2.3 s at 1.9x… and would waive 1.05 -> 2.05 s
-#: at 1.95x). Above this baseline threshold the factor alone decides:
-#: a >=1 s row that doubles moved by >=1 s of real work, not jitter.
+#: jitter ONLY (ADVICE r8). Scoping the AND rule to baselines below
+#: this threshold is EQUIVALENCE-PRESERVING at the current constants —
+#: for b >= 1 s, n > 2b already implies n > b + 1 s — so no row trips
+#: differently today; the point is structural: if ABS_REGRESSION_SEC
+#: is ever raised to widen the sub-second band, mid-range rows stay
+#: guarded by the factor alone instead of silently inheriting the
+#: wider waiver.
 JITTER_BASELINE_SEC = 1.0
 
 #: COMMITTED evidence-row classification (ADVICE r7: the guard must

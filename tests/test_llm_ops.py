@@ -736,3 +736,32 @@ def test_pq_encode_deterministic_and_adc_identity(spark):
     for vid, codes in c1.items():
         recon = np.concatenate([b[m][codes[m]] for m in range(4)])
         assert got[vid] == pytest.approx(float(qv @ recon), rel=1e-9)
+
+
+def test_temporal_split_rejects_mixed_timezone_bounds(spark):
+    """ADVICE-fix regression: tz-aware vs naive bound strings raised a
+    bare TypeError from the datetime comparison; now a labeled
+    ValueError fires before any comparison."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from purpleair_data_logger_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 24))], "event_id long, ts timestamp"
+    )
+    with _pytest.raises(ValueError, match="mix timezone-aware and naive"):
+        temporal_split(
+            df, "ts", cutoff="2024-01-25", embargo="2024-01-23T00:00:00+00:00"
+        )
+
+
+def test_train_pq_codebooks_empty_corpus_raises(spark):
+    import pytest as _pytest
+
+    from purpleair_data_logger_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        sim.train_pq_codebooks(empty, "embedding", n_sub=4, k_codes=8)
