@@ -5991,7 +5991,8 @@ def large_volume_customers(spark, sf_dir):
     WHERE p.p_brand <> 'Brand#45'
       AND l.l_suppkey IS NOT NULL AND l.l_partkey IS NOT NULL
       AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                              WHERE s_acctbal < 0)
+                              WHERE s_acctbal < 0
+                                AND s_suppkey IS NOT NULL)
     GROUP BY 1, 2
     ORDER BY supplier_cnt DESC, p_brand, p_size
     LIMIT 100
@@ -6021,7 +6022,7 @@ def supplier_part_breadth(spark, sf_dir):
     """
     bad = (
         _t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        .filter((F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull())
         .select("s_suppkey")
     )
     p = (
@@ -6820,21 +6821,76 @@ def returned_revenue_customers(spark, sf_dir):
 
 @register(
     "kcore_copurchase",
-    None,  # peeling rounds are data-dependent (a chain peels one
-    # layer per round) — not recursive-CTE expressible; the unique-
-    # fixpoint arithmetic is pytest-pinned against a reference loop
-    # (the knn_ivf iterative precedent).
-    "graph analytics: 4-core of the support-pruned co-purchase graph "
+    # Peeling IS recursive-CTE expressible despite the data-dependent
+    # round count: each recursive step re-derives per-node degrees with
+    # window functions over the working edge set and keeps only edges
+    # whose both endpoints still have degree >= k; a bool_and() OVER ()
+    # fixpoint flag stops the recursion the round nothing changes. The
+    # one-more-filter at the end makes the "peeled to empty" and
+    # "reached fixpoint" terminations read identically. (r9 VERDICT #6:
+    # the PageRank recursive-CTE precedent, extended with windows.)
+    """
+    WITH RECURSIVE lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    co AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT CAST(pa AS BIGINT) AS u, CAST(pb AS BIGINT) AS v FROM co
+      UNION ALL
+      SELECT CAST(pb AS BIGINT), CAST(pa AS BIGINT) FROM co
+    ),
+    peel(iter, u, v) AS (
+      SELECT 0, u, v FROM sym
+      UNION ALL
+      SELECT iter + 1, u, v FROM (
+        SELECT iter, u, v, du, dv,
+               bool_and(du >= 3 AND dv >= 3) OVER () AS all_ok
+        FROM (
+          SELECT iter, u, v,
+                 count(*) OVER (PARTITION BY u) AS du,
+                 count(*) OVER (PARTITION BY v) AS dv
+          FROM peel
+        )
+      )
+      WHERE du >= 3 AND dv >= 3 AND NOT all_ok
+    ),
+    last_round AS (
+      SELECT u, v FROM peel WHERE iter = (SELECT max(iter) FROM peel)
+    ),
+    fixpoint AS (
+      SELECT u FROM (
+        SELECT u,
+               count(*) OVER (PARTITION BY u) AS du,
+               count(*) OVER (PARTITION BY v) AS dv
+        FROM last_round
+      ) WHERE du >= 3 AND dv >= 3
+    )
+    SELECT DISTINCT u AS node FROM fixpoint ORDER BY node
+    """,
+    "graph analytics: 3-core of the support-pruned co-purchase graph "
     "— the dense kernel that survives stripping hangers-on; peeling "
-    "rounds with broadcast anti-joins, unique fixpoint",
+    "rounds with AQE-planned anti-joins, unique fixpoint, oracled via "
+    "a windowed recursive CTE",
 )
 def kcore_copurchase(spark, sf_dir):
-    """Parts in the 4-core of the support-pruned co-purchase graph
-    (`operators/graph.py::kcore`): every member co-purchases with >= 4
+    """Parts in the 3-core of the support-pruned co-purchase graph
+    (`operators/graph.py::kcore`): every member co-purchases with >= 3
     other members WITHIN the core — the robust-hub set for
     recommendation seeding. The k-core is unique, so the row set is
-    deterministic; the gate records rows-only (iterative peeling) and
-    pytest pins the fixpoint against an independent reference loop."""
+    deterministic. k=3 (r9 VERDICT #1): at the driver's gate scale
+    factor (sf0.01) the support-pruned graph has no 4-core, so the old
+    k=4 gate row was vacuously empty; k=3 keeps a non-trivial core at
+    every test SF (935/2000 nodes at sf0.01, 200/200 at sf0.001) and
+    `tests/test_graph.py` pins non-emptiness so the gate row can never
+    go vacuous again."""
     from purpleair_data_logger_spark.operators import graph as gr
 
     li = (
@@ -6855,7 +6911,7 @@ def kcore_copurchase(spark, sf_dir):
         .filter(F.col("_w") >= 2)
         .select("pa", "pb")
     )
-    return gr.kcore(edges, "pa", "pb", k=4).orderBy("node")
+    return gr.kcore(edges, "pa", "pb", k=3).orderBy("node")
 
 
 @register(

@@ -300,11 +300,12 @@ def kcore(
 
     Peeling: repeatedly delete every node whose CURRENT degree is
     below k; the fixpoint is order-independent (the k-core is unique),
-    so the result is exact and deterministic — but the ROUND COUNT is
-    data-dependent (a chain peels one layer per round), which is why
-    this operator is rows-only at the gate with a reference-loop
-    pytest pin (the `knn_ivf` iterative precedent) rather than
-    recursive-CTE oracled.
+    so the result is exact and deterministic. The ROUND COUNT is
+    data-dependent (a chain peels one layer per round), but that does
+    NOT block a recursive-CTE oracle: the catalog's
+    ``kcore_copurchase`` replays the peel in DuckDB with per-round
+    window-function degrees and a bool_and() fixpoint stop, plus a
+    reference-loop pytest pin.
 
     Scale shape per round: one degree aggregate + anti-joins of the
     peel set against the edge list (AQE chooses broadcast vs shuffle —
@@ -330,10 +331,8 @@ def kcore(
         if low.isEmpty():
             return adj.select(F.col("u").alias("node")).distinct()
         adj = ckpt(
-            adj.join(F.broadcast(low), "u", "left_anti")
-            .join(
-                F.broadcast(low.select(F.col("u").alias("v"))), "v", "left_anti"
-            )
+            adj.join(low, "u", "left_anti")
+            .join(low.select(F.col("u").alias("v")), "v", "left_anti")
         )
     raise RuntimeError(
         f"kcore(k={k}) did not converge in {max_iter} peeling rounds — "

@@ -63,17 +63,32 @@ def countmin_table(
     """Build the sparse CMS table (row, bucket, cnt) over ``df``'s
     keys (NULL keys carry no observation). ``weight_col`` turns the
     sketch into a weighted-frequency summary (weights must be
-    non-negative BIGINT-castable).
+    non-negative BIGINT-castable — ENFORCED: a negative weight would
+    silently break the never-below-truth one-sided-error guarantee
+    that ``countmin_estimate`` and its consumers rely on, so the scan
+    raises on the first offending row instead).
 
     One scan, one depth-way explode, one (row, bucket) sum with
     map-side combine — the reduce side sees at most depth·width cells
     per map partition however large the input.
     """
-    w = (
-        F.lit(1).cast("long")
-        if weight_col is None
-        else F.col(weight_col).cast("long")
-    )
+    if weight_col is None:
+        w = F.lit(1).cast("long")
+    else:
+        wc = F.col(weight_col).cast("long")
+        w = F.when(
+            wc < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"countmin_table: negative weight in '{weight_col}' "
+                        "(got "
+                    ),
+                    F.col(weight_col).cast("string"),
+                    F.lit(") — CMS one-sided error requires w >= 0"),
+                )
+            ).cast("long"),
+        ).otherwise(wc)
     rows = F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row")
     return (
         df.filter(F.col(key_col).isNotNull())

@@ -274,3 +274,22 @@ def test_kcore_max_iter_raises_on_long_chain(spark):
     df = spark.createDataFrame(chain, "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(df, "src", "dst", k=2, max_iter=2)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_kcore_copurchase_gate_row_not_vacuous(spark, sf_dir):
+    """r9 VERDICT #1: the old k=4 gate row returned 0 rows at sf0.01,
+    so the driver's rows-only check proved only that peeling didn't
+    crash ('empty core' and 'broken peel' are indistinguishable at
+    0 rows). k=3 has a non-trivial core at every test SF — pin
+    non-emptiness so the gate row can never go vacuous again."""
+    import os
+
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} not present")
+    from purpleair_data_logger_spark.catalog import all_queries
+
+    n = all_queries()["kcore_copurchase"].fn(spark, sf_dir).count()
+    assert n > 0, f"kcore_copurchase vacuous ({n} rows) at {sf_dir}"

@@ -153,3 +153,17 @@ def test_streaming_countmin_matches_batch(spark, tmp_path):
         width=64, depth=3,
     )
     assert est_stream == est_batch
+
+
+def test_negative_weight_raises(spark):
+    """ADVICE r9: the never-below-truth guarantee requires w >= 0 —
+    a negative weight must raise at scan time, not silently poison
+    every estimate the sketch ever serves."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("x", 5), ("y", -1)], "tok string, w long"
+    )
+    sketch = sk.countmin_table(df, "tok", width=64, depth=2, weight_col="w")
+    with _pytest.raises(Exception, match="negative weight"):
+        sketch.collect()
