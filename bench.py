@@ -22,169 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from purpleair_data_logger_spark import catalog  # noqa: E402
 from purpleair_data_logger_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "reconstruction_join",
-    "hourly_continuous_aggregate",
-    "dashboard_bucketed_max",
-    "tumbling_avg_10min",
-    "rolling_avg_trailing_1h",
-    "rolling_pseudo_averages",
-    "vertical_split_rejoin",
-    "asof_last_click",
-    "historic_range_downsample",
-    "semi_join_show_only",
-    "pk_dedup",
-    "topk_orders",
-    "dedup_exact_docs",
-    "text_quality",
-    "lang_id",
-    "top_docs_per_lang",
-    "corpus_token_accounting",
-    "doc_repetition_ratio",
-    "corpus_curation_pipeline",
-    "jaccard_neardup_blocked",
-    "minhash_lsh_candidates",
-    "neardup_lsh_verified",
-    "simhash_neardups",
-    "sessionize_users",
-    "cardinality_profile",
-    "knn_cosine_bruteforce",
-    "knn_lsh_bucketed",
-    "knn_ivf",
-    "embedding_neardup_cosine",
-    "embedding_neardup_lsh_verified",
-    "multimodal_metadata",
-    "multimodal_features",
-    "pii_scrub",
-    "benchmark_contamination",
-    "hash_sample_stratified",
-    "paragraph_dedup_boilerplate",
-    "train_val_test_split",
-    "quality_percentile_gate",
-    "neardup_incremental_batch",
-    "corpus_vocabulary",
-    "multimodal_frame_sample",
-    "neardup_cluster_dedup",
-    "neardup_cluster_keep_best",
-    "domain_cap_sample",
-    "sequence_packing",
-    "corpus_build_final",
-    "range_join_click_error",
-    "leakage_safe_split",
-    "neardup_clusters_star",
-    "document_chunking",
-    "dup_ngram_fraction",
-    "gopher_quality_gate",
-    "keyword_extraction",
-    "event_value_histogram",
-    "embedding_cluster_dedup",
-    "bigram_collocations",
-    "containment_neardups",
-    "part_brand_revenue",
-    "cross_doc_dup_ngrams",
-    "unigram_rarity",
-    "cross_doc_span_removal",
-    "vocab_encode",
-    "knn_filtered",
-    "multimodal_resize",
-    "token_budget_mixture",
-    "quality_classifier_gate",
-    "gapfill_locf_hourly",
-    "time_weighted_hourly",
-    "sensor_spike_detection",
-    "bigram_lm_fluency",
-    "bpe_train_encode",
-    "gapfill_interpolate_hourly",
-    "shipping_priority_topk",
-    "ccnet_quality_buckets",
-    "corpus_accounting_rollup",
-    "event_type_pivot",
-    "conversion_funnel",
-    "weekly_retention_cohorts",
-    "median_value_by_event_type",
-    "m4_downsample_15min",
-    "counter_delta_hourly",
-    "heartbeat_uptime_hourly",
-    "weighted_sample_docs",
-    "value_percentiles_by_event_type",
-    "lttb_downsample_events",
-    "zorder_key_events",
-    "sliding_active_users",
-    "asof_next_error",
-    "token_fertility_by_lang",
-    "hll_daily_users_merge",
-    "mode_value_by_event_type",
-    "winsorized_event_values",
-    "value_trend_by_user",
-    "dq_report_events",
-    "downtime_incidents",
-    "state_agg_user_event",
-    "state_timeline_transitions",
-    "m4_lttb_downsample_events",
-    "frequent_tokens_docs",
-    "frequent_tokens_by_lang",
-    "state_durations_hourly",
-    "asap_smooth_events",
-    "cusum_drift_by_user",
-    "mad_outliers_by_event_type",
-    "stats2d_click_error_by_user",
-    "embedding_quantize_int8",
-    "knn_quantized_rescored",
-    "pricing_summary",
-    # r7: full catalog coverage — these registry rows were never
-    # benched (the r6-new queries and the fast F/X-family rows).
-    # New-to-bench rows enter bench_compare without a baseline, so
-    # they widen coverage without touching round-over-round totals.
-    "snapshot_filters",
-    "max_age_recency",
-    "sensor_directory",
-    "directory_parse_index",
-    "union_priority_tiers",
-    "anti_join_inactive",
-    "epoch_roundtrip",
-    "json_props_extract",
-    "text_normalize",
-    "doc_fingerprint",
-    "embedding_norms",
-    "approx_distinct_profile",
-    "knn_ivf_quantized",
-    "cusum_twosided_by_user",
-    "edit_distance_neardups",
-    "late_order_priority",
-    "copurchase_pairs",
-    "small_quantity_revenue",
-    "above_avg_orders",
-    "ann_index_append",
-    # r8: grouping-sets, Q21 shape, ranked retrieval + hybrid fusion
-    "revenue_rollup_region_nation",
-    "late_sole_supplier",
-    "bm25_topk_docs",
-    "hybrid_rank_fusion",
-    "temporal_split_embargo",
-    "ann_recall_eval",
-    "orders_snapshot_diff",
-    "substring_search_trigram",
-    "heavy_part_suppliers",
-    # r9: TPC-H Q13/Q18/Q16/Q22/Q2/Q8 shapes, PageRank, Count-Min,
-    # PQ-ADC, distribution drift
-    "order_count_distribution",
-    "large_volume_customers",
-    "supplier_part_breadth",
-    "idle_rich_customers",
-    "min_cost_supplier",
-    "market_share_by_year",
-    "pagerank_copurchase",
-    "countmin_token_counts",
-    "knn_pq",
-    "value_drift_report",
-    "triangle_census_copurchase",
-    "bfs_hops_copurchase",
-    "local_supplier_volume",
-    "returned_revenue_customers",
-    "kcore_copurchase",
-    "forecast_revenue_change",
-    "top_supplier_revenue",
-]
+# Derived, not hand-maintained (r9 VERDICT #2: a hand-kept list silently
+# unbenched a new catalog query and cost a bench run): every registered
+# catalog query is benched, in registration (source) order — stable
+# across rounds, unlike all_queries()'s artifact-driven gate order.
+# Adding a catalog query with no bench.py edit benches it automatically;
+# there is no way to omit one short of deleting its registration.
+HEADLINE = catalog.registered_names()
 
 #: The 26 queries present in BENCH_r01.json (plus ingest_events_9tables,
 #: added in main()). Their sum is emitted as "stable_subset_sec" so
@@ -217,6 +61,17 @@ EVIDENCE_ROWS = {"embedding_neardup_cosine"}
 
 
 def main() -> None:
+    # Loud structural checks (r9 VERDICT #2): the headline must cover
+    # the whole catalog, and the frozen stable subset must never lose
+    # a member to a catalog rename/delete — silence here is how a
+    # query drops out of the round-over-round record unnoticed.
+    missing = set(catalog.registered_names()) - set(HEADLINE)
+    if missing:
+        raise SystemExit(f"bench.py: catalog queries not benched: {sorted(missing)}")
+    lost = set(STABLE_SUBSET) - set(HEADLINE) - {"ingest_events_9tables"}
+    if lost:
+        raise SystemExit(f"bench.py: stable-subset queries missing from catalog: {sorted(lost)}")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0

@@ -98,6 +98,17 @@ def _artifact_rounds() -> dict[str, int] | None:
     return newest
 
 
+def registered_names() -> list[str]:
+    """Every catalog query in REGISTRATION (source) order — the stable
+    ordering bench.py derives its headline from. Unlike
+    ``all_queries()`` this does not depend on the committed
+    CORRECTNESS artifacts, so the bench ordering can't reshuffle
+    between rounds as the gate window rotates (r9 VERDICT #2: the
+    hand-maintained headline list silently unbenched a new query; the
+    derived list makes the coverage structural)."""
+    return list(_REGISTRY)
+
+
 def all_queries() -> dict[str, Query]:
     """Registry in DRIVER-GATE order, not source order.
 
