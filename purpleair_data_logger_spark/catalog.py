@@ -7065,6 +7065,278 @@ def knn_pq(spark, sf_dir):
     )
 
 
+@register(
+    "disjunctive_brand_revenue",
+    """
+    SELECT p.p_brand,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c4,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      AND l.l_partkey IS NOT NULL
+      AND (
+            (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+             AND l.l_quantity BETWEEN 1 AND 11)
+         OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+             AND l.l_quantity BETWEEN 10 AND 20)
+         OR (p.p_brand = 'Brand#5'  AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 20 AND 30)
+      )
+    GROUP BY 1
+    ORDER BY p_brand
+    """,
+    "TPC-H Q19 shape: disjunction of conjunct groups across the "
+    "fact and a dimension — the derived common conjuncts (quantity "
+    "envelope, brand IN-list, size ceiling) are hoisted to the scans "
+    "by hand because no optimizer infers them through a join",
+)
+def disjunctive_brand_revenue(spark, sf_dir):
+    """Revenue from three brand-specific (size-range x quantity-range)
+    channels — the TPC-H Q19 pattern (reference workload analog: the
+    dashboard panels' multi-predicate OR filters, Grafana JSON). The
+    optimizer lesson this adds over the other 16 TPC-H shapes: an
+    OR-of-ANDs that references BOTH join sides cannot be pushed
+    through the join by Catalyst, so its derived single-side
+    implications must be hoisted manually — `l_quantity BETWEEN 1 AND
+    30` + the ship-date range reach the lineitem scan, `p_brand IN
+    (...) AND p_size BETWEEN 1 AND 15` reach the part scan — and only
+    the residual disjunction evaluates post-join. Without the hoist
+    the fact scan reads every quantity at 100 TB; with it the scan is
+    row-group-pruned on both columns (plan-pinned).
+
+    Scale shape: part prunes to three brands before its broadcast;
+    one fact scan, zero shuffles before the 3-group aggregate; exact
+    10^-4-dollar BIGINT money."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_partkey").isNotNull()
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            # derived conjunct of the OR (hoisted: reaches the scan)
+            & F.col("l_quantity").between(1, 30)
+        )
+        .select(
+            "l_partkey",
+            "l_quantity",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_c4"),
+        )
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            # derived conjuncts of the OR (hoisted: reach the scan)
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#5")
+            & F.col("p_size").between(1, 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    ch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(ch)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("rev_c4").alias("revenue_c4"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "two_nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(rev_c4) AS BIGINT) AS revenue_c4
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c4
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        AND l.l_orderkey IS NOT NULL AND l.l_suppkey IS NOT NULL
+        AND o.o_custkey IS NOT NULL
+    )
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    "TPC-H Q7 shape: two-nation pair predicate threaded through the "
+    "fact — both nation filters push into the dimension scans BEFORE "
+    "their broadcasts, the pair disjunction resolves post-join",
+)
+def two_nation_trade_volume(spark, sf_dir):
+    """Shipping volume between two nations by direction and year —
+    the TPC-H Q7 pattern. The distinctive plan lesson: the pair
+    predicate names the SAME dimension (nation) twice in different
+    roles (supplier's vs customer's), so the single-nation implication
+    `n_name IN (pair)` is pushed into BOTH dimension attach paths
+    before their broadcasts — supplier and customer each shrink to two
+    nations' worth of keys before touching the fact — and only the
+    direction disjunction (which needs both roles attached) evaluates
+    post-join.
+
+    Scale shape: nation filters prune both dim broadcasts; the fact
+    scan is date-pruned; zero non-broadcast joins besides the
+    orders attach (orderkey shuffle, AQE-planned); exact money; the
+    rollup is 2 directions x 2 years."""
+    pair = ("NATION_13", "NATION_19")
+    n_pair = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n_pair),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n_pair),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_c4"),
+        )
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select("o_orderkey", "o_custkey")
+    )
+    direction = (
+        (F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1])
+    ) | (
+        (F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0])
+    )
+    return (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(direction)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_c4").alias("revenue_c4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "priority_lines_by_returnflag",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_orderkey IS NOT NULL
+      AND l.l_returnflag IS NOT NULL
+      AND o.o_orderpriority IS NOT NULL
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "TPC-H Q12 shape: two-channel CASE-in-sum — one pass splits the "
+    "joined rows into high/low priority counts; no self-join, no "
+    "second scan, no pivot shuffle",
+)
+def priority_lines_by_returnflag(spark, sf_dir):
+    """Per return-flag counts of lineitems on high- vs low-priority
+    orders, 1997 shipments — the TPC-H Q12 pattern. The plan lesson:
+    splitting one population into N labeled channels is a CASE
+    expression INSIDE each aggregate, not a per-channel self-join or a
+    pivot — one scan of each table, one shuffle, and the channel
+    arithmetic rides the existing partial aggregation (map-side
+    combine sees both counters).
+
+    Scale shape: the date range prunes the fact scan; the
+    orderkey join shuffles both sides once (orders is not
+    broadcastable at scale — AQE plans it); the aggregate output is
+    |returnflag| = 3 rows; counts are exact BIGINTs."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_returnflag").isNotNull()
+            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isNotNull())
+        .select("o_orderkey", "o_orderpriority")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.

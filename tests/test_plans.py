@@ -1129,3 +1129,47 @@ def test_top_supplier_q15_single_fact_scan(spark, sf):
     pushed = " ".join(E.pushed_filters(plan))
     assert "l_shipdate" in pushed
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_disjunctive_brand_revenue_q19_hoisted_pushdown(spark, sf):
+    """TPC-H Q19 shape: the OR-of-ANDs references both join sides so
+    Catalyst cannot push it — the hand-hoisted derived conjuncts must
+    reach the scans instead: the quantity envelope + ship-date range on
+    lineitem, the brand IN-list on part; part broadcasts; the residual
+    disjunction is a post-join Filter, not a cartesian."""
+    plan = _plan(spark, sf, "disjunctive_brand_revenue")
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "l_quantity" in pushed, "quantity envelope not hoisted to the scan"
+    assert "l_shipdate" in pushed
+    assert "p_brand" in pushed, "brand IN-list not hoisted to the part scan"
+    assert E.count(plan, "BroadcastHashJoin") >= 1
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_two_nation_trade_q7_dim_filters_before_broadcast(spark, sf):
+    """TPC-H Q7 shape: the nation pair filter reaches the nation scans
+    (both roles) BEFORE the broadcasts — supplier and customer shrink
+    to two nations' keys before touching the fact; the direction
+    disjunction evaluates post-join; no cartesian."""
+    plan = _plan(spark, sf, "two_nation_trade_volume")
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "n_name" in pushed, "pair filter not pushed into the nation scans"
+    assert "l_shipdate" in pushed
+    assert E.count(plan, "BroadcastHashJoin") >= 2  # both dim attach paths
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_priority_lines_q12_single_pass_case_channels(spark, sf):
+    """TPC-H Q12 shape: the high/low split is CASE-in-sum on ONE pass —
+    exactly one lineitem scan and one orders scan (no per-channel
+    self-join, no pivot), and the channel counters ride the partial
+    aggregate (map-side combine present)."""
+    plan = _plan(spark, sf, "priority_lines_by_returnflag")
+    assert "CartesianProduct" not in plan
+    assert E.count(plan, "Scan parquet") == 2  # lineitem + orders, once each
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "l_shipdate" in pushed
+    assert E.count(plan, "HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
