@@ -7337,6 +7337,78 @@ def priority_lines_by_returnflag(spark, sf_dir):
     )
 
 
+@register(
+    "document_embeddings",
+    """
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(greatest(1, ceil(length(text) / 128.0)) AS BIGINT) AS nch
+      FROM documents
+      WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    ch AS (
+      SELECT doc_id, nch,
+             list_transform(range(0, nch), k ->
+               sha256(substr(text, CAST(k * 128 + 1 AS INT), 128))) AS hs
+      FROM d
+    )
+    SELECT doc_id, CAST(nch AS BIGINT) AS n_chunks,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 1, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 2, 1))-1))) AS BIGINT) AS s0,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 3, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 4, 1))-1))) AS BIGINT) AS s1,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 5, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 6, 1))-1))) AS BIGINT) AS s2,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 7, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 8, 1))-1))) AS BIGINT) AS s3,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 9, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 10, 1))-1))) AS BIGINT) AS s4,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 11, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 12, 1))-1))) AS BIGINT) AS s5,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 13, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 14, 1))-1))) AS BIGINT) AS s6,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 15, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 16, 1))-1))) AS BIGINT) AS s7,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 17, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 18, 1))-1))) AS BIGINT) AS s8,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 19, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 20, 1))-1))) AS BIGINT) AS s9,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 21, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 22, 1))-1))) AS BIGINT) AS s10,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 23, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 24, 1))-1))) AS BIGINT) AS s11,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 25, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 26, 1))-1))) AS BIGINT) AS s12,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 27, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 28, 1))-1))) AS BIGINT) AS s13,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 29, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 30, 1))-1))) AS BIGINT) AS s14,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 31, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 32, 1))-1))) AS BIGINT) AS s15
+    FROM ch
+    """,
+    "north-star embedding generation: chunk -> encode -> mean-pool via "
+    "one mapInPandas Arrow stage (stub model, injectable) — the "
+    "corpus->embeddings edge of the ANN ladder",
+)
+def document_embeddings(spark, sf_dir):
+    """Generate the ``embedding array<float>`` column the whole ANN
+    ladder consumes (`operators/encoder.py::encode_documents`): split
+    each document into 128-character chunks, encode every chunk with
+    the injectable encoder (deterministic sha256 stub here; a model
+    runtime in production), mean-pool back to one vector per document
+    — all inside ONE Arrow stage, no chunk-row explode, no shuffle
+    (plan-pinned). Pooling keeps integer sums and divides once by
+    255*n_chunks, so the gate recovers each per-dim integer numerator
+    exactly (``round(e_i * 255 * n_chunks)``) and DuckDB replays the
+    full chunk/encode/pool pipeline from sha256 hex."""
+    from purpleair_data_logger_spark.operators import encoder as enc
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    emb = enc.encode_documents(
+        d, "doc_id", "text", dim=16, chunk_chars=128,
+        encoder=enc.fake_encoder,
+    )
+    return emb.select(
+        "doc_id",
+        "n_chunks",
+        *[
+            F.round(
+                F.element_at("embedding", i + 1) * 255 * F.col("n_chunks")
+            )
+            .cast("long")
+            .alias(f"s{i}")
+            for i in range(16)
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.

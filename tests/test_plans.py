@@ -1173,3 +1173,16 @@ def test_priority_lines_q12_single_pass_case_channels(spark, sf):
     assert "l_shipdate" in pushed
     assert E.count(plan, "HashAggregate") >= 2  # partial + final
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_document_embeddings_one_arrow_stage_no_shuffle(spark, sf):
+    """Embedding generation (r9 VERDICT #8): chunking + encoding +
+    mean-pooling all happen inside ONE mapInPandas Arrow stage — no
+    chunk-row explode, no Exchange, no row-at-a-time Python; the
+    output flows straight into the ANN rungs."""
+    plan = _plan(spark, sf, "document_embeddings")
+    assert E.count(plan, "MapInPandas") == 1
+    assert E.count(plan, "Exchange") == 0
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert E.count(plan, "Scan parquet") == 1
