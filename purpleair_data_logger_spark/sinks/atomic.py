@@ -131,6 +131,17 @@ def commit(live: str) -> None:
         os.rename(staged_e, live_e)
         if os.path.isdir(retired_e):
             shutil.rmtree(retired_e)
+    # Sweep retired leftovers from a PREVIOUS crash inside this loop:
+    # a death between a partition's swap-in and its retired-dir
+    # removal leaves ``<part>__retired`` behind with the partition no
+    # longer in staging, so the re-run loop above never revisits it —
+    # and a stale retired dir is a latent resurrection hazard for any
+    # later path that legitimately removes the live partition (found
+    # by the exhaustive crash sweep in tests/test_staging_gc.py, r10).
+    # `_restore_retired` removes each one whose live sibling exists
+    # and restores any whose replacement never landed; runs BEFORE the
+    # commit record is retracted, so a crash mid-sweep re-runs it.
+    _restore_retired(live)
     # Commit complete: retract the commit record, then the empty husk.
     os.remove(os.path.join(staged, SUCCESS_FILE))
     shutil.rmtree(staged)
@@ -470,6 +481,71 @@ def heal_snapshot(
         return None
     finally:
         release_lease(base, owner=heal_token)
+
+
+def gc_orphans(base: str, *, ttl: float = DEFAULT_LEASE_TTL) -> list[str]:
+    """Collect crash orphans the marker-driven heal path cannot see
+    (r9 VERDICT #9 — the staging-GC sweep, executable).
+
+    Three artifact classes live at the store root for a few syscalls
+    and leak only if the process dies inside that window:
+
+    * ``_SNAPSHOT_PENDING.tmp.<hex>`` — `snapshot_begin` crashed
+      between writing the temp marker and the `os.replace` flip; no
+      marker ever existed, so `heal_snapshot` has nothing to roll;
+    * ``_SNAPSHOT_LEASE.reclaimed.<hex>`` / ``.releasing.<hex>`` —
+      `acquire_lease` / `release_lease` crashed between their
+      unique-rename-aside and the follow-up remove;
+    * the lease itself, when STALE — a crashed writer that never
+      reached `snapshot_commit` leaves no marker, so no heal ever
+      runs to release it (a writer-side `acquire_lease` would reclaim
+      it, but a store nobody writes to again keeps it forever).
+
+    Every removal is mtime-guarded by ``ttl`` — a LIVE writer's
+    in-flight temp or fresh lease is never touched — and race-safe
+    (losing a concurrent-remove race skips, never raises). Returns
+    the paths removed. Idempotent; `heal_snapshot` + per-table `heal`
+    + this sweep together are the complete reader-side recovery cycle
+    (pinned exhaustively in tests/test_staging_gc.py).
+    """
+    removed: list[str] = []
+    if not os.path.isdir(base):
+        return removed
+    now = time.time()
+    temp_prefixes = (
+        SNAPSHOT_PENDING + ".tmp.",
+        SNAPSHOT_LEASE + ".reclaimed.",
+        SNAPSHOT_LEASE + ".releasing.",
+    )
+    for entry in sorted(os.listdir(base)):
+        path = os.path.join(base, entry)
+        if not os.path.isfile(path) or not entry.startswith(temp_prefixes):
+            continue
+        try:
+            if now - os.path.getmtime(path) <= ttl:
+                continue  # a live writer's in-flight window
+            os.remove(path)
+            removed.append(path)
+        except FileNotFoundError:
+            continue  # lost a concurrent-gc race: already gone
+    # Stale lease with no snapshot marker: nothing will ever heal it
+    # away, so reclaim it here with the same unique-rename discipline
+    # acquire_lease uses (one winner; losers see FileNotFoundError).
+    lease = _lease_path(base)
+    if (
+        os.path.exists(lease)
+        and not _lease_fresh(base, ttl)
+        and not os.path.exists(os.path.join(base, SNAPSHOT_PENDING))
+        and not os.path.exists(os.path.join(base, SNAPSHOT_COMMIT))
+    ):
+        aside = lease + ".reclaimed." + uuid.uuid4().hex
+        try:
+            os.rename(lease, aside)
+            os.remove(aside)
+            removed.append(lease)
+        except FileNotFoundError:
+            pass  # a writer or another gc got there first
+    return removed
 
 
 def _snapshot_members(base: str, marker: str) -> list[str]:
