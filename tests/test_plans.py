@@ -1186,3 +1186,42 @@ def test_document_embeddings_one_arrow_stage_no_shuffle(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
     assert E.count(plan, "Scan parquet") == 1
+
+
+def test_promo_revenue_share_q14_one_pass_ratio(spark, sf):
+    """TPC-H Q14 shape: numerator and denominator from ONE scan (CASE
+    inside the sum); the month prunes the fact scan; part broadcasts;
+    no self-join, no window."""
+    plan = _plan(spark, sf, "promo_revenue_share")
+    assert "CartesianProduct" not in plan
+    assert E.count(plan, "Scan parquet") == 2  # lineitem + part, once each
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "l_shipdate" in pushed
+    assert E.count(plan, "BroadcastHashJoin") >= 1
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_top_revenue_parts_q11_aggregate_of_aggregate(spark, sf):
+    """TPC-H Q11 shape: the global total aggregates the per-part
+    AGGREGATE, not the fact — one fact scan only; the scalar comes
+    back as a 1-row broadcast (BroadcastNestedLoopJoin over one row,
+    never a real cartesian)."""
+    plan = _plan(spark, sf, "top_revenue_parts_share")
+    assert E.count(plan, "Scan parquet") <= 2  # fact read at most twice, never more
+    assert "CartesianProduct" not in plan
+    assert E.count(plan, "HashAggregate") >= 4  # partial+final x (per-part, total)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_product_profit_q9_substring_pruned_dim(spark, sf):
+    """TPC-H Q9 shape: the name-substring predicate prunes the part
+    dimension BEFORE its broadcast; profit is an expression inside the
+    sum over one fact scan; all dims broadcast."""
+    plan = _plan(spark, sf, "product_profit_by_nation_year")
+    assert "CartesianProduct" not in plan
+    pushed = " ".join(E.pushed_filters(plan))
+    assert "p_name" in pushed, "substring predicate not pushed to the part scan"
+    assert E.count(plan, "BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert E.count(plan, "Scan parquet") == 4
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
