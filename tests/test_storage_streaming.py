@@ -2379,3 +2379,53 @@ def test_streaming_funnel_exact_under_disorder(spark, tmp_path):
         int(_dt.datetime(2024, 5, 1, 0, 0, 7).timestamp() * 1_000_000),
         True,
     )
+
+
+def test_streaming_encode_matches_batch_bit_exact(spark, tmp_path):
+    """Embedding generation on a document STREAM (r10): the stateless
+    Arrow stage evaluates per micro-batch and must equal the batch
+    path BIT-exactly (every output float is one division of exact
+    integers), including multi-chunk docs and the NULL-text contract,
+    with one micro-batch per file so rows really cross batches."""
+    from purpleair_data_logger_spark.operators import encoder as enc
+    from purpleair_data_logger_spark.streaming.encode import encode_stream
+
+    rows = [
+        (1, "short doc"),
+        (2, "x" * 300),          # 3 chunks of 128
+        (3, None),               # NULL contract
+        (4, ""),                 # one empty chunk
+        (5, "another document " * 20),
+    ]
+    src = str(tmp_path / "enc_src")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    df.filter("doc_id <= 2").coalesce(1).write.mode("overwrite").parquet(src)
+    df.filter("doc_id > 2").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        encode_stream(stream, "doc_id", "text", encoder=enc.fake_encoder)
+        .writeStream.format("memory")
+        .queryName("enc_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_chunks"], tuple(r["embedding"]) if r["embedding"] is not None else None)
+        for r in spark.sql("SELECT * FROM enc_stream_t").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_chunks"], tuple(r["embedding"]) if r["embedding"] is not None else None)
+        for r in enc.encode_documents(
+            spark.read.parquet(src), "doc_id", "text", encoder=enc.fake_encoder
+        ).collect()
+    }
+    assert got == want  # bit-exact, not approximate
+    assert len(got) == 5 and got[3] == (None, None)
