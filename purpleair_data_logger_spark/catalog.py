@@ -7620,6 +7620,52 @@ def product_profit_by_nation_year(spark, sf_dir):
     )
 
 
+def _lsh_skew_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
+    return (
+        _minhash_lsh_cte(num_hashes, bands, shingle_n)
+        + """
+    , bsz AS (
+      SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS c
+      FROM bnd GROUP BY 1, 2
+    )
+    SELECT CAST(band_idx AS BIGINT) AS band_idx,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(c) AS BIGINT) AS max_bucket_size,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+               AS colliding_docs,
+           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM bsz
+    GROUP BY 1
+    ORDER BY 1
+    """
+    )
+
+
+@register(
+    "lsh_bucket_skew_report",
+    _lsh_skew_oracle(num_hashes=64, bands=16, shingle_n=3),
+    "north-star LSH ops tooling: per-band bucket-skew report — the "
+    "degenerate-bucket check run BEFORE the band join at 100 TB",
+)
+def lsh_bucket_skew_report(spark, sf_dir):
+    """Per-band skew diagnostics over the MinHash LSH index
+    (`operators/dedup.py::lsh_bucket_skew_report`): bucket count, max
+    bucket size, colliding docs, and the EXACT candidate-pair total
+    the band join would generate. The band join's cost is quadratic in
+    each bucket — one boilerplate family collapsing thousands of docs
+    into one (band_idx, band_hash) turns 'collision-bounded' into
+    all-pairs silently; this report is the pre-join alert that makes
+    that hazard visible as data (the remediation is upstream exact /
+    boilerplate dedup). Two map-side-combined aggregates over the band
+    index; exact BIGINT pair arithmetic (integer DIV — c·(c−1) is
+    even)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.lsh_bucket_skew_report(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3,
+        hash_family="md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
 # correctness rows for the FIRST 50 entries; these lists decide which.

@@ -438,6 +438,60 @@ def neardup_against_index(
     )
 
 
+def lsh_bucket_skew_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-band bucket-skew diagnostics for the LSH index — the check
+    a 100 TB deployment runs BEFORE the band join (r10).
+
+    The band equi-join's cost is Σ over buckets of c·(c−1)/2: bounded
+    by collisions on healthy data, but one DEGENERATE bucket — a
+    boilerplate family hashing thousands of near-identical docs into
+    the same (band_idx, band_hash) — silently turns the join quadratic
+    in that bucket. This report makes the hazard visible as data, per
+    band: bucket count, the largest bucket, how many docs collide at
+    all, and the exact candidate-pair total the join would generate.
+    Run it on the `lsh_banded` artifact; alert on ``max_bucket_size``
+    / ``candidate_pairs`` before paying for the join (the remediation
+    is upstream: `paragraph_dedup_boilerplate` / exact dedup first).
+
+    Scale shape: two map-side-combined aggregates over the band index
+    (rows = docs × bands, ~50 B each), output exactly ``bands`` rows;
+    pair counts are exact BIGINT (c·(c−1) is even, so the /2 is an
+    integer division with no remainder).
+    """
+    b = lsh_banded(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        hash_family=hash_family,
+    )
+    c = F.col("_c")
+    buckets = b.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        buckets.groupBy(F.col("band_idx").cast("long").alias("band_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max(c).alias("max_bucket_size"),
+            F.sum(F.when(c > 1, c).otherwise(F.lit(0).cast("long"))).alias(
+                "colliding_docs"
+            ),
+            # integer DIV keeps the pair count exact at any magnitude
+            # (c·(c−1) is even) — a float /2 would round past 2^53
+            F.expr("sum(_c * (_c - 1) DIV 2)").alias("candidate_pairs"),
+        )
+        .orderBy("band_idx")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,

@@ -765,3 +765,38 @@ def test_train_pq_codebooks_empty_corpus_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="empty corpus"):
         sim.train_pq_codebooks(empty, "embedding", n_sub=4, k_codes=8)
+
+
+def test_lsh_bucket_skew_report_flags_degenerate_bucket(spark):
+    """r10: N identical docs collapse into one bucket per band — the
+    report must show max_bucket_size = N and candidate_pairs =
+    N(N-1)/2 in every band (the quadratic hazard made visible); a
+    corpus of all-distinct docs shows zero colliding docs."""
+    from purpleair_data_logger_spark.operators import dedup as dd
+
+    n = 12
+    boiler = [(i, "exactly the same boilerplate text here") for i in range(n)]
+    distinct = [
+        (100 + i, f"unique document number {i} with its own words {i * 7}")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    rep = {
+        r["band_idx"]: r
+        for r in dd.lsh_bucket_skew_report(
+            df, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+        ).collect()
+    }
+    assert sorted(rep) == [0, 1, 2, 3]
+    for b, r in rep.items():
+        assert r["max_bucket_size"] == n, (b, r)
+        assert r["candidate_pairs"] >= n * (n - 1) // 2, (b, r)
+        assert r["colliding_docs"] >= n, (b, r)
+    clean = spark.createDataFrame(distinct, "doc_id long, text string")
+    rep2 = dd.lsh_bucket_skew_report(
+        clean, "doc_id", "text", num_hashes=16, bands=4, shingle_n=3
+    ).collect()
+    # 5 short distinct docs MAY band-collide by chance, but every
+    # bucket stays tiny — the signal is max_bucket_size, not zero
+    for r in rep2:
+        assert r["max_bucket_size"] <= 2, r

@@ -1225,3 +1225,14 @@ def test_product_profit_q9_substring_pruned_dim(spark, sf):
     assert E.count(plan, "BroadcastHashJoin") >= 3  # part, supplier, nation
     assert E.count(plan, "Scan parquet") == 4
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_lsh_bucket_skew_report_two_aggregates_no_python(spark, sf):
+    """LSH skew report: two map-side-combined aggregates over the band
+    index — signatures and banding stay whole-stage codegen (portable
+    md5 family), no Python, no join at all."""
+    plan = _plan(spark, sf, "lsh_bucket_skew_report")
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert E.count(plan, "HashAggregate") >= 4  # partial+final x 2 levels
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert E.count(plan, "Scan parquet") == 1
