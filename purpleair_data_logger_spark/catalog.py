@@ -331,12 +331,16 @@ def sensor_directory(spark, sf_dir):
 @register(
     "directory_parse_index",
     """
-    SELECT c_custkey AS sensor_index,
+    SELECT DISTINCT c_custkey AS sensor_index,
            CAST(string_split(c_name || ', ' || CAST(c_custkey AS VARCHAR), ', ')[2]
                 AS INTEGER) AS parsed_sensor_index
     FROM customer
     """,
-    "X2 (string_to_array + 1-based element extraction)",
+    # the X2 parse runs over the DISTINCT directory (A5) on the Spark
+    # side, so the oracle must dedup too: duplicate customer rows
+    # (sf0.01 fuzz twin, r10) otherwise inflate the raw parse
+    "X2 (string_to_array + 1-based element extraction, over the "
+    "DISTINCT directory)",
 )
 def directory_parse_index(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -4766,7 +4770,8 @@ def copurchase_pairs(spark, sf_dir):
     WITH li AS (
       SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
              CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
-      FROM lineitem WHERE l_partkey IS NOT NULL
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
     )
     SELECT CAST(sum(l.price_c) AS DOUBLE) / 7.0 / 100.0 AS avg_yearly
     FROM li l JOIN part p ON p.p_partkey = l.l_partkey
@@ -4808,7 +4813,12 @@ def small_quantity_revenue(spark, sf_dir):
     """
     li = (
         _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey").isNotNull())
+        # NULL contract (sf0.01 fuzz twin, r10): a NULL quantity
+        # carries no observation — without this filter the oracle's
+        # correlated sum skips the NULL terms while the decorrelated
+        # count(*) counts the rows, so the 5·qty·n < Σqty comparison
+        # diverges on parts containing a NULL-qty lineitem.
+        .filter(F.col("l_partkey").isNotNull() & F.col("l_quantity").isNotNull())
         .select(
             "l_partkey",
             F.round(F.col("l_quantity")).cast("long").alias("qty"),
@@ -4845,7 +4855,8 @@ def small_quantity_revenue(spark, sf_dir):
     WITH o AS (
       SELECT o_orderkey, o_custkey, o_orderpriority,
              CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
-      FROM orders WHERE o_custkey IS NOT NULL
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_big_orders,
            CAST(sum(total_c) AS DOUBLE) / 100.0 AS big_order_revenue
@@ -4878,7 +4889,11 @@ def above_avg_orders(spark, sf_dir):
     """
     o = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey").isNotNull())
+        # NULL total carries no observation (the small_quantity_revenue
+        # fuzz lesson, r10: a NULL measure diverges the correlated-sum
+        # oracle from the decorrelated count) — latent here only while
+        # the fuzzer leaves o_totalprice unmutated.
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull())
         .select(
             "o_orderkey",
             "o_custkey",
@@ -5611,9 +5626,15 @@ _KNN_GT_SQL = """
     + _KNN_GT_SQL
     + """
     , hits AS (
+      -- EXISTS, not JOIN: the Spark side is a left-semi join, which
+      -- counts each candidate row ONCE however many ground-truth rows
+      -- match it — a duplicated corpus vector (sf0.01 fuzz twin, r10)
+      -- occupies two gt ranks and double-counted the hit under JOIN
       SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_hits
-      FROM cand c JOIN gt g
-        ON g.query_id = c.query_id AND g.neighbor_id = c.neighbor_id
+      FROM cand c
+      WHERE EXISTS (SELECT 1 FROM gt g
+                    WHERE g.query_id = c.query_id
+                      AND g.neighbor_id = c.neighbor_id)
       GROUP BY 1),
     top1 AS (SELECT query_id, neighbor_id FROM gt WHERE knn_rank = 1),
     rr AS (
