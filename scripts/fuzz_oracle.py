@@ -83,6 +83,31 @@ NULL_RATES = {
     ("lineitem", "l_discount"): 0.005,
     ("lineitem", "l_returnflag"): 0.005,
     ("customer", "c_nationkey"): 0.01,
+    # r10: close the "latent only because the fuzzer leaves X
+    # unmutated" class wholesale (ADVICE r9 flagged supplier; the r10
+    # sf0.01 twin found o_totalprice's sibling the same way). Every
+    # remaining fact/dim measure, key, and group/sort attribute the
+    # catalog touches now mutates; region/nation stay verbatim (tiny
+    # enumerated dims — a NULL nation name has no documented contract
+    # to test and every query reaches them through broadcast joins
+    # that drop NULL keys identically in both engines).
+    ("orders", "o_totalprice"): 0.005,
+    ("orders", "o_orderstatus"): 0.005,
+    ("orders", "o_orderkey"): 0.003,
+    ("lineitem", "l_orderkey"): 0.003,
+    ("lineitem", "l_tax"): 0.005,
+    ("lineitem", "l_linestatus"): 0.005,
+    ("customer", "c_acctbal"): 0.005,
+    ("customer", "c_mktsegment"): 0.01,
+    ("customer", "c_name"): 0.005,
+    ("supplier", "s_acctbal"): 0.01,
+    ("supplier", "s_nationkey"): 0.01,
+    ("supplier", "s_name"): 0.005,
+    ("part", "p_brand"): 0.01,
+    ("part", "p_size"): 0.01,
+    ("part", "p_type"): 0.01,
+    ("part", "p_name"): 0.005,
+    ("part", "p_retailprice"): 0.005,
 }
 #: fraction of rows re-emitted as exact duplicates (PK violations)
 DUP_EXACT_RATE = {
@@ -92,6 +117,8 @@ DUP_EXACT_RATE = {
     "orders": 0.005,
     "lineitem": 0.005,
     "customer": 0.005,
+    "supplier": 0.01,
+    "part": 0.01,
 }
 #: events only: fraction of rows re-emitted with the SAME (user_id,
 #: ts) but a fresh event_id and a different value — the duplicate-key
@@ -198,15 +225,18 @@ MUTATORS = {
     "orders": _mutate_generic("orders"),
     "lineitem": _mutate_generic("lineitem"),
     "customer": _mutate_generic("customer"),
+    "supplier": _mutate_generic("supplier"),
+    "part": _mutate_generic("part"),
 }
 
 
 def build_mutated_dir(src_dir: str, dst_dir: str, seed: int = SEED) -> None:
-    """Write the mutated twin of ``src_dir`` into ``dst_dir``. Tables
-    without a mutator (region/nation/supplier/part — pure dims with
-    single-digit NULL-sensitive queries) are copied verbatim; since r8
-    the orders/lineitem/customer facts mutate too, making the TPC-H
-    family's documented NULL filters executable."""
+    """Write the mutated twin of ``src_dir`` into ``dst_dir``. Only
+    region/nation are copied verbatim (tiny enumerated dims with no
+    NULL contract of their own); everything else — the event/document/
+    embedding north-star tables since r5, orders/lineitem/customer
+    since r8, supplier/part since r10 — mutates, making every
+    documented NULL filter in the catalog executable."""
     os.makedirs(dst_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     for fname in sorted(os.listdir(src_dir)):
