@@ -61,10 +61,14 @@ EVIDENCE_ROWS = {"embedding_neardup_cosine"}
 
 
 def main() -> None:
-    # Loud structural checks (r9 VERDICT #2): the headline must cover
-    # the whole catalog, and the frozen stable subset must never lose
-    # a member to a catalog rename/delete — silence here is how a
-    # query drops out of the round-over-round record unnoticed.
+    # Loud structural checks (r9 VERDICT #2). The HEADLINE-vs-registry
+    # check is a TRIPWIRE, not a live assertion: with HEADLINE derived
+    # from registered_names() it cannot fire today — it exists so that
+    # a future hand-edit of HEADLINE (the exact regression that lost a
+    # bench run in r9) fails loudly instead of silently unbenching
+    # queries. The stable-subset check IS live: a catalog rename or
+    # delete of a frozen-subset member would otherwise drop it from
+    # the round-over-round record unnoticed.
     missing = set(catalog.registered_names()) - set(HEADLINE)
     if missing:
         raise SystemExit(f"bench.py: catalog queries not benched: {sorted(missing)}")

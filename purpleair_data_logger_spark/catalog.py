@@ -7420,8 +7420,16 @@ def document_embeddings(spark, sf_dir):
         "doc_id",
         "n_chunks",
         *[
+            # cast to double BEFORE the multiplies (r10 self-review):
+            # float32 arithmetic would add ~2 more ulp of error on top
+            # of the unavoidable float32 STORAGE rounding; in double
+            # the recovery round(e*255*n) == s holds exactly while
+            # s < 2^23, i.e. n_chunks <= 32_896 (~4 MB of text at
+            # 128-char chunks) — far past any real document
             F.round(
-                F.element_at("embedding", i + 1) * 255 * F.col("n_chunks")
+                F.element_at("embedding", i + 1).cast("double")
+                * 255
+                * F.col("n_chunks")
             )
             .cast("long")
             .alias(f"s{i}")

@@ -75,9 +75,15 @@ def encode_text(chunk: str, dim: int) -> list[int]:
 
 
 def embedding_schema(dim: int) -> T.StructType:
+    # doc_id is declared NULLABLE on purpose (r10 self-review): the
+    # operator passes ids through untouched, so a NULL id in the input
+    # yields a NULL id in the output — declaring it non-null would let
+    # the optimizer elide null-aware handling downstream and turn a
+    # data problem into silent wrong results. Filter ids upstream (the
+    # catalog query does).
     return T.StructType(
         [
-            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("doc_id", T.LongType(), True),
             T.StructField("n_chunks", T.LongType(), True),
             T.StructField("embedding", T.ArrayType(T.FloatType()), True),
         ]
@@ -108,6 +114,8 @@ def encode_documents(
     """
     if chunk_chars <= 0:
         raise ValueError(f"chunk_chars must be positive, got {chunk_chars}")
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
     src = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("_text"),

@@ -231,7 +231,10 @@ def acquire_lease(
         raise SnapshotLeaseHeld(
             f"lost the stale-lease reclaim race under {base}; retry"
         ) from None
-    os.remove(reclaimed)
+    try:
+        os.remove(reclaimed)
+    except FileNotFoundError:
+        pass  # a concurrent gc_orphans collected the aside already
     if not _try_create():
         raise SnapshotLeaseHeld(
             f"snapshot lease under {base} re-acquired by another writer "
@@ -285,17 +288,30 @@ def release_lease(base: str, owner: str | None = None) -> bool:
         os.rename(lease, aside)
     except FileNotFoundError:
         return False  # already reclaimed+released by someone else
-    with open(aside) as f:
-        actual = f.read().strip() or None
+    try:
+        with open(aside) as f:
+            actual = f.read().strip() or None
+    except FileNotFoundError:
+        # a concurrent gc_orphans collected the aside (only possible
+        # when the displaced lease was already stale past the gc ttl)
+        return False
     if actual == owner:
-        os.remove(aside)
+        try:
+            os.remove(aside)
+        except FileNotFoundError:
+            pass
         return True
     # Not ours: restore it without clobbering any newer lease.
     try:
         os.link(aside, lease)
     except FileExistsError:
         pass  # a third writer already created a fresh lease
-    os.remove(aside)
+    except FileNotFoundError:
+        return False  # aside gc'd mid-restore: the stale lease is gone
+    try:
+        os.remove(aside)
+    except FileNotFoundError:
+        pass
     return False
 
 
@@ -522,6 +538,15 @@ def gc_orphans(base: str, *, ttl: float = DEFAULT_LEASE_TTL) -> list[str]:
         if not os.path.isfile(path) or not entry.startswith(temp_prefixes):
             continue
         try:
+            # mtime guard. Caveat (r10 self-review): rename(2)
+            # preserves mtime, so a live writer's just-renamed aside of
+            # a STALE lease inherits the stale mtime and is collectable
+            # for the one-syscall window before the writer's own remove.
+            # That early collection is benign — acquire_lease /
+            # release_lease tolerate a vanished aside (FileNotFoundError
+            # guards), and only an already-stale (i.e. reclaimable)
+            # lease's aside can ever look stale here. A fresh lease's
+            # aside carries a fresh mtime and is never touched.
             if now - os.path.getmtime(path) <= ttl:
                 continue  # a live writer's in-flight window
             os.remove(path)
@@ -541,10 +566,35 @@ def gc_orphans(base: str, *, ttl: float = DEFAULT_LEASE_TTL) -> list[str]:
         aside = lease + ".reclaimed." + uuid.uuid4().hex
         try:
             os.rename(lease, aside)
-            os.remove(aside)
-            removed.append(lease)
         except FileNotFoundError:
             pass  # a writer or another gc got there first
+        else:
+            # Re-check AFTER the rename (r10 self-review): between the
+            # staleness check and the rename a writer may have finished
+            # its own stale-reclaim and O_EXCL-created a FRESH lease —
+            # renaming that one aside and deleting it would break the
+            # single-writer contract. A fresh mtime on the aside means
+            # exactly that; restore it with the link-back trick
+            # release_lease uses (never clobbers a third writer's even
+            # newer lease). The few-syscalls window is the same
+            # documented residual as release_lease's.
+            try:
+                fresh = now - os.path.getmtime(aside) <= ttl
+            except FileNotFoundError:
+                fresh = False  # another gc removed it: nothing to do
+            if fresh:
+                try:
+                    os.link(aside, lease)
+                except FileExistsError:
+                    pass  # an even newer lease already exists
+                except FileNotFoundError:
+                    pass
+            try:
+                os.remove(aside)
+                if not fresh:
+                    removed.append(lease)
+            except FileNotFoundError:
+                pass
     return removed
 
 

@@ -99,6 +99,8 @@ def test_dim_and_chunk_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="chunk_chars"):
         enc.encode_documents(df, "doc_id", "text", chunk_chars=0)
+    with pytest.raises(ValueError, match="dim must be positive"):
+        enc.encode_documents(df, "doc_id", "text", dim=0)
     with pytest.raises(Exception, match="dim <= 32"):
         enc.encode_documents(
             df, "doc_id", "text", dim=33, encoder=enc.fake_encoder
