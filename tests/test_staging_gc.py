@@ -343,3 +343,95 @@ def test_gc_orphans_spares_stale_lease_under_live_marker(tmp_path):
         _age(p)
     assert atomic.gc_orphans(base, ttl=900.0) == []
     assert os.path.exists(lease) and os.path.exists(marker)
+
+
+def test_gc_vs_fresh_lease_toctou_restores_live_writer(tmp_path):
+    """r10 self-review race: gc_orphans checks staleness, then a writer
+    completes its own stale-reclaim and O_EXCL-creates a FRESH lease,
+    then gc's rename lands on that fresh lease. The post-rename mtime
+    re-check must restore the live writer's lease instead of deleting
+    it (single-writer contract)."""
+    base = str(tmp_path / "toctou")
+    os.makedirs(base)
+    lease = atomic._lease_path(base)
+    with open(lease, "w") as fh:
+        fh.write("crashed-writer\n")
+    _age(lease)  # stale: gc's pre-check will pass
+
+    real_rename = os.rename
+    state = {"fired": False}
+
+    def rename_with_interleaved_writer(src, dst, *a, **k):
+        if not state["fired"] and src == lease and ".reclaimed." in dst:
+            state["fired"] = True
+            # the writer wins the real reclaim first...
+            token = atomic.acquire_lease(base, "live-writer", ttl_default())
+            assert token == "live-writer"
+            # ...and now gc's rename executes against the FRESH lease
+        return real_rename(src, dst, *a, **k)
+
+    def ttl_default():
+        return atomic.DEFAULT_LEASE_TTL
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(atomic.os, "rename", rename_with_interleaved_writer)
+        removed = atomic.gc_orphans(base, ttl=900.0)
+    assert state["fired"]
+    assert removed == [], "gc claimed to remove the live writer's lease"
+    assert atomic._lease_owner(base) == "live-writer"
+    assert _leaks(base) == [lease], "exactly the live lease should remain"
+
+
+def test_acquire_lease_survives_gc_collecting_its_aside(tmp_path):
+    """r10 self-review race: rename(2) preserves mtime, so the aside a
+    writer makes of a STALE lease is instantly gc-collectable; if gc
+    wins the one-syscall window before the writer's own remove,
+    acquire_lease must still succeed (not crash on FileNotFoundError)."""
+    base = str(tmp_path / "aside_gc")
+    os.makedirs(base)
+    lease = atomic._lease_path(base)
+    with open(lease, "w") as fh:
+        fh.write("crashed-writer\n")
+    _age(lease)
+
+    real_rename = os.rename
+    state = {"fired": False}
+
+    def rename_then_gc_steals_aside(src, dst, *a, **k):
+        out = real_rename(src, dst, *a, **k)
+        if not state["fired"] and src == lease and ".reclaimed." in dst:
+            state["fired"] = True
+            os.remove(dst)  # gc collects the stale-mtime aside first
+        return out
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(atomic.os, "rename", rename_then_gc_steals_aside)
+        token = atomic.acquire_lease(base, "writer-2", atomic.DEFAULT_LEASE_TTL)
+    assert state["fired"]
+    assert token == "writer-2"
+    assert atomic._lease_owner(base) == "writer-2"
+
+
+def test_release_lease_survives_gc_collecting_its_aside(tmp_path):
+    """Same window on the release side: the aside of an already-stale
+    lease vanishes to gc mid-release; release_lease must return False
+    (lease gone either way) rather than crash."""
+    base = str(tmp_path / "rel_gc")
+    os.makedirs(base)
+    lease = atomic._lease_path(base)
+    with open(lease, "w") as fh:
+        fh.write("w1\n")
+    _age(lease)
+
+    real_rename = os.rename
+
+    def rename_then_gc_steals_aside(src, dst, *a, **k):
+        out = real_rename(src, dst, *a, **k)
+        if src == lease and ".releasing." in dst:
+            os.remove(dst)
+        return out
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(atomic.os, "rename", rename_then_gc_steals_aside)
+        assert atomic.release_lease(base, owner="w1") is False
+    assert not os.path.exists(lease)
