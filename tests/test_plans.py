@@ -1236,3 +1236,20 @@ def test_lsh_bucket_skew_report_two_aggregates_no_python(spark, sf):
     assert E.count(plan, "HashAggregate") >= 4  # partial+final x 2 levels
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert E.count(plan, "Scan parquet") == 1
+
+
+def test_document_embeddings_incremental_anti_join_before_arrow(spark, sf):
+    """Steady-state encode: the already-encoded id set prunes via a
+    LEFT ANTI equi-join BEFORE the single Arrow stage, so the encode
+    pass runs over new documents only; still exactly one MapInPandas
+    and no cartesian."""
+    plan = _plan(spark, sf, "document_embeddings_incremental")
+    assert E.count(plan, "MapInPandas") == 1
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the anti-join must be upstream of the Arrow stage: MapInPandas
+    # appears above the join in the formatted tree (smaller node id)
+    mip = plan.index("MapInPandas")
+    anti = plan.index("LeftAnti")
+    assert anti > mip  # formatted plan lists parents before children
