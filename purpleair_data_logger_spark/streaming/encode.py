@@ -48,3 +48,37 @@ def encode_stream(
         chunk_chars=chunk_chars,
         encoder=encoder,
     )
+
+
+def encode_stream_incremental(
+    stream_df: DataFrame,
+    done_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    dim: int = enc.DEFAULT_DIM,
+    chunk_chars: int = enc.DEFAULT_CHUNK_CHARS,
+    encoder: Callable[[str, int], list[int]] = enc.encode_text,
+) -> DataFrame:
+    """Steady-state streaming encode: per micro-batch, drop documents
+    whose id already appears in the STATIC already-encoded set
+    (``done_ids``: one column named ``id_col``), then run the Arrow
+    encode stage on the remainder — the streaming mirror of
+    `catalog.document_embeddings_incremental`, built on Spark's
+    stream-static LEFT ANTI join (the `streaming/neardup.py`
+    against-precomputed-artifact discipline: the accumulated corpus is
+    never re-encoded, each trigger pays only for its new rows).
+
+    Scale shape: the anti-join prunes BEFORE the Python worker sees a
+    row, so model cost is per-new-document; the static side is loaded
+    once per micro-batch plan (persist it bucketed/broadcastable when
+    it fits). No watermark needed — the operator holds no state."""
+    todo = stream_df.join(done_ids.select(id_col), on=id_col, how="left_anti")
+    return enc.encode_documents(
+        todo,
+        id_col,
+        text_col,
+        dim=dim,
+        chunk_chars=chunk_chars,
+        encoder=encoder,
+    )

@@ -2429,3 +2429,53 @@ def test_streaming_encode_matches_batch_bit_exact(spark, tmp_path):
     }
     assert got == want  # bit-exact, not approximate
     assert len(got) == 5 and got[3] == (None, None)
+
+
+def test_streaming_incremental_encode_matches_batch(spark, tmp_path):
+    """Stream-static LEFT ANTI + encode (r10): only documents absent
+    from the static already-encoded id set are encoded, per micro-batch,
+    and the output is bit-equal to the batch incremental path on the
+    same inputs."""
+    from purpleair_data_logger_spark.operators import encoder as enc
+    from purpleair_data_logger_spark.streaming.encode import (
+        encode_stream_incremental,
+    )
+
+    rows = [(i, f"doc number {i} " * (i % 3 + 1)) for i in range(10)]
+    src = str(tmp_path / "inc_src")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.filter("doc_id < 5").coalesce(1).write.mode("overwrite").parquet(src)
+    df.filter("doc_id >= 5").coalesce(1).write.mode("append").parquet(src)
+    done = spark.createDataFrame(
+        [(i,) for i in range(0, 10, 2)], "doc_id long"
+    )  # evens already encoded -> odds are the backlog
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        encode_stream_incremental(
+            stream, done, "doc_id", "text", encoder=enc.fake_encoder
+        )
+        .writeStream.format("memory")
+        .queryName("inc_enc_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_chunks"], tuple(r["embedding"]))
+        for r in spark.sql("SELECT * FROM inc_enc_t").collect()
+    }
+    batch = spark.read.parquet(src).join(done, "doc_id", "left_anti")
+    want = {
+        r["doc_id"]: (r["n_chunks"], tuple(r["embedding"]))
+        for r in enc.encode_documents(
+            batch, "doc_id", "text", encoder=enc.fake_encoder
+        ).collect()
+    }
+    assert got == want
+    assert sorted(got) == [1, 3, 5, 7, 9]  # exactly the backlog
