@@ -7358,6 +7358,47 @@ def priority_lines_by_returnflag(spark, sf_dir):
     )
 
 
+#: Shared by document_embeddings / document_embeddings_incremental:
+#: the 16 per-dim integer numerators recovered from the chunk sha256
+#: hex digests (oracle side) and from the float32 embedding (Spark
+#: side). Factored so a precision fix applies to both queries at once.
+_EMB_SUM_SQL = """CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 1, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 2, 1))-1))) AS BIGINT) AS s0,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 3, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 4, 1))-1))) AS BIGINT) AS s1,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 5, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 6, 1))-1))) AS BIGINT) AS s2,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 7, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 8, 1))-1))) AS BIGINT) AS s3,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 9, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 10, 1))-1))) AS BIGINT) AS s4,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 11, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 12, 1))-1))) AS BIGINT) AS s5,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 13, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 14, 1))-1))) AS BIGINT) AS s6,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 15, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 16, 1))-1))) AS BIGINT) AS s7,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 17, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 18, 1))-1))) AS BIGINT) AS s8,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 19, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 20, 1))-1))) AS BIGINT) AS s9,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 21, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 22, 1))-1))) AS BIGINT) AS s10,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 23, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 24, 1))-1))) AS BIGINT) AS s11,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 25, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 26, 1))-1))) AS BIGINT) AS s12,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 27, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 28, 1))-1))) AS BIGINT) AS s13,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 29, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 30, 1))-1))) AS BIGINT) AS s14,
+           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 31, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 32, 1))-1))) AS BIGINT) AS s15"""
+
+
+def _emb_recovery_cols():
+    """round(e_i * 255 * n_chunks) recovers the exact per-dim integer
+    sum — cast to double BEFORE the multiplies (float32 arithmetic
+    would add ~2 more ulp on top of the unavoidable float32 STORAGE
+    rounding); exact while the per-dim sum < 2^23, i.e. n_chunks <=
+    32_896 (~4 MB of text at 128-char chunks), far past any real
+    document."""
+    return [
+        F.round(
+            F.element_at("embedding", i + 1).cast("double")
+            * 255
+            * F.col("n_chunks")
+        )
+        .cast("long")
+        .alias(f"s{i}")
+        for i in range(16)
+    ]
+
+
 @register(
     "document_embeddings",
     """
@@ -7374,22 +7415,7 @@ def priority_lines_by_returnflag(spark, sf_dir):
       FROM d
     )
     SELECT doc_id, CAST(nch AS BIGINT) AS n_chunks,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 1, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 2, 1))-1))) AS BIGINT) AS s0,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 3, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 4, 1))-1))) AS BIGINT) AS s1,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 5, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 6, 1))-1))) AS BIGINT) AS s2,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 7, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 8, 1))-1))) AS BIGINT) AS s3,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 9, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 10, 1))-1))) AS BIGINT) AS s4,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 11, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 12, 1))-1))) AS BIGINT) AS s5,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 13, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 14, 1))-1))) AS BIGINT) AS s6,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 15, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 16, 1))-1))) AS BIGINT) AS s7,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 17, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 18, 1))-1))) AS BIGINT) AS s8,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 19, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 20, 1))-1))) AS BIGINT) AS s9,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 21, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 22, 1))-1))) AS BIGINT) AS s10,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 23, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 24, 1))-1))) AS BIGINT) AS s11,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 25, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 26, 1))-1))) AS BIGINT) AS s12,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 27, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 28, 1))-1))) AS BIGINT) AS s13,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 29, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 30, 1))-1))) AS BIGINT) AS s14,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 31, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 32, 1))-1))) AS BIGINT) AS s15
+           """ + _EMB_SUM_SQL + """
     FROM ch
     """,
     "north-star embedding generation: chunk -> encode -> mean-pool via "
@@ -7416,26 +7442,7 @@ def document_embeddings(spark, sf_dir):
         d, "doc_id", "text", dim=16, chunk_chars=128,
         encoder=enc.fake_encoder,
     )
-    return emb.select(
-        "doc_id",
-        "n_chunks",
-        *[
-            # cast to double BEFORE the multiplies (r10 self-review):
-            # float32 arithmetic would add ~2 more ulp of error on top
-            # of the unavoidable float32 STORAGE rounding; in double
-            # the recovery round(e*255*n) == s holds exactly while
-            # s < 2^23, i.e. n_chunks <= 32_896 (~4 MB of text at
-            # 128-char chunks) — far past any real document
-            F.round(
-                F.element_at("embedding", i + 1).cast("double")
-                * 255
-                * F.col("n_chunks")
-            )
-            .cast("long")
-            .alias(f"s{i}")
-            for i in range(16)
-        ],
-    )
+    return emb.select("doc_id", "n_chunks", *_emb_recovery_cols())
 
 
 @register(
@@ -7717,22 +7724,7 @@ def lsh_bucket_skew_report(spark, sf_dir):
       FROM d
     )
     SELECT doc_id, CAST(nch AS BIGINT) AS n_chunks,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 1, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 2, 1))-1))) AS BIGINT) AS s0,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 3, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 4, 1))-1))) AS BIGINT) AS s1,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 5, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 6, 1))-1))) AS BIGINT) AS s2,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 7, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 8, 1))-1))) AS BIGINT) AS s3,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 9, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 10, 1))-1))) AS BIGINT) AS s4,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 11, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 12, 1))-1))) AS BIGINT) AS s5,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 13, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 14, 1))-1))) AS BIGINT) AS s6,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 15, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 16, 1))-1))) AS BIGINT) AS s7,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 17, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 18, 1))-1))) AS BIGINT) AS s8,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 19, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 20, 1))-1))) AS BIGINT) AS s9,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 21, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 22, 1))-1))) AS BIGINT) AS s10,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 23, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 24, 1))-1))) AS BIGINT) AS s11,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 25, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 26, 1))-1))) AS BIGINT) AS s12,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 27, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 28, 1))-1))) AS BIGINT) AS s13,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 29, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 30, 1))-1))) AS BIGINT) AS s14,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 31, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 32, 1))-1))) AS BIGINT) AS s15
+           """ + _EMB_SUM_SQL + """
     FROM ch
     """,
     "north-star embedding generation, steady-state ingest shape: "
@@ -7772,20 +7764,7 @@ def document_embeddings_incremental(spark, sf_dir):
         todo, "doc_id", "text", dim=16, chunk_chars=128,
         encoder=enc.fake_encoder,
     )
-    return emb.select(
-        "doc_id",
-        "n_chunks",
-        *[
-            F.round(
-                F.element_at("embedding", i + 1).cast("double")
-                * 255
-                * F.col("n_chunks")
-            )
-            .cast("long")
-            .alias(f"s{i}")
-            for i in range(16)
-        ],
-    )
+    return emb.select("doc_id", "n_chunks", *_emb_recovery_cols())
 
 
 # ---------------------------------------------------------------------------

@@ -74,7 +74,9 @@ def encode_stream_incremental(
     once per micro-batch plan (persist it bucketed/broadcastable when
     it fits). No watermark needed — the operator holds no state."""
     todo = stream_df.join(done_ids.select(id_col), on=id_col, how="left_anti")
-    return enc.encode_documents(
+    # delegate to encode_stream (not encode_documents directly) so the
+    # module's one-code-path promise holds for the incremental shape too
+    return encode_stream(
         todo,
         id_col,
         text_col,

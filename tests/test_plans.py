@@ -1248,8 +1248,11 @@ def test_document_embeddings_incremental_anti_join_before_arrow(spark, sf):
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    # the anti-join must be upstream of the Arrow stage: MapInPandas
-    # appears above the join in the formatted tree (smaller node id)
+    # the anti-join must be upstream (child side) of the Arrow stage:
+    # the formatted tree prints parents before children, so the parent
+    # MapInPandas appears at an earlier STRING POSITION than the join
+    # (note: node IDS number leaves-to-root, so the parent's id is the
+    # larger one — compare positions, never ids)
     mip = plan.index("MapInPandas")
     anti = plan.index("LeftAnti")
-    assert anti > mip  # formatted plan lists parents before children
+    assert anti > mip

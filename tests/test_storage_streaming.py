@@ -232,7 +232,7 @@ def test_streaming_session_window_equals_batch(spark, sf_dir, tmp_path):
         output_mode="complete",
         query_name="sess_cmp",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = _session_rows(spark.table("sess_cmp"))
     want = _session_rows(
         session_stats(e, "user_id", "ts", gap_seconds=1800).drop("session_id")
@@ -270,7 +270,7 @@ def test_streaming_dedup_within_watermark_across_batches(spark, tmp_path):
         watermark="1 hour",
         max_files_per_trigger=1,  # one micro-batch per file: true cross-batch state
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     out = spark.read.parquet(str(tmp_path / "dd_out"))
     got = sorted((r["sensor_index"], r["humidity"]) for r in out.collect())
     assert got == [(1, 40.0), (2, 50.0), (3, 60.0)]
@@ -312,7 +312,7 @@ def test_streaming_ewma_state_across_batches(spark, tmp_path):
         alpha=0.3,
         max_files_per_trigger=1,  # one micro-batch per file: true state carry-over
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     out = spark.read.parquet(str(tmp_path / "ew_out")).collect()
     got = {
         (r["sensor_index"], str(r["ts"])): r["ewma"] for r in out
@@ -356,7 +356,7 @@ def test_streaming_hourly_aggregate_available_now(spark, tmp_path):
         value_cols=["humidity"],
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     out = spark.read.parquet(str(tmp_path / "agg"))
     # append mode emits only watermark-closed windows: with a 2h
     # watermark over 4 hourly points, the first 2 windows are closed
@@ -395,7 +395,7 @@ def test_streaming_curation_matches_batch_and_dedups_across_batches(spark, tmp_p
     q = run_curation_stream(
         spark, src, str(tmp_path / "cur_out"), str(tmp_path / "cur_ckpt")
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     out = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "cur_out")).collect()}
 
     # (b) cross-batch dedup: doc 3 normalizes to doc 1's text -> dropped
@@ -472,7 +472,7 @@ def test_streaming_corpus_build_splits_and_packs_end_to_end(spark, tmp_path):
         vocabulary_df=vocab, contamination_ngram=5,
         pack_budget=64, pack_shards=2,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     contaminated = {
         r["doc_id"] for r in spark.read.parquet(f"{out}/contaminated").collect()
@@ -617,7 +617,7 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = {
         r["sensor_index"]: r["name"]
         for r in spark.sql("SELECT * FROM enriched_t").collect()
@@ -688,7 +688,7 @@ def test_stream_stream_interval_join_matches_batch_range_join(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = sorted(
         (r["e_event_id"], r["c_event_id"])
         for r in spark.sql("SELECT * FROM ij_t").collect()
@@ -741,7 +741,7 @@ def test_streaming_spike_flags_state_across_batches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = {
         str(r["ts"]): r["is_spike"]
         for r in spark.read.parquet(str(tmp_path / "an_out")).collect()
@@ -809,7 +809,7 @@ def test_streaming_m4_matches_batch_operator(spark, tmp_path):
         bucket_seconds=600,
         watermark="30 minutes",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     out = spark.read.parquet(str(tmp_path / "m4"))
     got = {tuple(r) for r in out.collect()}
     assert got  # at least the early windows closed
@@ -856,7 +856,7 @@ def test_streaming_counter_increments_match_batch_delta(spark, tmp_path):
         value_col="value",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     inc = spark.read.parquet(str(tmp_path / "cinc"))
     # 1) per-event semantics: resets detected across the batch boundary
@@ -944,7 +944,7 @@ def test_streaming_counter_null_values_carry_no_sample(spark, tmp_path):
         value_col="value",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     inc = spark.read.parquet(str(tmp_path / "cninc"))
     by_id = {r["id"]: (r["increment"], r["is_reset"]) for r in inc.collect()}
@@ -996,7 +996,7 @@ def test_streaming_heartbeat_late_reading_before_held_is_dropped(spark, tmp_path
         watermark="10 minutes",   # wide enough that the late row is legal
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     out = spark.read.parquet(str(tmp_path / "hblout"))
     base_us = int((base - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
@@ -1056,7 +1056,7 @@ def test_streaming_heartbeat_intervals_match_batch(spark, tmp_path):
         watermark="1 second",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     out = spark.read.parquet(str(tmp_path / "hbout"))
     base_us = int((base - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
@@ -1145,7 +1145,7 @@ def test_streaming_downtime_closed_match_batch_and_open_alerts(spark, tmp_path):
         watermark="1 second",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     out = spark.read.parquet(str(tmp_path / "dtout")).collect()
     base_us = int((base - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
@@ -1235,7 +1235,7 @@ def test_streaming_gapfill_locf_matches_batch_on_closed_buckets(spark, tmp_path)
         watermark="1 second",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     out = spark.read.parquet(str(tmp_path / "gfout")).filter("key != 'zz'")
     got = {
@@ -1327,7 +1327,7 @@ def test_streaming_gapfill_tail_drop_and_key_revival(spark, tmp_path):
         watermark="1 second",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     got = sorted(
         (int((r["bucket_ts"] - base).total_seconds()) // 60,
@@ -1393,7 +1393,7 @@ def test_streaming_interpolate_matches_batch_between_closed_neighbors(
         watermark="1 second",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     got = {
         (r["key"], int((r["bucket_ts"] - base).total_seconds()) // 60): (
@@ -1474,7 +1474,7 @@ def test_streaming_state_transitions_match_batch_timeline(spark, tmp_path):
         state_col="st",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     base_us = int((base - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
     got = sorted(
@@ -1540,7 +1540,7 @@ def test_streaming_trend_matches_batch_stats_agg(spark, tmp_path):
         value_col="value",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     out = spark.read.parquet(str(tmp_path / "trout"))
     # final row per key = the one with max n
@@ -1624,7 +1624,7 @@ def test_streaming_sliding_approx_actives(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = spark.read.parquet(str(tmp_path / "slout")).collect()
     assert got  # early windows closed under the watermark
     batch = {
@@ -1718,7 +1718,7 @@ def test_streaming_cusum_alarms_match_batch(spark, tmp_path):
         threshold=threshold,
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     got = {
         (r["key"], r["id"]): r["cusum"]
@@ -1808,7 +1808,7 @@ def test_streaming_cusum_twosided_matches_batch(spark, tmp_path):
         threshold=threshold,
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     got = {
         (r["key"], r["id"]): (r["cusum_high"], r["cusum_low"], r["alarm_side"])
@@ -1870,7 +1870,7 @@ def test_streaming_frequent_items_mg_guarantees(spark, tmp_path):
         support_bp=support_bp,
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     out = spark.read.parquet(str(tmp_path / "mgout")).collect()
     exact = {
@@ -1950,7 +1950,7 @@ def test_streaming_confirmed_heavy_hitters_parity(spark, tmp_path):
             spark, src, out, ckpt,
             group_col="lang", value_col="tok", support_bp=support_bp,
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
 
         from pyspark.sql import functions as _F
 
@@ -2033,7 +2033,7 @@ def test_streaming_mad_matches_sequential_kernel(spark, tmp_path):
         max_files_per_trigger=1,
         **steps,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = {
         r["id"]: (r["median_est"], r["mad_est"], r["robust_z"])
         for r in spark.read.parquet(str(tmp_path / "madout")).collect()
@@ -2098,7 +2098,7 @@ def test_streaming_mad_drops_out_of_order_rows(spark, tmp_path):
             min_samples=8,
             max_files_per_trigger=1,
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
         outs.append(
             sorted(
                 (r["id"], r["median_est"], r["mad_est"])
@@ -2160,7 +2160,7 @@ def test_streaming_cusum_drops_out_of_order_rows(spark, tmp_path):
             threshold=25.0,
             max_files_per_trigger=1,
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
         outs.append(
             sorted(
                 (r["id"], r["cusum"])
@@ -2230,7 +2230,7 @@ def test_streaming_downtime_stale_batch_preserves_alerted(spark, tmp_path):
         watermark="1 second",
         max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
 
     out = spark.read.parquet(str(tmp_path / "dtout2")).collect()
     base_us = int((base - _dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
@@ -2325,7 +2325,7 @@ def test_streaming_funnel_exact_under_disorder(spark, tmp_path):
         ).parquet(src)
         seen.extend(chunk)
         q = streaming_funnel(spark, src, out, ckpt)
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not finish in 120s"
 
         snaps = spark.read.parquet(out)
         latest = snaps.join(
@@ -2416,7 +2416,7 @@ def test_streaming_encode_matches_batch_bit_exact(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = {
         r["doc_id"]: (r["n_chunks"], tuple(r["embedding"]) if r["embedding"] is not None else None)
         for r in spark.sql("SELECT * FROM enc_stream_t").collect()
@@ -2465,7 +2465,7 @@ def test_streaming_incremental_encode_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in 120s"
     got = {
         r["doc_id"]: (r["n_chunks"], tuple(r["embedding"]))
         for r in spark.sql("SELECT * FROM inc_enc_t").collect()
