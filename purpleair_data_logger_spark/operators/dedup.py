@@ -438,6 +438,79 @@ def neardup_against_index(
     )
 
 
+def corpus_overlap_minhash(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Estimate the SHINGLE-SET Jaccard between two whole corpora from
+    corpus-level MinHash signatures — the dedup PLANNING sketch (r10):
+    before paying for a cross-corpus near-dup pass over two 100 TB
+    crawls, one cheap scan of each answers "do these overlap enough to
+    bother?". The classic MinHash estimator (Broder '97) at corpus
+    granularity: sig_i(corpus) = min over ALL its shingles of h_i, and
+    P[sig_i(A) == sig_i(B)] = J(A, B), so the fraction of agreeing
+    components estimates the Jaccard with stderr ~ sqrt(J(1-J)/H).
+
+    Output: one row — (n_hashes, n_agree, jaccard_est), the estimate
+    being one float division of exact integers. Corpora with no
+    shingles at all (empty/NULL texts only) yield NULL minima, which
+    count as non-agreements.
+
+    Scale shape: one scan + one GLOBAL min-aggregate per corpus (fully
+    map-side combinable — the reduce side sees num_hashes values per
+    partition); the comparison is a 1-row × 1-row broadcast cross
+    join. Nothing is ever joined at shingle granularity; the exact
+    intersection/union this estimates would shuffle every distinct
+    shingle of both corpora. Same seeded families as
+    `minhash_signatures` (portable md5 family → DuckDB-replayable).
+    """
+
+    def sig(df: DataFrame, prefix: str) -> DataFrame:
+        ex = df.filter(F.col(text_col).isNotNull()).select(
+            F.explode(shingles(text_col, shingle_n)).alias("_sh")
+        )
+        if hash_family == "md5":
+            hashed = ex.select(
+                (md5_long(F.col("_sh")) % F.lit(MERSENNE_P31)).alias("_h")
+            )
+            seeded = [
+                F.min(
+                    (F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P31)
+                ).alias(f"{prefix}{i}")
+                for i, (a, b) in enumerate(affine_seeds(num_hashes))
+            ]
+        elif hash_family == "xxhash64":
+            hashed = ex.select(F.xxhash64(F.col("_sh")).alias("_h"))
+            seeded = [
+                F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"{prefix}{i}")
+                for i in range(num_hashes)
+            ]
+        else:
+            raise ValueError(f"unknown hash_family: {hash_family!r}")
+        return hashed.agg(*seeded)
+
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    ).cast("long")
+    return (
+        sig(df_a, "_a")
+        .crossJoin(F.broadcast(sig(df_b, "_b")))
+        .select(
+            F.lit(num_hashes).cast("long").alias("n_hashes"),
+            agree.alias("n_agree"),
+            (agree.cast("double") / F.lit(float(num_hashes))).alias(
+                "jaccard_est"
+            ),
+        )
+    )
+
+
 def lsh_bucket_skew_report(
     df: DataFrame,
     id_col: str,

@@ -800,3 +800,45 @@ def test_lsh_bucket_skew_report_flags_degenerate_bucket(spark):
     # bucket stays tiny — the signal is max_bucket_size, not zero
     for r in rep2:
         assert r["max_bucket_size"] <= 2, r
+
+
+def test_corpus_overlap_minhash_estimates_true_jaccard(spark, sf_dir):
+    """r10: the corpus-level MinHash agreement fraction must land
+    within the Broder stderr envelope of the EXACT shingle-set Jaccard
+    of the two halves (H=64 -> stderr ~ sqrt(J(1-J)/64) ~ 0.054 at
+    J~0.25; allow 3 sigma), for both hash families; empty corpora give
+    0 agreements, not a crash."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from purpleair_data_logger_spark.io import load_table
+    from purpleair_data_logger_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    # exact shingle Jaccard, computed independently
+    sh = lambda df: {
+        r["s"]
+        for r in df.select(
+            F.explode(dd.shingles("text", 3)).alias("s")
+        ).distinct().collect()
+    }
+    sa, sb = sh(a), sh(b)
+    j = len(sa & sb) / len(sa | sb)
+    sigma = math.sqrt(j * (1 - j) / 64)
+    for fam in ("md5", "xxhash64"):
+        row = dd.corpus_overlap_minhash(
+            a, b, "text", num_hashes=64, shingle_n=3, hash_family=fam
+        ).collect()[0]
+        assert row["n_hashes"] == 64
+        assert abs(row["jaccard_est"] - j) <= 3 * sigma + 1e-9, (
+            fam, row["jaccard_est"], j, sigma,
+        )
+    # empty side: NULL minima count as non-agreements
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = dd.corpus_overlap_minhash(empty, b, "text", num_hashes=8).collect()[0]
+    assert row["n_agree"] == 0 and row["jaccard_est"] == 0.0

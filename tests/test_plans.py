@@ -1256,3 +1256,15 @@ def test_document_embeddings_incremental_anti_join_before_arrow(spark, sf):
     mip = plan.index("MapInPandas")
     anti = plan.index("LeftAnti")
     assert anti > mip
+
+
+def test_corpus_overlap_minhash_global_aggs_no_shingle_join(spark, sf):
+    """Corpus overlap sketch: one global min-aggregate per side (map-
+    side combinable), a 1x1 broadcast cross join for the comparison —
+    shingles are never join keys, no Python, no window."""
+    plan = _plan(spark, sf, "corpus_overlap_minhash")
+    assert E.count(plan, "Scan parquet") == 2  # one per corpus half
+    assert E.count(plan, "HashAggregate") >= 4  # partial+final per side
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
