@@ -6703,6 +6703,89 @@ def bfs_hops_copurchase(spark, sf_dir):
 
 
 @register(
+    "sssp_copurchase",
+    """
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ),
+    e0 AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b,
+             CASE WHEN count(*) >= 4 THEN 1
+                  WHEN count(*) = 3 THEN 2 ELSE 3 END AS w
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e AS (SELECT a AS u, b AS v, w FROM e0 UNION SELECT b, a, w FROM e0),
+    walk(node, dist) AS (
+      SELECT DISTINCT l_partkey, CAST(0 AS BIGINT) FROM li
+      WHERE l_partkey < 5
+      UNION
+      SELECT e.v, wk.dist + e.w FROM walk wk JOIN e ON e.u = wk.node
+      WHERE wk.dist + e.w <= 15
+    ),
+    d AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist
+          FROM walk GROUP BY 1)
+    SELECT dist AS cost, CAST(count(*) AS BIGINT) AS n_parts
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+    "graph analytics: multi-source WEIGHTED shortest paths "
+    "(distributed Bellman-Ford, frontier-pruned relaxation rounds, "
+    "early exit at fixpoint) — affinity-priced co-purchase edges, "
+    "exact BIGINT path costs, cost-bounded recursive-CTE oracle",
+)
+def sssp_copurchase(spark, sf_dir):
+    """Cheapest-path cost histogram from the seed parts (0-4) when
+    co-purchase edges are PRICED by affinity: support >= 4 baskets
+    costs 1, exactly 3 costs 2, the support floor (2) costs 3 — so the
+    cheapest route prefers strong ties and the answer genuinely
+    differs from the BFS hop histogram over the same graph.
+    `operators/graph.py::shortest_paths`: frontier-pruned Bellman-Ford
+    relaxation with exact integer costs; the oracle replays it as a
+    cost-bounded recursive reachability CTE (states bounded by
+    nodes x cap, positive weights make cost bound hops) with min-cost
+    aggregation. Output filtered to cost <= 15 on BOTH sides so the
+    enumeration stays finite; unreached parts are absent (infinity)."""
+    from purpleair_data_logger_spark.operators import graph as gr
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select(
+            "pa",
+            "pb",
+            F.when(F.col("_w") >= 4, 1)
+            .when(F.col("_w") == 3, 2)
+            .otherwise(3)
+            .cast("long")
+            .alias("cost"),
+        )
+    )
+    sources = li.filter(F.col("l_partkey") < 5).select("l_partkey")
+    dist = gr.shortest_paths(edges, "pa", "pb", "cost", sources, "l_partkey")
+    return (
+        dist.filter(F.col("dist") <= 15)
+        .groupBy(F.col("dist").alias("cost"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("cost")
+    )
+
+
+@register(
     "local_supplier_volume",
     """
     SELECT n.n_name AS nation,

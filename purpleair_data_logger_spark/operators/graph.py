@@ -283,6 +283,103 @@ def bfs_hops(
     return settled
 
 
+def shortest_paths(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str,
+    sources: DataFrame,
+    source_col: str,
+    *,
+    directed: bool = False,
+    max_rounds: int = 64,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths: (node, dist) = the minimum
+    total edge cost from any source node, for every reachable node.
+    Weights must be POSITIVE integers (validated executably — a zero or
+    negative weight would break both the termination argument and the
+    exactness contract); costs are summed as exact BIGINTs, so results
+    are bit-identical across partitionings and engines, replayable by a
+    cost-bounded recursive-CTE oracle.
+
+    Distributed Bellman-Ford with frontier pruning: each round relaxes
+    only edges out of nodes IMPROVED last round (round 1: the sources),
+    takes the per-destination min candidate, and keeps candidates that
+    beat the settled distance. With positive integer weights every
+    improvement lowers an integer bounded below, so the fixpoint
+    arrives in at most (weighted diameter) rounds — early exit on an
+    empty improved set, ``max_rounds`` RAISES rather than returning
+    partial distances (the `kcore` discipline).
+
+    Scale shape per round: one frontier⋈adjacency equi-join (frontier
+    small side — AQE broadcasts when it fits), two map-side-combinable
+    MIN aggregates (candidate collapse, settled merge) — no windows, no
+    Python; state = the distance table, bounded by |reachable nodes|.
+    Parallel edges collapse to their cheapest weight up front, halving
+    the per-round join input on multigraphs.
+    """
+    ckpt = _checkpointer(edges, checkpoint_dir)
+    wgt = F.col(weight_col).cast("long")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("u"),
+        F.col(dst_col).cast("long").alias("v"),
+        F.when(
+            wgt < 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("shortest_paths: weights must be positive "
+                          "integers, got "),
+                    wgt.cast("string"),
+                )
+            ),
+        )
+        .otherwise(wgt)
+        .alias("w"),
+    ).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull() & F.col("w").isNotNull()
+    )
+    if not directed:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+    adj = ckpt(e.groupBy("u", "v").agg(F.min("w").alias("w")))
+    dist = ckpt(
+        sources.select(F.col(source_col).cast("long").alias("node"))
+        .filter(F.col("node").isNotNull())  # NULL carries no observation
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    frontier = dist
+    for _ in range(max_rounds):
+        cand = (
+            adj.join(
+                frontier.select(F.col("node").alias("u"), "dist"), "u"
+            )
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("_cand"))
+            .groupBy("node")
+            .agg(F.min("_cand").alias("_cand"))
+        )
+        improved = ckpt(
+            cand.join(
+                dist.select("node", F.col("dist").alias("_cur")), "node", "left"
+            )
+            .filter(F.col("_cur").isNull() | (F.col("_cand") < F.col("_cur")))
+            .select("node", F.col("_cand").alias("dist"))
+        )
+        if improved.isEmpty():
+            return dist
+        dist = ckpt(
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        frontier = improved
+    raise RuntimeError(
+        f"shortest_paths did not converge in {max_rounds} relaxation "
+        "rounds — the weighted diameter from the source set exceeds the "
+        "cap (long cheap chains). Raise max_rounds."
+    )
+
+
 def kcore(
     edges: DataFrame,
     src_col: str,

@@ -293,3 +293,96 @@ def test_kcore_copurchase_gate_row_not_vacuous(spark, sf_dir):
 
     n = all_queries()["kcore_copurchase"].fn(spark, sf_dir).count()
     assert n > 0, f"kcore_copurchase vacuous ({n} rows) at {sf_dir}"
+
+
+def test_shortest_paths_hand_graph_vs_dijkstra(spark):
+    """shortest_paths on a weighted graph where the cheapest route is
+    NOT the fewest-hop route, checked against an independent plain-
+    Python Dijkstra; multi-source takes the minimum over sources;
+    unreached nodes are absent."""
+    import heapq
+
+    from purpleair_data_logger_spark.operators.graph import shortest_paths
+
+    # 1-2-3-4 is a cheap chain (1 each); the 1-4 shortcut costs 5, so
+    # the 3-hop route (cost 3) beats the 1-hop route. 6-7 disconnected.
+    edges = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 5), (6, 7, 2)]
+
+    def dijkstra(srcs):
+        adj = {}
+        for u, v, w in edges:
+            adj.setdefault(u, []).append((v, w))
+            adj.setdefault(v, []).append((u, w))
+        dist, heap = {}, [(0, s) for s in srcs]
+        while heap:
+            d, n = heapq.heappop(heap)
+            if n in dist:
+                continue
+            dist[n] = d
+            for v, w in adj.get(n, []):
+                if v not in dist:
+                    heapq.heappush(heap, (d + w, v))
+        return dist
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    for srcs in ([1], [1, 7]):
+        sdf = spark.createDataFrame([(s,) for s in srcs], "node long")
+        got = {
+            r["node"]: r["dist"]
+            for r in shortest_paths(
+                df, "src", "dst", "w", sdf, "node"
+            ).collect()
+        }
+        assert got == dijkstra(srcs)
+    # the distinctive weighted fact: dist(4) == 3 via the chain, not 5
+    sdf = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, "src", "dst", "w", sdf, "node").collect()
+    }
+    assert got[4] == 3
+
+
+def test_shortest_paths_directed_and_parallel_edges(spark):
+    from purpleair_data_logger_spark.operators.graph import shortest_paths
+
+    # parallel 1->2 edges keep the cheapest; orientation respected
+    edges = [(1, 2, 9), (1, 2, 4), (2, 3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    src = spark.createDataFrame([(1,)], "node long")
+    dird = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(
+            df, "src", "dst", "w", src, "node", directed=True
+        ).collect()
+    }
+    assert dird == {1: 0, 2: 4, 3: 5}
+    # directed from the sink reaches nothing
+    src3 = spark.createDataFrame([(3,)], "node long")
+    assert {
+        r["node"]: r["dist"]
+        for r in shortest_paths(
+            df, "src", "dst", "w", src3, "node", directed=True
+        ).collect()
+    } == {3: 0}
+
+
+def test_shortest_paths_rejects_nonpositive_weight(spark):
+    from purpleair_data_logger_spark.operators.graph import shortest_paths
+
+    df = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 0)], "src long, dst long, w long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(Exception, match="positive"):
+        shortest_paths(df, "src", "dst", "w", src, "node").collect()
+
+
+def test_shortest_paths_max_rounds_raises(spark):
+    from purpleair_data_logger_spark.operators.graph import shortest_paths
+
+    chain = [(i, i + 1, 1) for i in range(1, 8)]
+    df = spark.createDataFrame(chain, "src long, dst long, w long")
+    src = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        shortest_paths(df, "src", "dst", "w", src, "node", max_rounds=2)
