@@ -6397,6 +6397,116 @@ def countmin_token_counts(spark, sf_dir):
 
 
 @register(
+    "quantile_sketch_events",
+    f"""
+    WITH src AS (
+      SELECT event_type, event_id, value,
+             {_hex60_sql("md5('bk|' || CAST(event_id AS VARCHAR))")} AS h
+      FROM events
+      WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    samp AS (
+      SELECT event_type, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                 PARTITION BY event_type ORDER BY h, event_id, value
+               ) AS rn
+        FROM src) WHERE rn <= 256
+    ),
+    sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample
+           FROM samp GROUP BY 1),
+    rk AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS vr
+      FROM samp
+    ),
+    est AS (
+      SELECT s.event_type, CAST(q.q_pct AS BIGINT) AS q_pct,
+             s.n_sample, r.value AS est_value
+      FROM sz s
+      CROSS JOIN (VALUES (10), (50), (90), (99)) q(q_pct)
+      JOIN rk r ON r.event_type = s.event_type
+               AND r.vr = 1 + (q.q_pct * (s.n_sample - 1)) // 100
+    ),
+    audit AS (
+      SELECT e.event_type, e.q_pct,
+             CAST(sum(CASE WHEN x.value <= e.est_value THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_le,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM est e JOIN src x ON x.event_type = e.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.event_type, e.q_pct, e.n_sample, e.est_value,
+           (10000 * a.n_le) // a.n_rows AS true_rank_bp
+    FROM est e JOIN audit a
+      ON a.event_type = e.event_type AND a.q_pct = e.q_pct
+    ORDER BY e.event_type, e.q_pct
+    """,
+    "mergeable bottom-k quantile sketch (deterministic md5 priorities "
+    "-> fully oracled, rare for a quantile sketch) with an exact "
+    "rank-error audit column; one key-shuffle of O(groups*k) rows "
+    "however large the input (map-side WindowGroupLimit)",
+)
+def quantile_sketch_events(spark, sf_dir):
+    """Percentile estimates (p10/p50/p90/p99) of `value` per event
+    type from a 256-row bottom-k-by-md5 sample, AUDITED against the
+    full table: `true_rank_bp` is the exact rank (basis points) the
+    estimate actually lands at, so every gate run re-measures the
+    sketch's rank error instead of trusting the O(1/sqrt(k)) bound
+    (`operators/sketches.py::bottomk_quantiles`).
+
+    Scale shape: the sample is one key-shuffle whose reduce side sees
+    at most k rows per group (WindowGroupLimit collapses map-side);
+    the audit is one more scan aggregated per (key, q) against the
+    BROADCAST <=20-row estimate table. At 100 TB the per-partition
+    samples are the persisted artifact and `bottomk_merge` (union,
+    re-take k smallest) rolls them up exactly — the CMS/HLL merge
+    algebra applied to rank queries.
+    """
+    from purpleair_data_logger_spark.operators import sketches as sk
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select("event_type", "event_id", "value")
+    )
+    est = sk.bottomk_quantiles(
+        e, ["event_type"], "value", "event_id", k=256
+    )
+    audit = (
+        e.join(
+            F.broadcast(est.select("event_type", "q_pct", "est_value")),
+            "event_type",
+        )
+        .groupBy("event_type", "q_pct")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("est_value"), 1).otherwise(0)
+            ).cast("long").alias("n_le"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    return (
+        est.join(audit, ["event_type", "q_pct"])
+        .select(
+            "event_type",
+            "q_pct",
+            "n_sample",
+            "est_value",
+            F.expr("(10000 * n_le) DIV n_rows").alias("true_rank_bp"),
+        )
+        .orderBy("event_type", "q_pct")
+    )
+
+
+@register(
     "market_share_by_year",
     """
     WITH rev AS (

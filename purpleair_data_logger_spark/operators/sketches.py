@@ -149,3 +149,147 @@ def countmin_estimate(
         .agg(F.min("_cell").alias("n_est"))
         .select(*keys.columns, "n_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch: mergeable, DETERMINISTIC rank estimates.
+# ---------------------------------------------------------------------------
+#
+# The quantile member of the sketch family (CMS = frequencies, HLL =
+# distinct counts, MG = heavy hitters): "what is the p-th percentile of
+# a column too large to sort" answered from a FIXED-SIZE per-group
+# summary. The summary is the k rows whose portable md5 priority
+# ("bk|" + id, `dedup.md5_long`) is smallest — a uniform sample whose
+# membership is a pure function of row identity, so unlike
+# reservoir/t-digest/KLL sketches it is bit-identical across
+# partitionings, re-runs, merge orders, AND engines: DuckDB replays
+# sample, estimate, and error audit exactly (the catalog's
+# `quantile_sketch_events` is fully oracled — rare for a quantile
+# sketch, and the reason this design was chosen over the randomized
+# classics).
+#
+# Estimate: value at rank 1 + (q·(n_s−1)) DIV 100 of the sorted sample
+# (nearest-rank-lower). Error: a bottom-k-by-uniform-hash sample of
+# size k gives rank error O(1/sqrt(k)) with the usual binomial tail —
+# k=256 ≈ ±6 rank points at one sigma (pinned loosely in pytest; the
+# oracled query carries its own exact `true_rank_bp` audit column, so
+# every gate run re-measures the error rather than trusting the
+# bound).
+#
+# Merge algebra: bottom-k of a DISJOINT union == bottom-k of the
+# union of the parts' bottom-ks (the hash is global, so the k smallest
+# overall are among each part's k smallest). Partials from overlapping
+# inputs would double-count rows — same contract as countmin_merge's
+# per-partition/per-day partials.
+#
+# Scale shape: ONE shuffle on the group key; the per-group top-k
+# window filter collapses map-side (WindowGroupLimit — each task
+# forwards at most k rows per group it sees), so the reduce side
+# carries O(groups·k) rows however large the input. Estimates are a
+# second window over the ≤k-row sample. No Python anywhere.
+
+#: Default sample size: 256 rows ≈ ±6 percentile points at 1σ.
+BOTTOMK_DEFAULT_K = 256
+
+
+def _bottomk_priority(id_col: str) -> Column:
+    """Portable sample priority: md5_long("bk|" + id). Salted so the
+    sketch's sampling is independent of the split/bucket md5 families
+    over the same key."""
+    return md5_long(
+        F.concat(F.lit("bk|"), F.col(id_col).cast("string"))
+    )
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    *,
+    value_col: str,
+    k: int = BOTTOMK_DEFAULT_K,
+) -> DataFrame:
+    """Per-key deterministic uniform sample: the ``k`` rows of each
+    key group with the smallest md5 priority of ``id_col`` (NULL ids
+    carry no observation; ties broken by id then value so duplicate-id
+    rows cut deterministically). Keeps ``key_cols + [id_col,
+    value_col]``. One key-shuffle; map-side WindowGroupLimit prunes
+    every task to k rows per group."""
+    from pyspark.sql import Window
+
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(*key_cols, id_col, value_col)
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        _bottomk_priority(id_col), F.col(id_col), F.col(value_col)
+    )
+    return (
+        base.withColumn("_bk_rn", F.row_number().over(w))
+        .filter(F.col("_bk_rn") <= int(k))
+        .drop("_bk_rn")
+    )
+
+
+def bottomk_merge(
+    *samples: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    value_col: str,
+    k: int = BOTTOMK_DEFAULT_K,
+) -> DataFrame:
+    """Merge per-partition/per-day bottom-k partials built over
+    DISJOINT inputs: union, re-take the k smallest priorities. The
+    global hash makes this exact — merge(sketch(A), sketch(B)) ==
+    sketch(A ∪ B), any merge order, bit-identical."""
+    if not samples:
+        raise ValueError("bottomk_merge needs at least one sample")
+    u = reduce(lambda a, b: a.unionByName(b), samples)
+    return bottomk_sample(
+        u, key_cols, id_col, value_col=value_col, k=k
+    )
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    *,
+    k: int = BOTTOMK_DEFAULT_K,
+    q_pcts: tuple[int, ...] = (10, 50, 90, 99),
+) -> DataFrame:
+    """Per-key quantile estimates from the bottom-k sample: one row
+    (keys..., q_pct, n_sample, est_value) per requested integer
+    percentile — est_value = the sample's nearest-rank-lower order
+    statistic, rank 1 + (q_pct·(n_sample−1)) DIV 100, ties broken by
+    (value, id) so the pick is deterministic on every engine."""
+    from pyspark.sql import Window
+
+    for p in q_pcts:
+        if not 0 <= int(p) <= 100:
+            raise ValueError(f"q_pcts must be integer percents, got {p}")
+    samp = bottomk_sample(df, key_cols, id_col, value_col=value_col, k=k)
+    wn = Window.partitionBy(*[F.col(c) for c in key_cols])
+    wv = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(value_col), F.col(id_col)
+    )
+    ranked = (
+        samp.withColumn("n_sample", F.count(F.lit(1)).over(wn).cast("long"))
+        .withColumn("_vr", F.row_number().over(wv))
+    )
+    q = F.explode(
+        F.array(*[F.lit(int(p)).cast("long") for p in q_pcts])
+    ).alias("q_pct")
+    return (
+        ranked.select(*key_cols, "n_sample", "_vr", F.col(value_col), q)
+        .filter(
+            F.col("_vr")
+            == F.lit(1) + F.expr("(q_pct * (n_sample - 1)) DIV 100")
+        )
+        .select(
+            *key_cols,
+            "q_pct",
+            "n_sample",
+            F.col(value_col).alias("est_value"),
+        )
+    )
