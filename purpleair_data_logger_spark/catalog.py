@@ -1650,6 +1650,85 @@ def jaccard_neardup_blocked(spark, sf_dir):
 
 
 @register(
+    "neardup_prefix_filter_exact",
+    """
+    WITH d AS (
+      SELECT DISTINCT doc_id, text FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+    ds AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(w[i:i+2], ' '))) AS toks
+      FROM dt
+    ),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM ds),
+    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc
+            FROM t GROUP BY 1),
+    o AS (
+      SELECT t.doc_id, list(t.tok ORDER BY f.dfc, t.tok) AS otoks
+      FROM t JOIN dft f ON f.tok = t.tok GROUP BY 1
+    ),
+    p AS (
+      SELECT doc_id, len(otoks) AS n,
+             otoks[1 : len(otoks) - ((80 * len(otoks) + 99) // 100) + 1]
+               AS pref
+      FROM o
+    ),
+    pe AS (SELECT doc_id, n, unnest(pref) AS tok FROM p),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM pe a JOIN pe b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE a.n * 100 >= b.n * 80 AND b.n * 100 >= a.n * 80
+    )
+    SELECT doc_id_a, doc_id_b, jaccard FROM (
+      SELECT c.doc_id_a, c.doc_id_b,
+             round(len(list_intersect(da.toks, db.toks)) * 1.0
+                   / len(list_distinct(list_concat(da.toks, db.toks))), 4)
+               AS jaccard
+      FROM cand c
+      JOIN ds da ON da.doc_id = c.doc_id_a
+      JOIN ds db ON db.doc_id = c.doc_id_b
+    ) WHERE jaccard >= 0.8
+    """,
+    "EXACT unblocked all-pairs shingle-Jaccard similarity join via "
+    "prefix filtering (SSJoin/AllPairs/PPJoin): rarest-shingle "
+    "prefixes make candidate generation an equi-join with PROVABLY "
+    "perfect recall — the deterministic counterpart to the "
+    "probabilistic LSH path, no blocking key, no O(n^2)",
+)
+def neardup_prefix_filter_exact(spark, sf_dir):
+    """Every document pair with 3-shingle Jaccard >= 0.8, EXACTLY —
+    `operators/dedup.py::prefix_filter_neardups`. Candidates come from
+    an equi-join of document-frequency-ordered shingle PREFIXES
+    (|x| - ceil(0.8|x|) + 1 rarest shingles) under the size filter
+    0.8|x| <= |y| <= |x|/0.8; the prefix-filter lemma makes recall 1,
+    the exact verify makes precision 1. Completes the near-dup family:
+    blocked-exact needs a key, LSH-verified has probabilistic recall,
+    this is unblocked and complete — it measures the SAME shingle
+    Jaccard as `neardup_lsh_verified`, whose output must therefore be
+    a subset of this one's (pinned in pytest: any gap IS the LSH
+    recall loss, now measurable instead of estimated).
+
+    Scale: the candidate join keys on RARE shingles only (common-
+    phrase posting lists never join), so fan-out is bounded by
+    rare-shingle document frequencies, not corpus size; everything is
+    codegen joins/aggregates — one frequency pass, one ordered
+    regroup, the prefix equi-join, the candidate-only verify."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .distinct()
+    )
+    return dd.prefix_filter_neardups(
+        d, "doc_id", "text", threshold_pct=80, shingle_n=3
+    ).orderBy("doc_id_a", "doc_id_b")
+
+
+@register(
     "knn_cosine_bruteforce",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe
@@ -3559,6 +3638,52 @@ def state_timeline_transitions(spark, sf_dir):
 
 
 @register(
+    "scd2_user_state",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_st
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    chg AS (
+      SELECT user_id, ts, event_id, event_type FROM s
+      WHERE prev_st IS NULL OR prev_st <> event_type
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           CAST(row_number() OVER w AS BIGINT) AS version_n
+    FROM chg
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+    "warehouse-standard SCD type-2 dimension build from the event "
+    "changelog: one row per state EPISODE with [valid_from, valid_to) "
+    "validity, is_current, per-key version numbers — consecutive "
+    "equal states collapse, deterministic (ts, id) versioning",
+)
+def scd2_user_state(spark, sf_dir):
+    """The versioned user-state dimension (`operators/scd.py`): what
+    state was each user in, when, as the interval table facts join
+    against (the `range_join_click_error` shape) — the TABLE form of
+    the state family next to state_agg's totals and state_timeline's
+    transition edges, and the batch analog of the CDC snapshot diff.
+
+    Scale: one key-shuffle window finds change points; the closing /
+    numbering windows run over change rows only (a small fraction of
+    any log that observes faster than it changes)."""
+    from purpleair_data_logger_spark.operators import scd
+
+    e = _t(spark, sf_dir, "events")
+    return scd.scd2_from_changelog(
+        e, ["user_id"], "ts", "event_id", "event_type"
+    )
+
+
+@register(
     "dq_report_events",
     """
     WITH g AS (
@@ -5041,6 +5166,62 @@ def stats2d_click_error_by_user(spark, sf_dir):
         "y",
         corr_alias="corr_click_error",
     )
+
+
+@register(
+    "acf_value_by_user",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
+             lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS y1,
+             lead(CAST(round(value * 100) AS BIGINT), 2) OVER w AS y2,
+             lead(CAST(round(value * 100) AS BIGINT), 3) OVER w AS y3
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL AND value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    p AS (
+      SELECT user_id, 1 AS lag, x, y1 AS y FROM s WHERE y1 IS NOT NULL
+      UNION ALL
+      SELECT user_id, 2, x, y2 FROM s WHERE y2 IS NOT NULL
+      UNION ALL
+      SELECT user_id, 3, x, y3 FROM s WHERE y3 IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           sx AS sum_x, sy AS sum_y,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS acf
+    FROM g ORDER BY user_id, lag
+    """,
+    "A-family extension: per-key lag-1..3 autocorrelation from exact "
+    "BIGINT power sums (one window pass computes every lag's lead, "
+    "one aggregate finishes) — the seasonality/stickiness probe, "
+    "bit-identical cross-engine where float corr aggregates are not",
+)
+def acf_value_by_user(spark, sf_dir):
+    """Is each user's value series sticky or mean-reverting? ACF at
+    observation-lags 1-3 per user (`hyperfunctions.autocorr_exact`):
+    decimal-scaled exact power sums per (user, lag), one float
+    expression at the end. One window shuffle computes all three
+    leads; the explode emits 3 pairs/row; one map-side-combined
+    aggregate per (user, lag) finishes. sum_y rides along as the
+    shift audit (differs from sum_x only by the k-row head/tail)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return hf.autocorr_exact(
+        e, ["user_id"], "ts", "event_id", "value", lags=(1, 2, 3)
+    ).orderBy("user_id", "lag")
 
 
 @register(

@@ -1014,3 +1014,137 @@ def edit_distance_neardups(
         .filter(F.col("edit_dist") >= 0)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def prefix_filter_neardups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold_pct: int = 80,
+    sep: str = " ",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs token-set Jaccard >= threshold over the whole
+    corpus — no blocking key, no LSH approximation, no O(n²): the
+    prefix-filtering similarity join (Chaudhuri et al. SSJoin ICDE'06;
+    Bayardo et al. AllPairs WWW'07; Xiao et al. PPJoin). The third leg
+    of the near-dup family: `jaccard_pairs_blocked` is exact but needs
+    a natural blocking key, `neardup_lsh_verified` is unblocked but
+    its candidate RECALL is probabilistic; this is unblocked AND
+    provably complete.
+
+    Why it works: order every document's tokens by ascending corpus
+    document-frequency (rarest first, ties by token). With
+    t = threshold_pct/100, any pair x, y with J(x,y) >= t must share a
+    token within BOTH prefixes of length |x| - ceil(t*|x|) + 1: if y's
+    prefix missed every common token, all common tokens would sit in
+    y's suffix, so |x∩y| <= ceil(t*|y|) - 1 < t*|y| <= J-required
+    overlap t/(1+t)*(|x|+|y|) given the size filter |x| >= t*|y| —
+    contradiction (and symmetrically for x). So an equi-join of the
+    PREFIX token lists, under the size filter, has perfect recall, and
+    the exact verify on candidates makes precision perfect too.
+
+    Scale shape: prefixes hold only each document's RAREST tokens, so
+    the candidate join's per-key fan-out is bounded by rare-token
+    document frequencies — stopword posting lists never enter the
+    join. One token-frequency aggregate, one ordered regroup, one
+    prefix equi-join (+ size predicate), one distinct, two id-joins to
+    fetch token sets for the verify. All codegen; no Python, no
+    cartesian. Duplicate (id, text) rows must be collapsed upstream
+    (the caller's PK contract, as with the LSH family).
+
+    ``shingle_n`` switches the set elements from word tokens to word
+    n-gram shingles — the SAME quantity `neardup_lsh_verified`
+    estimates-then-verifies, so with equal thresholds the LSH path's
+    output is a subset of this one's by construction (its candidates
+    are a subset of all pairs; both verifies are exact). Word-token
+    mode suits short/structured records; shingle mode is the document
+    setting (word-set Jaccard saturates on big shared vocabularies).
+
+    Output: (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b and
+    exact distinct-element jaccard >= threshold, rounded to 4 decimals
+    (the `jaccard_pairs_blocked` convention).
+    """
+    if not 1 <= int(threshold_pct) <= 100:
+        raise ValueError(
+            f"threshold_pct must be an integer percent in [1, 100], "
+            f"got {threshold_pct}"
+        )
+    t_pct = int(threshold_pct)
+    elems = (
+        _token_set(text_col, sep)
+        if shingle_n is None
+        else shingles(text_col, shingle_n, sep)
+    )
+    base = df.select(
+        F.col(id_col).alias("_pid"), elems.alias("toks")
+    ).filter(F.col("_pid").isNotNull() & F.col("toks").isNotNull())
+    toks = base.select("_pid", F.explode("toks").alias("tok"))
+    dft = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_dfc"))
+    ordered = (
+        toks.join(dft, "tok")
+        .groupBy("_pid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_dfc"), F.col("tok")))
+            ).alias("_ord")
+        )
+        .select(
+            "_pid",
+            F.transform(F.col("_ord"), lambda s: s["tok"]).alias("_otoks"),
+        )
+    )
+    # prefix length |x| - ceil(t*|x|) + 1, exact integer ceil
+    plen = (
+        F.size("_otoks")
+        - F.expr(f"({t_pct} * size(_otoks) + 99) DIV 100")
+        + F.lit(1)
+    )
+    pref = ordered.select(
+        "_pid",
+        F.size("_otoks").alias("_n"),
+        F.explode(F.slice(F.col("_otoks"), 1, plen)).alias("tok"),
+    )
+    a = pref.select(
+        F.col("_pid").alias("_ida"), F.col("_n").alias("_na"), "tok"
+    )
+    b = pref.select(
+        F.col("_pid").alias("_idb"), F.col("_n").alias("_nb"), "tok"
+    )
+    cands = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("_ida") < F.col("_idb"))
+            & (F.col("_na") * 100 >= F.col("_nb") * t_pct)
+            & (F.col("_nb") * 100 >= F.col("_na") * t_pct)
+        )
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    sets = base.select(F.col("_pid"), F.col("toks"))
+    j = (
+        cands.join(
+            sets.select(
+                F.col("_pid").alias("_ida"), F.col("toks").alias("_ta")
+            ),
+            "_ida",
+        )
+        .join(
+            sets.select(
+                F.col("_pid").alias("_idb"), F.col("toks").alias("_tb")
+            ),
+            "_idb",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    union = F.size(F.array_union(F.col("_ta"), F.col("_tb")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return (
+        j.select(
+            F.col("_ida").alias("doc_id_a"),
+            F.col("_idb").alias("doc_id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(t_pct / 100.0))
+    )

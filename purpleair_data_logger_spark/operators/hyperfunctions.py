@@ -1309,7 +1309,7 @@ def cusum_scan_twosided(
 
 def stats2d_exact(
     df: DataFrame,
-    group_col: str,
+    group_col: str | list[str],
     x_col: str,
     y_col: str,
     *,
@@ -1341,11 +1341,12 @@ def stats2d_exact(
     Single-shuffle plan: one hash aggregate on the group key.
     Output: (group, n_pairs, sum_x, sum_y, corr, slope, intercept).
     """
+    keys = [group_col] if isinstance(group_col, str) else list(group_col)
     x = F.col(x_col).cast("long")
     y = F.col(y_col).cast("long")
     g = (
         df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-        .groupBy(group_col)
+        .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.sum(x).alias("sum_x"),
@@ -1361,7 +1362,7 @@ def stats2d_exact(
     vary_n = n * F.col("_syy") - F.col("sum_y") * F.col("sum_y")
     slope = cov_n.cast("double") / varx_n.cast("double")
     return g.select(
-        group_col,
+        *keys,
         "n_pairs",
         "sum_x",
         "sum_y",
@@ -1377,3 +1378,84 @@ def stats2d_exact(
             / n.cast("double"),
         ).alias(intercept_alias),
     )
+
+
+def autocorr_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    *,
+    lags: tuple[int, ...] = (1, 2, 3),
+    decimals: int = 2,
+) -> DataFrame:
+    """Per-key lag-k autocorrelation of a time series, exactly — the
+    feature-engineering / seasonality probe (is the series sticky at
+    lag 1? periodic at lag k?) computed with the repo's exact-integer
+    discipline: ACF(k) is Pearson corr between the decimal-scaled
+    series and itself shifted k observations, so the six power sums
+    are exact BIGINTs (`stats2d_exact`) and the one float expression
+    per statistic is bit-identical cross-engine — unlike any
+    float-accumulating corr aggregate.
+
+    Pairing is OBSERVATION-lag (the ACF of the observed sequence
+    ordered by (ts, id) — the deterministic two-column order every
+    sequential operator here uses), not calendar-lag; resample first
+    (`time_bucket` aggregates / gapfill) for fixed-period ACF.
+
+    Scale shape: ONE window shuffle on the key computes every lag's
+    lead in the same pass; the explode emits |lags| pairs per row; one
+    map-side-combined aggregate per (key, lag) finishes. Overflow
+    contract (the `stats2d_exact` bound): n·Σx² < 2⁶³ — at scale 10²
+    and values ≤ 10³ that is ~10⁸ observations per key; wider keys or
+    values scale `decimals` down first. NULL value/ts/id rows carry
+    no observation (they would silently shift the pairing otherwise).
+
+    Output: (keys..., lag, n_pairs, sum_x, sum_y, acf) — sum_y differs
+    from sum_x only by the series' k-row head/tail, a cheap audit that
+    the shift really happened.
+    """
+    if not lags or any(int(k) < 1 for k in lags):
+        raise ValueError(f"lags must be positive integers, got {lags}")
+    x = _scaled(value_col, decimals)
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(*key_cols, ts_col, id_col, x.alias("_x"))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in key_cols])
+        .orderBy(F.col(ts_col), F.col(id_col))
+    )
+    led = base.select(
+        *key_cols,
+        "_x",
+        *[F.lead("_x", int(k)).over(w).alias(f"_y{k}") for k in lags],
+    )
+    pairs = (
+        led.select(
+            *key_cols,
+            "_x",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(k)).cast("long").alias("lag"),
+                            F.col(f"_y{k}").alias("_y"),
+                        )
+                        for k in lags
+                    ]
+                )
+            ).alias("_p"),
+        )
+        .select(*key_cols, F.col("_p.lag").alias("lag"), "_x", F.col("_p._y").alias("_y"))
+        .filter(F.col("_y").isNotNull())
+    )
+    return stats2d_exact(
+        pairs,
+        list(key_cols) + ["lag"],
+        "_x",
+        "_y",
+        corr_alias="acf",
+    ).select(*key_cols, "lag", "n_pairs", "sum_x", "sum_y", "acf")

@@ -8,6 +8,8 @@ stack these operators serve at scale).
 from __future__ import annotations
 
 import math
+
+import pytest
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -1070,3 +1072,66 @@ def test_asap_operator_applies_kernel_per_key(spark):
             assert np.allclose([p[1] for p in pts], sm, atol=1e-9)
             # trailing alignment: first output ts is the w-th input ts
             assert pts[0][0] == series[w - 1][0]
+
+
+def test_autocorr_exact_alternating_and_constant(spark):
+    """A perfectly alternating series has ACF(1) = -1 and ACF(2) = +1
+    exactly (y is ±x elementwise, so the closed form collapses);
+    a constant series has zero variance ⇒ NULL, never ±inf/NaN."""
+    from purpleair_data_logger_spark.operators.hyperfunctions import (
+        autocorr_exact,
+    )
+
+    rows = [("alt", i, i, float(1 if i % 2 == 0 else -1)) for i in range(40)]
+    rows += [("const", i, i, 7.5) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, t long, id long, v double")
+    df = df.select("k", F.col("t").cast("timestamp").alias("t"), "id", "v")
+    got = {
+        (r["k"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in autocorr_exact(
+            df, ["k"], "t", "id", "v", lags=(1, 2)
+        ).collect()
+    }
+    assert got[("alt", 1)] == (39, -1.0)
+    assert got[("alt", 2)] == (38, 1.0)
+    assert got[("const", 1)] == (39, None)
+    assert got[("const", 2)] == (38, None)
+
+
+def test_autocorr_exact_matches_numpy(spark):
+    """On an arbitrary series the exact-integer ACF equals numpy's
+    Pearson corr of the scaled series against its shift (float
+    reference, so approx)."""
+    import numpy as np
+
+    from purpleair_data_logger_spark.operators.hyperfunctions import (
+        autocorr_exact,
+    )
+
+    vals = [((i * 37) % 19) / 4.0 + (1.0 if i % 5 == 0 else 0.0)
+            for i in range(200)]
+    rows = [("u", i, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, id long, v double")
+    df = df.select("k", F.col("t").cast("timestamp").alias("t"), "id", "v")
+    got = {
+        r["lag"]: r["acf"]
+        for r in autocorr_exact(
+            df, ["k"], "t", "id", "v", lags=(1, 2, 3)
+        ).collect()
+    }
+    scaled = np.round(np.array(vals) * 100)
+    for lag in (1, 2, 3):
+        ref = np.corrcoef(scaled[:-lag], scaled[lag:])[0, 1]
+        assert got[lag] == pytest.approx(ref, abs=1e-12)
+
+
+def test_autocorr_exact_rejects_bad_lags(spark):
+    from purpleair_data_logger_spark.operators.hyperfunctions import (
+        autocorr_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("u", 1, 1, 1.0)], "k string, t long, id long, v double"
+    )
+    with pytest.raises(ValueError, match="lags"):
+        autocorr_exact(df, ["k"], "t", "id", "v", lags=(0,))

@@ -842,3 +842,76 @@ def test_corpus_overlap_minhash_estimates_true_jaccard(spark, sf_dir):
     empty = spark.createDataFrame([], "doc_id long, text string")
     row = dd.corpus_overlap_minhash(empty, b, "text", num_hashes=8).collect()[0]
     assert row["n_agree"] == 0 and row["jaccard_est"] == 0.0
+
+
+def test_prefix_filter_exact_equals_allpairs_truth(spark, sf_dir):
+    """The prefix-filter join is EXACT: its output equals the unblocked
+    all-pairs shingle-Jaccard truth set — recall 1 (the prefix-filter
+    lemma) and precision 1 (the verify), the property the LSH path can
+    only approach. Rounding margin on the precision side only, as in
+    the LSH test."""
+    truth = _exact_shingle_jaccard_pairs(sf_dir, 0.8)
+    loose = _exact_shingle_jaccard_pairs(sf_dir, 0.7995)
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dd.prefix_filter_neardups(
+            docs, "doc_id", "text", threshold_pct=80, shingle_n=3
+        ).collect()
+    }
+    assert got <= loose, f"false positives: {sorted(got - loose)[:5]}"
+    assert truth <= got, f"MISSED true pairs: {sorted(truth - got)[:5]}"
+
+
+def test_prefix_filter_is_superset_of_lsh_verified(spark, sf_dir):
+    """Same measured quantity, complete candidates: whatever
+    `neardup_lsh_verified` returns, the prefix-filter join must also
+    return — the gap (if any) IS the LSH recall loss, made measurable."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dd.neardup_lsh_verified(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dd.prefix_filter_neardups(
+            docs, "doc_id", "text", threshold_pct=80, shingle_n=3
+        ).collect()
+    }
+    assert lsh <= exact, f"LSH returned pairs the exact join missed: {sorted(lsh - exact)[:5]}"
+
+
+def test_prefix_filter_word_mode_hand_corpus(spark):
+    """Word-token mode on a hand corpus with known Jaccards: the pair
+    at 4/5 = 0.8 passes at threshold 80, the pair at 3/5 = 0.6 passes
+    only when the threshold drops to 60 — and size-filter pruning
+    never costs a true pair."""
+    rows = [
+        (1, "a b c d e"),      # J(1,2) = 4/6... use crafted sets below
+        (2, "a b c d f"),      # |∩|=4 |∪|=6 → 0.6667
+        (3, "a b c d"),        # J(1,3)=4/5=0.8
+        (4, "x y z"),          # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got80 = {
+        (r["doc_id_a"], r["doc_id_b"], r["jaccard"])
+        for r in dd.prefix_filter_neardups(
+            df, "doc_id", "text", threshold_pct=80
+        ).collect()
+    }
+    assert got80 == {(1, 3, 0.8), (2, 3, 0.8)}
+    got60 = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dd.prefix_filter_neardups(
+            df, "doc_id", "text", threshold_pct=60
+        ).collect()
+    }
+    assert got60 == {(1, 2), (1, 3), (2, 3)}  # J(2,3)=4/5 too
+
+
+def test_prefix_filter_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold_pct"):
+        dd.prefix_filter_neardups(df, "doc_id", "text", threshold_pct=0)
