@@ -1135,3 +1135,67 @@ def test_autocorr_exact_rejects_bad_lags(spark):
     )
     with pytest.raises(ValueError, match="lags"):
         autocorr_exact(df, ["k"], "t", "id", "v", lags=(0,))
+
+
+def test_streaming_acf_matches_batch_bit_exact(spark, tmp_path):
+    """The streaming ACF's final snapshot equals `autocorr_exact` on
+    the full series — exact integer sums AND the float statistic —
+    with a boundary-spanning pair set (two micro-batches) and a
+    dropped out-of-order straggler."""
+    from purpleair_data_logger_spark.operators.hyperfunctions import (
+        autocorr_exact,
+    )
+    from purpleair_data_logger_spark.streaming.acf import acf_by_key
+
+    rows = [
+        ("u", i, i, ((i * 37) % 19) / 4.0 + (i % 3)) for i in range(200)
+    ]
+    rows += [("w", i, 1000 + i, float((i * i) % 11)) for i in range(45)]
+    half = 120
+    b2 = rows[half:] + [("u", 5, 9999, 99.0)]  # straggler: ts 5 << cursor
+    src = str(tmp_path / "acf_src")
+    for chunk in (rows[:half], b2):
+        (
+            spark.createDataFrame(chunk, "k string, t long, id long, v double")
+            .select("k", F.col("t").cast("timestamp").alias("t"), "id", "v")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        acf_by_key(stream, "k", "t", "id", "v", lags=(1, 2, 3))
+        .writeStream.format("memory")
+        .queryName("acf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    emitted = spark.sql("SELECT * FROM acf_stream").collect()
+    latest = {}
+    for r in emitted:
+        cur = latest.get((r["k"], r["lag"]))
+        if cur is None or r["rows_seen"] > cur["rows_seen"]:
+            latest[(r["k"], r["lag"])] = r
+    full = spark.createDataFrame(
+        rows, "k string, t long, id long, v double"
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "id", "v")
+    batch = {
+        (r["k"], r["lag"]): r
+        for r in autocorr_exact(
+            full, ["k"], "t", "id", "v", lags=(1, 2, 3)
+        ).collect()
+    }
+    assert set(latest) == set(batch)
+    for kq, r in latest.items():
+        want = batch[kq]
+        assert (r["n_pairs"], r["sum_x"], r["sum_y"]) == (
+            want["n_pairs"], want["sum_x"], want["sum_y"],
+        ), kq
+        assert r["acf"] == want["acf"], kq  # bit-exact float

@@ -78,3 +78,82 @@ def test_scd2_null_rows_carry_no_observation(spark):
     ]
     got = _build(spark, rows)
     assert got == [("a", "x", _ts(1), None, True, 1)]
+
+
+def test_streaming_scd2_matches_batch_bit_exact(spark, tmp_path):
+    """Closed episodes streamed across two micro-batches + the latest
+    open emission equal the batch SCD2 build exactly, including an
+    episode that spans the batch boundary; an out-of-order straggler
+    is dropped per the disorder contract."""
+    from purpleair_data_logger_spark.streaming.scd import scd2_by_key
+
+    b1 = [
+        ("a", _ts(1), 1, "x"),
+        ("a", _ts(2), 2, "x"),
+        ("a", _ts(3), 3, "y"),
+        ("b", _ts(1), 4, "p"),
+    ]
+    b2 = [
+        ("a", _ts(4), 5, "y"),   # extends the open y episode
+        ("a", _ts(6), 6, "z"),   # closes it
+        ("a", _ts(2), 7, "w"),   # STRAGGLER: at/before cursor → dropped
+        ("b", _ts(8), 8, "q"),
+    ]
+    src = str(tmp_path / "scd_src")
+    for chunk in (b1, b2):
+        (
+            spark.createDataFrame(
+                chunk, "user string, ts timestamp, id long, st string"
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("user string, ts timestamp, id long, st string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        scd2_by_key(stream, "user", "ts", "id", "st")
+        .writeStream.format("memory")
+        .queryName("scd2_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    emitted = spark.sql("SELECT * FROM scd2_stream").collect()
+    closed = {
+        (r["user"], r["state"], r["valid_from"], r["valid_to"], r["version_n"])
+        for r in emitted if not r["is_current"]
+    }
+    latest_seen = {}
+    for r in emitted:
+        if r["is_current"]:
+            cur = latest_seen.get(r["user"])
+            if cur is None or r["rows_seen"] > cur["rows_seen"]:
+                latest_seen[r["user"]] = r
+    open_rows = {
+        (u, r["state"], r["valid_from"], r["valid_to"], r["version_n"])
+        for u, r in latest_seen.items()
+    }
+    # the batch truth excludes the dropped straggler
+    kept = b1 + [r for r in b2 if r[2] != 7]
+    batch = scd2_from_changelog(
+        spark.createDataFrame(
+            kept, "user string, ts timestamp, id long, st string"
+        ),
+        ["user"], "ts", "id", "st",
+    ).collect()
+    want_closed = {
+        (r["user"], r["state"], r["valid_from"], r["valid_to"], r["version_n"])
+        for r in batch if not r["is_current"]
+    }
+    want_open = {
+        (r["user"], r["state"], r["valid_from"], r["valid_to"], r["version_n"])
+        for r in batch if r["is_current"]
+    }
+    assert closed == want_closed
+    assert open_rows == want_open
