@@ -7036,8 +7036,11 @@ def sssp_copurchase(spark, sf_dir):
     relaxation with exact integer costs; the oracle replays it as a
     cost-bounded recursive reachability CTE (states bounded by
     nodes x cap, positive weights make cost bound hops) with min-cost
-    aggregation. Output filtered to cost <= 15 on BOTH sides so the
-    enumeration stays finite; unreached parts are absent (infinity)."""
+    aggregation. The cost cap (15) is applied INSIDE both searches —
+    `max_dist` prunes the Spark frontier (bounding relaxation rounds
+    at the cap, so a long cheap chain can never exhaust max_rounds on
+    nodes the query would discard), the CTE's WHERE bounds the
+    enumeration; unreached parts are absent (infinity)."""
     from purpleair_data_logger_spark.operators import graph as gr
 
     li = (
@@ -7067,7 +7070,9 @@ def sssp_copurchase(spark, sf_dir):
         )
     )
     sources = li.filter(F.col("l_partkey") < 5).select("l_partkey")
-    dist = gr.shortest_paths(edges, "pa", "pb", "cost", sources, "l_partkey")
+    dist = gr.shortest_paths(
+        edges, "pa", "pb", "cost", sources, "l_partkey", max_dist=15
+    )
     return (
         dist.filter(F.col("dist") <= 15)
         .groupBy(F.col("dist").alias("cost"))

@@ -231,6 +231,45 @@ def shingles(text_col: str, n: int = 3, sep: str = " ") -> Column:
     )
 
 
+def _seeded_minima(
+    ex: DataFrame,
+    hash_family: str,
+    num_hashes: int,
+    alias_prefix: str,
+    group_col: str | None,
+) -> DataFrame:
+    """The seeded-minima stage shared by `minhash_signatures` (per-doc,
+    group_col set) and `corpus_overlap_minhash` (corpus-global,
+    group_col None): hash the exploded ``_sh`` shingle column once,
+    then take min over ``num_hashes`` seeded re-hashes — md5+affine
+    (portable, DuckDB-replayable) or xxhash64 (fast). One copy of the
+    family construction, so the oracle SQL can never desynchronize
+    from half of it (code-review r10)."""
+    if hash_family == "md5":
+        hashed = ex.withColumn(
+            "_h", md5_long(F.col("_sh")) % F.lit(MERSENNE_P31)
+        )
+        seeded = [
+            F.min(
+                (F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P31)
+            ).alias(f"{alias_prefix}{i}")
+            for i, (a, b) in enumerate(affine_seeds(num_hashes))
+        ]
+    elif hash_family == "xxhash64":
+        hashed = ex.withColumn("_h", F.xxhash64(F.col("_sh")))
+        seeded = [
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(
+                f"{alias_prefix}{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    if group_col is None:
+        return hashed.agg(*seeded)
+    return hashed.groupBy(group_col).agg(*seeded)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -276,25 +315,7 @@ def minhash_signatures(
     ).select(
         F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
     )
-    if hash_family == "md5":
-        hashed = ex.select(
-            F.col(id_col), (md5_long(F.col("_sh")) % F.lit(MERSENNE_P31)).alias("_h")
-        )
-        seeded = [
-            F.min((F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P31)).alias(
-                f"_mh{i}"
-            )
-            for i, (a, b) in enumerate(affine_seeds(num_hashes))
-        ]
-    elif hash_family == "xxhash64":
-        hashed = ex.select(F.col(id_col), F.xxhash64(F.col("_sh")).alias("_h"))
-        seeded = [
-            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_mh{i}")
-            for i in range(num_hashes)
-        ]
-    else:
-        raise ValueError(f"unknown hash_family: {hash_family!r}")
-    return hashed.groupBy(id_col).agg(*seeded)
+    return _seeded_minima(ex, hash_family, num_hashes, "_mh", id_col)
 
 
 def lsh_banded(
@@ -471,28 +492,14 @@ def corpus_overlap_minhash(
     """
 
     def sig(df: DataFrame, prefix: str) -> DataFrame:
-        ex = df.filter(F.col(text_col).isNotNull()).select(
+        base = parallelize_small_scan(
+            df.filter(F.col(text_col).isNotNull()).select(text_col),
+            text_col,
+        )
+        ex = base.select(
             F.explode(shingles(text_col, shingle_n)).alias("_sh")
         )
-        if hash_family == "md5":
-            hashed = ex.select(
-                (md5_long(F.col("_sh")) % F.lit(MERSENNE_P31)).alias("_h")
-            )
-            seeded = [
-                F.min(
-                    (F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P31)
-                ).alias(f"{prefix}{i}")
-                for i, (a, b) in enumerate(affine_seeds(num_hashes))
-            ]
-        elif hash_family == "xxhash64":
-            hashed = ex.select(F.xxhash64(F.col("_sh")).alias("_h"))
-            seeded = [
-                F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"{prefix}{i}")
-                for i in range(num_hashes)
-            ]
-        else:
-            raise ValueError(f"unknown hash_family: {hash_family!r}")
-        return hashed.agg(*seeded)
+        return _seeded_minima(ex, hash_family, num_hashes, prefix, None)
 
     agree = sum(
         F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)

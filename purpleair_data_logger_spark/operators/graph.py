@@ -293,10 +293,17 @@ def shortest_paths(
     *,
     directed: bool = False,
     max_rounds: int = 64,
+    max_dist: int | None = None,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Multi-source WEIGHTED shortest paths: (node, dist) = the minimum
-    total edge cost from any source node, for every reachable node.
+    total edge cost from any source node, for every reachable node —
+    or, with ``max_dist``, for every node within that cost budget
+    (candidates beyond the cap are pruned INSIDE the loop, which also
+    bounds the round count at ``max_dist`` since weights are >= 1 —
+    without the cap, a long cheap chain needs one round per hop and
+    can exhaust ``max_rounds`` even though the caller would have
+    discarded those far nodes anyway).
     Weights must be POSITIVE integers (validated executably — a zero or
     negative weight would break both the termination argument and the
     exactness contract); costs are summed as exact BIGINTs, so results
@@ -355,9 +362,10 @@ def shortest_paths(
                 frontier.select(F.col("node").alias("u"), "dist"), "u"
             )
             .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("_cand"))
-            .groupBy("node")
-            .agg(F.min("_cand").alias("_cand"))
         )
+        if max_dist is not None:
+            cand = cand.filter(F.col("_cand") <= int(max_dist))
+        cand = cand.groupBy("node").agg(F.min("_cand").alias("_cand"))
         improved = ckpt(
             cand.join(
                 dist.select("node", F.col("dist").alias("_cur")), "node", "left"

@@ -109,6 +109,18 @@ def acf_stateful_func(lags: tuple[int, ...], decimals: int):
         rows_seen += int(len(xs))
         ext = np.array(tail + list(xs), dtype=np.int64)
         t_len = len(tail)
+        # loud-overflow contract (test_overflow_contracts discipline):
+        # numpy int64 wraps SILENTLY where the batch path's ANSI mode
+        # raises, so enforce the per-batch bound max|x|^2 * n < 2^63
+        # explicitly before any product sum
+        if len(ext):
+            mx = int(np.abs(ext).max())
+            if mx * mx * max(1, len(xs)) >= 2**63:
+                raise ValueError(
+                    "streaming acf: scaled values overflow the exact-"
+                    f"BIGINT power sums (max |x| = {mx}) — lower "
+                    "`decimals`, as in the batch operator"
+                )
         for li, k in enumerate(lags):
             # each batch element xs[j] (global index seen_before + j)
             # closes the pair (x at k back, y = xs[j]) iff the global
@@ -132,6 +144,11 @@ def acf_stateful_func(lags: tuple[int, ...], decimals: int):
         }
         for li, k in enumerate(lags):
             n, sx, sy, sxy, sxx, syy = sums[li * 6 : li * 6 + 6]
+            if n == 0:
+                # batch emits no row for a pairless (key, lag) — a
+                # phantom n_pairs=0 row would break snapshot parity
+                # for keys shorter than the lag
+                continue
             out["lag"].append(k)
             out["n_pairs"].append(n)
             out["sum_x"].append(sx)

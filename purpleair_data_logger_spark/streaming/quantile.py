@@ -133,6 +133,11 @@ def quantiles_by_group(
     """Per-key streaming quantile snapshots: (group, q_pct, n_sample,
     est_value, rows_seen) per trigger, O(k) state per key, final
     snapshot bit-exact against the batch `bottomk_quantiles`."""
+    for q in q_pcts:
+        if not 0 <= int(q) <= 100:
+            raise ValueError(
+                f"q_pcts must be integer percents, got {q}"
+            )
     src = stream.select(
         group_col,
         F.col(id_col).cast("long").alias("_id"),

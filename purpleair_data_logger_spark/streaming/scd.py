@@ -152,7 +152,7 @@ def scd2_by_key(
     """Per-key streaming SCD2: closed episodes as they close + the
     open episode re-emitted per trigger, bit-exact against the batch
     `scd2_from_changelog` after any prefix. O(1) state per key."""
-    src = stream.select(
+    src = stream.filter(F.col(key_col).isNotNull()).select(
         key_col,
         F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_ts_us"),
         F.col(id_col).cast("long").alias("_id"),

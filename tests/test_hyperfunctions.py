@@ -1199,3 +1199,79 @@ def test_streaming_acf_matches_batch_bit_exact(spark, tmp_path):
             want["n_pairs"], want["sum_x"], want["sum_y"],
         ), kq
         assert r["acf"] == want["acf"], kq  # bit-exact float
+
+
+def test_streaming_acf_short_key_emits_no_phantom_lags(spark, tmp_path):
+    """A key with fewer observations than a configured lag must not
+    emit an n_pairs=0 phantom row — batch emits no row at all for a
+    pairless (key, lag), and snapshot parity depends on the row SETS
+    matching (code-review r10)."""
+    from purpleair_data_logger_spark.operators.hyperfunctions import (
+        autocorr_exact,
+    )
+    from purpleair_data_logger_spark.streaming.acf import acf_by_key
+
+    rows = [("s", 1, 1, 2.0), ("s", 2, 2, 5.0)]  # 2 obs: lag-3 has 0 pairs
+    src = str(tmp_path / "acf_short")
+    (
+        spark.createDataFrame(rows, "k string, t long, id long, v double")
+        .select("k", F.col("t").cast("timestamp").alias("t"), "id", "v")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        acf_by_key(stream, "k", "t", "id", "v", lags=(1, 3))
+        .writeStream.format("memory")
+        .queryName("acf_short")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["lag"]): (r["n_pairs"], r["sum_x"], r["sum_y"])
+        for r in spark.sql("SELECT * FROM acf_short").collect()
+    }
+    full = spark.createDataFrame(
+        rows, "k string, t long, id long, v double"
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "id", "v")
+    want = {
+        (r["k"], r["lag"]): (r["n_pairs"], r["sum_x"], r["sum_y"])
+        for r in autocorr_exact(
+            full, ["k"], "t", "id", "v", lags=(1, 3)
+        ).collect()
+    }
+    assert got == want  # exactly the lag-1 row; no phantom lag-3
+
+
+def test_streaming_acf_overflow_raises_loud(spark, tmp_path):
+    """The mirror enforces the batch path's loud-overflow contract:
+    scaled values whose power sums would exceed int64 raise instead of
+    silently wrapping through numpy (code-review r10)."""
+    from py4j.protocol import Py4JJavaError
+
+    from purpleair_data_logger_spark.streaming.acf import acf_by_key
+
+    rows = [("o", 1, 1, 4.0e16), ("o", 2, 2, 4.1e16)]
+    src = str(tmp_path / "acf_ovf")
+    (
+        spark.createDataFrame(rows, "k string, t long, id long, v double")
+        .select("k", F.col("t").cast("timestamp").alias("t"), "id", "v")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    q = (
+        acf_by_key(stream, "k", "t", "id", "v", lags=(1,))
+        .writeStream.format("memory")
+        .queryName("acf_ovf")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="overflow|OVERFLOW|StreamingQuery"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+        raise AssertionError("stream finished without the overflow error")

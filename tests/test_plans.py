@@ -1268,3 +1268,62 @@ def test_corpus_overlap_minhash_global_aggs_no_shingle_join(spark, sf):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_quantile_sketch_windowgrouplimit_and_broadcast_audit(spark, sf):
+    """Bottom-k quantile sketch: the sample's top-k window collapses
+    MAP-SIDE (WindowGroupLimit partial+final — each task forwards at
+    most k rows per group, the 100 TB lever), and the exact-rank audit
+    joins the <=20-row estimate table BROADCAST; no SMJ anywhere."""
+    plan = _plan(spark, sf, "quantile_sketch_events")
+    assert E.count(plan, "WindowGroupLimit") >= 2  # partial + final
+    assert E.count(plan, "BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_prefix_filter_equi_join_no_cartesian(spark, sf):
+    """Exact prefix-filter similarity join: EVERY join is an equi-join
+    (prefix-token candidates, id-keyed verify fetches) — no cartesian,
+    no broadcast nested loop, no Python; the size filter rides the
+    candidate join, not a post-pass."""
+    plan = _plan(spark, sf, "neardup_prefix_filter_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # candidate generation joins on the shingle/token key
+    assert E.count(plan, "Join") >= 3 or E.count(plan, "SortMergeJoin") + E.count(
+        plan, "ShuffledHashJoin"
+    ) + E.count(plan, "BroadcastHashJoin") >= 3
+
+
+def test_acf_single_window_pass_no_python(spark, sf):
+    """Lag-k autocorrelation: ONE window node computes every lag's
+    lead (never one window per lag), the explode rides that
+    partitioning, and the whole plan is JVM-side."""
+    plan = _plan(spark, sf, "acf_value_by_user")
+    assert E.count(plan, "Window") == 1
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_after_changepoint_filter_no_python(spark, sf):
+    """SCD2 build: the change-point lag window runs over the full log
+    (one key shuffle); the closing/numbering windows run over CHANGE
+    ROWS only — the plan keeps all window work in two Window nodes,
+    JVM-side."""
+    plan = _plan(spark, sf, "scd2_user_state")
+    assert E.count(plan, "Window") == 2  # change-point pass + close/number pass
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_sssp_round_joins_are_equi_no_cartesian(spark, sf):
+    """Weighted SSSP: the materialized fixpoint's lineage shows only
+    equi-joins and aggregates (frontier-adjacency join + MIN
+    collapses) — no cartesian, no Python, and the peel-style frontier
+    is never force-broadcast (AQE decides)."""
+    plan = _plan(spark, sf, "sssp_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan

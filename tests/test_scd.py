@@ -157,3 +157,39 @@ def test_streaming_scd2_matches_batch_bit_exact(spark, tmp_path):
     }
     assert closed == want_closed
     assert open_rows == want_open
+
+
+def test_streaming_scd2_drops_null_keys(spark, tmp_path):
+    """NULL-key changes carry no observation in the mirror, matching
+    the batch operator's key filter (code-review r10: groupBy would
+    otherwise form a NULL-key group and emit episodes batch never
+    builds)."""
+    from purpleair_data_logger_spark.streaming.scd import scd2_by_key
+
+    rows = [
+        ("a", _ts(1), 1, "x"),
+        (None, _ts(2), 2, "y"),
+        (None, _ts(3), 3, "z"),
+    ]
+    src = str(tmp_path / "scd_null")
+    (
+        spark.createDataFrame(
+            rows, "user string, ts timestamp, id long, st string"
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "user string, ts timestamp, id long, st string"
+    ).parquet(src)
+    q = (
+        scd2_by_key(stream, "user", "ts", "id", "st")
+        .writeStream.format("memory")
+        .queryName("scd_null")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM scd_null").collect()
+    assert {r["user"] for r in got} == {"a"}
