@@ -2758,6 +2758,107 @@ def neardup_incremental_batch(spark, sf_dir):
 
 
 @register(
+    "neardup_prefix_incremental",
+    """
+    WITH d AS (
+      SELECT DISTINCT doc_id, text FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+    ds AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(w[i:i+2], ' '))) AS toks
+      FROM dt
+    ),
+    news  AS (SELECT * FROM ds WHERE doc_id % 10 = 0),
+    bases AS (SELECT * FROM ds WHERE doc_id % 10 <> 0),
+    dft AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS dfc
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM bases) GROUP BY 1
+    ),
+    onew AS (
+      SELECT t.doc_id, list(t.tok ORDER BY coalesce(f.dfc, 0), t.tok)
+               AS otoks
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM news) t
+      LEFT JOIN dft f ON f.tok = t.tok GROUP BY 1
+    ),
+    obase AS (
+      SELECT t.doc_id, list(t.tok ORDER BY coalesce(f.dfc, 0), t.tok)
+               AS otoks
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM bases) t
+      LEFT JOIN dft f ON f.tok = t.tok GROUP BY 1
+    ),
+    pe_new AS (
+      SELECT doc_id, len(otoks) AS n,
+             unnest(otoks[1 : len(otoks) - ((80*len(otoks)+99)//100) + 1])
+               AS tok
+      FROM onew
+    ),
+    fe_new AS (SELECT doc_id, len(otoks) AS n, unnest(otoks) AS tok
+               FROM onew),
+    pe_base AS (
+      SELECT doc_id, len(otoks) AS n,
+             unnest(otoks[1 : len(otoks) - ((80*len(otoks)+99)//100) + 1])
+               AS tok
+      FROM obase
+    ),
+    fe_base AS (SELECT doc_id, len(otoks) AS n, unnest(otoks) AS tok
+                FROM obase),
+    cand AS (
+      SELECT x.doc_id AS nid, y.doc_id AS bid
+      FROM pe_new x JOIN fe_base y ON x.tok = y.tok
+      WHERE x.n * 100 >= y.n * 80 AND y.n * 100 >= x.n * 80
+      UNION
+      SELECT x.doc_id, y.doc_id
+      FROM fe_new x JOIN pe_base y ON x.tok = y.tok
+      WHERE x.n * 100 >= y.n * 80 AND y.n * 100 >= x.n * 80
+    )
+    SELECT new_doc_id, base_doc_id, jaccard FROM (
+      SELECT c.nid AS new_doc_id, c.bid AS base_doc_id,
+             round(len(list_intersect(a.toks, b.toks)) * 1.0
+                   / len(list_distinct(list_concat(a.toks, b.toks))), 4)
+               AS jaccard
+      FROM cand c
+      JOIN news a  ON a.doc_id = c.nid
+      JOIN bases b ON b.doc_id = c.bid
+    ) WHERE jaccard >= 0.8
+    ORDER BY new_doc_id, base_doc_id
+    """,
+    "EXACT incremental similarity join via prefix filtering: new "
+    "batch vs existing corpus under the base's FROZEN df order (the "
+    "persistable-index pattern), no new x new / base x base pairs, "
+    "recall provably 1 — the deterministic counterpart of the LSH "
+    "incremental path",
+)
+def neardup_prefix_incremental(spark, sf_dir):
+    """The exact version of the ingest-time dedup gate: every (new,
+    base) pair with 3-shingle Jaccard >= 0.8, where docs with
+    doc_id % 10 == 0 play the incoming batch (the
+    `neardup_incremental_batch` split, so the two paths' outputs are
+    directly comparable — the LSH path's pairs must be a SUBSET,
+    pinned in pytest). `dedup.py::prefix_filter_between`: prefixes
+    ordered by the BASE corpus's document frequency — one frozen
+    order keeps the base's prefix/posting tables persistable
+    artifacts, and any fixed order satisfies the prefix-filter lemma —
+    candidates from (prefix(new) join postings(base)) union
+    (postings(new) join prefix(base)) under the size filter, exact
+    verify on candidates only."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .distinct()
+    )
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    base = d.filter(F.col("doc_id") % 10 != 0)
+    return dd.prefix_filter_between(
+        new, base, "doc_id", "text", threshold_pct=80, shingle_n=3
+    ).orderBy("new_doc_id", "base_doc_id")
+
+
+@register(
     "corpus_vocabulary",
     """
     WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

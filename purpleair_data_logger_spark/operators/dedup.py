@@ -1155,3 +1155,159 @@ def prefix_filter_neardups(
         )
         .filter(F.col("jaccard") >= F.lit(t_pct / 100.0))
     )
+
+
+def prefix_filter_between(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold_pct: int = 80,
+    sep: str = " ",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """EXACT incremental similarity join: every (new, base) pair with
+    Jaccard >= threshold — the deterministic counterpart of
+    `neardup_lsh_between`, exactly as `prefix_filter_neardups` is the
+    counterpart of `neardup_lsh_verified`. No new×new, no base×base,
+    recall provably 1.
+
+    The global element order is the BASE corpus's document frequency
+    (rarest first, ties by element; elements unseen in the base rank
+    rarest at df 0) — ONE frozen order, so the base side's prefix and
+    posting tables are persistable artifacts (the `lsh_banded` index
+    pattern): a steady-state ingest pays only the new batch's prefix
+    computation plus the two candidate joins. Any fixed global order
+    satisfies the prefix-filter lemma; freezing the base's keeps the
+    index incremental.
+
+    Why two joins: for a qualifying pair the SMALLER side's prefix
+    must intersect the common set (the `prefix_filter_neardups`
+    argument under the size filter) — but either side may be smaller,
+    so candidates = (prefix(new) ⋈ postings(base)) ∪ (postings(new) ⋈
+    prefix(base)). Both are keyed on prefix elements — the rare ones —
+    so fan-out stays bounded by rare-element document frequencies.
+
+    Output: (new_doc_id, base_doc_id, jaccard) with exact
+    distinct-element jaccard >= threshold (4-decimal rounding, the
+    family convention). Duplicate (id, text) rows must be collapsed
+    upstream; ids may overlap between sides, self-pairs excluded by
+    the exact verify only if texts differ — callers with overlapping
+    id spaces filter `new_doc_id != base_doc_id` themselves, as with
+    the LSH family.
+    """
+    if not 1 <= int(threshold_pct) <= 100:
+        raise ValueError(
+            f"threshold_pct must be an integer percent in [1, 100], "
+            f"got {threshold_pct}"
+        )
+    t_pct = int(threshold_pct)
+    elems = (
+        _token_set(text_col, sep)
+        if shingle_n is None
+        else shingles(text_col, shingle_n, sep)
+    )
+
+    def sets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_pid"), elems.alias("toks")
+        ).filter(F.col("_pid").isNotNull() & F.col("toks").isNotNull())
+
+    new_sets, base_sets = sets(new_df), sets(base_df)
+    dft = (
+        base_sets.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_dfc"))
+    )
+
+    def prefixed(side_sets: DataFrame) -> tuple[DataFrame, DataFrame]:
+        toks = side_sets.select("_pid", F.explode("toks").alias("tok"))
+        ordered = (
+            toks.join(dft, "tok", "left")
+            .select(
+                "_pid",
+                "tok",
+                F.coalesce(F.col("_dfc"), F.lit(0).cast("long")).alias(
+                    "_dfc"
+                ),
+            )
+            .groupBy("_pid")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_dfc"), F.col("tok")))
+                ).alias("_ord")
+            )
+            .select(
+                "_pid",
+                F.transform(F.col("_ord"), lambda s: s["tok"]).alias(
+                    "_otoks"
+                ),
+            )
+        )
+        plen = (
+            F.size("_otoks")
+            - F.expr(f"({t_pct} * size(_otoks) + 99) DIV 100")
+            + F.lit(1)
+        )
+        pref = ordered.select(
+            "_pid",
+            F.size("_otoks").alias("_n"),
+            F.explode(F.slice(F.col("_otoks"), 1, plen)).alias("tok"),
+        )
+        full = ordered.select(
+            "_pid",
+            F.size("_otoks").alias("_n"),
+            F.explode(F.col("_otoks")).alias("tok"),
+        )
+        return pref, full
+
+    pref_new, full_new = prefixed(new_sets)
+    pref_base, full_base = prefixed(base_sets)
+
+    def cand(left: DataFrame, right: DataFrame) -> DataFrame:
+        a = left.select(
+            F.col("_pid").alias("_idn"), F.col("_n").alias("_nn"), "tok"
+        )
+        b = right.select(
+            F.col("_pid").alias("_idb"), F.col("_n").alias("_nb"), "tok"
+        )
+        return (
+            a.join(b, "tok")
+            .filter(
+                (F.col("_nn") * 100 >= F.col("_nb") * t_pct)
+                & (F.col("_nb") * 100 >= F.col("_nn") * t_pct)
+            )
+            .select("_idn", "_idb")
+        )
+
+    cands = (
+        cand(pref_new, full_base)
+        .unionByName(cand(full_new, pref_base))
+        .distinct()
+    )
+    j = (
+        cands.join(
+            new_sets.select(
+                F.col("_pid").alias("_idn"), F.col("toks").alias("_tn")
+            ),
+            "_idn",
+        )
+        .join(
+            base_sets.select(
+                F.col("_pid").alias("_idb"), F.col("toks").alias("_tb")
+            ),
+            "_idb",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("_tn"), F.col("_tb")))
+    union = F.size(F.array_union(F.col("_tn"), F.col("_tb")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return (
+        j.select(
+            F.col("_idn").alias("new_doc_id"),
+            F.col("_idb").alias("base_doc_id"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(t_pct / 100.0))
+    )

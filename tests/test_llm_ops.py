@@ -915,3 +915,67 @@ def test_prefix_filter_rejects_bad_threshold(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="threshold_pct"):
         dd.prefix_filter_neardups(df, "doc_id", "text", threshold_pct=0)
+
+
+def _exact_cross_side_truth(sf_dir, threshold):
+    """Unblocked cross-side (new = doc_id%10==0 vs base) 3-shingle
+    Jaccard ground truth, brute-forced in DuckDB."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH t AS (SELECT doc_id, string_split(text,' ') AS toks
+                   FROM read_parquet('{_docs_path(sf_dir)}')
+                   WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+        s AS (SELECT doc_id, list_distinct(
+                CASE WHEN len(toks) >= 3 THEN
+                  list_transform(range(1, len(toks)-1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [array_to_string(toks, ' ')] END) AS sh
+              FROM t)
+        SELECT a.doc_id, b.doc_id
+        FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        WHERE len(list_intersect(a.sh,b.sh)) * 1.0
+              / len(list_distinct(list_concat(a.sh,b.sh))) >= {threshold}
+        """
+    ).fetchall()
+    return {(a, b) for a, b in rows}
+
+
+def test_prefix_filter_between_equals_cross_side_truth(spark, sf_dir):
+    """The incremental prefix-filter join is EXACT: equals the
+    brute-force cross-side truth (recall 1 under the frozen base-df
+    order, precision 1 from the verify)."""
+    truth = _exact_cross_side_truth(sf_dir, 0.8)
+    loose = _exact_cross_side_truth(sf_dir, 0.7995)
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    got = {
+        (r["new_doc_id"], r["base_doc_id"])
+        for r in dd.prefix_filter_between(
+            new, base, "doc_id", "text", threshold_pct=80, shingle_n=3
+        ).collect()
+    }
+    assert got <= loose, f"false positives: {sorted(got - loose)[:5]}"
+    assert truth <= got, f"MISSED cross-side pairs: {sorted(truth - got)[:5]}"
+
+
+def test_prefix_filter_between_superset_of_lsh_between(spark, sf_dir):
+    """Same split, same measured quantity: the LSH incremental path's
+    verified pairs must all appear in the exact incremental join."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    lsh = {
+        (r["new_doc_id"], r["base_doc_id"])
+        for r in dd.neardup_lsh_between(
+            new, base, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    exact = {
+        (r["new_doc_id"], r["base_doc_id"])
+        for r in dd.prefix_filter_between(
+            new, base, "doc_id", "text", threshold_pct=80, shingle_n=3
+        ).collect()
+    }
+    assert lsh <= exact, f"LSH found pairs the exact join missed: {sorted(lsh - exact)[:5]}"
