@@ -1157,8 +1157,67 @@ def prefix_filter_neardups(
     )
 
 
-def prefix_filter_between(
-    new_df: DataFrame,
+def _prefix_elems(text_col: str, sep: str, shingle_n: int | None) -> Column:
+    return (
+        _token_set(text_col, sep)
+        if shingle_n is None
+        else shingles(text_col, shingle_n, sep)
+    )
+
+
+def _prefix_sets(
+    df: DataFrame, id_col: str, text_col: str, sep: str,
+    shingle_n: int | None,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_pid"),
+        _prefix_elems(text_col, sep, shingle_n).alias("toks"),
+    ).filter(F.col("_pid").isNotNull() & F.col("toks").isNotNull())
+
+
+def _prefix_tables(
+    side_sets: DataFrame, dft: DataFrame, t_pct: int
+) -> tuple[DataFrame, DataFrame]:
+    """(prefix rows, posting rows) for one side, ordered under the
+    GIVEN df table (elements absent from it rank rarest at df 0)."""
+    toks = side_sets.select("_pid", F.explode("toks").alias("tok"))
+    ordered = (
+        toks.join(dft, "tok", "left")
+        .select(
+            "_pid",
+            "tok",
+            F.coalesce(F.col("_dfc"), F.lit(0).cast("long")).alias("_dfc"),
+        )
+        .groupBy("_pid")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_dfc"), F.col("tok")))
+            ).alias("_ord")
+        )
+        .select(
+            "_pid",
+            F.transform(F.col("_ord"), lambda s: s["tok"]).alias("_otoks"),
+        )
+    )
+    plen = (
+        F.size("_otoks")
+        - F.expr(f"({t_pct} * size(_otoks) + 99) DIV 100")
+        + F.lit(1)
+    )
+    pref = ordered.select(
+        "_pid",
+        F.size("_otoks").alias("_n"),
+        F.explode(F.slice(F.col("_otoks"), 1, plen)).alias("tok"),
+    )
+    full = ordered.select(
+        "_pid",
+        F.size("_otoks").alias("_n"),
+        F.explode(F.col("_otoks")).alias("tok"),
+    )
+    return pref, full
+
+
+def build_prefix_index(
     base_df: DataFrame,
     id_col: str,
     text_col: str,
@@ -1166,104 +1225,43 @@ def prefix_filter_between(
     threshold_pct: int = 80,
     sep: str = " ",
     shingle_n: int | None = None,
-) -> DataFrame:
-    """EXACT incremental similarity join: every (new, base) pair with
-    Jaccard >= threshold — the deterministic counterpart of
-    `neardup_lsh_between`, exactly as `prefix_filter_neardups` is the
-    counterpart of `neardup_lsh_verified`. No new×new, no base×base,
-    recall provably 1.
-
-    The global element order is the BASE corpus's document frequency
-    (rarest first, ties by element; elements unseen in the base rank
-    rarest at df 0) — ONE frozen order, so the base side's prefix and
-    posting tables are persistable artifacts (the `lsh_banded` index
-    pattern): a steady-state ingest pays only the new batch's prefix
-    computation plus the two candidate joins. Any fixed global order
-    satisfies the prefix-filter lemma; freezing the base's keeps the
-    index incremental.
-
-    Why two joins: for a qualifying pair the SMALLER side's prefix
-    must intersect the common set (the `prefix_filter_neardups`
-    argument under the size filter) — but either side may be smaller,
-    so candidates = (prefix(new) ⋈ postings(base)) ∪ (postings(new) ⋈
-    prefix(base)). Both are keyed on prefix elements — the rare ones —
-    so fan-out stays bounded by rare-element document frequencies.
-
-    Output: (new_doc_id, base_doc_id, jaccard) with exact
-    distinct-element jaccard >= threshold (4-decimal rounding, the
-    family convention). Duplicate (id, text) rows must be collapsed
-    upstream; ids may overlap between sides, self-pairs excluded by
-    the exact verify only if texts differ — callers with overlapping
-    id spaces filter `new_doc_id != base_doc_id` themselves, as with
-    the LSH family.
-    """
-    if not 1 <= int(threshold_pct) <= 100:
-        raise ValueError(
-            f"threshold_pct must be an integer percent in [1, 100], "
-            f"got {threshold_pct}"
-        )
-    t_pct = int(threshold_pct)
-    elems = (
-        _token_set(text_col, sep)
-        if shingle_n is None
-        else shingles(text_col, shingle_n, sep)
-    )
-
-    def sets(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("_pid"), elems.alias("toks")
-        ).filter(F.col("_pid").isNotNull() & F.col("toks").isNotNull())
-
-    new_sets, base_sets = sets(new_df), sets(base_df)
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The base corpus's persistable EXACT-join artifacts under its own
+    frozen df order: (df table, prefix rows, posting rows, element
+    sets). In production these are bucketed parquet maintained by the
+    batch pipeline (the `lsh_banded` index pattern); the streaming
+    mirror materializes them once per stream."""
+    base_sets = _prefix_sets(base_df, id_col, text_col, sep, shingle_n)
     dft = (
         base_sets.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("_dfc"))
     )
+    pref_base, full_base = _prefix_tables(base_sets, dft, int(threshold_pct))
+    return dft, pref_base, full_base, base_sets
 
-    def prefixed(side_sets: DataFrame) -> tuple[DataFrame, DataFrame]:
-        toks = side_sets.select("_pid", F.explode("toks").alias("tok"))
-        ordered = (
-            toks.join(dft, "tok", "left")
-            .select(
-                "_pid",
-                "tok",
-                F.coalesce(F.col("_dfc"), F.lit(0).cast("long")).alias(
-                    "_dfc"
-                ),
-            )
-            .groupBy("_pid")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("_dfc"), F.col("tok")))
-                ).alias("_ord")
-            )
-            .select(
-                "_pid",
-                F.transform(F.col("_ord"), lambda s: s["tok"]).alias(
-                    "_otoks"
-                ),
-            )
-        )
-        plen = (
-            F.size("_otoks")
-            - F.expr(f"({t_pct} * size(_otoks) + 99) DIV 100")
-            + F.lit(1)
-        )
-        pref = ordered.select(
-            "_pid",
-            F.size("_otoks").alias("_n"),
-            F.explode(F.slice(F.col("_otoks"), 1, plen)).alias("tok"),
-        )
-        full = ordered.select(
-            "_pid",
-            F.size("_otoks").alias("_n"),
-            F.explode(F.col("_otoks")).alias("tok"),
-        )
-        return pref, full
 
-    pref_new, full_new = prefixed(new_sets)
-    pref_base, full_base = prefixed(base_sets)
+def prefix_filter_against_index(
+    new_df: DataFrame,
+    dft: DataFrame,
+    pref_base: DataFrame,
+    full_base: DataFrame,
+    base_sets: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold_pct: int = 80,
+    sep: str = " ",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """Mine a NEW batch against a prebuilt `build_prefix_index` — the
+    steady-state ingest shape: only the new side pays prefix
+    computation; candidates = (prefix(new) ⋈ postings(base)) ∪
+    (postings(new) ⋈ prefix(base)); exact verify on candidates only.
+    Output (new_doc_id, base_doc_id, jaccard >= threshold)."""
+    t_pct = int(threshold_pct)
+    new_sets = _prefix_sets(new_df, id_col, text_col, sep, shingle_n)
+    pref_new, full_new = _prefix_tables(new_sets, dft, t_pct)
 
     def cand(left: DataFrame, right: DataFrame) -> DataFrame:
         a = left.select(
@@ -1310,4 +1308,59 @@ def prefix_filter_between(
             jac.alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(t_pct / 100.0))
+    )
+
+
+def prefix_filter_between(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold_pct: int = 80,
+    sep: str = " ",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """EXACT incremental similarity join: every (new, base) pair with
+    Jaccard >= threshold — the deterministic counterpart of
+    `neardup_lsh_between`, exactly as `prefix_filter_neardups` is the
+    counterpart of `neardup_lsh_verified`. No new×new, no base×base,
+    recall provably 1.
+
+    The global element order is the BASE corpus's document frequency
+    (rarest first, ties by element; elements unseen in the base rank
+    rarest at df 0) — ONE frozen order, so the base side's prefix and
+    posting tables are persistable artifacts (`build_prefix_index`; a
+    steady-state ingest runs `prefix_filter_against_index` and pays
+    only the new batch's prefix computation plus the two candidate
+    joins). Any fixed global order satisfies the prefix-filter lemma;
+    freezing the base's keeps the index incremental.
+
+    Why two joins: for a qualifying pair the SMALLER side's prefix
+    must intersect the common set (the `prefix_filter_neardups`
+    argument under the size filter) — but either side may be smaller,
+    so candidates = (prefix(new) ⋈ postings(base)) ∪ (postings(new) ⋈
+    prefix(base)). Both are keyed on prefix elements — the rare ones —
+    so fan-out stays bounded by rare-element document frequencies.
+
+    Output: (new_doc_id, base_doc_id, jaccard) with exact
+    distinct-element jaccard >= threshold (4-decimal rounding, the
+    family convention). Duplicate (id, text) rows must be collapsed
+    upstream; ids may overlap between sides, self-pairs excluded by
+    the exact verify only if texts differ — callers with overlapping
+    id spaces filter `new_doc_id != base_doc_id` themselves, as with
+    the LSH family.
+    """
+    if not 1 <= int(threshold_pct) <= 100:
+        raise ValueError(
+            f"threshold_pct must be an integer percent in [1, 100], "
+            f"got {threshold_pct}"
+        )
+    dft, pref_base, full_base, base_sets = build_prefix_index(
+        base_df, id_col, text_col,
+        threshold_pct=threshold_pct, sep=sep, shingle_n=shingle_n,
+    )
+    return prefix_filter_against_index(
+        new_df, dft, pref_base, full_base, base_sets, id_col, text_col,
+        threshold_pct=threshold_pct, sep=sep, shingle_n=shingle_n,
     )

@@ -124,3 +124,94 @@ def run_incremental_neardup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def build_prefix_artifacts(
+    base_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold_pct: int = 80,
+    shingle_n: int | None = 3,
+):
+    """The EXACT join's base artifacts (`dedup.build_prefix_index`),
+    materialized via localCheckpoint so the stream never recomputes
+    them per trigger — df table, prefix rows, posting rows, element
+    sets, all under the base's frozen df order. Production equivalent:
+    bucketed parquet maintained by the batch pipeline."""
+    from purpleair_data_logger_spark.operators.dedup import (
+        build_prefix_index,
+    )
+
+    dft, pref, full, sets = build_prefix_index(
+        base_df, id_col, text_col,
+        threshold_pct=threshold_pct, shingle_n=shingle_n,
+    )
+    return (
+        dft.localCheckpoint(),
+        pref.localCheckpoint(),
+        full.localCheckpoint(),
+        sets.localCheckpoint(),
+    )
+
+
+def run_incremental_prefix_stream(
+    spark,
+    source_dir: str,
+    base_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_pct: int = 80,
+    shingle_n: int | None = 3,
+    max_files_per_trigger: int = 1,
+):
+    """The EXACT streaming ingest dedup — `run_incremental_neardup_
+    stream` with provably-complete recall instead of LSH's
+    probabilistic recall: per micro-batch,
+    `dedup.prefix_filter_against_index` mines the batch against the
+    frozen base artifacts (only the new side pays prefix computation);
+    matched pairs land in ``{out}/pairs`` tagged with batch_id,
+    unmatched documents in ``{out}/fresh``. No streaming state — the
+    artifacts ARE the state, owned batch-side. Within-stream near-dups
+    stay out of scope exactly as in the LSH form (an unbounded
+    cross-batch index would be unbounded state)."""
+    from purpleair_data_logger_spark.operators.dedup import (
+        prefix_filter_against_index,
+    )
+
+    dft, pref, full, sets = build_prefix_artifacts(
+        base_df, id_col, text_col,
+        threshold_pct=threshold_pct, shingle_n=shingle_n,
+    )
+    schema = spark.read.parquet(source_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def _mine_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()  # one prefix pass, two sinks
+        pairs = prefix_filter_against_index(
+            batch_df, dft, pref, full, sets, id_col, text_col,
+            threshold_pct=threshold_pct, shingle_n=shingle_n,
+        ).localCheckpoint()
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(f"{out_dir}/pairs")
+        fresh = batch_df.join(
+            pairs.select("new_doc_id").distinct(),
+            on=batch_df[id_col] == F.col("new_doc_id"),
+            how="left_anti",
+        )
+        fresh.write.mode("append").parquet(f"{out_dir}/fresh")
+
+    return (
+        stream.writeStream.foreachBatch(_mine_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2479,3 +2479,57 @@ def test_streaming_incremental_encode_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert sorted(got) == [1, 3, 5, 7, 9]  # exactly the backlog
+
+
+def test_streaming_incremental_prefix_matches_batch(spark, tmp_path, sf_dir):
+    """The EXACT streaming ingest-dedup (prefix-filter form) finds
+    exactly the pairs the batch `prefix_filter_between` finds on the
+    same (new, base) split, with the new side delivered across two
+    micro-batches — and routes only genuinely-new docs to the fresh
+    sink. Bit-exact: the frozen base-df order makes the stream's
+    per-batch mining identical to the batch join restricted to that
+    batch's docs."""
+    from pyspark.sql import functions as F
+
+    from purpleair_data_logger_spark import io as pio
+    from purpleair_data_logger_spark.operators import dedup as dd
+    from purpleair_data_logger_spark.streaming.neardup import (
+        run_incremental_prefix_stream,
+    )
+
+    docs = pio.load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+
+    src = str(tmp_path / "pf_src")
+    new.filter((F.col("doc_id") / 10) % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    new.filter((F.col("doc_id") / 10) % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "pf_out")
+    q = run_incremental_prefix_stream(
+        spark, src, base, out, str(tmp_path / "pf_ckpt"),
+        threshold_pct=80, shingle_n=3,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = {
+        (r["new_doc_id"], r["base_doc_id"], r["jaccard"])
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    want = {
+        (r["new_doc_id"], r["base_doc_id"], r["jaccard"])
+        for r in dd.prefix_filter_between(
+            new, base, "doc_id", "text", threshold_pct=80, shingle_n=3
+        ).collect()
+    }
+    assert got == want and want  # exact parity; fixture plants dups
+
+    fresh = {r["doc_id"] for r in spark.read.parquet(f"{out}/fresh").collect()}
+    matched = {p[0] for p in want}
+    all_new = {r["doc_id"] for r in new.collect()}
+    assert fresh == all_new - matched
