@@ -2796,23 +2796,15 @@ def neardup_incremental_batch(spark, sf_dir):
                AS tok
       FROM onew
     ),
-    fe_new AS (SELECT doc_id, len(otoks) AS n, unnest(otoks) AS tok
-               FROM onew),
     pe_base AS (
       SELECT doc_id, len(otoks) AS n,
              unnest(otoks[1 : len(otoks) - ((80*len(otoks)+99)//100) + 1])
                AS tok
       FROM obase
     ),
-    fe_base AS (SELECT doc_id, len(otoks) AS n, unnest(otoks) AS tok
-                FROM obase),
     cand AS (
-      SELECT x.doc_id AS nid, y.doc_id AS bid
-      FROM pe_new x JOIN fe_base y ON x.tok = y.tok
-      WHERE x.n * 100 >= y.n * 80 AND y.n * 100 >= x.n * 80
-      UNION
-      SELECT x.doc_id, y.doc_id
-      FROM fe_new x JOIN pe_base y ON x.tok = y.tok
+      SELECT DISTINCT x.doc_id AS nid, y.doc_id AS bid
+      FROM pe_new x JOIN pe_base y ON x.tok = y.tok
       WHERE x.n * 100 >= y.n * 80 AND y.n * 100 >= x.n * 80
     )
     SELECT new_doc_id, base_doc_id, jaccard FROM (
@@ -2828,8 +2820,9 @@ def neardup_incremental_batch(spark, sf_dir):
     """,
     "EXACT incremental similarity join via prefix filtering: new "
     "batch vs existing corpus under the base's FROZEN df order (the "
-    "persistable-index pattern), no new x new / base x base pairs, "
-    "recall provably 1 — the deterministic counterpart of the LSH "
+    "persistable PrefixIndex pattern), ONE prefix-join-prefix "
+    "candidate join, no new x new / base x base pairs, recall "
+    "provably 1 — the deterministic counterpart of the LSH "
     "incremental path",
 )
 def neardup_prefix_incremental(spark, sf_dir):
@@ -2840,11 +2833,11 @@ def neardup_prefix_incremental(spark, sf_dir):
     directly comparable — the LSH path's pairs must be a SUBSET,
     pinned in pytest). `dedup.py::prefix_filter_between`: prefixes
     ordered by the BASE corpus's document frequency — one frozen
-    order keeps the base's prefix/posting tables persistable
-    artifacts, and any fixed order satisfies the prefix-filter lemma —
-    candidates from (prefix(new) join postings(base)) union
-    (postings(new) join prefix(base)) under the size filter, exact
-    verify on candidates only."""
+    order keeps the base's PrefixIndex a persistable artifact, and
+    any fixed order satisfies the prefix-filter lemma, so candidates
+    are ONE prefix-join-prefix equi-join under the size filter (the
+    first common element in the global order lies in BOTH prefixes);
+    exact verify on candidates only."""
     d = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())

@@ -1023,146 +1023,21 @@ def edit_distance_neardups(
     )
 
 
-def prefix_filter_neardups(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    threshold_pct: int = 80,
-    sep: str = " ",
-    shingle_n: int | None = None,
-) -> DataFrame:
-    """EXACT all-pairs token-set Jaccard >= threshold over the whole
-    corpus — no blocking key, no LSH approximation, no O(n²): the
-    prefix-filtering similarity join (Chaudhuri et al. SSJoin ICDE'06;
-    Bayardo et al. AllPairs WWW'07; Xiao et al. PPJoin). The third leg
-    of the near-dup family: `jaccard_pairs_blocked` is exact but needs
-    a natural blocking key, `neardup_lsh_verified` is unblocked but
-    its candidate RECALL is probabilistic; this is unblocked AND
-    provably complete.
-
-    Why it works: order every document's tokens by ascending corpus
-    document-frequency (rarest first, ties by token). With
-    t = threshold_pct/100, any pair x, y with J(x,y) >= t must share a
-    token within BOTH prefixes of length |x| - ceil(t*|x|) + 1: if y's
-    prefix missed every common token, all common tokens would sit in
-    y's suffix, so |x∩y| <= ceil(t*|y|) - 1 < t*|y| <= J-required
-    overlap t/(1+t)*(|x|+|y|) given the size filter |x| >= t*|y| —
-    contradiction (and symmetrically for x). So an equi-join of the
-    PREFIX token lists, under the size filter, has perfect recall, and
-    the exact verify on candidates makes precision perfect too.
-
-    Scale shape: prefixes hold only each document's RAREST tokens, so
-    the candidate join's per-key fan-out is bounded by rare-token
-    document frequencies — stopword posting lists never enter the
-    join. One token-frequency aggregate, one ordered regroup, one
-    prefix equi-join (+ size predicate), one distinct, two id-joins to
-    fetch token sets for the verify. All codegen; no Python, no
-    cartesian. Duplicate (id, text) rows must be collapsed upstream
-    (the caller's PK contract, as with the LSH family).
-
-    ``shingle_n`` switches the set elements from word tokens to word
-    n-gram shingles — the SAME quantity `neardup_lsh_verified`
-    estimates-then-verifies, so with equal thresholds the LSH path's
-    output is a subset of this one's by construction (its candidates
-    are a subset of all pairs; both verifies are exact). Word-token
-    mode suits short/structured records; shingle mode is the document
-    setting (word-set Jaccard saturates on big shared vocabularies).
-
-    Output: (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b and
-    exact distinct-element jaccard >= threshold, rounded to 4 decimals
-    (the `jaccard_pairs_blocked` convention).
-    """
-    if not 1 <= int(threshold_pct) <= 100:
-        raise ValueError(
-            f"threshold_pct must be an integer percent in [1, 100], "
-            f"got {threshold_pct}"
-        )
-    t_pct = int(threshold_pct)
-    elems = (
-        _token_set(text_col, sep)
-        if shingle_n is None
-        else shingles(text_col, shingle_n, sep)
-    )
-    base = df.select(
-        F.col(id_col).alias("_pid"), elems.alias("toks")
-    ).filter(F.col("_pid").isNotNull() & F.col("toks").isNotNull())
-    toks = base.select("_pid", F.explode("toks").alias("tok"))
-    dft = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_dfc"))
-    ordered = (
-        toks.join(dft, "tok")
-        .groupBy("_pid")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("_dfc"), F.col("tok")))
-            ).alias("_ord")
-        )
-        .select(
-            "_pid",
-            F.transform(F.col("_ord"), lambda s: s["tok"]).alias("_otoks"),
-        )
-    )
-    # prefix length |x| - ceil(t*|x|) + 1, exact integer ceil
-    plen = (
-        F.size("_otoks")
-        - F.expr(f"({t_pct} * size(_otoks) + 99) DIV 100")
-        + F.lit(1)
-    )
-    pref = ordered.select(
-        "_pid",
-        F.size("_otoks").alias("_n"),
-        F.explode(F.slice(F.col("_otoks"), 1, plen)).alias("tok"),
-    )
-    a = pref.select(
-        F.col("_pid").alias("_ida"), F.col("_n").alias("_na"), "tok"
-    )
-    b = pref.select(
-        F.col("_pid").alias("_idb"), F.col("_n").alias("_nb"), "tok"
-    )
-    cands = (
-        a.join(b, "tok")
-        .filter(
-            (F.col("_ida") < F.col("_idb"))
-            & (F.col("_na") * 100 >= F.col("_nb") * t_pct)
-            & (F.col("_nb") * 100 >= F.col("_na") * t_pct)
-        )
-        .select("_ida", "_idb")
-        .distinct()
-    )
-    sets = base.select(F.col("_pid"), F.col("toks"))
-    j = (
-        cands.join(
-            sets.select(
-                F.col("_pid").alias("_ida"), F.col("toks").alias("_ta")
-            ),
-            "_ida",
-        )
-        .join(
-            sets.select(
-                F.col("_pid").alias("_idb"), F.col("toks").alias("_tb")
-            ),
-            "_idb",
-        )
-    )
-    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
-    union = F.size(F.array_union(F.col("_ta"), F.col("_tb")))
-    jac = F.round(inter.cast("double") / union.cast("double"), 4)
-    return (
-        j.select(
-            F.col("_ida").alias("doc_id_a"),
-            F.col("_idb").alias("doc_id_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= F.lit(t_pct / 100.0))
-    )
-
-
 def _prefix_elems(text_col: str, sep: str, shingle_n: int | None) -> Column:
     return (
         _token_set(text_col, sep)
         if shingle_n is None
         else shingles(text_col, shingle_n, sep)
     )
+
+
+def _check_threshold_pct(threshold_pct: int) -> int:
+    if not 1 <= int(threshold_pct) <= 100:
+        raise ValueError(
+            f"threshold_pct must be an integer percent in [1, 100], "
+            f"got {threshold_pct}"
+        )
+    return int(threshold_pct)
 
 
 def _prefix_sets(
@@ -1175,11 +1050,12 @@ def _prefix_sets(
     ).filter(F.col("_pid").isNotNull() & F.col("toks").isNotNull())
 
 
-def _prefix_tables(
+def _prefix_table(
     side_sets: DataFrame, dft: DataFrame, t_pct: int
-) -> tuple[DataFrame, DataFrame]:
-    """(prefix rows, posting rows) for one side, ordered under the
-    GIVEN df table (elements absent from it rank rarest at df 0)."""
+) -> DataFrame:
+    """One side's prefix rows (_pid, _n, tok): elements ordered under
+    the GIVEN df table (elements absent from it rank rarest at df 0),
+    prefix length |x| − ⌈t·|x|⌉ + 1 — exact integer ceil."""
     toks = side_sets.select("_pid", F.explode("toks").alias("tok"))
     ordered = (
         toks.join(dft, "tok", "left")
@@ -1204,17 +1080,154 @@ def _prefix_tables(
         - F.expr(f"({t_pct} * size(_otoks) + 99) DIV 100")
         + F.lit(1)
     )
-    pref = ordered.select(
+    return ordered.select(
         "_pid",
         F.size("_otoks").alias("_n"),
         F.explode(F.slice(F.col("_otoks"), 1, plen)).alias("tok"),
     )
-    full = ordered.select(
-        "_pid",
-        F.size("_otoks").alias("_n"),
-        F.explode(F.col("_otoks")).alias("tok"),
+
+
+def _prefix_candidates(
+    left_pref: DataFrame,
+    right_pref: DataFrame,
+    t_pct: int,
+    left_id: str,
+    right_id: str,
+    *,
+    pair_filter: Column | None = None,
+) -> DataFrame:
+    """prefix ⋈ prefix candidate generation under the size filter —
+    sufficient for recall 1 by the prefix-filter lemma: the FIRST
+    common element in the global order lies in BOTH prefixes (if it
+    missed y's prefix, all common elements would sit in y's suffix, so
+    |x∩y| ≤ ⌈t·|y|⌉−1 < t·|y| ≤ t/(1+t)·(|x|+|y|) given the size
+    filter — contradiction; symmetrically for x)."""
+    a = left_pref.select(
+        F.col("_pid").alias(left_id), F.col("_n").alias("_na"), "tok"
     )
-    return pref, full
+    b = right_pref.select(
+        F.col("_pid").alias(right_id), F.col("_n").alias("_nb"), "tok"
+    )
+    j = a.join(b, "tok").filter(
+        (F.col("_na") * 100 >= F.col("_nb") * t_pct)
+        & (F.col("_nb") * 100 >= F.col("_na") * t_pct)
+    )
+    if pair_filter is not None:
+        j = j.filter(pair_filter)
+    return j.select(left_id, right_id).distinct()
+
+
+def _verify_jaccard(
+    cands: DataFrame,
+    left_sets: DataFrame,
+    right_sets: DataFrame,
+    t_pct: int,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    j = (
+        cands.join(
+            left_sets.select(
+                F.col("_pid").alias(left_id), F.col("toks").alias("_ta")
+            ),
+            left_id,
+        )
+        .join(
+            right_sets.select(
+                F.col("_pid").alias(right_id), F.col("toks").alias("_tb")
+            ),
+            right_id,
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb")))
+    union = F.size(F.array_union(F.col("_ta"), F.col("_tb")))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return j.select(left_id, right_id, jac.alias("jaccard")).filter(
+        F.col("jaccard") >= F.lit(t_pct / 100.0)
+    )
+
+
+def prefix_filter_neardups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold_pct: int = 80,
+    sep: str = " ",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs element-set Jaccard >= threshold over the whole
+    corpus — no blocking key, no LSH approximation, no O(n²): the
+    prefix-filtering similarity join (Chaudhuri et al. SSJoin ICDE'06;
+    Bayardo et al. AllPairs WWW'07; Xiao et al. PPJoin). The third leg
+    of the near-dup family: `jaccard_pairs_blocked` is exact but needs
+    a natural blocking key, `neardup_lsh_verified` is unblocked but
+    its candidate RECALL is probabilistic; this is unblocked AND
+    provably complete.
+
+    Why it works: order every document's elements by ascending corpus
+    document-frequency (rarest first, ties by element). Candidates =
+    the prefix ⋈ prefix equi-join under the size filter
+    t·|x| <= |y| <= |x|/t, which has perfect recall by the
+    prefix-filter lemma (`_prefix_candidates`); the exact verify on
+    candidates makes precision perfect too.
+
+    Scale shape: prefixes hold only each document's RAREST elements,
+    so the candidate join's per-key fan-out is bounded by rare-element
+    document frequencies — stopword posting lists never enter any
+    join. One element-frequency aggregate, one ordered regroup per
+    side of the self-join, the prefix equi-join, two id-joins fetching
+    element sets for the verify. All codegen; no Python, no cartesian.
+    Duplicate (id, text) rows must be collapsed upstream (the caller's
+    PK contract, as with the LSH family).
+
+    ``shingle_n`` switches the set elements from word tokens to word
+    n-gram shingles — the SAME quantity `neardup_lsh_verified`
+    estimates-then-verifies, so with equal thresholds the LSH path's
+    output is a subset of this one's by construction. Word-token mode
+    suits short/structured records; shingle mode is the document
+    setting (word-set Jaccard saturates on big shared vocabularies).
+
+    Output: (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b and
+    exact distinct-element jaccard >= threshold, rounded to 4 decimals
+    (the `jaccard_pairs_blocked` convention).
+    """
+    t_pct = _check_threshold_pct(threshold_pct)
+    sets = _prefix_sets(df, id_col, text_col, sep, shingle_n)
+    dft = (
+        sets.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_dfc"))
+    )
+    pref = _prefix_table(sets, dft, t_pct)
+    cands = _prefix_candidates(
+        pref, pref, t_pct, "_ida", "_idb",
+        pair_filter=F.col("_ida") < F.col("_idb"),
+    )
+    return _verify_jaccard(cands, sets, sets, t_pct, "_ida", "_idb").select(
+        F.col("_ida").alias("doc_id_a"),
+        F.col("_idb").alias("doc_id_b"),
+        "jaccard",
+    )
+
+
+class PrefixIndex:
+    """The base corpus's persistable EXACT-join artifacts under its own
+    frozen df order, plus the parameters they were built with — so a
+    mismatched tokenization or threshold at query time is impossible
+    rather than a silent zero-match (code-review r10). Fields: ``dft``
+    (element → base document frequency), ``prefix`` (prefix rows),
+    ``sets`` (element sets for the verify)."""
+
+    __slots__ = ("dft", "prefix", "sets", "threshold_pct", "sep", "shingle_n")
+
+    def __init__(self, dft, prefix, sets, threshold_pct, sep, shingle_n):
+        self.dft = dft
+        self.prefix = prefix
+        self.sets = sets
+        self.threshold_pct = threshold_pct
+        self.sep = sep
+        self.shingle_n = shingle_n
 
 
 def build_prefix_index(
@@ -1225,89 +1238,49 @@ def build_prefix_index(
     threshold_pct: int = 80,
     sep: str = " ",
     shingle_n: int | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """The base corpus's persistable EXACT-join artifacts under its own
-    frozen df order: (df table, prefix rows, posting rows, element
-    sets). In production these are bucketed parquet maintained by the
-    batch pipeline (the `lsh_banded` index pattern); the streaming
-    mirror materializes them once per stream."""
+) -> PrefixIndex:
+    """Build the base corpus's `PrefixIndex` — in production, bucketed
+    parquet artifacts maintained by the batch pipeline (the
+    `lsh_banded` index pattern); `prefix_filter_against_index` mines
+    any new batch against it, paying only the new side's prefix
+    computation."""
+    t_pct = _check_threshold_pct(threshold_pct)
     base_sets = _prefix_sets(base_df, id_col, text_col, sep, shingle_n)
     dft = (
         base_sets.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("_dfc"))
     )
-    pref_base, full_base = _prefix_tables(base_sets, dft, int(threshold_pct))
-    return dft, pref_base, full_base, base_sets
+    prefix = _prefix_table(base_sets, dft, t_pct)
+    return PrefixIndex(dft, prefix, base_sets, t_pct, sep, shingle_n)
 
 
 def prefix_filter_against_index(
     new_df: DataFrame,
-    dft: DataFrame,
-    pref_base: DataFrame,
-    full_base: DataFrame,
-    base_sets: DataFrame,
+    index: PrefixIndex,
     id_col: str,
     text_col: str,
-    *,
-    threshold_pct: int = 80,
-    sep: str = " ",
-    shingle_n: int | None = None,
 ) -> DataFrame:
-    """Mine a NEW batch against a prebuilt `build_prefix_index` — the
-    steady-state ingest shape: only the new side pays prefix
-    computation; candidates = (prefix(new) ⋈ postings(base)) ∪
-    (postings(new) ⋈ prefix(base)); exact verify on candidates only.
-    Output (new_doc_id, base_doc_id, jaccard >= threshold)."""
-    t_pct = int(threshold_pct)
-    new_sets = _prefix_sets(new_df, id_col, text_col, sep, shingle_n)
-    pref_new, full_new = _prefix_tables(new_sets, dft, t_pct)
-
-    def cand(left: DataFrame, right: DataFrame) -> DataFrame:
-        a = left.select(
-            F.col("_pid").alias("_idn"), F.col("_n").alias("_nn"), "tok"
-        )
-        b = right.select(
-            F.col("_pid").alias("_idb"), F.col("_n").alias("_nb"), "tok"
-        )
-        return (
-            a.join(b, "tok")
-            .filter(
-                (F.col("_nn") * 100 >= F.col("_nb") * t_pct)
-                & (F.col("_nb") * 100 >= F.col("_nn") * t_pct)
-            )
-            .select("_idn", "_idb")
-        )
-
-    cands = (
-        cand(pref_new, full_base)
-        .unionByName(cand(full_new, pref_base))
-        .distinct()
+    """Mine a NEW batch against a prebuilt `PrefixIndex` — the
+    steady-state ingest shape. Tokenization, threshold, and separator
+    come FROM the index (they must match what it was built with, so
+    they are not re-specifiable here). Candidates = prefix(new) ⋈
+    prefix(base) under the size filter — recall 1 by the prefix-filter
+    lemma, since the frozen base-df order is one fixed global order
+    for both sides; exact verify on candidates only. Output
+    (new_doc_id, base_doc_id, jaccard >= threshold)."""
+    t_pct = index.threshold_pct
+    new_sets = _prefix_sets(new_df, id_col, text_col, index.sep, index.shingle_n)
+    pref_new = _prefix_table(new_sets, index.dft, t_pct)
+    cands = _prefix_candidates(
+        pref_new, index.prefix, t_pct, "_idn", "_idb"
     )
-    j = (
-        cands.join(
-            new_sets.select(
-                F.col("_pid").alias("_idn"), F.col("toks").alias("_tn")
-            ),
-            "_idn",
-        )
-        .join(
-            base_sets.select(
-                F.col("_pid").alias("_idb"), F.col("toks").alias("_tb")
-            ),
-            "_idb",
-        )
-    )
-    inter = F.size(F.array_intersect(F.col("_tn"), F.col("_tb")))
-    union = F.size(F.array_union(F.col("_tn"), F.col("_tb")))
-    jac = F.round(inter.cast("double") / union.cast("double"), 4)
-    return (
-        j.select(
-            F.col("_idn").alias("new_doc_id"),
-            F.col("_idb").alias("base_doc_id"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= F.lit(t_pct / 100.0))
+    return _verify_jaccard(
+        cands, new_sets, index.sets, t_pct, "_idn", "_idb"
+    ).select(
+        F.col("_idn").alias("new_doc_id"),
+        F.col("_idb").alias("base_doc_id"),
+        "jaccard",
     )
 
 
@@ -1329,38 +1302,23 @@ def prefix_filter_between(
 
     The global element order is the BASE corpus's document frequency
     (rarest first, ties by element; elements unseen in the base rank
-    rarest at df 0) — ONE frozen order, so the base side's prefix and
-    posting tables are persistable artifacts (`build_prefix_index`; a
-    steady-state ingest runs `prefix_filter_against_index` and pays
-    only the new batch's prefix computation plus the two candidate
-    joins). Any fixed global order satisfies the prefix-filter lemma;
-    freezing the base's keeps the index incremental.
-
-    Why two joins: for a qualifying pair the SMALLER side's prefix
-    must intersect the common set (the `prefix_filter_neardups`
-    argument under the size filter) — but either side may be smaller,
-    so candidates = (prefix(new) ⋈ postings(base)) ∪ (postings(new) ⋈
-    prefix(base)). Both are keyed on prefix elements — the rare ones —
-    so fan-out stays bounded by rare-element document frequencies.
+    rarest at df 0) — ONE frozen order, so the base side's index is a
+    persistable artifact (`build_prefix_index`) and a steady-state
+    ingest runs `prefix_filter_against_index`, paying only the new
+    batch's prefix computation plus one prefix ⋈ prefix candidate
+    join. Any fixed global order satisfies the prefix-filter lemma
+    (`_prefix_candidates`); freezing the base's keeps the index
+    incremental.
 
     Output: (new_doc_id, base_doc_id, jaccard) with exact
     distinct-element jaccard >= threshold (4-decimal rounding, the
     family convention). Duplicate (id, text) rows must be collapsed
-    upstream; ids may overlap between sides, self-pairs excluded by
-    the exact verify only if texts differ — callers with overlapping
+    upstream; ids may overlap between sides — callers with overlapping
     id spaces filter `new_doc_id != base_doc_id` themselves, as with
     the LSH family.
     """
-    if not 1 <= int(threshold_pct) <= 100:
-        raise ValueError(
-            f"threshold_pct must be an integer percent in [1, 100], "
-            f"got {threshold_pct}"
-        )
-    dft, pref_base, full_base, base_sets = build_prefix_index(
+    index = build_prefix_index(
         base_df, id_col, text_col,
         threshold_pct=threshold_pct, sep=sep, shingle_n=shingle_n,
     )
-    return prefix_filter_against_index(
-        new_df, dft, pref_base, full_base, base_sets, id_col, text_col,
-        threshold_pct=threshold_pct, sep=sep, shingle_n=shingle_n,
-    )
+    return prefix_filter_against_index(new_df, index, id_col, text_col)

@@ -30,8 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from purpleair_data_logger_spark.operators.dedup import (
+    PrefixIndex,
+    _prefix_table,
+    build_prefix_index,
     lsh_banded,
     neardup_against_index,
+    prefix_filter_against_index,
     shingles,
 )
 
@@ -94,6 +98,37 @@ def run_incremental_neardup_stream(
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         hash_family=hash_family,
     )
+
+    def mine(batch_df: DataFrame) -> DataFrame:
+        return neardup_against_index(
+            batch_df, index, base_sh, id_col, text_col,
+            threshold=threshold, num_hashes=num_hashes, bands=bands,
+            shingle_n=shingle_n, hash_family=hash_family,
+        )
+
+    return _run_ingest_dedup_stream(
+        spark, source_dir, out_dir, checkpoint_dir, mine,
+        id_col=id_col, max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+
+
+def _run_ingest_dedup_stream(
+    spark,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    mine,
+    *,
+    id_col: str,
+    max_files_per_trigger: int,
+):
+    """The shared ingest-dedup stream runner (code-review r10: the LSH
+    and exact forms differ ONLY in the pairs-mining expression):
+    parquet-in → per-batch ``mine(batch_df) -> (new_doc_id,
+    base_doc_id, jaccard)`` → batch_id-tagged pairs sink + left-anti
+    fresh sink, availableNow termination."""
     schema = spark.read.parquet(source_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -102,15 +137,11 @@ def run_incremental_neardup_stream(
     )
 
     def _mine_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()  # one signature pass, two sinks
-        pairs = neardup_against_index(
-            batch_df, index, base_sh, id_col, text_col,
-            threshold=threshold, num_hashes=num_hashes, bands=bands,
-            shingle_n=shingle_n, hash_family=hash_family,
-        ).localCheckpoint()
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            f"{out_dir}/pairs"
-        )
+        batch_df = batch_df.localCheckpoint()  # one mining pass, two sinks
+        pairs = mine(batch_df).localCheckpoint()
+        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(f"{out_dir}/pairs")
         fresh = batch_df.join(
             pairs.select("new_doc_id").distinct(),
             on=batch_df[id_col] == F.col("new_doc_id"),
@@ -133,25 +164,22 @@ def build_prefix_artifacts(
     *,
     threshold_pct: int = 80,
     shingle_n: int | None = 3,
-):
-    """The EXACT join's base artifacts (`dedup.build_prefix_index`),
-    materialized via localCheckpoint so the stream never recomputes
-    them per trigger — df table, prefix rows, posting rows, element
-    sets, all under the base's frozen df order. Production equivalent:
+) -> PrefixIndex:
+    """The EXACT join's base `PrefixIndex`, materialized via
+    localCheckpoint so the stream never recomputes it per trigger —
+    sets and df table checkpoint FIRST, the prefix table derives from
+    the checkpointed pair (one base scan + one df aggregate total,
+    not one per artifact — code-review r10). Production equivalent:
     bucketed parquet maintained by the batch pipeline."""
-    from purpleair_data_logger_spark.operators.dedup import (
-        build_prefix_index,
-    )
-
-    dft, pref, full, sets = build_prefix_index(
+    raw = build_prefix_index(
         base_df, id_col, text_col,
         threshold_pct=threshold_pct, shingle_n=shingle_n,
     )
-    return (
-        dft.localCheckpoint(),
-        pref.localCheckpoint(),
-        full.localCheckpoint(),
-        sets.localCheckpoint(),
+    sets = raw.sets.localCheckpoint()
+    dft = raw.dft.localCheckpoint()
+    prefix = _prefix_table(sets, dft, raw.threshold_pct).localCheckpoint()
+    return PrefixIndex(
+        dft, prefix, sets, raw.threshold_pct, raw.sep, raw.shingle_n
     )
 
 
@@ -172,46 +200,23 @@ def run_incremental_prefix_stream(
     stream` with provably-complete recall instead of LSH's
     probabilistic recall: per micro-batch,
     `dedup.prefix_filter_against_index` mines the batch against the
-    frozen base artifacts (only the new side pays prefix computation);
-    matched pairs land in ``{out}/pairs`` tagged with batch_id,
-    unmatched documents in ``{out}/fresh``. No streaming state — the
-    artifacts ARE the state, owned batch-side. Within-stream near-dups
-    stay out of scope exactly as in the LSH form (an unbounded
-    cross-batch index would be unbounded state)."""
-    from purpleair_data_logger_spark.operators.dedup import (
-        prefix_filter_against_index,
-    )
-
-    dft, pref, full, sets = build_prefix_artifacts(
+    frozen base `PrefixIndex` (only the new side pays prefix
+    computation; tokenization/threshold come FROM the index, so they
+    cannot mismatch). No streaming state — the artifacts ARE the
+    state. Within-stream near-dups stay out of scope exactly as in
+    the LSH form (an unbounded cross-batch index would be unbounded
+    state)."""
+    index = build_prefix_artifacts(
         base_df, id_col, text_col,
         threshold_pct=threshold_pct, shingle_n=shingle_n,
     )
-    schema = spark.read.parquet(source_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
 
-    def _mine_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.localCheckpoint()  # one prefix pass, two sinks
-        pairs = prefix_filter_against_index(
-            batch_df, dft, pref, full, sets, id_col, text_col,
-            threshold_pct=threshold_pct, shingle_n=shingle_n,
-        ).localCheckpoint()
-        pairs.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(f"{out_dir}/pairs")
-        fresh = batch_df.join(
-            pairs.select("new_doc_id").distinct(),
-            on=batch_df[id_col] == F.col("new_doc_id"),
-            how="left_anti",
+    def mine(batch_df: DataFrame) -> DataFrame:
+        return prefix_filter_against_index(
+            batch_df, index, id_col, text_col
         )
-        fresh.write.mode("append").parquet(f"{out_dir}/fresh")
 
-    return (
-        stream.writeStream.foreachBatch(_mine_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_ingest_dedup_stream(
+        spark, source_dir, out_dir, checkpoint_dir, mine,
+        id_col=id_col, max_files_per_trigger=max_files_per_trigger,
     )

@@ -76,7 +76,7 @@ def test_prefix_filter_equals_naive(spark, rows, t_pct):
     assert got == _brute(rows, t_pct)
 
 
-@pytest.mark.parametrize("rows,t_pct", CASES[:3])
+@pytest.mark.parametrize("rows,t_pct", CASES)
 def test_prefix_filter_between_equals_naive_cross_side(spark, rows, t_pct):
     """The incremental form under the frozen BASE-df order: equals the
     naive cross-side join (new = even ids, base = odd ids)."""
