@@ -1051,14 +1051,18 @@ def _prefix_sets(
 
 
 def _prefix_table(
-    side_sets: DataFrame, dft: DataFrame, t_pct: int
+    side_sets: DataFrame, dft: DataFrame, t_pct: int, *, how: str = "inner"
 ) -> DataFrame:
     """One side's prefix rows (_pid, _n, tok): elements ordered under
-    the GIVEN df table (elements absent from it rank rarest at df 0),
-    prefix length |x| − ⌈t·|x|⌉ + 1 — exact integer ceil."""
+    the GIVEN df table, prefix length |x| − ⌈t·|x|⌉ + 1 — exact
+    integer ceil. ``how="inner"`` when every element is known to be in
+    the df table (a corpus ordered by its OWN frequencies — the inner
+    join is semantically identical and measurably cheaper);
+    ``how="left"`` when elements may be absent (a NEW batch under the
+    frozen base order), ranking them rarest at df 0."""
     toks = side_sets.select("_pid", F.explode("toks").alias("tok"))
     ordered = (
-        toks.join(dft, "tok", "left")
+        toks.join(dft, "tok", how)
         .select(
             "_pid",
             "tok",
@@ -1271,7 +1275,7 @@ def prefix_filter_against_index(
     (new_doc_id, base_doc_id, jaccard >= threshold)."""
     t_pct = index.threshold_pct
     new_sets = _prefix_sets(new_df, id_col, text_col, index.sep, index.shingle_n)
-    pref_new = _prefix_table(new_sets, index.dft, t_pct)
+    pref_new = _prefix_table(new_sets, index.dft, t_pct, how="left")
     cands = _prefix_candidates(
         pref_new, index.prefix, t_pct, "_idn", "_idb"
     )
