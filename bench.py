@@ -59,6 +59,69 @@ STABLE_SUBSET = [
 #: is for production plans). See its catalog docstring.
 EVIDENCE_ROWS = {"embedding_neardup_cosine"}
 
+#: Ambient-load preflight + adaptive re-measure (VERDICT r10 #1: the
+#: r10 driver bench ran on a contended host — every stable row
+#: co-drifted +20-50%, the stable subtotal hit 25.4 s vs the
+#: 16.8-22.8 s identical-code history band, and two rows tripped the
+#: bench_compare guard despite unchanged plans; a quiet-host re-run
+#: put both back in band. These constants make a contended run
+#: DETECTED AND RETRIED rather than recorded.)
+#: Preflight: before starting Spark, wait (bounded) for the host's
+#: 1-minute loadavg to drop below this fraction of the CPU count —
+#: bench.py has started nothing yet, so sustained load is another
+#: tenant.
+PREFLIGHT_LOAD_FRACTION = 0.25
+PREFLIGHT_ATTEMPTS = 8
+PREFLIGHT_SLEEP_SEC = 20.0
+#: Post-run: if the frozen stable-subset subtotal lands above the
+#: committed identical-code history band (16.8-22.8 s across 20 sf0.1
+#: runs; 23.5 adds headroom for one genuinely-new slow row), the run
+#: was hot — re-time the stable rows (extra min-of-1 draws per pass,
+#: merged into the per-query minima) up to this many passes, so
+#: transient contention windows are averaged out of the artifact.
+STABLE_BAND_MAX_SEC = 23.5
+MAX_RETRY_PASSES = 2
+
+
+def _loadavg1() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return -1.0
+
+
+def _cpu_probe_sec() -> float:
+    """Single-thread fixed CPU workload, best-of-3: a calibration row
+    recorded pre- and post-run so a contended artifact is self-
+    describing (the probe co-drifts with the queries under CPU
+    contention but is immune to plan changes)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(1_000_000):
+            acc += i * i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _preflight() -> dict:
+    """Bounded wait-for-quiet-host before the Spark session starts."""
+    cpus = os.cpu_count() or 8
+    threshold = PREFLIGHT_LOAD_FRACTION * cpus
+    attempts = 0
+    load = _loadavg1()
+    while load > threshold and attempts < PREFLIGHT_ATTEMPTS:
+        attempts += 1
+        time.sleep(PREFLIGHT_SLEEP_SEC)
+        load = _loadavg1()
+    return {
+        "pre_loadavg1": round(load, 2),
+        "pre_probe_sec": _cpu_probe_sec(),
+        "preflight_attempts": attempts,
+        "contended_at_start": bool(load > threshold),
+    }
+
 
 def main() -> None:
     # Loud structural checks (r9 VERDICT #2). The HEADLINE-vs-registry
@@ -79,6 +142,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    ambient = _preflight()
 
     spark = get_spark("purpleair-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
@@ -169,6 +234,41 @@ def main() -> None:
     best = min(ingest_secs)
     timings["ingest_events_9tables"] = round(best, 3)
     total += best
+
+    # Adaptive re-measure (VERDICT r10 #1): the frozen stable subtotal
+    # is the round-over-round comparator and the guard's bellwether —
+    # if it lands above the committed identical-code band the run was
+    # hot, so take extra timing draws of the stable rows (merged into
+    # the per-query minima) instead of recording a contended artifact.
+    retry_passes = 0
+    while (
+        sum(timings[n] for n in STABLE_SUBSET if n in timings)
+        > STABLE_BAND_MAX_SEC
+        and retry_passes < MAX_RETRY_PASSES
+    ):
+        retry_passes += 1
+        for name in STABLE_SUBSET:
+            if name == "ingest_events_9tables":
+                tmp = tempfile.mkdtemp(prefix="bench_ingest_retry_")
+                try:
+                    sec = _ingest_once(tmp)
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                t0 = time.perf_counter()
+                queries[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                sec = time.perf_counter() - t0
+            runs[name].append(round(sec, 3))
+            if sec < timings[name]:
+                delta = timings[name] - sec
+                timings[name] = round(sec, 3)
+                if name in EVIDENCE_ROWS:
+                    evidence_total -= delta
+                else:
+                    total -= delta
+    ambient["retry_passes"] = retry_passes
 
     # Skew leg: the same aggregation on a hot-key variant of events
     # (one user_id owning ~30% of rows), plain vs two-phase salted.
@@ -275,6 +375,18 @@ def main() -> None:
 
     stable = round(sum(timings[n] for n in STABLE_SUBSET if n in timings), 3)
 
+    # Post-run calibration: a probe that co-drifted vs its pre-run twin
+    # marks the artifact contended even when the preflight was quiet
+    # (contention that arrived mid-run). Purely descriptive — the
+    # retry passes above are the mitigation.
+    ambient["post_loadavg1"] = round(_loadavg1(), 2)
+    ambient["post_probe_sec"] = _cpu_probe_sec()
+    ambient["contended"] = bool(
+        ambient["contended_at_start"]
+        or ambient["post_probe_sec"] > 2.0 * ambient["pre_probe_sec"]
+        or stable > STABLE_BAND_MAX_SEC
+    )
+
     # Full per-query detail goes to a file; the printed line stays
     # compact. The driver parses the final JSON line out of a 2000-char
     # stdout tail — BENCH_r03's line grew past that with the full
@@ -320,6 +432,7 @@ def main() -> None:
         "stable_subset": STABLE_SUBSET,
         "stable_subset_sec": stable,
         "stable_subset_median_sec": stable_median,
+        "ambient": ambient,
         "sf": sf,
         "wall_clock_unix": round(time.time(), 1),
         # lets bench_compare exclude THIS run from the history pool it
@@ -352,6 +465,7 @@ def main() -> None:
             "evidence_sec": round(evidence_total, 3),
             "value_excludes_evidence": True,
             "stable_subset_sec": stable,
+            "ambient": ambient,
             "detail": "BENCH_DETAIL.json",
             "sf": sf,
             "run_id": run_id,
@@ -368,6 +482,7 @@ def main() -> None:
                 "evidence_sec": round(evidence_total, 3),
                 "value_excludes_evidence": True,
                 "stable_subset_sec": stable,
+                "ambient": ambient,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
                 "run_id": run_id,

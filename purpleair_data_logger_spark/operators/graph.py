@@ -306,7 +306,9 @@ def shortest_paths(
     discarded those far nodes anyway).
     Weights must be POSITIVE integers (validated executably — a zero or
     negative weight would break both the termination argument and the
-    exactness contract); costs are summed as exact BIGINTs, so results
+    exactness contract; NULL and fractional weights on real edges also
+    raise, since truncating 1.5 -> 1 or dropping the edge would
+    silently change path costs); costs are summed as exact BIGINTs, so results
     are bit-identical across partitionings and engines, replayable by a
     cost-bounded recursive-CTE oracle.
 
@@ -328,10 +330,40 @@ def shortest_paths(
     """
     ckpt = _checkpointer(edges, checkpoint_dir)
     wgt = F.col(weight_col).cast("long")
+    u_e = F.col(src_col).cast("long")
+    v_e = F.col(dst_col).cast("long")
+    # Weight checks (ADVICE r10): a NULL or fractional weight on a REAL
+    # edge (both endpoints present) is a data error and raises — the
+    # old cast("long") silently truncated 1.5 -> 1 (changing path
+    # costs) and the NULL filter silently dropped the edge. The
+    # integral check is a cast round-trip through double; only rows
+    # with a NULL endpoint (no edge identity) are dropped silently.
     e = edges.select(
-        F.col(src_col).cast("long").alias("u"),
-        F.col(dst_col).cast("long").alias("v"),
-        F.when(
+        u_e.alias("u"),
+        v_e.alias("v"),
+        F.when(u_e.isNull() | v_e.isNull(), F.lit(None).cast("long"))
+        .when(
+            F.col(weight_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "shortest_paths: NULL weight on an edge — a "
+                    "cost-less edge is a data error, not a missing "
+                    "observation; filter or impute upstream"
+                )
+            ),
+        )
+        .when(
+            wgt.cast("double") != F.col(weight_col).cast("double"),
+            F.raise_error(
+                F.concat(
+                    F.lit("shortest_paths: weights must be integral "
+                          "(fractional costs would be silently "
+                          "truncated), got "),
+                    F.col(weight_col).cast("string"),
+                )
+            ),
+        )
+        .when(
             wgt < 1,
             F.raise_error(
                 F.concat(

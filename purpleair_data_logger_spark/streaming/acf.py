@@ -137,6 +137,18 @@ def acf_stateful_func(lags: tuple[int, ...], decimals: int):
             sums[b + 4] += int(np.sum(x * x))
             sums[b + 5] += int(np.sum(y * y))
         tail = [int(v) for v in ext[-maxlag:]] if len(ext) else []
+        # ADVICE r10: the per-batch bound above does not cap the
+        # ACCUMULATED sums — Python ints grow past 2^63 silently and
+        # would only fail later inside state.update's Arrow
+        # serialization with an opaque error. Raise the designed
+        # descriptive error at the same boundary instead.
+        if any(not -(2**63) <= v < 2**63 for v in sums):
+            worst = max(sums, key=abs)
+            raise ValueError(
+                "streaming acf: accumulated exact-BIGINT power sums "
+                f"overflow int64 state (|sum| = {abs(worst)}) — lower "
+                "`decimals`, as in the batch operator"
+            )
         state.update((sums, tail, last_ts, last_id, rows_seen))
         out = {
             "lag": [], "n_pairs": [], "sum_x": [], "sum_y": [], "acf": [],

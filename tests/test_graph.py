@@ -378,6 +378,50 @@ def test_shortest_paths_rejects_nonpositive_weight(spark):
         shortest_paths(df, "src", "dst", "w", src, "node").collect()
 
 
+def test_shortest_paths_rejects_fractional_weight(spark):
+    """ADVICE r10: cast('long') used to silently truncate 1.5 -> 1,
+    changing path costs — fractional weights must raise instead."""
+    from purpleair_data_logger_spark.operators.graph import shortest_paths
+
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.5)], "src long, dst long, w double"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(Exception, match="integral"):
+        shortest_paths(df, "src", "dst", "w", src, "node").collect()
+
+
+def test_shortest_paths_rejects_null_weight(spark):
+    """ADVICE r10: a NULL weight on a real edge used to silently drop
+    the edge — it must raise (a cost-less edge is a data error)."""
+    from purpleair_data_logger_spark.operators.graph import shortest_paths
+
+    df = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, None)], "src long, dst long, w long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(Exception, match="NULL weight"):
+        shortest_paths(df, "src", "dst", "w", src, "node").collect()
+
+
+def test_shortest_paths_null_endpoint_rows_still_dropped(spark):
+    """Rows with a NULL endpoint carry no edge identity and are dropped
+    silently even when their weight is NULL too — the weight raise is
+    scoped to REAL edges."""
+    from purpleair_data_logger_spark.operators.graph import shortest_paths
+
+    df = spark.createDataFrame(
+        [(1, 2, 1), (None, 3, None), (2, None, None)],
+        "src long, dst long, w long",
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df, "src", "dst", "w", src, "node").collect()
+    }
+    assert got == {1: 0, 2: 1}
+
+
 def test_shortest_paths_max_rounds_raises(spark):
     from purpleair_data_logger_spark.operators.graph import shortest_paths
 

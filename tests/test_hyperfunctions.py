@@ -1275,3 +1275,41 @@ def test_streaming_acf_overflow_raises_loud(spark, tmp_path):
         if q.exception() is not None:
             raise q.exception()
         raise AssertionError("stream finished without the overflow error")
+
+
+def test_streaming_acf_cumulative_overflow_raises_loud():
+    """ADVICE r10: the per-batch bound (max|x|^2 * n < 2^63) does not
+    cap the ACCUMULATED power sums — values that individually pass can
+    push sxx past int64 across micro-batches, which previously failed
+    later inside state.update's Arrow serialization with an opaque
+    error. The designed descriptive ValueError must fire instead."""
+    import pandas as pd
+
+    from purpleair_data_logger_spark.streaming.acf import acf_stateful_func
+
+    class _FakeState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    fn = acf_stateful_func((1,), 0)
+    state = _FakeState()
+
+    def batch(ts, idv, val):
+        return pd.DataFrame(
+            {"k": ["o"], "t": [ts], "id": [idv], "v": [float(val)]}
+        )
+
+    # each batch passes the per-batch bound (mx^2 * 1 < 2^63) ...
+    list(fn(("o",), [batch(1, 1, 2.9e9)], state))
+    list(fn(("o",), [batch(2, 2, 3.0e9)], state))  # sxx = 8.41e18, ok
+    # ... but the third pair pushes cumulative sxx to ~1.74e19 > 2^63
+    with pytest.raises(ValueError, match="accumulated.*overflow int64"):
+        list(fn(("o",), [batch(3, 3, 2.9e9)], state))

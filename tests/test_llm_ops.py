@@ -979,3 +979,32 @@ def test_prefix_filter_between_superset_of_lsh_between(spark, sf_dir):
         ).collect()
     }
     assert lsh <= exact, f"LSH found pairs the exact join missed: {sorted(lsh - exact)[:5]}"
+
+
+def test_edit_distance_boundary_band_pairs(spark):
+    """VERDICT r10 #2 fixture: the length constraint is exact, not
+    band-equality — lengths 63 vs 65 (band 64) straddle a band boundary
+    and MUST pair, while an adjacent-band pair with |dlen| > band_chars
+    MUST NOT survive the residual filter."""
+    rows = [
+        # b1: boundary-straddling near-identical pair (63 vs 65) -> pair
+        (1, "a" * 63, "b1", 63),
+        (2, "a" * 65, "b1", 65),
+        # b2: adjacent bands (60 vs 127) but dlen 67 > 64 -> excluded
+        (3, "c" * 60, "b2", 60),
+        (4, "c" * 127, "b2", 127),
+        # b3: same-band typo pair (diff inside the 48-char prefix)
+        (5, "d" * 100, "b3", 100),
+        (6, "e" + "d" * 99, "b3", 100),
+        # b4: far bands, never candidates
+        (7, "f" * 10, "b4", 10),
+        (8, "f" * 300, "b4", 300),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string, n_chars int")
+    got = {
+        (r["id_a"], r["id_b"], r["edit_dist"])
+        for r in dd.edit_distance_neardups(
+            df, "doc_id", "text", block_cols=["lang"], len_col="n_chars"
+        ).collect()
+    }
+    assert got == {(1, 2, 0), (5, 6, 1)}, got
