@@ -1385,3 +1385,143 @@ def prefix_filter_between(
         threshold_pct=threshold_pct, sep=sep, shingle_n=shingle_n,
     )
     return prefix_filter_against_index(new_df, index, id_col, text_col)
+
+
+def prefix_index_append(
+    index: PrefixIndex,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> PrefixIndex:
+    """Fold a new batch into a `PrefixIndex` WITHOUT rebuilding — the
+    `ann_index_append` analog for the exact text near-dup index
+    (VERDICT r10 #4: the base artifacts were build-once, so the index
+    went stale until a full rebuild).
+
+    Sound because the prefix-filter lemma holds for ANY fixed global
+    order: the new docs' set/prefix rows are computed under the FROZEN
+    base-df order (elements unseen in the base rank rarest at df 0 —
+    `_prefix_table(how="left")`), the same order every existing row
+    uses, so recall against the appended index stays exactly 1. What
+    drifts is PRUNING EFFICIENCY only: frozen frequencies diverge from
+    true ones as the corpus grows, so prefixes slowly stop holding the
+    genuinely rarest elements (longer posting lists, more candidates —
+    never missed pairs). Watch `prefix_index_drift_report` and rebuild
+    (`build_prefix_index` over the grown corpus) when it triggers —
+    the `calibration_drift` → re-encode pattern.
+
+    Appended output equals a rebuild in VERIFIED pairs (both have
+    recall 1 and the verify is exact; only candidate counts differ) —
+    pinned in tests. The returned index shares the frozen ``dft``;
+    callers persisting artifacts re-checkpoint ``prefix``/``sets``.
+    Duplicate ids across appends are the caller's PK contract, as
+    everywhere in the family.
+    """
+    new_sets = _prefix_sets(
+        new_df, id_col, text_col, index.sep, index.shingle_n
+    )
+    new_pref = _prefix_table(
+        new_sets, index.dft, index.threshold_pct, how="left"
+    )
+    return PrefixIndex(
+        index.dft,
+        index.prefix.unionByName(new_pref),
+        index.sets.unionByName(new_sets),
+        index.threshold_pct,
+        index.sep,
+        index.shingle_n,
+    )
+
+
+def prefix_index_drift_report(
+    index: PrefixIndex,
+    *,
+    growth_tolerance: float = 4.0,
+    top_m: int = 20,
+) -> DataFrame:
+    """Per-element staleness diagnostics for an append-maintained
+    `PrefixIndex` — the rebuild trigger (`calibration_drift` pattern,
+    `lsh_bucket_skew_report` posture: surface the hazard as data
+    BEFORE paying for the join).
+
+    For every element currently appearing in the PREFIX table (the
+    only elements that enter the candidate join), compares the frozen
+    order's document frequency against the element's LIVE prefix
+    posting length. Under the frozen order a boilerplate phrase that
+    arrived AFTER the freeze ranks "rarest" (df 0) and lands in every
+    new document's prefix — its posting list, and hence the candidate
+    join fan-out, grows quadratically while recall silently stays
+    perfect. ``needs_rebuild`` flags posting lists past
+    ``growth_tolerance`` × their frozen df (frozen df 0 flags on any
+    posting ≥ 2, reported as growth = posting count).
+
+    Scale shape: one map-side-combined count over the prefix table,
+    one broadcast-sized join against the df table on the element key,
+    top-``top_m`` via TakeOrdered — never touches document sets.
+
+    Output: (tok, frozen_dfc, prefix_postings, growth, needs_rebuild),
+    the ``top_m`` heaviest posting lists first.
+    """
+    posts = index.prefix.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("prefix_postings")
+    )
+    joined = posts.join(index.dft, "tok", "left").select(
+        "tok",
+        F.coalesce(F.col("_dfc"), F.lit(0).cast("long")).alias("frozen_dfc"),
+        "prefix_postings",
+    )
+    growth = F.when(
+        F.col("frozen_dfc") > 0,
+        F.col("prefix_postings").cast("double") / F.col("frozen_dfc"),
+    ).otherwise(F.col("prefix_postings").cast("double"))
+    return (
+        joined.withColumn("growth", growth)
+        .withColumn(
+            "needs_rebuild",
+            F.when(
+                F.col("frozen_dfc") > 0,
+                F.col("growth") > F.lit(float(growth_tolerance)),
+            ).otherwise(F.col("prefix_postings") >= F.lit(2)),
+        )
+        .orderBy(F.desc("prefix_postings"), "tok")
+        .limit(int(top_m))
+    )
+
+
+def lsh_index_append(
+    base_index: DataFrame,
+    base_shingles: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a new batch into the LSH near-dup artifacts (the
+    `neardup_against_index` pair: band index + shingle table) without
+    rebuilding. Unlike the prefix index there is NO order to freeze —
+    band keys are pure content hashes — so append ≡ rebuild EXACTLY,
+    row for row, not just pair-for-pair. Banding parameters must match
+    the ones the artifacts were built with (same contract as the
+    verify threshold: a mismatch is the caller's bug, caught by the
+    append≡rebuild parity pin).
+
+    Returns (band index′, shingle table′); callers persisting
+    artifacts re-bucket/re-checkpoint as with the originals.
+    """
+    add_idx = lsh_banded(
+        new_df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        hash_family=hash_family,
+    ).select(F.col(id_col).alias("base_doc_id"), "band_idx", "band_hash")
+    add_sh = new_df.select(
+        F.col(id_col).alias("base_doc_id"),
+        shingles(text_col, shingle_n).alias("_sh_b"),
+    )
+    return (
+        base_index.unionByName(add_idx),
+        base_shingles.unionByName(add_sh),
+    )

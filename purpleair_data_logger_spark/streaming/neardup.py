@@ -17,11 +17,29 @@ the stream of genuinely-new content a continuous curation pipeline
 forwards downstream.
 
 Within-stream duplicates (doc A and near-dup A' arriving in different
-micro-batches, neither in the base corpus) are out of scope here by
-design — that is watermark-bounded exact dedup
-(`curation.curate_stream` dedup_within) or the periodic batch LSH
-pass; an unbounded cross-batch near-dup index would be unbounded
-state.
+micro-batches, neither in the base corpus) have two opt-in closers
+(VERDICT r10 #4/#5); by default they stay out of scope (an unbounded
+cross-batch near-dup index would be unbounded state):
+
+* ``fold_every=K`` — the periodic-fold hook: every K micro-batches the
+  accumulated FRESH docs are appended into the base artifacts
+  (`dedup.prefix_index_append` / `dedup.lsh_index_append`), so the
+  index tracks the growing corpus instead of going stale until a full
+  rebuild. State = the corpus index itself (it grows with the corpus —
+  that is the artifact's job, not streaming state); recall 1 is
+  preserved because appends reuse the frozen base-df order. Watch
+  `dedup.prefix_index_drift_report` for the rebuild trigger.
+* ``recent_window_batches=W`` — the bounded within-stream option: a
+  ROLLING index of the last W micro-batches' fresh docs, mined beside
+  the base index each trigger and evicted by batch age, so A and A'
+  arriving in different micro-batches inside the horizon are paired
+  with state bounded by W × arrival rate (never corpus-sized). A pair
+  straddling MORE than W batches is missed by construction — that is
+  the bound's price; same-batch pairs remain upstream's exact-dedup
+  job (`curation.curate_stream` dedup_within).
+
+The two are mutually exclusive: folding already covers every earlier
+batch, and running both would emit duplicate pairs for recent docs.
 """
 
 from __future__ import annotations
@@ -31,13 +49,32 @@ from pyspark.sql import functions as F
 
 from purpleair_data_logger_spark.operators.dedup import (
     PrefixIndex,
+    _prefix_sets,
     _prefix_table,
     build_prefix_index,
     lsh_banded,
+    lsh_index_append,
     neardup_against_index,
     prefix_filter_against_index,
+    prefix_index_append,
     shingles,
 )
+
+
+def _check_maintenance_args(fold_every, recent_window_batches) -> None:
+    if fold_every is not None and recent_window_batches is not None:
+        raise ValueError(
+            "fold_every and recent_window_batches are mutually "
+            "exclusive: folding already covers every earlier batch, "
+            "and running both would emit duplicate pairs for docs in "
+            "the recent window"
+        )
+    for name, v in (
+        ("fold_every", fold_every),
+        ("recent_window_batches", recent_window_batches),
+    ):
+        if v is not None and int(v) < 1:
+            raise ValueError(f"{name} must be a positive integer, got {v}")
 
 
 def build_base_artifacts(
@@ -89,26 +126,96 @@ def run_incremental_neardup_stream(
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
     max_files_per_trigger: int = 1,
+    fold_every: int | None = None,
+    recent_window_batches: int | None = None,
 ):
     """File-source streaming ingest dedup: parquet-in → per-batch
     `neardup_against_index` → pairs + fresh parquet-out, availableNow
-    termination. Returns the streaming query handle."""
-    index, base_sh = build_base_artifacts(
+    termination. Returns the streaming query handle.
+
+    ``fold_every`` / ``recent_window_batches``: the index-maintenance
+    options from the module docstring (mutually exclusive). LSH band
+    keys are content hashes, so both maintenance forms are append-
+    exact (`dedup.lsh_index_append`: append ≡ rebuild row-for-row)."""
+    _check_maintenance_args(fold_every, recent_window_batches)
+    base_index, base_sh = build_base_artifacts(
         base_df, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         hash_family=hash_family,
     )
+    st: dict = {
+        "index": base_index, "sh": base_sh, "pending": [],
+        "recent_idx": None, "recent_sh": None,
+    }
 
     def mine(batch_df: DataFrame) -> DataFrame:
-        return neardup_against_index(
-            batch_df, index, base_sh, id_col, text_col,
+        pairs = neardup_against_index(
+            batch_df, st["index"], st["sh"], id_col, text_col,
             threshold=threshold, num_hashes=num_hashes, bands=bands,
             shingle_n=shingle_n, hash_family=hash_family,
         )
+        if st["recent_idx"] is not None:
+            pairs = pairs.unionByName(
+                neardup_against_index(
+                    batch_df,
+                    st["recent_idx"].drop("_bid"),
+                    st["recent_sh"].drop("_bid"),
+                    id_col, text_col,
+                    threshold=threshold, num_hashes=num_hashes,
+                    bands=bands, shingle_n=shingle_n,
+                    hash_family=hash_family,
+                )
+            )
+        return pairs
 
+    def _fresh_rows(fresh_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        idx = lsh_banded(
+            fresh_df, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            hash_family=hash_family,
+        ).select(F.col(id_col).alias("base_doc_id"), "band_idx", "band_hash")
+        sh = fresh_df.select(
+            F.col(id_col).alias("base_doc_id"),
+            shingles(text_col, shingle_n).alias("_sh_b"),
+        )
+        return idx, sh
+
+    def post_batch(fresh_df: DataFrame, batch_id: int) -> None:
+        if fold_every is not None:
+            st["pending"].append(
+                fresh_df.select(id_col, text_col).localCheckpoint()
+            )
+            if len(st["pending"]) >= fold_every:
+                add = st["pending"][0]
+                for d in st["pending"][1:]:
+                    add = add.unionByName(d)
+                idx2, sh2 = lsh_index_append(
+                    st["index"], st["sh"], add, id_col, text_col,
+                    num_hashes=num_hashes, bands=bands,
+                    shingle_n=shingle_n, hash_family=hash_family,
+                )
+                st["index"] = idx2.localCheckpoint()
+                st["sh"] = sh2.localCheckpoint()
+                st["pending"] = []
+        if recent_window_batches is not None:
+            fresh_c = fresh_df.select(id_col, text_col).localCheckpoint()
+            add_idx, add_sh = _fresh_rows(fresh_c)
+            add_idx = add_idx.withColumn("_bid", F.lit(batch_id))
+            add_sh = add_sh.withColumn("_bid", F.lit(batch_id))
+            keep = F.col("_bid") > F.lit(batch_id - recent_window_batches)
+            if st["recent_idx"] is None:
+                ri, rs = add_idx, add_sh
+            else:
+                ri = st["recent_idx"].filter(keep).unionByName(add_idx)
+                rs = st["recent_sh"].filter(keep).unionByName(add_sh)
+            st["recent_idx"] = ri.localCheckpoint()
+            st["recent_sh"] = rs.localCheckpoint()
+
+    post = post_batch if (fold_every or recent_window_batches) else None
     return _run_ingest_dedup_stream(
         spark, source_dir, out_dir, checkpoint_dir, mine,
         id_col=id_col, max_files_per_trigger=max_files_per_trigger,
+        post_batch=post,
     )
 
 
@@ -123,12 +230,17 @@ def _run_ingest_dedup_stream(
     *,
     id_col: str,
     max_files_per_trigger: int,
+    post_batch=None,
 ):
     """The shared ingest-dedup stream runner (code-review r10: the LSH
     and exact forms differ ONLY in the pairs-mining expression):
     parquet-in → per-batch ``mine(batch_df) -> (new_doc_id,
     base_doc_id, jaccard)`` → batch_id-tagged pairs sink + left-anti
-    fresh sink, availableNow termination."""
+    fresh sink, availableNow termination. ``post_batch(fresh_df,
+    batch_id)`` (optional) runs after both sinks — the index
+    fold / recent-window maintenance hook; it receives the batch's
+    FRESH docs (near-dups of an indexed doc never re-enter any
+    index)."""
     schema = spark.read.parquet(source_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -148,6 +260,8 @@ def _run_ingest_dedup_stream(
             how="left_anti",
         )
         fresh.write.mode("append").parquet(f"{out_dir}/fresh")
+        if post_batch is not None:
+            post_batch(fresh, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_mine_batch)
@@ -195,6 +309,8 @@ def run_incremental_prefix_stream(
     threshold_pct: int = 80,
     shingle_n: int | None = 3,
     max_files_per_trigger: int = 1,
+    fold_every: int | None = None,
+    recent_window_batches: int | None = None,
 ):
     """The EXACT streaming ingest dedup — `run_incremental_neardup_
     stream` with provably-complete recall instead of LSH's
@@ -202,21 +318,84 @@ def run_incremental_prefix_stream(
     `dedup.prefix_filter_against_index` mines the batch against the
     frozen base `PrefixIndex` (only the new side pays prefix
     computation; tokenization/threshold come FROM the index, so they
-    cannot mismatch). No streaming state — the artifacts ARE the
-    state. Within-stream near-dups stay out of scope exactly as in
-    the LSH form (an unbounded cross-batch index would be unbounded
-    state)."""
+    cannot mismatch). No streaming state by default — the artifacts
+    ARE the state.
+
+    ``fold_every`` / ``recent_window_batches``: the index-maintenance
+    options from the module docstring (mutually exclusive). Both
+    reuse the FROZEN base-df order (`dedup.prefix_index_append`), so
+    recall stays exactly 1; `dedup.prefix_index_drift_report` is the
+    rebuild trigger as frozen frequencies drift."""
+    _check_maintenance_args(fold_every, recent_window_batches)
     index = build_prefix_artifacts(
         base_df, id_col, text_col,
         threshold_pct=threshold_pct, shingle_n=shingle_n,
     )
+    st: dict = {
+        "index": index, "pending": [],
+        "recent_sets": None, "recent_prefix": None,
+    }
 
     def mine(batch_df: DataFrame) -> DataFrame:
-        return prefix_filter_against_index(
-            batch_df, index, id_col, text_col
+        pairs = prefix_filter_against_index(
+            batch_df, st["index"], id_col, text_col
         )
+        if st["recent_sets"] is not None:
+            idx = st["index"]
+            recent_index = PrefixIndex(
+                idx.dft,
+                st["recent_prefix"].drop("_bid"),
+                st["recent_sets"].drop("_bid"),
+                idx.threshold_pct, idx.sep, idx.shingle_n,
+            )
+            pairs = pairs.unionByName(
+                prefix_filter_against_index(
+                    batch_df, recent_index, id_col, text_col
+                )
+            )
+        return pairs
 
+    def post_batch(fresh_df: DataFrame, batch_id: int) -> None:
+        if fold_every is not None:
+            st["pending"].append(
+                fresh_df.select(id_col, text_col).localCheckpoint()
+            )
+            if len(st["pending"]) >= fold_every:
+                add = st["pending"][0]
+                for d in st["pending"][1:]:
+                    add = add.unionByName(d)
+                folded = prefix_index_append(
+                    st["index"], add, id_col, text_col
+                )
+                st["index"] = PrefixIndex(
+                    folded.dft,
+                    folded.prefix.localCheckpoint(),
+                    folded.sets.localCheckpoint(),
+                    folded.threshold_pct, folded.sep, folded.shingle_n,
+                )
+                st["pending"] = []
+        if recent_window_batches is not None:
+            fresh_c = fresh_df.select(id_col, text_col).localCheckpoint()
+            idx = st["index"]
+            nsets = _prefix_sets(
+                fresh_c, id_col, text_col, idx.sep, idx.shingle_n
+            )
+            npref = _prefix_table(
+                nsets, idx.dft, idx.threshold_pct, how="left"
+            ).withColumn("_bid", F.lit(batch_id))
+            nsets = nsets.withColumn("_bid", F.lit(batch_id))
+            keep = F.col("_bid") > F.lit(batch_id - recent_window_batches)
+            if st["recent_sets"] is None:
+                rs, rp = nsets, npref
+            else:
+                rs = st["recent_sets"].filter(keep).unionByName(nsets)
+                rp = st["recent_prefix"].filter(keep).unionByName(npref)
+            st["recent_sets"] = rs.localCheckpoint()
+            st["recent_prefix"] = rp.localCheckpoint()
+
+    post = post_batch if (fold_every or recent_window_batches) else None
     return _run_ingest_dedup_stream(
         spark, source_dir, out_dir, checkpoint_dir, mine,
         id_col=id_col, max_files_per_trigger=max_files_per_trigger,
+        post_batch=post,
     )

@@ -1008,3 +1008,110 @@ def test_edit_distance_boundary_band_pairs(spark):
         ).collect()
     }
     assert got == {(1, 2, 0), (5, 6, 1)}, got
+
+
+def test_prefix_index_append_rebuild_pair_parity(spark, sf_dir):
+    """VERDICT r10 #4: folding a batch into a PrefixIndex under the
+    frozen base order yields the SAME verified pairs as a full rebuild
+    over the grown corpus (both have recall 1 and an exact verify;
+    only candidate counts may differ)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    query = docs.filter(F.col("doc_id") % 10 == 0)
+    add = docs.filter(F.col("doc_id") % 10 == 1)
+    base = docs.filter(F.col("doc_id") % 10 > 1)
+    idx = dd.build_prefix_index(
+        base, "doc_id", "text", threshold_pct=80, shingle_n=3
+    )
+    appended = dd.prefix_index_append(idx, add, "doc_id", "text")
+    rebuilt = dd.build_prefix_index(
+        base.unionByName(add), "doc_id", "text",
+        threshold_pct=80, shingle_n=3,
+    )
+    got = {
+        (r["new_doc_id"], r["base_doc_id"], r["jaccard"])
+        for r in dd.prefix_filter_against_index(
+            query, appended, "doc_id", "text"
+        ).collect()
+    }
+    want = {
+        (r["new_doc_id"], r["base_doc_id"], r["jaccard"])
+        for r in dd.prefix_filter_against_index(
+            query, rebuilt, "doc_id", "text"
+        ).collect()
+    }
+    assert got == want and want  # fixture plants near-dups
+
+
+def test_lsh_index_append_equals_rebuild(spark, sf_dir):
+    """LSH band keys are content hashes — append must equal rebuild
+    ROW-for-row (not just pair-for-pair), for both artifacts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    add = docs.filter(F.col("doc_id") % 10 == 1)
+    base = docs.filter(F.col("doc_id") % 10 > 1)
+
+    def idx_rows(df):
+        return {
+            (r["base_doc_id"], r["band_idx"], r["band_hash"])
+            for r in df.collect()
+        }
+
+    base_idx = dd.lsh_banded(base, "doc_id", "text").select(
+        F.col("doc_id").alias("base_doc_id"), "band_idx", "band_hash"
+    )
+    base_sh = base.select(
+        F.col("doc_id").alias("base_doc_id"),
+        dd.shingles("text", 3).alias("_sh_b"),
+    )
+    app_idx, app_sh = dd.lsh_index_append(
+        base_idx, base_sh, add, "doc_id", "text"
+    )
+    grown = base.unionByName(add)
+    reb_idx = dd.lsh_banded(grown, "doc_id", "text").select(
+        F.col("doc_id").alias("base_doc_id"), "band_idx", "band_hash"
+    )
+    assert idx_rows(app_idx) == idx_rows(reb_idx)
+    sh_app = {
+        r["base_doc_id"]: tuple(r["_sh_b"]) for r in app_sh.collect()
+    }
+    sh_reb = {
+        r["base_doc_id"]: tuple(r["_sh_b"])
+        for r in grown.select(
+            F.col("doc_id").alias("base_doc_id"),
+            dd.shingles("text", 3).alias("_sh_b"),
+        ).collect()
+    }
+    assert sh_app == sh_reb
+
+
+def test_prefix_index_drift_report_flags_new_boilerplate(spark):
+    """The rebuild trigger: a boilerplate token that arrived AFTER the
+    order froze ranks 'rarest' (df 0) and lands in every appended
+    doc's prefix — the drift report must surface its posting list and
+    flag needs_rebuild."""
+    base = spark.createDataFrame(
+        [(i, f"base{i}a base{i}b base{i}c") for i in range(1, 6)],
+        "doc_id int, text string",
+    )
+    # word mode: 2 distinct words -> prefix length 1 = the rarest
+    # element; 'aacommon' (frozen df 0) sorts before each zz-unique
+    add = spark.createDataFrame(
+        [(100 + i, f"aacommon zzunique{i}") for i in range(10)],
+        "doc_id int, text string",
+    )
+    idx = dd.build_prefix_index(
+        base, "doc_id", "text", threshold_pct=80, shingle_n=None
+    )
+    appended = dd.prefix_index_append(idx, add, "doc_id", "text")
+    report = {
+        r["tok"]: (r["frozen_dfc"], r["prefix_postings"], r["needs_rebuild"])
+        for r in dd.prefix_index_drift_report(appended).collect()
+    }
+    frozen, postings, needs = report["aacommon"]
+    assert frozen == 0 and postings == 10 and needs
+    # the heaviest posting list leads the report
+    top = dd.prefix_index_drift_report(appended).first()
+    assert top["tok"] == "aacommon"
+    # healthy base elements do not flag
+    assert not any(
+        v[2] for k, v in report.items() if k != "aacommon"
+    )

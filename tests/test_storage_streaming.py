@@ -2533,3 +2533,145 @@ def test_streaming_incremental_prefix_matches_batch(spark, tmp_path, sf_dir):
     matched = {p[0] for p in want}
     all_new = {r["doc_id"] for r in new.collect()}
     assert fresh == all_new - matched
+
+
+def _neardup_family_corpus(spark):
+    """Base corpus + three near-identical docs (A=101, A'=102, A''=103):
+    30 words, last word differs -> 3-shingle Jaccard 25/31 = 0.8065,
+    just past the 0.8 threshold; base docs share no tokens with them."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    stem = " ".join(f"tok{i}" for i in range(29))
+    fam = {101: stem + " endA", 102: stem + " endB", 103: stem + " endC"}
+    base = spark.createDataFrame(
+        [
+            (1, " ".join(f"basea{i}" for i in range(30))),
+            (2, " ".join(f"baseb{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    return base, fam
+
+
+def _write_one_doc_batches(spark, src, fam):
+    """One parquet file per doc, 1s apart, so maxFilesPerTrigger=1
+    processes them as ordered micro-batches (file source orders by
+    modification time)."""
+    import time as _time
+
+    for doc_id in sorted(fam):
+        spark.createDataFrame(
+            [(doc_id, fam[doc_id])], "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.0)
+
+
+def test_streaming_prefix_recent_window_pairs_within_stream(spark, tmp_path):
+    """VERDICT r10 #5: A (batch 0) and A' (batch 1), neither in the
+    base corpus, are PAIRED via the rolling recent-window index —
+    while A'' (batch 2) arrives after A aged out of the W=1 window
+    (and A' never entered it, being a dup), so it lands fresh: the
+    bounded-state trade, documented in SCALE.md."""
+    from purpleair_data_logger_spark.streaming.neardup import (
+        run_incremental_prefix_stream,
+    )
+
+    base, fam = _neardup_family_corpus(spark)
+    src = str(tmp_path / "rw_src")
+    _write_one_doc_batches(spark, src, fam)
+
+    out = str(tmp_path / "rw_out")
+    q = run_incremental_prefix_stream(
+        spark, src, base, out, str(tmp_path / "rw_ckpt"),
+        threshold_pct=80, shingle_n=3,
+        recent_window_batches=1, max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    pairs = {
+        (r["new_doc_id"], r["base_doc_id"])
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    assert pairs == {(102, 101)}
+    fresh = {r["doc_id"] for r in spark.read.parquet(f"{out}/fresh").collect()}
+    assert fresh == {101, 103}
+
+
+def test_streaming_prefix_fold_every_keeps_index_current(spark, tmp_path):
+    """VERDICT r10 #4: with the periodic-fold hook (fold_every=1) the
+    base PrefixIndex absorbs each batch's FRESH docs, so both A' and
+    A'' pair against A — the index never goes stale — and only A is
+    forwarded as fresh."""
+    from purpleair_data_logger_spark.streaming.neardup import (
+        run_incremental_prefix_stream,
+    )
+
+    base, fam = _neardup_family_corpus(spark)
+    src = str(tmp_path / "fe_src")
+    _write_one_doc_batches(spark, src, fam)
+
+    out = str(tmp_path / "fe_out")
+    q = run_incremental_prefix_stream(
+        spark, src, base, out, str(tmp_path / "fe_ckpt"),
+        threshold_pct=80, shingle_n=3,
+        fold_every=1, max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    pairs = {
+        (r["new_doc_id"], r["base_doc_id"])
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    assert pairs == {(102, 101), (103, 101)}
+    fresh = {r["doc_id"] for r in spark.read.parquet(f"{out}/fresh").collect()}
+    assert fresh == {101}
+
+
+def test_streaming_lsh_fold_every_keeps_index_current(spark, tmp_path):
+    """The LSH form's fold hook (`dedup.lsh_index_append`): same
+    cross-batch family as the prefix test; banding at J=0.8065 with 16
+    bands of 4 collides with p~0.9997 and the hash is deterministic,
+    so the expected pairs are stable."""
+    from purpleair_data_logger_spark.streaming.neardup import (
+        run_incremental_neardup_stream,
+    )
+
+    base, fam = _neardup_family_corpus(spark)
+    src = str(tmp_path / "lf_src")
+    _write_one_doc_batches(spark, src, fam)
+
+    out = str(tmp_path / "lf_out")
+    q = run_incremental_neardup_stream(
+        spark, src, base, out, str(tmp_path / "lf_ckpt"),
+        threshold=0.8, fold_every=1, max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    pairs = {
+        (r["new_doc_id"], r["base_doc_id"])
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    assert pairs == {(102, 101), (103, 101)}
+    fresh = {r["doc_id"] for r in spark.read.parquet(f"{out}/fresh").collect()}
+    assert fresh == {101}
+
+
+def test_neardup_maintenance_args_validation():
+    """fold_every and recent_window_batches are mutually exclusive
+    (both would emit duplicate pairs) and must be positive; the check
+    fires before any Spark work."""
+    from purpleair_data_logger_spark.streaming.neardup import (
+        run_incremental_neardup_stream,
+        run_incremental_prefix_stream,
+    )
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_incremental_prefix_stream(
+            None, "s", None, "o", "c",
+            fold_every=1, recent_window_batches=1,
+        )
+    with pytest.raises(ValueError, match="positive"):
+        run_incremental_neardup_stream(
+            None, "s", None, "o", "c", fold_every=0
+        )
+    with pytest.raises(ValueError, match="positive"):
+        run_incremental_prefix_stream(
+            None, "s", None, "o", "c", recent_window_batches=-3
+        )
