@@ -4176,19 +4176,103 @@ def sliding_active_users(spark, sf_dir):
 
 @register(
     "lttb_downsample_events",
-    None,  # sequential chain dependency (each kept point depends on
-    # the previous selection) — not SQL-expressible; correctness is
-    # pytest-pinned against the importable numpy kernel
-    # (tests/test_hyperfunctions.py: reference parity, endpoint and
-    # passthrough contracts, partitioning invariance).
+    # The chain-dependent argmax is replayable since the kernel went
+    # exact-integer (VERDICT r10 #8): the recursive CTE carries the
+    # previous kept point per key and re-derives each bucket's pick by
+    # the SAME c-scaled integer cross product, so the selection — not
+    # just the aggregate — is re-derived independently. bounds replay
+    # np.linspace bit-for-bit (i*step + 1 in IEEE double, trunc, with
+    # the endpoint pinned to n-1 exactly as np sets it).
+    """
+    WITH RECURSIVE f AS (
+      SELECT user_id, ts, value FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    o AS (
+      SELECT user_id, ts, value,
+             CAST(row_number() OVER w - 1 AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             (epoch_us(ts) - first_value(epoch_us(ts)) OVER w) // 1000000
+               AS x
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    big AS MATERIALIZED (SELECT * FROM o WHERE n > 50),
+    keys AS (SELECT DISTINCT user_id, n FROM big),
+    bnd AS (
+      SELECT k.user_id, k.n, t.i,
+             CASE WHEN t.i = 48 THEN k.n - 1
+                  ELSE CAST(trunc(CAST(t.i AS DOUBLE)
+                       * ((CAST(k.n AS DOUBLE) - 2) / 48.0) + 1.0)
+                       AS BIGINT)
+             END AS b
+      FROM keys k, range(49) t(i)
+    ),
+    bkt AS MATERIALIZED (
+      SELECT a.user_id, a.i, a.b AS lo, h.b AS hi, h.b AS nlo,
+             CASE WHEN a.i <= 46 THEN n2.b ELSE a.n END AS nhi
+      FROM bnd a
+      JOIN bnd h ON h.user_id = a.user_id AND h.i = a.i + 1
+      LEFT JOIN bnd n2 ON n2.user_id = a.user_id AND n2.i = a.i + 2
+      WHERE a.i <= 47
+    ),
+    cent AS MATERIALIZED (
+      SELECT bk.user_id, bk.i,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(o.x) AS BIGINT) AS sx,
+             CAST(sum(o.v) AS BIGINT) AS sv
+      FROM bkt bk JOIN big o
+        ON o.user_id = bk.user_id AND o.rn >= bk.nlo AND o.rn < bk.nhi
+      GROUP BY 1, 2
+    ),
+    rec AS (
+      SELECT user_id, CAST(-1 AS BIGINT) AS i,
+             rn AS a_rn, x AS a_x, v AS a_v
+      FROM big WHERE rn = 0
+      UNION ALL
+      SELECT user_id, i, a_rn, a_x, a_v FROM (
+        SELECT r.user_id, r.i + 1 AS i,
+               o.rn AS a_rn, o.x AS a_x, o.v AS a_v,
+               row_number() OVER (
+                 PARTITION BY r.user_id
+                 ORDER BY abs((c.c * r.a_x - c.sx) * (o.v - r.a_v)
+                              - (r.a_x - o.x) * (c.sv - c.c * r.a_v))
+                            DESC,
+                          o.rn ASC
+               ) AS rk
+        FROM rec r
+        JOIN bkt bk ON bk.user_id = r.user_id AND bk.i = r.i + 1
+        JOIN cent c ON c.user_id = r.user_id AND c.i = r.i + 1
+        JOIN big o ON o.user_id = r.user_id
+                  AND o.rn >= bk.lo AND o.rn < bk.hi
+        WHERE r.i < 47
+      ) WHERE rk = 1
+    ),
+    sel AS (
+      SELECT user_id, a_rn AS rn FROM rec
+      UNION ALL
+      SELECT user_id, n - 1 AS rn FROM keys
+    )
+    SELECT b.user_id, b.ts, b.value
+    FROM big b JOIN sel s ON s.user_id = b.user_id AND s.rn = b.rn
+    UNION ALL
+    SELECT user_id, ts, value FROM o WHERE n <= 50
+    ORDER BY user_id, ts, value
+    """,
     "A2 extension: LTTB perception-optimal downsampling (Steinarsson "
-    "2013) — the applyInPandas companion to m4_downsample_15min",
+    "2013) — exact-integer selection, so the sequential chain is "
+    "replayed by a per-key recursive-CTE argmax (the kcore oracle "
+    "precedent)",
 )
 def lttb_downsample_events(spark, sf_dir):
     """Per sensor key, the 50 points that best preserve the series
     shape (largest-triangle-three-buckets): one shuffle on the key,
     one Arrow batch + numpy kernel per series — the documented
-    pandas-UDF case for chain-dependent algorithms."""
+    pandas-UDF case for chain-dependent algorithms. Selection runs on
+    exact integers (1 s x resolution, 2-decimal scaled values — see
+    `lttb_indices`), so the chain-dependent argmax is bit-replayable
+    by the recursive-CTE oracle."""
     e = _t(spark, sf_dir, "events")
     return hf.lttb_downsample(e, "ts", "user_id", "value", 50)
 
@@ -4280,14 +4364,112 @@ def asap_smooth_events(spark, sf_dir):
 
 @register(
     "m4_lttb_downsample_events",
-    None,  # the LTTB stage's sequential selection is not
-    # SQL-expressible (same rationale as lttb_downsample_events); the
-    # M4 stage's aggregate is the oracled m4_downsample_15min shape,
-    # and the composition is pytest-pinned to equal
-    # lttb_downsample(m4 extreme points) exactly.
+    # Fully oracled since the LTTB kernel went exact-integer (VERDICT
+    # r10 #8): the M4 stage is the oracled m4_downsample_15min struct-
+    # extreme shape, its ≤4 points per bucket unnest + dedup into the
+    # composed series, and the SAME recursive-CTE argmax chain as
+    # lttb_downsample_events replays the selection.
+    """
+    WITH RECURSIVE s AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS b,
+             user_id, ts, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    a AS (
+      SELECT b, user_id,
+             min(struct_pack(t := ts, v := value)) AS fs,
+             max(struct_pack(t := ts, v := value)) AS ls,
+             min(struct_pack(v := value, t := ts)) AS lo,
+             max(struct_pack(v := value, t := ts)) AS hi
+      FROM s GROUP BY 1, 2
+    ),
+    px AS (
+      SELECT user_id,
+             unnest([fs, ls,
+                     struct_pack(t := lo.t, v := lo.v),
+                     struct_pack(t := hi.t, v := hi.v)]) AS u
+      FROM a
+    ),
+    f AS (
+      SELECT DISTINCT user_id, u.t AS ts, u.v AS value FROM px
+      WHERE user_id IS NOT NULL AND u.t IS NOT NULL
+    ),
+    o AS (
+      SELECT user_id, ts, value,
+             CAST(row_number() OVER w - 1 AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             (epoch_us(ts) - first_value(epoch_us(ts)) OVER w) // 1000000
+               AS x
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+    ),
+    big AS MATERIALIZED (SELECT * FROM o WHERE n > 50),
+    keys AS (SELECT DISTINCT user_id, n FROM big),
+    bnd AS (
+      SELECT k.user_id, k.n, t.i,
+             CASE WHEN t.i = 48 THEN k.n - 1
+                  ELSE CAST(trunc(CAST(t.i AS DOUBLE)
+                       * ((CAST(k.n AS DOUBLE) - 2) / 48.0) + 1.0)
+                       AS BIGINT)
+             END AS b
+      FROM keys k, range(49) t(i)
+    ),
+    bkt AS MATERIALIZED (
+      SELECT a2.user_id, a2.i, a2.b AS lo, h.b AS hi, h.b AS nlo,
+             CASE WHEN a2.i <= 46 THEN n2.b ELSE a2.n END AS nhi
+      FROM bnd a2
+      JOIN bnd h ON h.user_id = a2.user_id AND h.i = a2.i + 1
+      LEFT JOIN bnd n2 ON n2.user_id = a2.user_id AND n2.i = a2.i + 2
+      WHERE a2.i <= 47
+    ),
+    cent AS MATERIALIZED (
+      SELECT bk.user_id, bk.i,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(o.x) AS BIGINT) AS sx,
+             CAST(sum(o.v) AS BIGINT) AS sv
+      FROM bkt bk JOIN big o
+        ON o.user_id = bk.user_id AND o.rn >= bk.nlo AND o.rn < bk.nhi
+      GROUP BY 1, 2
+    ),
+    rec AS (
+      SELECT user_id, CAST(-1 AS BIGINT) AS i,
+             rn AS a_rn, x AS a_x, v AS a_v
+      FROM big WHERE rn = 0
+      UNION ALL
+      SELECT user_id, i, a_rn, a_x, a_v FROM (
+        SELECT r.user_id, r.i + 1 AS i,
+               o.rn AS a_rn, o.x AS a_x, o.v AS a_v,
+               row_number() OVER (
+                 PARTITION BY r.user_id
+                 ORDER BY abs((c.c * r.a_x - c.sx) * (o.v - r.a_v)
+                              - (r.a_x - o.x) * (c.sv - c.c * r.a_v))
+                            DESC,
+                          o.rn ASC
+               ) AS rk
+        FROM rec r
+        JOIN bkt bk ON bk.user_id = r.user_id AND bk.i = r.i + 1
+        JOIN cent c ON c.user_id = r.user_id AND c.i = r.i + 1
+        JOIN big o ON o.user_id = r.user_id
+                  AND o.rn >= bk.lo AND o.rn < bk.hi
+        WHERE r.i < 47
+      ) WHERE rk = 1
+    ),
+    sel AS (
+      SELECT user_id, a_rn AS rn FROM rec
+      UNION ALL
+      SELECT user_id, n - 1 AS rn FROM keys
+    )
+    SELECT b2.user_id, b2.ts, b2.value
+    FROM big b2 JOIN sel s2 ON s2.user_id = b2.user_id AND s2.rn = b2.rn
+    UNION ALL
+    SELECT user_id, ts, value FROM o WHERE n <= 50
+    ORDER BY user_id, ts, value
+    """,
     "A2 extension: the SCALE.md corpus-series path as ONE operator — "
     "M4 pre-aggregation (distributed, ≤4 points/bucket) feeding LTTB "
-    "over the bounded extreme-point series (VERDICT r4 #8)",
+    "over the bounded extreme-point series (VERDICT r4 #8); fully "
+    "oracled end-to-end via the exact-integer recursive-CTE chain",
 )
 def m4_lttb_downsample_events(spark, sf_dir):
     """Downsample each sensor's series to 50 shape-preserving points

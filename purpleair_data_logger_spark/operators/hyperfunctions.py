@@ -106,7 +106,7 @@ def m4_downsample(
     )
 
 
-def lttb_indices(ts, vs, n_out: int):
+def lttb_indices(xs, vs, n_out: int):
     """Largest-Triangle-Three-Buckets point selection (Steinarsson
     2013): indices of the ``n_out`` points that best preserve the
     series' visual shape. Pure numpy on one series — the per-group
@@ -117,31 +117,57 @@ def lttb_indices(ts, vs, n_out: int):
     point and the NEXT bucket's centroid. Ties take the earliest
     point (np.argmax), so selection is deterministic for a
     deterministically ordered series.
+
+    EXACT INTEGER arithmetic (VERDICT r10 #8, the house exact-BIGINT
+    style): inputs are int64 x offsets and int64 scaled values
+    (`lttb_downsample` quantizes), and the per-point triangle area is
+    compared via the centroid-count-scaled cross product
+
+        |(c·x_a − Σx)·(v_i − v_a) − (x_a − x_i)·(Σv − c·v_a)|
+
+    — the float formula times c (argmax-invariant, c > 0), with the
+    next-bucket mean replaced by its exact (count, sum) pair. Every
+    comparison is therefore exact: selection is bit-identical across
+    partitionings, engines, and summation orders, which is what makes
+    the chain-dependent argmax replayable by the DuckDB recursive-CTE
+    oracle (a float kernel's np pairwise-summation means cannot be
+    reproduced bit-for-bit in SQL). Overflow contract (the ACF/CUSUM
+    discipline): |terms| ≤ 2·c·max(x)·range(v) must stay below 2⁶³,
+    checked executably before any product — raise, never wrap.
     """
     import numpy as np
 
-    n = len(ts)
+    n = len(xs)
     if n_out >= n:
         return np.arange(n)
     if n_out < 3:
         raise ValueError(f"n_out must be >= 3, got {n_out}")
-    # rebase x to the series start BEFORE the float conversion:
-    # epoch-nanosecond magnitudes (~1.7e18) have a 256 ns float64 ulp,
-    # while rebased offsets are exact for any series under ~104 days
-    ts = (ts - ts[0]).astype("float64")
-    vs = vs.astype("float64")
+    # rebase x to the series start: offsets are small and exact
+    xs = (xs - xs[0]).astype("int64")
+    vs = vs.astype("int64")
     # bucket boundaries over the interior points [1, n-1)
     bounds = np.linspace(1, n - 1, n_out - 1).astype("int64")
+    x_max = int(xs[-1])
+    v_range = int(vs.max()) - int(vs.min())
+    c_max = int(np.max(np.diff(np.append(bounds, n))))
+    if 2 * max(c_max, 1) * max(x_max, 1) * max(v_range, 1) >= 2**63:
+        raise ValueError(
+            "lttb: exact area terms overflow int64 "
+            f"(2*{c_max}*{x_max}*{v_range}) — use a coarser ts_unit_us "
+            "or fewer decimals"
+        )
     keep = np.empty(n_out, dtype="int64")
     keep[0], keep[-1] = 0, n - 1
     a = 0
     for i in range(n_out - 2):
         lo, hi = bounds[i], bounds[i + 1]
         nlo, nhi = bounds[i + 1], (bounds[i + 2] if i + 2 < n_out - 1 else n)
-        bx, by = ts[nlo:nhi].mean(), vs[nlo:nhi].mean()
+        c = int(nhi - nlo)
+        sx = int(xs[nlo:nhi].sum())
+        sv = int(vs[nlo:nhi].sum())
         area = np.abs(
-            (ts[a] - bx) * (vs[lo:hi] - vs[a])
-            - (ts[a] - ts[lo:hi]) * (by - vs[a])
+            (c * xs[a] - sx) * (vs[lo:hi] - vs[a])
+            - (xs[a] - xs[lo:hi]) * (sv - c * vs[a])
         )
         a = lo + int(np.argmax(area))
         keep[i + 1] = a
@@ -154,6 +180,9 @@ def lttb_downsample(
     key_col: str,
     value_col: str,
     n_out: int,
+    *,
+    ts_unit_us: int = 1_000_000,
+    decimals: int = 2,
 ) -> DataFrame:
     """Per-key LTTB downsampling to ``n_out`` points — the
     perception-optimal companion to `m4_downsample` (M4 is
@@ -175,9 +204,18 @@ def lttb_downsample(
     construction for dashboard renders (a render window is
     calendar-bounded, same contract every LTTB server has). For
     corpus-sized series, pre-aggregate with `m4_downsample` or
-    `bucketed_agg` first, then LTTB the bounded result. NULL values
-    are excluded (no pixel); the (ts, value) sort makes tie order
+    `bucketed_agg` first, then LTTB the bounded result. NULL
+    key/ts/value rows are excluded (no pixel without a series, a
+    time, or a value); the (ts, value) sort makes tie order
     deterministic.
+
+    Geometry is quantized for the exact-integer kernel: x = the ns
+    offset from the series start floored to ``ts_unit_us``
+    microseconds (default 1 s — render-resolution time), v = the value
+    scaled to ``decimals`` with Spark's half-away-from-zero `F.round`
+    rule. Selection preserves shape at that resolution and is
+    bit-deterministic (see `lttb_indices`), which is what lets the
+    DuckDB oracle replay the whole selection chain.
     """
     from pyspark.sql.types import StructType
 
@@ -185,17 +223,24 @@ def lttb_downsample(
     out_schema = StructType(
         [fields[key_col], fields[ts_col], fields[value_col]]
     )
+    unit_ns = int(ts_unit_us) * 1000
+    scale = 10 ** int(decimals)
 
     def _select(pdf):
+        import numpy as np
         import pandas as pd
 
         picked = []
         for _, g in pdf.groupby(key_col, sort=False):
-            keep = lttb_indices(
-                g[ts_col].to_numpy().astype("int64"),
-                g[value_col].to_numpy(),
-                n_out,
-            )
+            ns = g[ts_col].to_numpy().astype("int64")
+            x = (ns - ns[0]) // unit_ns
+            # half-away-from-zero, F.round semantics (np.round is
+            # half-even — the streaming.counter.scale_half_up rule)
+            raw = g[value_col].to_numpy(dtype="float64") * scale
+            v = np.where(
+                raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
+            ).astype("int64")
+            keep = lttb_indices(x, v, n_out)
             picked.append(g.iloc[keep])
         return pd.concat(picked, ignore_index=True)
 
@@ -221,7 +266,11 @@ def lttb_downsample(
             yield _select(buf)
 
     return (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+        )
         .select(key_col, ts_col, value_col)
         .repartition(key_col)
         .sortWithinPartitions(key_col, ts_col, value_col)

@@ -429,42 +429,60 @@ def test_order_statistics_family_ignores_nulls(spark):
 # ---------------------------------------------------------------------------
 
 
-def _python_lttb(pts: list[tuple[int, float]], n_out: int) -> list[int]:
-    """Independent reference LTTB (plain loops, no numpy) returning
-    kept indices — guards the vectorized kernel."""
+def _python_lttb(pts: list[tuple[int, int]], n_out: int) -> list[int]:
+    """Independent reference LTTB (plain loops, pure Python ints, no
+    numpy arithmetic) returning kept indices — guards the vectorized
+    exact-integer kernel. Inputs are (x_int, v_scaled_int) points, the
+    kernel's quantized domain; areas compare via the centroid-count-
+    scaled integer cross product, exactly as documented in
+    `lttb_indices`."""
     n = len(pts)
     if n_out >= n:
         return list(range(n))
     import numpy as np
 
     x0 = pts[0][0]
-    pts = [(p[0] - x0, p[1]) for p in pts]  # same rebase as the kernel
-    bounds = np.linspace(1, n - 1, n_out - 1).astype(int).tolist()
+    pts = [(int(p[0] - x0), int(p[1])) for p in pts]  # same rebase
+    bounds = np.linspace(1, n - 1, n_out - 1).astype("int64").tolist()
     keep = [0]
     a = 0
     for i in range(n_out - 2):
         lo, hi = bounds[i], bounds[i + 1]
         nlo = bounds[i + 1]
         nhi = bounds[i + 2] if i + 2 < n_out - 1 else n
-        bx = sum(p[0] for p in pts[nlo:nhi]) / (nhi - nlo)
-        by = sum(p[1] for p in pts[nlo:nhi]) / (nhi - nlo)
-        best, best_area = lo, -1.0
-        for c in range(lo, hi):
+        c = nhi - nlo
+        sx = sum(p[0] for p in pts[nlo:nhi])
+        sv = sum(p[1] for p in pts[nlo:nhi])
+        best, best_area = lo, -1
+        for j in range(lo, hi):
             area = abs(
-                (pts[a][0] - bx) * (pts[c][1] - pts[a][1])
-                - (pts[a][0] - pts[c][0]) * (by - pts[a][1])
+                (c * pts[a][0] - sx) * (pts[j][1] - pts[a][1])
+                - (pts[a][0] - pts[j][0]) * (sv - c * pts[a][1])
             )
             if area > best_area:
-                best, best_area = c, area
+                best, best_area = j, area
         keep.append(best)
         a = best
     keep.append(n - 1)
     return keep
 
 
-def test_lttb_matches_reference_and_keeps_endpoints(spark):
-    import numpy as np
+def _quantized_pts(rows):
+    """(x seconds offset, v scaled 2 decimals) in (ts, value) order —
+    the operator's default quantization, applied independently."""
+    srt = sorted(rows, key=lambda r: (r[1], r[2]))
+    ns0 = int(srt[0][1].timestamp() * 1e9)
+    pts = []
+    for r in srt:
+        ns = int(r[1].timestamp() * 1e9)
+        x = (ns - ns0) // 1_000_000_000
+        raw = r[2] * 100
+        v = int(math.floor(raw + 0.5) if raw >= 0 else math.ceil(raw - 0.5))
+        pts.append((x, v))
+    return srt, pts
 
+
+def test_lttb_matches_reference_and_keeps_endpoints(spark):
     rows = [
         (1, datetime(2024, 1, 1, 0, i // 60, i % 60), math.sin(i / 7.0) * 10 + (i % 13))
         for i in range(240)
@@ -476,14 +494,39 @@ def test_lttb_matches_reference_and_keeps_endpoints(spark):
         .collect()
     )
     assert len(out) == 20
-    pts = [(i, r[2]) for i, r in enumerate(sorted(rows, key=lambda r: r[1]))]
-    # reference runs on epoch-ns x-coordinates like the kernel
-    ns = [int(r[1].timestamp() * 1e9) for r in sorted(rows, key=lambda r: r[1])]
-    ref_keep = _python_lttb(list(zip(ns, [p[1] for p in pts])), 20)
+    srt, pts = _quantized_pts(rows)
+    ref_keep = _python_lttb(pts, 20)
     got_ts = [r["ts"] for r in out]
-    want_ts = [sorted(rows, key=lambda r: r[1])[i][1] for i in ref_keep]
+    want_ts = [srt[i][1] for i in ref_keep]
     assert got_ts == want_ts
     assert out[0]["ts"] == rows[0][1] and out[-1]["ts"] == rows[-1][1]
+
+
+def test_lttb_null_key_ts_rows_excluded(spark):
+    """NULL key/ts rows carry no pixel (fuzz contract for the oracled
+    form): they are dropped, not grouped or NaT-sorted."""
+    rows = [(1, _ts(0, i), float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(
+        rows + [(None, _ts(2, 1), 1.0), (1, None, 2.0)],
+        "key int, ts timestamp, value double",
+    )
+    out = hf.lttb_downsample(df, "ts", "key", "value", 10).collect()
+    assert len(out) == 10
+    assert all(r["key"] == 1 and r["ts"] is not None for r in out)
+
+
+def test_lttb_overflow_raises_loud(spark):
+    """The exact-integer kernel's overflow contract: area terms past
+    int64 raise the descriptive error instead of wrapping through
+    numpy (the ACF/CUSUM discipline)."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    x = np.arange(100, dtype="int64") * 10**9  # huge offsets
+    v = (np.arange(100, dtype="int64") % 7) * 10**9
+    with _pytest.raises(ValueError, match="overflow int64"):
+        hf.lttb_indices(x, v, 10)
 
 
 def test_lttb_passthrough_when_series_small(spark):
