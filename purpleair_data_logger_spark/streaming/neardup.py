@@ -40,6 +40,17 @@ cross-batch near-dup index would be unbounded state):
 
 The two are mutually exclusive: folding already covers every earlier
 batch, and running both would emit duplicate pairs for recent docs.
+
+Restart caveat: both options' working state (the folded/rolling
+artifacts) lives in the driver for ONE run — a checkpoint restart
+resumes the source exactly-once but reverts the index to the base
+artifacts, so pairs against pre-restart fresh docs are missed until
+the batch pipeline folds them (`{out}/fresh` is the durable record to
+fold from). The default availableNow posture makes a run one-shot, so
+this only matters for long-lived triggers; a production deployment
+folds `{out}/fresh` into the PERSISTED artifacts between runs, which
+is exactly `dedup.prefix_index_append` / `dedup.lsh_index_append` on
+the batch side.
 """
 
 from __future__ import annotations

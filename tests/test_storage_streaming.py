@@ -2675,3 +2675,30 @@ def test_neardup_maintenance_args_validation():
         run_incremental_prefix_stream(
             None, "s", None, "o", "c", recent_window_batches=-3
         )
+
+
+def test_streaming_lsh_recent_window_pairs_within_stream(spark, tmp_path):
+    """The LSH form's bounded within-stream option: same A/A'/A''
+    family as the prefix test — A' pairs against A through the rolling
+    band-row window, A'' arrives after eviction and lands fresh."""
+    from purpleair_data_logger_spark.streaming.neardup import (
+        run_incremental_neardup_stream,
+    )
+
+    base, fam = _neardup_family_corpus(spark)
+    src = str(tmp_path / "lr_src")
+    _write_one_doc_batches(spark, src, fam)
+
+    out = str(tmp_path / "lr_out")
+    q = run_incremental_neardup_stream(
+        spark, src, base, out, str(tmp_path / "lr_ckpt"),
+        threshold=0.8, recent_window_batches=1, max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    pairs = {
+        (r["new_doc_id"], r["base_doc_id"])
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    assert pairs == {(102, 101)}
+    fresh = {r["doc_id"] for r in spark.read.parquet(f"{out}/fresh").collect()}
+    assert fresh == {101, 103}
