@@ -6352,6 +6352,96 @@ def ann_recall_eval(spark, sf_dir):
 
 
 @register(
+    "rerank_crossencoder",
+    f"""
+    WITH q AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+      FROM (VALUES (1, 'vector hash join'),
+                   (2, 'merge scan window'),
+                   (3, 'stream batch spark')) v(query_id, qtext)
+    ),
+    d AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+               AS tok
+      FROM d
+    ),
+    qf AS (
+      SELECT query_id, qtext, string_split(qtext, ' ')[1] AS tok FROM q
+    ),
+    cand AS (
+      SELECT DISTINCT qf.query_id, t.doc_id
+      FROM tok t JOIN qf ON qf.tok = t.tok
+    ),
+    scored AS (
+      SELECT c.query_id, c.doc_id,
+             {_hex60_sql("sha256(qf.qtext || chr(31) || d.text)")}
+               AS ce_score
+      FROM cand c
+      JOIN d ON d.doc_id = c.doc_id
+      JOIN qf ON qf.query_id = c.query_id
+    ),
+    r AS (
+      SELECT query_id, doc_id, ce_score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY ce_score DESC, doc_id
+             ) AS INT) AS rerank
+      FROM scored
+    )
+    SELECT query_id, doc_id, ce_score, rerank FROM r WHERE rerank <= 10
+    ORDER BY query_id, rerank
+    """,
+    "retrieval stage 3: cross-encoder RERANKING of first-stage "
+    "candidates (inverted-index term lookup here; BM25/ANN in "
+    "production) — joint (query, doc) scoring through ONE candidate-"
+    "bounded mapInPandas Arrow stage with an injectable scorer "
+    "(deterministic sha256 stub, the encoder/multimodal seam), "
+    "WindowGroupLimit top-k per query",
+)
+def rerank_crossencoder(spark, sf_dir):
+    """Rerank each query's candidate documents with the injectable
+    cross-encoder (`ranking.rerank_topk`): first stage = an
+    inverted-index equi-join (query's first term ∈ doc token set —
+    never a corpus×queries nested loop), then the scorer runs once
+    per candidate pair inside a single Arrow stage (stub here; a
+    model runtime in production — `fake_cross_scorer` is the 60-bit
+    sha256 hash the oracle nibble-parses), then a per-query
+    WindowGroupLimit top-10. The corpus is touched by exactly one id
+    equi-join; the query table broadcasts."""
+    from purpleair_data_logger_spark.operators import ranking as rk
+
+    queries = spark.createDataFrame(
+        [(1, "vector hash join"), (2, "merge scan window"),
+         (3, "stream batch spark")],
+        "query_id long, qtext string",
+    )
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("_tok"),
+    )
+    qfirst = queries.select(
+        "query_id", F.split("qtext", " ").getItem(0).alias("_tok")
+    )
+    cand = (
+        tok.join(F.broadcast(qfirst), "_tok")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    return rk.rerank_topk(
+        cand, queries, d,
+        query_id_col="query_id", doc_id_col="doc_id",
+        query_text_col="qtext", doc_text_col="text",
+        k=10, scorer=rk.fake_cross_scorer,
+    ).orderBy("query_id", "rerank")
+
+
+@register(
     "orders_snapshot_diff",
     """
     WITH old AS (

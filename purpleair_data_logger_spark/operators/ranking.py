@@ -248,3 +248,120 @@ def rrf_fuse(
     top = fused.orderBy(F.desc("rrf_scaled"), F.asc(id_col)).limit(topk)
     w = Window.orderBy(F.desc("rrf_scaled"), F.asc(id_col))
     return top.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+
+
+def cross_encode(query: str, doc: str) -> int:
+    """Real cross-encoder entry point — STUB (the `encoder.encode_text`
+    / multimodal-decoder seam): no inference runtime ships in this
+    container. Production plugs a model that scores (query, document)
+    pairs jointly; tests and the catalog plug `fake_cross_scorer`."""
+    raise NotImplementedError(
+        "cross-encoder scoring requires a model runtime, not present "
+        "in this container; pass scorer=fake_cross_scorer for the "
+        "deterministic test path"
+    )
+
+
+def fake_cross_scorer(query: str, doc: str) -> int:
+    """Deterministic stand-in for a cross-encoder forward pass: the
+    first 15 hex digits of sha256(query ∥ 0x1f ∥ doc) as a
+    non-negative int64 — the `dedup.md5_long` 60-bit discipline, so
+    the DuckDB oracle replays every score bit-for-bit via
+    nibble-parsing ``sha256(qtext || chr(31) || text)``. Same
+    (query, doc) -> score signature a real model plugs into."""
+    import hashlib
+
+    digest = hashlib.sha256(
+        (query + "\x1f" + doc).encode("utf-8")
+    ).hexdigest()
+    return int(digest[:15], 16)
+
+
+def rerank_topk(
+    cand: DataFrame,
+    queries: DataFrame,
+    docs: DataFrame,
+    *,
+    query_id_col: str,
+    doc_id_col: str,
+    query_text_col: str,
+    doc_text_col: str,
+    k: int = 10,
+    scorer=cross_encode,
+) -> DataFrame:
+    """Cross-encoder reranking of first-stage candidates — the third
+    stage of the retrieval pipeline (BM25 / ANN recall → candidate
+    pairs → joint (query, doc) rescoring → top-k), the step every RAG
+    / hard-negative-mining deployment runs between retrieval and use.
+
+    Scale shape: strictly CANDIDATE-BOUNDED — the corpus is touched
+    only through one id equi-join fetching candidate documents' text
+    (|candidates| rows, never a scan-side explode), the query table
+    broadcasts (a query set is driver-sized by construction), and the
+    scorer runs in ONE mapInPandas Arrow stage over the joined pairs
+    (per-batch Python amortized, never row-at-a-time UDFs). The top-k
+    cut is a per-query row_number window bounded by rank <= k, which
+    Spark plans as WindowGroupLimit — map-side pruning to k rows per
+    query before the shuffle (the `sampling.token_budget_mixture`
+    pin).
+
+    NULL contract: a candidate whose query or document text is NULL
+    cannot be scored and is dropped (no observation), as is a NULL id
+    on either side.
+
+    Output: (query_id, doc_id, ce_score, rerank) with rerank 1..k per
+    query, ties broken by doc id — deterministic because `scorer` is
+    required to be a pure function of the pair.
+    """
+    import pandas as pd
+
+    qc = queries.select(
+        F.col(query_id_col).cast("long").alias("_qid"),
+        F.col(query_text_col).alias("_qtext"),
+    ).filter(F.col("_qid").isNotNull() & F.col("_qtext").isNotNull())
+    dc = docs.select(
+        F.col(doc_id_col).cast("long").alias("_did"),
+        F.col(doc_text_col).alias("_dtext"),
+    ).filter(F.col("_did").isNotNull() & F.col("_dtext").isNotNull())
+    pairs = (
+        cand.select(
+            F.col(query_id_col).cast("long").alias("_qid"),
+            F.col(doc_id_col).cast("long").alias("_did"),
+        )
+        .filter(F.col("_qid").isNotNull() & F.col("_did").isNotNull())
+        .join(dc, "_did")
+        .join(F.broadcast(qc), "_qid")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "_qid": pdf["_qid"],
+                    "_did": pdf["_did"],
+                    "ce_score": pd.array(
+                        [
+                            scorer(q, d)
+                            for q, d in zip(pdf["_qtext"], pdf["_dtext"])
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        run, "_qid long, _did long, ce_score long"
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.desc("ce_score"), F.asc("_did")
+    )
+    return (
+        scored.withColumn("rerank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rerank") <= int(k))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_did").alias(doc_id_col),
+            "ce_score",
+            "rerank",
+        )
+    )

@@ -1115,3 +1115,65 @@ def test_prefix_index_drift_report_flags_new_boilerplate(spark):
     assert not any(
         v[2] for k, v in report.items() if k != "aacommon"
     )
+
+
+def test_rerank_topk_matches_reference(spark):
+    """rerank_topk over a hand corpus equals the independent Python
+    computation: sha256 60-bit scores, per-query rank by (score desc,
+    doc_id), k-cut, NULL texts/ids dropped."""
+    import hashlib
+
+    queries = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, None), (None, "zeta")],
+        "query_id long, qtext string",
+    )
+    docs = spark.createDataFrame(
+        [(10, "alpha doc one"), (11, "alpha doc two"), (12, "beta text"),
+         (13, None), (None, "orphan")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (1, 13), (2, 10), (3, 10), (None, 11),
+         (1, None)],
+        "query_id long, doc_id long",
+    )
+    from purpleair_data_logger_spark.operators import ranking as rk
+
+    got = {
+        (r["query_id"], r["doc_id"]): (r["ce_score"], r["rerank"])
+        for r in rk.rerank_topk(
+            cand, queries, docs,
+            query_id_col="query_id", doc_id_col="doc_id",
+            query_text_col="qtext", doc_text_col="text",
+            k=2, scorer=rk.fake_cross_scorer,
+        ).collect()
+    }
+
+    def score(q, d):
+        return int(
+            hashlib.sha256((q + "\x1f" + d).encode()).hexdigest()[:15], 16
+        )
+
+    qt = {1: "alpha beta", 2: "gamma"}
+    dt = {10: "alpha doc one", 11: "alpha doc two", 12: "beta text"}
+    want = {}
+    for qid in (1, 2):
+        scored = sorted(
+            (
+                (-score(qt[qid], dt[did]), did)
+                for q2, did in [(1, 10), (1, 11), (1, 12), (2, 10)]
+                if q2 == qid
+            ),
+        )
+        for rank, (neg, did) in enumerate(scored[:2], start=1):
+            want[(qid, did)] = (-neg, rank)
+    assert got == want
+    # NULL-text doc 13, NULL ids, NULL-text query 3: all dropped
+    assert all(k[0] in (1, 2) and k[1] in (10, 11, 12) for k in got)
+
+
+def test_rerank_real_scorer_is_stubbed():
+    from purpleair_data_logger_spark.operators import ranking as rk
+
+    with pytest.raises(NotImplementedError, match="model runtime"):
+        rk.cross_encode("q", "d")

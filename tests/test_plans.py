@@ -1327,3 +1327,18 @@ def test_sssp_round_joins_are_equi_no_cartesian(spark, sf):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_rerank_crossencoder_candidate_bounded_plan(spark, sf):
+    """Rerank stage 3: the corpus is touched by ONE id equi-join (no
+    corpus x queries nested loop — the first stage is an inverted-
+    index token equi-join), the query table broadcasts, the scorer is
+    one Arrow MapInPandas stage (never row-pickled Python), and the
+    per-query top-k is WindowGroupLimit map-side pruning."""
+    plan = _plan(spark, sf, "rerank_crossencoder")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert E.count(plan, "WindowGroupLimit") >= 1
