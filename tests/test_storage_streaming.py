@@ -2702,3 +2702,78 @@ def test_streaming_lsh_recent_window_pairs_within_stream(spark, tmp_path):
     assert pairs == {(102, 101)}
     fresh = {r["doc_id"] for r in spark.read.parquet(f"{out}/fresh").collect()}
     assert fresh == {101, 103}
+
+
+def _md5_60(v) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+
+def test_streaming_pack_one_batch_equals_batch(spark, tmp_path):
+    """Delivered as ONE micro-batch, the streaming packing mirror is
+    bit-exact to batch `pack_sequences` (same (hash, id) order, same
+    exact-integer offsets)."""
+    from purpleair_data_logger_spark.operators import packing as pk
+    from purpleair_data_logger_spark.streaming.pack import streaming_pack
+
+    rows = [(i, 5 + (i * 7) % 23) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    src = str(tmp_path / "pk_src")
+    df.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "pk_out")
+    q = streaming_pack(
+        spark, src, out, str(tmp_path / "pk_ckpt"),
+        id_col="doc_id", token_count_col="n_tok", budget=64, n_shards=8,
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["shard"], r["start_offset"], r["seq_in_shard"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["doc_id"], r["shard"], r["start_offset"], r["seq_in_shard"])
+        for r in pk.pack_sequences(
+            df, "doc_id", "n_tok", budget=64, n_shards=8
+        ).collect()
+    }
+    assert got == want and len(got) == 100
+
+
+def test_streaming_pack_offsets_continue_across_batches(spark, tmp_path):
+    """Across micro-batches, each shard's offsets continue from its
+    O(1) running token total — verified against an independent
+    sequential reference (arrival order across batches, (hash, id)
+    order within each)."""
+    import time as _time
+
+    from purpleair_data_logger_spark.streaming.pack import streaming_pack
+
+    b1 = [(i, 3 + i % 5) for i in range(1, 41)]
+    b2 = [(i, 2 + i % 7) for i in range(41, 81)]
+    src = str(tmp_path / "pk2_src")
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, "doc_id long, n_tok long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _time.sleep(1.0)
+    out = str(tmp_path / "pk2_out")
+    q = streaming_pack(
+        spark, src, out, str(tmp_path / "pk2_ckpt"),
+        id_col="doc_id", token_count_col="n_tok", budget=16, n_shards=4,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(180)
+    got = {
+        r["doc_id"]: (r["shard"], r["start_offset"], r["seq_in_shard"])
+        for r in spark.read.parquet(out).collect()
+    }
+    cum: dict[int, int] = {}
+    want = {}
+    for batch in (b1, b2):
+        for did, tok in sorted(batch, key=lambda r: (_md5_60(r[0]), r[0])):
+            s = _md5_60(did) % 4
+            start = cum.get(s, 0)
+            want[did] = (s, start, start // 16)
+            cum[s] = start + tok
+    assert got == want
