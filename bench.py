@@ -314,6 +314,7 @@ def main() -> None:
     # rows the committed history says would trip bench_compare.
     best_prior = _best_prior_history(sf)
     guard_retries = 0
+    guard_retried: dict[str, int] = {}
     for name in STABLE_SUBSET:
         if name in EVIDENCE_ROWS or name not in timings:
             continue
@@ -345,6 +346,8 @@ def main() -> None:
                 delta = timings[name] - sec
                 timings[name] = round(sec, 3)
                 total -= delta
+        if tries:
+            guard_retried[name] = tries
     ambient["guard_retries"] = guard_retries
 
     # Skew leg: the same aggregation on a hot-key variant of events
@@ -502,6 +505,18 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # Guard-audit (ADVICE r11): the targeted re-measure is one-
+        # sided (only would-trip rows get extra min-merged draws), so
+        # the recorded min can mask a marginal genuine regression.
+        # Record which rows needed retries and each multi-draw row's
+        # MEDIAN alongside the min — bench_compare flags rows whose
+        # min passed only via retries while the median still trips.
+        "guard_retried": guard_retried,
+        "queries_median": {
+            n: round(sorted(r)[len(r) // 2], 3)
+            for n, r in runs.items()
+            if len(r) > 1
+        },
         "runs": runs,
         "evidence_legs": sorted(set(xover_legs) | EVIDENCE_ROWS),
         "evidence_sec": round(evidence_total, 3),

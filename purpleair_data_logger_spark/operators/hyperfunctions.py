@@ -231,15 +231,19 @@ def lttb_downsample(
         import pandas as pd
 
         picked = []
+        from purpleair_data_logger_spark.streaming.counter import (
+            scale_half_up,
+        )
+
         for _, g in pdf.groupby(key_col, sort=False):
             ns = g[ts_col].to_numpy().astype("int64")
             x = (ns - ns[0]) // unit_ns
-            # half-away-from-zero, F.round semantics (np.round is
-            # half-even — the streaming.counter.scale_half_up rule)
-            raw = g[value_col].to_numpy(dtype="float64") * scale
-            v = np.where(
-                raw >= 0, np.floor(raw + 0.5), np.ceil(raw - 0.5)
-            ).astype("int64")
+            # half-away-from-zero via the exact-frac helper — the
+            # naive floor(raw + 0.5) diverges from Spark/DuckDB round
+            # on boundary doubles (the +0.5 addition itself rounds)
+            v = scale_half_up(
+                g[value_col].to_numpy(dtype="float64"), scale
+            )
             keep = lttb_indices(x, v, n_out)
             picked.append(g.iloc[keep])
         return pd.concat(picked, ignore_index=True)

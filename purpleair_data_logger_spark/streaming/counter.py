@@ -45,14 +45,27 @@ _STATE_SCHEMA = T.StructType(
 
 def scale_half_up(values: np.ndarray, scale: int) -> np.ndarray:
     """Scale doubles to integers with HALF-AWAY-FROM-ZERO rounding —
-    Spark's ``F.round`` semantics. numpy's ``np.round`` is half-EVEN
-    (banker's), which silently diverges from the batch operators on
-    exact-.5 scaled values; every streaming mirror must use this
-    helper so stream and batch produce identical integers."""
+    Spark's ``F.round`` / DuckDB ``round`` semantics. numpy's
+    ``np.round`` is half-EVEN (banker's), which silently diverges from
+    the batch operators on exact-.5 scaled values; every streaming
+    mirror must use this helper so stream and batch produce identical
+    integers.
+
+    The naive ``floor(x + 0.5)`` form is NOT used: the ``+ 0.5``
+    addition itself rounds in float64, so e.g.
+    ``0.49999999999999994 + 0.5 == 1.0`` and the naive form yields 1
+    while both Spark's round (BigDecimal HALF_UP on the shortest
+    decimal repr) and DuckDB's ``std::round`` yield 0. Comparing the
+    EXACT fractional part (``x - trunc(x)`` is exact in IEEE754 —
+    the difference is a suffix of x's mantissa) reproduces both
+    engines bit-for-bit at the boundary."""
     x = values * scale
-    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
-        np.int64
+    t = np.trunc(x)
+    frac = x - t  # exact: no rounding can occur in this subtraction
+    bump = np.where(
+        np.abs(frac) >= 0.5, np.where(x >= 0, 1.0, -1.0), 0.0
     )
+    return (t + bump).astype(np.int64)
 
 
 def increments_pandas(

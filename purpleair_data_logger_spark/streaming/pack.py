@@ -59,9 +59,22 @@ def pack_stateful_func(budget: int):
         )
         cum = int(state.get[0]) if state.exists else 0
         toks = pdf.iloc[:, 3].to_numpy("int64")
+        # exact-Python total: numpy int64 cumsum/sum wrap SILENTLY,
+        # and past 2^63 the failure inside state.update is an opaque
+        # Arrow serialization error (the streaming/acf.py rule) —
+        # raise descriptively BEFORE touching state instead
+        total = sum(toks.tolist())
+        new_cum = cum + total
+        if new_cum >= 2**63 or new_cum < 0:
+            raise ValueError(
+                f"pack_by_shard: cumulative token offset for shard "
+                f"{key} would overflow int64 state "
+                f"(cum={cum} + batch_total={total}) — re-shard with a "
+                f"larger n_shards or reset the packing checkpoint"
+            )
         ends = toks.cumsum()
         starts = cum + (ends - toks)
-        cum = int(cum + (ends[-1] if len(ends) else 0))
+        cum = new_cum
         state.update((cum,))
         yield pd.DataFrame(
             {

@@ -477,7 +477,11 @@ def _quantized_pts(rows):
         ns = int(r[1].timestamp() * 1e9)
         x = (ns - ns0) // 1_000_000_000
         raw = r[2] * 100
-        v = int(math.floor(raw + 0.5) if raw >= 0 else math.ceil(raw - 0.5))
+        # exact half-away-from-zero (matches Spark/DuckDB round; the
+        # naive floor(raw + 0.5) rounds in the addition itself)
+        t = math.trunc(raw)
+        frac = raw - t
+        v = int(t + (math.copysign(1.0, raw) if abs(frac) >= 0.5 else 0.0))
         pts.append((x, v))
     return srt, pts
 

@@ -1581,6 +1581,18 @@ def test_scale_half_up_matches_spark_round_semantics():
     assert got.tolist() == [13, 14, -13, 100, 200]  # 1.005*100 = 100.49..
     # np.round would have produced 12 (half-even) for 0.125
     assert np.round(0.125 * 100) == 12
+    # boundary doubles: the naive floor(x + 0.5) form rounds in the
+    # +0.5 ADDITION (0.49999999999999994 + 0.5 == 1.0) and returns 1,
+    # diverging from Spark round and DuckDB round which both see the
+    # exact value < 0.5. The exact-frac helper must return 0.
+    b = 0.49999999999999994
+    assert np.floor(np.float64(b) + 0.5) == 1.0  # the naive-form trap
+    assert scale_half_up(np.array([b, -b]), 1).tolist() == [0, 0]
+    import duckdb
+
+    assert duckdb.sql(f"SELECT CAST(round({b!r}) AS BIGINT)").fetchone()[
+        0
+    ] == 0
 
 
 def test_streaming_sliding_approx_actives(spark, tmp_path):
@@ -2738,6 +2750,53 @@ def test_streaming_pack_one_batch_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 100
+
+
+def test_streaming_pack_cumulative_overflow_raises_loud():
+    """ADVICE r11: cum_tokens accumulates an unbounded int into int64
+    GroupState; past 2^63 the failure used to be an opaque Arrow
+    serialization error inside state.update (the same failure mode
+    streaming/acf.py fixed). The descriptive ValueError must fire
+    BEFORE state is touched, and state must keep its pre-batch value."""
+    import pandas as pd
+    import pytest
+
+    from purpleair_data_logger_spark.streaming.pack import (
+        pack_stateful_func,
+    )
+
+    class _FakeState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    fn = pack_stateful_func(16)
+    state = _FakeState()
+
+    def batch(doc_ids, toks):
+        return pd.DataFrame(
+            {
+                "shard": [0] * len(doc_ids),
+                "doc_id": doc_ids,
+                "_h": doc_ids,
+                "_n_tok": toks,
+            }
+        )
+
+    # a huge-but-legal batch brings cum near the ceiling ...
+    list(fn((0,), [batch([1], [2**63 - 10])], state))
+    assert state.get == (2**63 - 10,)
+    # ... and the next one would cross it: loud raise, state untouched
+    with pytest.raises(ValueError, match="overflow int64"):
+        list(fn((0,), [batch([2], [100])], state))
+    assert state.get == (2**63 - 10,)
 
 
 def test_streaming_pack_offsets_continue_across_batches(spark, tmp_path):
