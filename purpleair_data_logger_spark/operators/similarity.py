@@ -373,9 +373,19 @@ def cosine_neardup_lsh_verified(
     n_planes: int = 64,
     bands: int = 8,
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup mining, 100 TB composition: banded hyperplane
     LSH candidates → exact cosine verify on candidates only.
+
+    ``max_bucket_size`` (off by default) is the degenerate-bucket
+    ceiling (VERDICT r11 #1): a boilerplate embedding family collapsing
+    thousands of vectors into one (band_idx, band_val) turns the band
+    join quadratic in that bucket; with a cap, over-cap buckets are
+    semi-join-dropped before the join (same recall contract as
+    `dedup.keep_buckets_within_cap` — a pair survives iff it still
+    collides in some ≤-cap band; dense near-identical families are the
+    upstream exact-dedup's job).
 
     The scale-safe replacement for `cosine_neardup_pairs`' blocked
     self-join: pair generation is an equi-join on (band_idx, band_val)
@@ -405,6 +415,14 @@ def cosine_neardup_lsh_verified(
             "band_idx", "band_val"
         ),
     )
+    if max_bucket_size is not None:
+        from purpleair_data_logger_spark.operators.dedup import (
+            keep_buckets_within_cap,
+        )
+
+        t = keep_buckets_within_cap(
+            t, max_bucket_size, keys=("band_idx", "band_val")
+        )
     a, b = t.alias("a"), t.alias("b")
     pairs = (
         a.join(
@@ -794,6 +812,46 @@ def _unit_centroids(centroids: list[list[float]]) -> list[list[float]]:
     return [[x / n for x in c] for c, n in zip(centroids, norms)]
 
 
+def nearest_lists_exact(
+    vec_col: Column, centroids: list[list[float]], m: int
+) -> Column:
+    """SQL-replayable top-``m`` centroid assignment (VERDICT r11 #3):
+    per-centroid cosine as ordered JVM folds — the `knn_bruteforce`
+    arithmetic, bit-identical to DuckDB ``list_cosine_similarity`` —
+    ranked by (score DESC, list_id ASC) inside one ``array_sort``.
+    The numpy-matmul `nearest_lists` is faster per batch but its SIMD
+    summation order is engine-private, which is what kept the
+    index-append row rows-only; this variant trades one Arrow stage
+    for a codegen projection whose ranking an oracle can replay.
+    Returns array<int> of list ids; equivalence with `nearest_lists`
+    on non-pathological (no exact cosine tie) corpora is pinned in
+    tests/test_llm_ops.py."""
+    pairs = F.array(
+        *[
+            F.struct(
+                cosine(
+                    vec_col, F.array(*[F.lit(float(x)) for x in c])
+                ).alias("s"),
+                F.lit(i).cast("int").alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    srt = F.array_sort(
+        pairs,
+        lambda l, r: (
+            F.when(l["s"] > r["s"], F.lit(-1))
+            .when(l["s"] < r["s"], F.lit(1))
+            .otherwise(
+                F.when(l["i"] < r["i"], F.lit(-1))
+                .when(l["i"] > r["i"], F.lit(1))
+                .otherwise(F.lit(0))
+            )
+        ),
+    )
+    return F.transform(F.slice(srt, 1, m), lambda p: p["i"])
+
+
 def build_ivf_sq8_index(
     corpus: DataFrame,
     id_col: str,
@@ -802,6 +860,7 @@ def build_ivf_sq8_index(
     centroids: list[list[float]],
     calibration: tuple[list[float], list[float]],
     n_assign: int = 3,
+    exact_assign: bool = False,
 ) -> DataFrame:
     """Materialize the IVF-SQ8 posting rows for ``corpus``: one row per
     (vector, assigned list) carrying the 64 B SQ8 code — the index
@@ -811,10 +870,21 @@ def build_ivf_sq8_index(
     in the same projection; the float vector is dropped from the
     output so a persisted index costs codes + ids only.
 
+    ``exact_assign`` swaps the matmul assignment for
+    `nearest_lists_exact`'s ordered-fold cosine ranking — the
+    SQL-replayable form an oracle can re-derive bit-for-bit (the
+    append gate row uses it; the two agree wherever no exact cosine
+    tie exists, pinned in tests).
+
     Output: (neighbor_id, _cc array<int>, list_id int).
     """
     mins, spans = calibration
-    unit = _unit_centroids(centroids)
+    if exact_assign:
+        assign = nearest_lists_exact(F.col("_cv"), centroids, n_assign)
+    else:
+        assign = nearest_lists(
+            F.col("_cv"), _unit_centroids(centroids), n_assign
+        )
     return (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -823,9 +893,7 @@ def build_ivf_sq8_index(
         .select(
             "neighbor_id",
             sq8_codes(F.col("_cv"), mins, spans).alias("_cc"),
-            F.explode(
-                nearest_lists(F.col("_cv"), unit, n_assign)
-            ).alias("list_id"),
+            F.explode(assign).alias("list_id"),
         )
     )
 
@@ -839,6 +907,7 @@ def ann_index_append(
     centroids: list[list[float]],
     calibration: tuple[list[float], list[float]],
     n_assign: int = 3,
+    exact_assign: bool = False,
 ) -> DataFrame:
     """Incremental IVF-SQ8 index maintenance (VERDICT r6 #6): assign
     and encode ONLY the new vectors against the FROZEN coarse
@@ -869,6 +938,7 @@ def ann_index_append(
             centroids=centroids,
             calibration=calibration,
             n_assign=n_assign,
+            exact_assign=exact_assign,
         )
     )
 
