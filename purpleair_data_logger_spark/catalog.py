@@ -137,7 +137,11 @@ def all_queries() -> dict[str, Query]:
         names = sorted(
             _REGISTRY,
             key=lambda n: (
-                _REGISTRY[n].oracle is None,  # rows-only past the window
+                # 0 = rotating oracled, 1 = gate-retired (still in the
+                # catalog/sweep, never back in the window), 2 = rows-only
+                2
+                if _REGISTRY[n].oracle is None
+                else (1 if n in _GATE_RETIRED else 0),
                 newest.get(n, 0),             # oldest artifact first
                 idx[n],                       # stable registry tiebreak
             ),
@@ -147,10 +151,13 @@ def all_queries() -> dict[str, Query]:
     for name in _GATE_PRIORITY:
         ordered[name] = _REGISTRY[name]
     for name, q in _REGISTRY.items():
-        if name not in ordered and name not in _GATE_DEFER:
+        if name not in ordered and name not in _GATE_DEFER and name not in _GATE_RETIRED:
             ordered[name] = q
     for name in _GATE_DEFER:
         ordered[name] = _REGISTRY[name]
+    for name in _GATE_RETIRED:
+        if name not in ordered:
+            ordered[name] = _REGISTRY[name]
     return ordered
 
 
@@ -2380,43 +2387,109 @@ def knn_ivf_quantized(spark, sf_dir):
 
 @register(
     "ann_index_append",
-    None,
-    "incremental IVF-SQ8 index maintenance: append new vectors under "
-    "the frozen quantizer/calibration, then search the grown index "
-    "(recall-after-append + rebuild-equivalence pinned in pytest)",
+    """
+    WITH d AS (
+      SELECT DISTINCT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    base AS (SELECT vec_id, ve FROM d WHERE vec_id % 10 <> 0),
+    -- frozen coarse quantizer: Forgy seeds = the 16 smallest base ids
+    cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                 AS list_id,
+             ve AS cv
+      FROM (SELECT vec_id, ve FROM base ORDER BY vec_id LIMIT 16)
+    ),
+    -- frozen SQ8 calibration from the BASE split only
+    be AS (SELECT vec_id, i AS pos, ve[i] AS v
+           FROM base, LATERAL unnest(range(1, len(ve) + 1)) t(i)),
+    cal AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM be GROUP BY 1),
+    -- assign EVERY vector under the frozen quantizer (append under
+    -- frozen params == rebuild over base+new: the pinned equivalence)
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT d.vec_id, c.list_id,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY list_cosine_similarity(d.ve, c.cv) DESC,
+                            c.list_id) AS rn
+        FROM d, cent c)
+      WHERE rn <= 3
+    ),
+    ae AS (SELECT vec_id, i AS pos, ve[i] AS v
+           FROM d, LATERAL unnest(range(1, len(ve) + 1)) t(i)),
+    codes AS (
+      SELECT ae.vec_id,
+             string_agg(
+               CAST(CASE WHEN cal.mx = cal.mn THEN 0
+                    ELSE least(greatest(
+                           CAST(round((ae.v - cal.mn) * 255.0
+                                / (cal.mx - cal.mn)) AS BIGINT), 0), 255)
+                    END AS VARCHAR), ',' ORDER BY ae.pos) AS codes_csv
+      FROM ae JOIN cal USING (pos) GROUP BY 1
+    )
+    SELECT a.vec_id AS neighbor_id,
+           CAST(a.list_id AS INTEGER) AS list_id,
+           c.codes_csv,
+           (a.vec_id % 10 = 0) AS is_appended
+    FROM assign a JOIN codes c USING (vec_id)
+    """,
+    "incremental IVF-SQ8 index maintenance: assign + SQ8-encode new "
+    "vectors under the frozen quantizer/calibration and union onto "
+    "the base index (full-pipeline oracle; search-after-append + "
+    "recall pinned in pytest)",
 )
 def ann_index_append(spark, sf_dir):
     """A 100 TB corpus grows after the index is built (VERDICT r6 #6):
     new vectors must enter the IVF lists WITHOUT re-encoding the
-    existing corpus. This row exercises the full maintenance cycle:
-    build the posting index over the base corpus (every 10th vector
-    held out), `ann_index_append` the held-out batch under the FROZEN
+    existing corpus. This row exercises the maintenance cycle: build
+    the posting index over the base corpus (every 10th vector held
+    out), `ann_index_append` the held-out batch under the FROZEN
     centroids + SQ8 calibration (O(|new|) work — the
-    `neardup_incremental_batch` discipline applied to ANN), then
-    search the grown index. `calibration_drift` is the paired
-    re-encode trigger, pinned separately in tests/test_llm_ops.py.
+    `neardup_incremental_batch` discipline applied to ANN), and return
+    the grown index's posting rows with codes CSV-serialized (the
+    vocab_encode convention) and the appended rows flagged.
 
-    Rows-only at the gate (iterative k-means index build, the
-    `knn_ivf` precedent); recall-after-append ≥ 0.8 vs brute force on
-    the GROWN corpus and exact append≡rebuild posting-row equivalence
-    are pinned in tests/test_llm_ops.py."""
+    Fully oracled since r12 (VERDICT r11 #3): the append leg is
+    deterministic arithmetic over frozen artifacts, so the quantizer
+    here is the SQL-replayable frozen form — Forgy seed centroids
+    (the 16 smallest base vec_ids) + exact base min/span calibration —
+    with assignment ranked by `nearest_lists_exact`'s ordered-fold
+    cosine (bit-identical to DuckDB ``list_cosine_similarity``, the
+    `knn_cosine_bruteforce` precedent). The oracle replays the grown
+    index as one pass over base ∪ new under the same frozen artifacts,
+    which is exactly the append≡rebuild equivalence pinned in
+    tests/test_llm_ops.py. The TRAINED-quantizer variant (iterative
+    k-means) remains rows-only by nature and keeps its pytest pins:
+    recall-after-append ≥ 0.8 vs brute force on the grown corpus, and
+    `calibration_drift` as the paired re-encode trigger."""
     em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
     base = em.filter(F.col("vec_id") % 10 != 0)
     new = em.filter(F.col("vec_id") % 10 == 0)
-    centroids = _ivf_centroids_cached(spark, sf_dir, n_lists=16, base_mod10=True)
-    calibration = _sq8_calibration_cached(spark, sf_dir, base_mod10=True)
+    seeds = (
+        base.select("vec_id", sim.as_double_array("embedding").alias("_v"))
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    )  # driver-sized by construction: 16 rows (the centroid-literal seam)
+    centroids = [list(r["_v"]) for r in seeds]
+    calibration = sim.quantization_calibration(base, "embedding")
     index = sim.build_ivf_sq8_index(
         base, "vec_id", "embedding",
-        centroids=centroids, calibration=calibration,
+        centroids=centroids, calibration=calibration, exact_assign=True,
     )
     grown = sim.ann_index_append(
         index, new, "vec_id", "embedding",
-        centroids=centroids, calibration=calibration,
+        centroids=centroids, calibration=calibration, exact_assign=True,
     )
-    queries = em.filter(F.col("vec_id") < 8)
-    return sim.knn_over_ivf_sq8_index(
-        grown, em, queries, "vec_id", "embedding",
-        k=5, nprobe=4, centroids=centroids, calibration=calibration,
+    return grown.select(
+        "neighbor_id",
+        F.col("list_id").cast("int").alias("list_id"),
+        F.concat_ws(
+            ",", F.transform("_cc", lambda c: c.cast("string"))
+        ).alias("codes_csv"),
+        (F.col("neighbor_id") % 10 == 0).alias("is_appended"),
     )
 
 
@@ -8657,6 +8730,57 @@ def lsh_bucket_skew_report(spark, sf_dir):
     )
 
 
+def _lsh_capped_drop_oracle(
+    num_hashes: int, bands: int, shingle_n: int, cap: int
+) -> str:
+    return (
+        _minhash_lsh_cte(num_hashes, bands, shingle_n)
+        + f"""
+    , bsz AS (
+      SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS c
+      FROM bnd GROUP BY 1, 2
+    )
+    SELECT CAST(band_idx AS BIGINT) AS band_idx,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN c > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+               AS buckets_over_cap,
+           CAST(sum(CASE WHEN c > {cap} THEN c ELSE 0 END) AS BIGINT)
+               AS docs_dropped,
+           CAST(sum(CASE WHEN c > {cap} THEN c * (c - 1) // 2 ELSE 0 END)
+               AS BIGINT) AS pairs_dropped,
+           CAST(sum(CASE WHEN c <= {cap} THEN c * (c - 1) // 2 ELSE 0 END)
+               AS BIGINT) AS pairs_kept
+    FROM bsz
+    GROUP BY 1
+    ORDER BY 1
+    """
+    )
+
+
+@register(
+    "lsh_capped_drop_report",
+    _lsh_capped_drop_oracle(num_hashes=64, bands=16, shingle_n=3, cap=2),
+    "north-star LSH ops tooling: per-band audit of what a degenerate-"
+    "bucket ceiling would drop — run before enabling max_bucket_size",
+)
+def lsh_capped_drop_report(spark, sf_dir):
+    """Per-band accounting of the bucket-size ceiling's cost
+    (`operators/dedup.py::lsh_capped_drop_report`, VERDICT r11 #1):
+    with a cap of 2, how many buckets exceed it, the docs and exact
+    candidate pairs the `keep_buckets_within_cap` semi-join would
+    drop, and the pairs kept. The mitigation itself ships as
+    ``max_bucket_size`` on `minhash_lsh_candidates` /
+    `neardup_lsh_verified` / `cosine_neardup_lsh_verified` (off by
+    default — this report is how a deployment prices the cap before
+    turning it on; the recall contract and bounded-candidates proof
+    live in tests/test_llm_ops.py's planted-boilerplate pins)."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.lsh_capped_drop_report(
+        d, "doc_id", "text", max_bucket_size=2,
+        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    )
+
+
 @register(
     "document_embeddings_incremental",
     """
@@ -8855,8 +8979,7 @@ _GATE_PRIORITY: list[str] = [
     "downtime_incidents",          # rotated in r5 (never driver-gated)
     "state_agg_user_event",        # new in r5 (TimescaleDB state_agg)
     "state_timeline_transitions",  # new in r5 (TimescaleDB timeline_agg)
-    "frequent_tokens_docs",        # new in r5 (exact heavy hitters)
-    "frequent_tokens_by_lang",     # new in r5 (per-group heavy hitters)
+    "frequent_tokens_by_lang",     # new in r5 (per-group heavy hitters; the ungrouped variant gate-retired r12)
     "state_durations_hourly",      # new in r5 (TimescaleDB duration_in)
     "cusum_drift_by_user",         # new in r5 (CUSUM via window algebra)
     "mad_outliers_by_event_type",  # new in r5 (MAD robust outliers)
@@ -8903,7 +9026,6 @@ _GATE_DEFER: list[str] = [
     "lang_id",                   # r1-r3 green ×3; corpus_curation_pipeline (still gated) hash-checks the same language predictions inside its composition
     "knn_ivf",                   # no_oracle rows-only by design — the driver row adds nothing over the pytest recall pin; knn_filtered/knn_lsh_bucketed still gate the ANN family with full oracles
     "knn_ivf_quantized",         # no_oracle rows-only by design (iterative k-means index build, the knn_ivf precedent); recall + plan shape pytest-pinned, SQ8 encode fully oracled via embedding_quantize_int8/knn_quantized_rescored
-    "ann_index_append",          # no_oracle rows-only by design (same iterative index build); recall-after-append + append≡rebuild equivalence + drift trigger all pytest-pinned
     "pii_scrub",                 # r2-r3 green ×2; the same scrub stage gates inside corpus_curation_pipeline (still gated)
     "paragraph_dedup_boilerplate",  # r2-r3 green ×2; dedup family still gated via dedup_exact_docs + cluster layer, reassembly pytest-pinned
     "asof_last_click",           # r1-r3 green ×3; the temporal-join family stays gated via asof_next_error (in-window, same merge-scan), and the plan shape is pytest-pinned
@@ -8944,21 +9066,85 @@ _GATE_DEFER: list[str] = [
 ]
 
 
+#: Oracled queries RETIRED from the driver-gate rotation (VERDICT r11
+#: #4: the rotation capacity is GATE_WINDOW × FRESHNESS_HORIZON_ROUNDS
+#: = 200 and the catalog was 35 registrations from saturating it).
+#: Retirement rule — written out in COVERAGE.md §"Gate rotation &
+#: retirement", enforced by `_validate_gate_lists`:
+#:   (a) the query has at least one green driver-gate round in the
+#:       committed CORRECTNESS_r*.json artifacts;
+#:   (b) every operator/plan shape it exercises stays exercised by the
+#:       named still-rotating cover query (or by the entry() smoke /
+#:       a pytest plan pin, stated explicitly);
+#:   (c) retirement ONLY removes the row from the 50-row driver-gate
+#:       rotation — it stays in the catalog, the full driver_sim
+#:       sweep, the fuzz twin, and bench.py, all of which run every
+#:       registered query every round;
+#:   (d) the rationale + cover are recorded here, value = one line.
+_GATE_RETIRED: dict[str, str] = {
+    "lttb_downsample_events": "strict subset of m4_lttb_downsample_events (same exact-integer LTTB kernel inside the M4 prefilter; cover green r11)",
+    "topk_orders": "global ORDER BY + LIMIT (TakeOrderedAndProject); cover shipping_priority_topk, same physical shape with a join on top; 6 green rounds",
+    "above_avg_orders": "uncorrelated scalar-subquery threshold filter; cover small_quantity_revenue (same broadcast-scalar shape on lineitem)",
+    "anti_join_inactive": "broadcast left-anti join; cover document_embeddings_incremental + neardup_incremental_batch (anti-join backlog paths); 6 green rounds",
+    "cardinality_profile": "exact countDistinct profile; cover weekly_retention_cohorts (countDistinct per cohort) + approx_distinct_profile's exact pins; 6 green rounds",
+    "union_priority_tiers": "union + priority dedup; cover corpus_build_final (unions + survivor selection inside the composition); 6 green rounds",
+    "epoch_roundtrip": "T5 epoch<->timestamp casts; cover hourly_continuous_aggregate + time_weighted_hourly (every bucketed row casts epochs) + the T5 pytest pins; 6 green rounds",
+    "max_age_recency": "F4 recency filter vs max(ts); cover snapshot_filters (F-family, still rotating) + the F4 pytest pin; 6 green rounds",
+    "directory_parse_index": "X2 string_to_array + element_at; cover sensor_directory (X1/A5/O2 directory family, still rotating) + the X2 pytest pin; 6 green rounds",
+    "pk_dedup": "R6 PK dedup via row_number; cover dedup_exact_docs (same hash-groupBy survivor shape) + the exactly-once sink crash suite; 6 green rounds",
+    "tumbling_avg_10min": "A3 tumbling mean; cover hourly_continuous_aggregate (A1, same date_trunc bucket agg) + m4_downsample_15min; 6 green rounds",
+    "dashboard_bucketed_max": "A2 panel MAX; cover m4_downsample_15min (strict superset: per-bucket max plus first/last/min); stays a bench.py headline row; 6 green rounds",
+    "reconstruction_join": "J1 9-way PK rejoin; cover entry()'s every-round smoke (same query), the broadcast-dims plan pin, and vertical_split_rejoin; 6 green rounds",
+    "rolling_pseudo_averages": "A4 rolling family; cover rolling_avg_trailing_1h (same trailing range frame, still rotating) + sensor_spike_detection; 5 green rounds",
+    "embedding_norms": "single-projection norm; cover embedding_quantize_int8 + the knn family (norms inline in every cosine); 5 green rounds",
+    "doc_fingerprint": "rolling-hash fingerprint projection; cover dedup_exact_docs (doc-hash family) + simhash_neardups; 5 green rounds",
+    "text_normalize": "string-normalize projection; cover text_quality + pii_scrub (same codegen string-projection family); 5 green rounds",
+    "doc_repetition_ratio": "cover dup_ngram_fraction (superset: same tagged-gram explode machinery with the cross-doc join on top); 5 green rounds",
+    "frequent_tokens_docs": "cover frequent_tokens_by_lang (strict superset: same token counts grouped per language); 3 green rounds",
+    "gapfill_locf_hourly": "cover gapfill_interpolate_hourly (same bucket-spine generate + fill; LOCF vs interpolate is the only delta, both pytest-pinned); 3 green rounds",
+    "median_value_by_event_type": "p50 special case of value_percentiles_by_event_type (still rotating); 3 green rounds",
+    "event_value_histogram": "width_bucket groupBy; cover m4_downsample_15min + value_percentiles_by_event_type (its own defer-note family); 3 green rounds",
+}
+
 #: The driver records the first GATE_WINDOW rows of all_queries() per
 #: round; an oracled query may go at most FRESHNESS_HORIZON_ROUNDS
 #: rounds without a green driver row (the judge's freshness contract).
 GATE_WINDOW = 50
 FRESHNESS_HORIZON_ROUNDS = 4
+#: Minimum spare rotation capacity after retirements (VERDICT r11 #4):
+#: capacity (GATE_WINDOW × FRESHNESS_HORIZON_ROUNDS) minus ACTIVE
+#: oracled registrations must stay ≥ this, so a round can add queries
+#: without silently aging others past the horizon.
+GATE_HEADROOM_MIN = 50
 
 
 def _validate_gate_lists() -> None:
-    for lst, label in ((_GATE_PRIORITY, "_GATE_PRIORITY"), (_GATE_DEFER, "_GATE_DEFER")):
+    for lst, label in (
+        (_GATE_PRIORITY, "_GATE_PRIORITY"),
+        (_GATE_DEFER, "_GATE_DEFER"),
+        (_GATE_RETIRED, "_GATE_RETIRED"),
+    ):
         unknown = [n for n in lst if n not in _REGISTRY]
         if unknown:
             raise RuntimeError(f"{label} names not in registry: {unknown}")
-    overlap = set(_GATE_PRIORITY) & set(_GATE_DEFER)
+    overlap = set(_GATE_PRIORITY) & (set(_GATE_DEFER) | set(_GATE_RETIRED))
     if overlap:
-        raise RuntimeError(f"queries both prioritized and deferred: {overlap}")
+        raise RuntimeError(f"queries both prioritized and deferred/retired: {overlap}")
+    # Retirement eligibility (COVERAGE.md §"Gate rotation & retirement"):
+    # only oracled queries can retire (rows-only never rotate anyway),
+    # and each must have at least one recorded driver-gate round — a
+    # query that never earned a green gate row cannot skip the gate.
+    not_oracled = [n for n in _GATE_RETIRED if _REGISTRY[n].oracle is None]
+    if not_oracled:
+        raise RuntimeError(f"_GATE_RETIRED lists rows-only queries: {not_oracled}")
+    rounds_seen = _artifact_rounds()
+    if rounds_seen is not None:
+        never_gated = [n for n in _GATE_RETIRED if not rounds_seen.get(n)]
+        if never_gated:
+            raise RuntimeError(
+                "_GATE_RETIRED lists queries with no recorded driver-gate "
+                f"round: {never_gated}"
+            )
     # the driver's correctness gate records the first 50 rows of
     # all_queries(); keeping that window all-oracled is a standing
     # invariant — a rows-only query slipping in silently weakens the
@@ -8976,15 +9162,30 @@ def _validate_gate_lists() -> None:
     # oracled row fresh iff their count fits window x horizon
     # (50 x 4 = 200), so registration of oracled query #201 fails
     # loudly here instead of silently aging rows out of the record.
-    n_oracled = sum(1 for q in _REGISTRY.values() if q.oracle is not None)
-    if n_oracled > GATE_WINDOW * FRESHNESS_HORIZON_ROUNDS:
+    n_active = sum(
+        1
+        for n, q in _REGISTRY.items()
+        if q.oracle is not None and n not in _GATE_RETIRED
+    )
+    capacity = GATE_WINDOW * FRESHNESS_HORIZON_ROUNDS
+    if n_active > capacity:
         raise RuntimeError(
-            f"catalog has {n_oracled} oracled queries — more than the "
-            f"gate window ({GATE_WINDOW}/round) can re-verify inside "
+            f"catalog has {n_active} ACTIVE oracled queries — more than "
+            f"the gate window ({GATE_WINDOW}/round) can re-verify inside "
             f"the {FRESHNESS_HORIZON_ROUNDS}-round freshness horizon "
-            f"({GATE_WINDOW * FRESHNESS_HORIZON_ROUNDS}). Retire or "
-            "consolidate queries (fold a family into its composed "
-            "pipeline row) before registering more."
+            f"({capacity}). Retire or consolidate queries (fold a family "
+            "into its composed pipeline row) before registering more."
+        )
+    # Headroom guard (VERDICT r11 #4): keep ≥ GATE_HEADROOM_MIN spare
+    # rotation slots so future rounds can add oracled queries without
+    # silently pushing existing rows toward the horizon edge. Trips at
+    # registration time, naming the remedy.
+    if capacity - n_active < GATE_HEADROOM_MIN:
+        raise RuntimeError(
+            f"gate-rotation headroom {capacity - n_active} < "
+            f"{GATE_HEADROOM_MIN} ({n_active} active oracled of "
+            f"{capacity} capacity) — retire superseded queries into "
+            "_GATE_RETIRED (rule in COVERAGE.md) before registering more."
         )
     # Freshness horizon (VERDICT r5 #1): assuming the upcoming round
     # gates exactly this window, no oracled query's newest driver row
@@ -8999,6 +9200,7 @@ def _validate_gate_lists() -> None:
             n
             for n in _REGISTRY
             if _REGISTRY[n].oracle is not None
+            and n not in _GATE_RETIRED  # retired rows leave the rotation
             and n not in window
             and upcoming - newest.get(n, upcoming) > FRESHNESS_HORIZON_ROUNDS
         ]

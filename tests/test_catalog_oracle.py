@@ -99,25 +99,56 @@ def test_gate_window_rotates_oldest_artifact_first():
 
     names = list(catalog.all_queries())
     window = names[:50]
-    # window is all-oracled (the standing gate invariant)
+    # window is all-oracled (the standing gate invariant) and never
+    # contains a gate-retired query (VERDICT r11 #4)
     assert all(catalog._REGISTRY[n].oracle is not None for n in window)
-    # rows-only queries all sort past every oracled query
+    assert not any(n in catalog._GATE_RETIRED for n in window)
+    # ordering buckets: rotating-oracled < gate-retired < rows-only
     reg = catalog._REGISTRY
-    first_rows_only = min(
-        (i for i, n in enumerate(names) if reg[n].oracle is None),
-        default=len(names),
-    )
-    assert all(
-        reg[n].oracle is None for n in names[first_rows_only:]
-    )
-    # oracled section is sorted by newest-artifact round ascending
-    rounds = [newest.get(n, 0) for n in names[:first_rows_only]]
+
+    def bucket(n):
+        if reg[n].oracle is None:
+            return 2
+        return 1 if n in catalog._GATE_RETIRED else 0
+
+    buckets = [bucket(n) for n in names]
+    assert buckets == sorted(buckets)
+    first_retired = buckets.index(1) if 1 in buckets else len(names)
+    # active oracled section is sorted by newest-artifact round ascending
+    rounds = [newest.get(n, 0) for n in names[:first_retired]]
     assert rounds == sorted(rounds)
     # a query never seen in any artifact (round 0) would gate first
     assert min(rounds) == rounds[0]
-    # freshness: nothing OUTSIDE the window is staler than anything
-    # inside it
-    if len(names[:first_rows_only]) > 50:
+    # freshness: no rotating query OUTSIDE the window is staler than
+    # anything inside it
+    if first_retired > 50:
         assert max(newest.get(n, 0) for n in window) <= min(
-            newest.get(n, 0) for n in names[50:first_rows_only]
+            newest.get(n, 0) for n in names[50:first_retired]
         )
+
+
+def test_gate_retirement_contract():
+    """VERDICT r11 #4: retirement rule + headroom invariant, executable.
+    Every retired name is a registered, oracled query with at least one
+    recorded driver-gate round, and the rotation keeps >= GATE_HEADROOM_MIN
+    spare slots after all retirements (the import-time guard, re-stated
+    here so a pytest run shows the numbers)."""
+    reg = catalog._REGISTRY
+    retired = catalog._GATE_RETIRED
+    assert retired, "r12+ keeps a non-empty retirement ledger"
+    for n, why in retired.items():
+        assert n in reg, n
+        assert reg[n].oracle is not None, f"{n}: rows-only cannot retire"
+        assert why.strip(), f"{n}: rationale required"
+    newest = catalog._artifact_rounds()
+    assert newest is not None
+    never_gated = [n for n in retired if not newest.get(n)]
+    assert not never_gated, f"retired without a recorded gate round: {never_gated}"
+    n_active = sum(
+        1 for n, q in reg.items() if q.oracle is not None and n not in retired
+    )
+    capacity = catalog.GATE_WINDOW * catalog.FRESHNESS_HORIZON_ROUNDS
+    assert capacity - n_active >= catalog.GATE_HEADROOM_MIN, (
+        n_active,
+        capacity,
+    )
