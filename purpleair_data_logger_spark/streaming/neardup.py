@@ -322,6 +322,8 @@ def run_incremental_prefix_stream(
     max_files_per_trigger: int = 1,
     fold_every: int | None = None,
     recent_window_batches: int | None = None,
+    drift_check: bool = False,
+    drift_growth_tolerance: float = 4.0,
 ):
     """The EXACT streaming ingest dedup — `run_incremental_neardup_
     stream` with provably-complete recall instead of LSH's
@@ -335,9 +337,27 @@ def run_incremental_prefix_stream(
     ``fold_every`` / ``recent_window_batches``: the index-maintenance
     options from the module docstring (mutually exclusive). Both
     reuse the FROZEN base-df order (`dedup.prefix_index_append`), so
-    recall stays exactly 1; `dedup.prefix_index_drift_report` is the
-    rebuild trigger as frozen frequencies drift."""
+    recall stays exactly 1.
+
+    ``drift_check`` (opt-in, VERDICT r11 #6; requires ``fold_every``)
+    closes the loop between folding and staleness: after EVERY fold,
+    `dedup.prefix_index_drift_report` runs over the just-folded index
+    and its rows land batch_id-tagged in ``{out}/drift`` — so a
+    long-running ingest stream SURFACES its frozen df order going
+    stale (a post-freeze boilerplate token ranks "rarest" forever and
+    its posting list grows without bound) at the next fold instead of
+    never. Any ``needs_rebuild`` row in that sink is the operator
+    signal to schedule a batch-side re-freeze; the stream itself keeps
+    recall 1 regardless — drift costs candidate fan-out, not
+    correctness, which is why surfacing (not auto-rebuilding, which
+    would re-freeze ordering mid-stream) is the designed action."""
     _check_maintenance_args(fold_every, recent_window_batches)
+    if drift_check and fold_every is None:
+        raise ValueError(
+            "drift_check requires fold_every: without folds the index "
+            "is immutable and the drift report is a constant — run "
+            "dedup.prefix_index_drift_report batch-side instead"
+        )
     index = build_prefix_artifacts(
         base_df, id_col, text_col,
         threshold_pct=threshold_pct, shingle_n=shingle_n,
@@ -385,6 +405,17 @@ def run_incremental_prefix_stream(
                     folded.threshold_pct, folded.sep, folded.shingle_n,
                 )
                 st["pending"] = []
+                if drift_check:
+                    from purpleair_data_logger_spark.operators.dedup import (
+                        prefix_index_drift_report,
+                    )
+
+                    prefix_index_drift_report(
+                        st["index"],
+                        growth_tolerance=drift_growth_tolerance,
+                    ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                        "append"
+                    ).parquet(f"{out_dir}/drift")
         if recent_window_batches is not None:
             fresh_c = fresh_df.select(id_col, text_col).localCheckpoint()
             idx = st["index"]

@@ -2665,6 +2665,70 @@ def test_streaming_lsh_fold_every_keeps_index_current(spark, tmp_path):
     assert fresh == {101}
 
 
+def test_streaming_prefix_drift_check_surfaces_rebuild_signal(spark, tmp_path):
+    """VERDICT r11 #6: the fold path now runs the drift report. A
+    boilerplate phrase that appears only AFTER the index freeze ranks
+    'rarest' (frozen df 0) forever, so it enters every new doc's
+    prefix and its posting list grows without bound — candidate
+    fan-out, not recall, is the casualty, which is why nothing inside
+    the mining loop would ever notice. With drift_check=True the
+    stream writes `dedup.prefix_index_drift_report` over the
+    just-folded index to {out}/drift after every fold: the rebuild
+    signal surfaces at the first fold where the boilerplate postings
+    reach 2, and the report is batch_id-tagged so the operator can see
+    WHEN the order went stale."""
+    from purpleair_data_logger_spark.streaming.neardup import (
+        run_incremental_prefix_stream,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, " ".join(f"basea{i}" for i in range(30))),
+            (2, " ".join(f"baseb{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    # three mutually-distinct docs sharing only a post-freeze
+    # boilerplate tail ("accept all cookies now please" -> 3 shared
+    # 3-shingles, Jaccard ~0.06 << 0.8 so every doc stays fresh and
+    # is folded); unique tokens sort AFTER the boilerplate so the
+    # frozen-df-0 tie-break keeps the boilerplate shingles in prefixes
+    fam = {
+        200 + k: " ".join(f"zz{k}w{i}" for i in range(25))
+        + " accept all cookies now please"
+        for k in range(3)
+    }
+    src = str(tmp_path / "dr_src")
+    _write_one_doc_batches(spark, src, fam)
+    out = str(tmp_path / "dr_out")
+    q = run_incremental_prefix_stream(
+        spark, src, base, out, str(tmp_path / "dr_ckpt"),
+        threshold_pct=80, shingle_n=3,
+        fold_every=1, drift_check=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    fresh = {r["doc_id"] for r in spark.read.parquet(f"{out}/fresh").collect()}
+    assert fresh == {200, 201, 202}
+    drift = spark.read.parquet(f"{out}/drift").collect()
+    by_batch: dict[int, list] = {}
+    for r in drift:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    assert sorted(by_batch) == [0, 1, 2]  # one report per fold
+    # first fold: every posting is 1, nothing flags yet
+    assert not any(r["needs_rebuild"] for r in by_batch[0])
+    # by the last fold the boilerplate shingles' postings reached >= 2
+    # at frozen df 0 — the rebuild signal, naming the stale elements
+    flagged = [r for r in by_batch[2] if r["needs_rebuild"]]
+    assert flagged, "post-freeze boilerplate must flag needs_rebuild"
+    assert all(r["frozen_dfc"] == 0 for r in flagged)
+    assert {r["tok"] for r in flagged} <= {
+        "accept all cookies",
+        "all cookies now",
+        "cookies now please",
+    }
+    assert max(r["prefix_postings"] for r in flagged) >= 2
+
+
 def test_neardup_maintenance_args_validation():
     """fold_every and recent_window_batches are mutually exclusive
     (both would emit duplicate pairs) and must be positive; the check
@@ -2686,6 +2750,10 @@ def test_neardup_maintenance_args_validation():
     with pytest.raises(ValueError, match="positive"):
         run_incremental_prefix_stream(
             None, "s", None, "o", "c", recent_window_batches=-3
+        )
+    with pytest.raises(ValueError, match="drift_check requires fold_every"):
+        run_incremental_prefix_stream(
+            None, "s", None, "o", "c", drift_check=True
         )
 
 
@@ -2750,6 +2818,119 @@ def test_streaming_pack_one_batch_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 100
+
+
+def test_streaming_sink_compaction_tick(spark, tmp_path):
+    """VERDICT r11 #5: streaming parquet sinks append one file per
+    micro-batch; the maintenance tick folds CLOSED batches (committed
+    to the sink's _spark_metadata log, never the newest) into a
+    compacted lake via a staged atomic rename, deletes the folded
+    buffer files, and the read surface (lake ∪ unfolded tail) stays
+    row-for-row identical through every fold. In-flight files — on
+    disk but absent from the sink log — are never folded and never
+    read, exactly matching the sink log's own visibility rule."""
+    import os
+
+    from purpleair_data_logger_spark.streaming import compaction as C
+    from purpleair_data_logger_spark.streaming.pack import streaming_pack
+
+    src = str(tmp_path / "cmp_src")
+    sink = str(tmp_path / "cmp_sink")
+    lake = str(tmp_path / "cmp_lake")
+    ckpt = str(tmp_path / "cmp_ckpt")
+    for wave in range(3):
+        rows = [(wave * 100 + i, 3 + i % 5) for i in range(1, 21)]
+        spark.createDataFrame(rows, "doc_id long, n_tok long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    q = streaming_pack(
+        spark, src, sink, ckpt,
+        id_col="doc_id", token_count_col="n_tok", budget=16, n_shards=4,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(180)
+
+    def rows_of(df):
+        return {tuple(r) for r in df.collect()}
+
+    truth = rows_of(spark.read.parquet(sink))
+    batches = C._sink_batch_files(sink)
+    assert len(batches) == 3 and all(batches.values())
+
+    # tick 1: batches 0-1 fold (newest stays hot), reader unchanged,
+    # folded buffer files are gone, the hot batch's files remain, one
+    # committed fold dir in the lake
+    assert C.fold_closed_batches(spark, sink, lake, keep_last_batches=1) == 2
+    assert rows_of(C.read_stream_output(spark, sink, lake)) == truth
+    assert not any(
+        os.path.exists(p) for b in (0, 1) for p in batches[b]
+    )
+    assert all(os.path.exists(p) for p in batches[2])
+    import json as _json
+
+    state = _json.load(open(os.path.join(lake, "_folded.json")))
+    assert state["batches"] == [0, 1]
+    assert os.path.isdir(os.path.join(lake, state["folds"][0]["dir"]))
+
+    # idempotent idle tick: nothing new is closed
+    assert C.fold_closed_batches(spark, sink, lake) == 0
+
+    # in-flight protection: a part file on disk but NOT in the sink log
+    # is invisible to both the fold and the reader (the log's own rule)
+    inflight_rows = [(9999, 1, 0, 0)]
+    inflight_dir = str(tmp_path / "cmp_inflight")
+    spark.createDataFrame(
+        inflight_rows, "doc_id long, shard int, start_offset long, seq_in_shard long"
+    ).coalesce(1).write.parquet(inflight_dir)
+    part = next(
+        f for f in os.listdir(inflight_dir) if f.endswith(".parquet")
+    )
+    import shutil as _sh
+
+    planted = os.path.join(sink, "part-99999-inflight.snappy.parquet")
+    _sh.copy(os.path.join(inflight_dir, part), planted)
+    assert C.fold_closed_batches(spark, sink, lake) == 0
+    assert rows_of(C.read_stream_output(spark, sink, lake)) == truth
+    assert os.path.exists(planted)  # untouched
+    os.remove(planted)
+
+    # the stream keeps running: more source waves, same checkpoint —
+    # new batches land, the next tick folds them, reader stays exact
+    for wave in range(3, 5):
+        rows = [(wave * 100 + i, 3 + i % 5) for i in range(1, 21)]
+        spark.createDataFrame(rows, "doc_id long, n_tok long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    q = streaming_pack(
+        spark, src, sink, ckpt,
+        id_col="doc_id", token_count_col="n_tok", budget=16, n_shards=4,
+        max_files_per_trigger=1,
+    )
+    assert q.awaitTermination(180)
+    new_tail = {
+        p
+        for b, v in C._sink_batch_files(sink).items()
+        if b >= 2
+        for p in v
+    }
+    truth |= rows_of(spark.read.parquet(*sorted(new_tail)))
+    assert C.fold_closed_batches(spark, sink, lake) == 2  # batches 2-3
+    assert rows_of(C.read_stream_output(spark, sink, lake)) == truth
+
+    # crash heal: a committed fold dir whose watermark write was lost
+    # is re-recorded (never re-folded), and abandoned staging dirs die
+    state_path = os.path.join(lake, "_folded.json")
+    state = _json.load(open(state_path))
+    state["batches"] = [0, 1]
+    state["folds"] = state["folds"][:1]
+    with open(state_path, "w") as fh:
+        _json.dump(state, fh)
+    os.makedirs(os.path.join(lake, "_staging_fold_zzz"), exist_ok=True)
+    C.heal_lake(lake)
+    assert not os.path.isdir(os.path.join(lake, "_staging_fold_zzz"))
+    healed = _json.load(open(state_path))
+    assert healed["batches"] == [0, 1, 2, 3]
+    assert rows_of(C.read_stream_output(spark, sink, lake)) == truth
 
 
 def test_streaming_pack_cumulative_overflow_raises_loud():
