@@ -28,45 +28,12 @@ pipeline — is replayed end-to-end by generated DuckDB SQL.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import Callable
-
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
-from purpleair_data_logger_spark.io import load_table
-from purpleair_data_logger_spark.operators import aggregations as agg
-from purpleair_data_logger_spark.operators import dedup as dd
-from purpleair_data_logger_spark.operators import hyperfunctions as hf
-from purpleair_data_logger_spark.operators import pii
-from purpleair_data_logger_spark.operators import sampling as smp
-from purpleair_data_logger_spark.operators import similarity as sim
-from purpleair_data_logger_spark.operators import text as tx
-from purpleair_data_logger_spark.session import configure_existing
-
-
-@dataclass(frozen=True)
-class Query:
-    name: str
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
-    survey_ref: str  # SURVEY.md §2 operator ids this exercises
-
-
-_REGISTRY: dict[str, Query] = {}
-
-
-def register(name: str, oracle: str | None, survey_ref: str):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            configure_existing(spark)
-            return fn(spark, sf_dir)
-
-        _REGISTRY[name] = Query(name, wrapped, oracle, survey_ref)
-        return wrapped
-
-    return deco
-
+from purpleair_data_logger_spark.queries._core import (  # noqa: F401
+    Query,
+    _REGISTRY,
+    _t,
+    register,
+)
 
 def _artifact_rounds() -> dict[str, int] | None:
     """Newest driver-gate round per query, read from the committed
@@ -161,8764 +128,21 @@ def all_queries() -> dict[str, Query]:
     return ordered
 
 
-def _t(spark, sf_dir, name):
-    return load_table(spark, sf_dir, name)
-
-
 # ---------------------------------------------------------------------------
-# A. Time-series aggregation workload (the Grafana/continuous-aggregate
-#    read path) over the `events` stream table.
+# Query registration (split into per-family modules in r12 — VERDICT
+# r11 #7). IMPORT ORDER IS LOAD-BEARING: it reproduces the original
+# single-file registration order, which `registered_names()` (bench
+# headline) and the no-artifact fallback of `all_queries()` depend on.
 # ---------------------------------------------------------------------------
 
-
-@register(
-    "hourly_continuous_aggregate",
-    """
-    SELECT date_trunc('hour', ts) AS bucket_hour, user_id,
-           count(*) AS n_events, max(value) AS max_value
-    FROM events GROUP BY 1, 2
-    """,
-    "A1 (continuous aggregate, PurpleAirPSQLQueryStatements.py:564-571)",
-)
-def hourly_continuous_aggregate(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
-        "user_id",
-    ).agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
-
-
-@register(
-    "dashboard_bucketed_max",
-    """
-    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts, event_type,
-           max(value) AS max_value, min(value) AS min_value, count(*) AS n_events
-    FROM events
-    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
-      AND event_type IN ('click', 'view', 'error')
-    GROUP BY 1, 2
-    """,
-    "A2+F7 (dashboard $__timeGroup max panels); F1/F2 filters",
-)
-def dashboard_bucketed_max(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    filtered = e.filter(
-        (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
-        & F.col("event_type").isin("click", "view", "error")
-    )
-    return agg.bucketed_agg(
-        filtered,
-        "ts",
-        900,
-        ["event_type"],
-        [
-            F.max("value").alias("max_value"),
-            F.min("value").alias("min_value"),
-            F.count(F.lit(1)).alias("n_events"),
-        ],
-    )
-
-
-@register(
-    "tumbling_avg_10min",
-    """
-    SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_ts, event_type,
-           round(sum(value), 2) / count(*) AS avg_value, count(*) AS n_events
-    FROM events GROUP BY 1, 2
-    """,
-    "A3 (historic `average` downsampling, PurpleAirAPI.py:261-262)",
-)
-def tumbling_avg_10min(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    # mean = round(sum, data-granularity) / n, no outer round: the
-    # 2-decimal-granular sum rounds to a bit-identical double in any
-    # engine, and identical dividends divide to identical quotients
-    # (see module docstring on cross-engine round() divergence).
-    return agg.bucketed_agg(
-        e,
-        "ts",
-        600,
-        ["event_type"],
-        [
-            (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
-            F.count(F.lit(1)).alias("n_events"),
-        ],
-    )
-
-
-@register(
-    "rolling_avg_trailing_1h",
-    """
-    SELECT event_id,
-           round(sum(value) OVER w, 2) / count(*) OVER w AS rolling_avg_1h
-    FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-    """,
-    "A4 (pm2.5 pseudo running averages recomputation)",
-)
-def rolling_avg_trailing_1h(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    rolled = agg.rolling_window_agg(
-        e,
-        "ts",
-        ["user_id"],
-        3600,
-        {"_sum": F.sum("value"), "_n": F.count(F.lit(1))},
-    )
-    return rolled.select(
-        "event_id",
-        (F.round(F.col("_sum"), 2) / F.col("_n")).alias("rolling_avg_1h"),
-    )
-
-
-@register(
-    "rolling_pseudo_averages",
-    """
-    SELECT event_id,
-           round(sum(value) OVER w10, 2) / count(*) OVER w10 AS avg_10minute,
-           round(sum(value) OVER w30, 2) / count(*) OVER w30 AS avg_30minute,
-           round(sum(value) OVER w60, 2) / count(*) OVER w60 AS avg_60minute,
-           round(sum(value) OVER w6h, 2) / count(*) OVER w6h AS avg_6hour
-    FROM events
-    WINDOW
-      w10 AS (PARTITION BY user_id ORDER BY ts
-              RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW),
-      w30 AS (PARTITION BY user_id ORDER BY ts
-              RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW),
-      w60 AS (PARTITION BY user_id ORDER BY ts
-              RANGE BETWEEN INTERVAL 60 MINUTE PRECEDING AND CURRENT ROW),
-      w6h AS (PARTITION BY user_id ORDER BY ts
-              RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
-    """,
-    "A4 (pm2.5 pseudo running averages: 10m/30m/60m/6h trailing frames "
-    "recomputed from raw readings, PurpleAirAPIConstants.py:40-41)",
-)
-def rolling_pseudo_averages(spark, sf_dir):
-    """All trailing frames share one partition+sort (same window spec
-    family), so Spark evaluates them in a single Window operator: one
-    shuffle on user_id, one sort, four frame scans."""
-    e = _t(spark, sf_dir, "events")
-
-    def frame(seconds):
-        return (
-            Window.partitionBy("user_id")
-            .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
-            .rangeBetween(-seconds * 1_000_000, 0)
-        )
-
-    def rolled_avg(seconds):
-        w = frame(seconds)
-        return F.round(F.sum("value").over(w), 2) / F.count(F.lit(1)).over(w)
-
-    return e.select(
-        "event_id",
-        rolled_avg(600).alias("avg_10minute"),
-        rolled_avg(1800).alias("avg_30minute"),
-        rolled_avg(3600).alias("avg_60minute"),
-        rolled_avg(21600).alias("avg_6hour"),
-    )
-
-
-@register(
-    "sensor_directory",
-    """
-    SELECT DISTINCT c_custkey AS sensor_index,
-           c_name || ', ' || CAST(c_custkey AS VARCHAR) AS name_and_sensor_index
-    FROM customer
-    """,
-    "A5+X1+O2 (Grafana template-variable DISTINCT/CONCAT query)",
-)
-def sensor_directory(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    return agg.distinct_directory(c, "c_custkey", "c_name")
-
-
-@register(
-    "directory_parse_index",
-    """
-    SELECT DISTINCT c_custkey AS sensor_index,
-           CAST(string_split(c_name || ', ' || CAST(c_custkey AS VARCHAR), ', ')[2]
-                AS INTEGER) AS parsed_sensor_index
-    FROM customer
-    """,
-    # the X2 parse runs over the DISTINCT directory (A5) on the Spark
-    # side, so the oracle must dedup too: duplicate customer rows
-    # (sf0.01 fuzz twin, r10) otherwise inflate the raw parse
-    "X2 (string_to_array + 1-based element extraction, over the "
-    "DISTINCT directory)",
-)
-def directory_parse_index(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    d = agg.distinct_directory(c, "c_custkey", "c_name")
-    return agg.parse_directory_index(d, "name_and_sensor_index").select(
-        "sensor_index", "parsed_sensor_index"
-    )
-
-
-# ---------------------------------------------------------------------------
-# B. Filter / predicate workload (F1-F6) and scalar functions.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "snapshot_filters",
-    """
-    SELECT event_id, ts, user_id, value
-    FROM events
-    WHERE event_type = 'click'
-      AND user_id IN (3, 7, 11, 19, 23, 42, 77, 101)
-      AND ts > TIMESTAMP '2024-01-10'
-      AND value BETWEEN 50.0 AND 400.0
-    """,
-    "F1 (equality) + F2 (IN-list) + F3 (modified_since) + F5 (range box)",
-)
-def snapshot_filters(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return e.filter(
-        (F.col("event_type") == "click")
-        & F.col("user_id").isin(3, 7, 11, 19, 23, 42, 77, 101)
-        & (F.col("ts") > F.lit("2024-01-10").cast("timestamp"))
-        & F.col("value").between(50.0, 400.0)
-    ).select("event_id", "ts", "user_id", "value")
-
-
-@register(
-    "historic_range_downsample",
-    """
-    SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket_ts, event_type,
-           round(sum(value), 2) / count(*) AS avg_value, max(value) AS max_value,
-           min(value) AS min_value, count(*) AS n_events
-    FROM events
-    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
-    GROUP BY 1, 2
-    """,
-    "S3+F6+A3 (historic half-open range scan with server-side downsample)",
-)
-def historic_range_downsample(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    filtered = e.filter(
-        (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
-    )
-    return agg.bucketed_agg(
-        filtered,
-        "ts",
-        1800,
-        ["event_type"],
-        [
-            (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("avg_value"),
-            F.max("value").alias("max_value"),
-            F.min("value").alias("min_value"),
-            F.count(F.lit(1)).alias("n_events"),
-        ],
-    )
-
-
-@register(
-    "max_age_recency",
-    """
-    SELECT event_type, count(*) AS n_events, max(value) AS max_value
-    FROM events
-    WHERE ts >= (SELECT max(ts) - INTERVAL 24 HOUR FROM events)
-    GROUP BY event_type
-    """,
-    "F4 (max_age recency window, PurpleAirAPI.py:209-211)",
-)
-def max_age_recency(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    cutoff = e.agg(
-        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("_cutoff")
-    )
-    return (
-        e.crossJoin(F.broadcast(cutoff))
-        .filter(F.col("ts") >= F.col("_cutoff"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
-    )
-
-
-@register(
-    "epoch_roundtrip",
-    """
-    SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_seconds
-    FROM events
-    """,
-    "T5+X5 (epoch<->timestamp conversion, PurpleAirPSQLDataLogger.py:138-151)",
-)
-def epoch_roundtrip(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return e.select(
-        "event_id", F.unix_timestamp(F.col("ts")).alias("epoch_seconds")
-    )
-
-
-@register(
-    "json_props_extract",
-    """
-    SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
-    FROM events
-    """,
-    "X7 (JSON parse, PurpleAirAPI.py:335)",
-)
-def json_props_extract(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return e.select(
-        "event_id",
-        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# C. Joins / set ops / sorts (J1-J3, §2.5-2.6).
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "reconstruction_join",
-    """
-    SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-           count(*) AS n_lineitems
-    FROM customer, orders, lineitem, supplier, nation, region
-    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-      AND r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate < TIMESTAMP '1997-01-01'
-    GROUP BY n_name
-    """,
-    "J1 (9-way PK reconstruction join analog; dims broadcast)",
-)
-def reconstruction_join(spark, sf_dir):
-    """Multi-way equi-join with broadcast dimensions.
-
-    The Spark-native shape of the reference's implied 9-way PK join:
-    small dims (region, nation, supplier, customer) broadcast so the
-    only shuffle is the lineitem<->orders join; at 100 TB that join
-    co-partitions on orderkey and AQE handles skew.
-    """
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
-    s = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    return (
-        l.join(
-            o.filter(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-            ),
-            l.l_orderkey == o.o_orderkey,
-        )
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(
-            F.broadcast(s),
-            (F.col("l_suppkey") == F.col("s_suppkey"))
-            & (F.col("c_nationkey") == F.col("s_nationkey")),
-        )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(
-            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-    )
-
-
-@register(
-    "part_brand_revenue",
-    """
-    SELECT p_brand,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-           count(*) AS n_items,
-           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-    FROM lineitem, part
-    WHERE l_partkey = p_partkey
-      AND l_shipdate >= TIMESTAMP '1996-01-01'
-    GROUP BY p_brand
-    """,
-    "J-family dimension join over the part table (broadcast dim, pushdown date filter, map-side-combined agg)",
-)
-def part_brand_revenue(spark, sf_dir):
-    """Revenue by part brand for shipments since 1996 — the classic
-    fact⨝dimension shape: `part` broadcasts (dimensions are MBs against
-    a fact table of any size), the ship-date filter pushes to the
-    lineitem scan, and the per-brand aggregate combines map-side.
-    l_quantity is integer-valued, so its sum is exact in any order;
-    revenue uses the same round(sum, 4) contract as
-    `reconstruction_join` (green r1-r3)."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
-    )
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .groupBy("p_brand")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum("l_quantity").cast("long").alias("sum_qty"),
-        )
-    )
-
-
-@register(
-    "semi_join_show_only",
-    """
-    SELECT user_id, count(*) AS n_events, max(value) AS max_value
-    FROM events
-    WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-    GROUP BY user_id
-    """,
-    "J3+F2 (show_only IN-list as broadcast semi-join)",
-)
-def semi_join_show_only(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    return (
-        e.join(
-            F.broadcast(c),
-            e.user_id == c.c_custkey,
-            "left_semi",
-        )
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
-    )
-
-
-@register(
-    "anti_join_inactive",
-    """
-    SELECT c_custkey FROM customer
-    WHERE c_custkey < 150
-      AND c_custkey NOT IN (SELECT user_id FROM events
-                            WHERE user_id IS NOT NULL)
-    """,
-    "J2 complement (anti-join; sensors present in directory but silent)",
-)
-def anti_join_inactive(spark, sf_dir):
-    # NULL contract: a NULL user_id carries no observation, so it must
-    # not poison the exclusion set — SQL `NOT IN` collapses to the
-    # empty set when the subquery yields a NULL (three-valued logic),
-    # while Spark's left_anti keeps non-matching rows; the oracle
-    # filters NULLs to pin the anti-join semantics (fuzz-found, r6).
-    e = _t(spark, sf_dir, "events")
-    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
-    return c.join(
-        e, c.c_custkey == e.user_id, "left_anti"
-    ).select("c_custkey")
-
-
-@register(
-    "union_priority_tiers",
-    """
-    SELECT event_id, 'high' AS tier FROM events WHERE value >= 250.0
-    UNION ALL
-    SELECT event_id, 'low' AS tier FROM events WHERE value < 250.0
-    """,
-    "§2.5 union (multi-backfill merge primitive)",
-)
-def union_priority_tiers(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    hi = e.filter(F.col("value") >= 250.0).select(
-        "event_id", F.lit("high").alias("tier")
-    )
-    lo = e.filter(F.col("value") < 250.0).select(
-        "event_id", F.lit("low").alias("tier")
-    )
-    return hi.unionByName(lo)
-
-
-@register(
-    "topk_orders",
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 100
-    """,
-    "§2.6 sort+limit (top-k)",
-)
-def topk_orders(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-        .limit(100)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-    )
-
-
-@register(
-    "asof_last_click",
-    """
-    WITH e AS (SELECT event_id, user_id, ts FROM events
-               WHERE event_type = 'error'),
-    c AS (SELECT user_id, ts, value FROM events
-          WHERE event_type = 'click'
-            AND ts IS NOT NULL AND user_id IS NOT NULL)
-    SELECT em.event_id, em.user_id, em.ts, c.ts AS asof_ts,
-           c.value AS asof_value
-    FROM (SELECT * FROM e
-          WHERE ts IS NOT NULL AND user_id IS NOT NULL) em
-    ASOF LEFT JOIN c ON em.user_id = c.user_id AND em.ts >= c.ts
-    UNION ALL
-    SELECT event_id, user_id, ts,
-           CAST(NULL AS TIMESTAMP) AS asof_ts,
-           CAST(NULL AS DOUBLE) AS asof_value
-    FROM e WHERE ts IS NULL OR user_id IS NULL
-    """,
-    "as-of join (time-series most-recent-match; merge-scan, no range blowup)",
-)
-def asof_last_click(spark, sf_dir):
-    """For each error event, the user's most recent click at-or-before
-    it. Spark lacks a native as-of join; `operators.asof.asof_join`
-    implements the merge-scan formulation (one shuffle + one sort).
-
-    The oracle spells out the operator's documented NULL contract
-    instead of trusting DuckDB's native ASOF with NULLs (r8
-    fuzz-found, surfaced by the widened mutation stream): DuckDB's
-    sort-based ASOF treats a NULL timestamp as LARGEST on both sides —
-    a NULL-ts error "matches" the user's latest click, and a NULL-ts
-    click can itself win as that latest state, yielding rows like
-    (asof_ts=NULL, asof_value=33.6), a payload matched at an unknown
-    time. The contract (asof.py): a NULL key/ts right row can never
-    win, a NULL key/ts left row can never match but is still emitted
-    with NULL payloads — so the oracle filters the right side and
-    bypasses+unions the left NULLs explicitly."""
-    from purpleair_data_logger_spark.operators.asof import asof_join
-
-    e = _t(spark, sf_dir, "events")
-    errors = e.filter(F.col("event_type") == "error").select("event_id", "ts", "user_id")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
-    return asof_join(
-        errors,
-        clicks,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        right_payload=["ts", "value"],
-    ).select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.col("asof_ts"),
-        F.col("asof_value"),
-    )
-
-
-@register(
-    "sessionize_users",
-    """
-    WITH flagged AS (
-      SELECT user_id, ts, event_id,
-             CASE WHEN lag(ts) OVER w IS NULL
-                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE ts IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-    ), sessions AS (
-      SELECT user_id, ts,
-             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                 AS session_id
-      FROM flagged
-    )
-    SELECT user_id, session_id,
-           min(ts) AS session_start, max(ts) AS session_end,
-           count(*) AS n_events,
-           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
-    FROM sessions GROUP BY user_id, session_id
-    """,
-    "sessionization (gap-based session windows, 30 min; gaps-and-islands)",
-)
-def sessionize_users(spark, sf_dir):
-    from purpleair_data_logger_spark.operators.sessionize import session_stats
-
-    e = _t(spark, sf_dir, "events")
-    return session_stats(e, "user_id", "ts", gap_seconds=1800)
-
-
-@register(
-    "range_join_click_error",
-    """
-    SELECT e.event_id AS error_id, e.ts AS error_ts,
-           c.event_id AS click_id, c.ts AS click_ts, c.value AS click_value
-    FROM events e
-    JOIN events c
-      ON c.user_id = e.user_id
-     AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
-    WHERE e.event_type = 'error' AND c.event_type = 'click'
-    """,
-    "beyond-reference bounded range join: all clicks within 10 min before each error (bucketized equi-join, no nested loop)",
-)
-def range_join_click_error(spark, sf_dir):
-    """Windowed correlation: every click in the 10 minutes up to each
-    error, same user. Planned as a pure equi-join on
-    (user_id, time-bucket) with the exact range as a post-filter —
-    never an inequality nested-loop (pinned in test_plans.py)."""
-    from purpleair_data_logger_spark.operators.rangejoin import bounded_range_join
-
-    e = _t(spark, sf_dir, "events")
-    errors = e.filter(F.col("event_type") == "error").select(
-        "user_id", F.col("ts"), F.col("event_id")
-    )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts"), F.col("event_id"), F.col("value")
-    )
-    out = bounded_range_join(
-        errors, clicks, ["user_id"], "ts", "ts",
-        gap_seconds=600, left_prefix="e_", right_prefix="c_",
-    )
-    return out.select(
-        F.col("e_event_id").alias("error_id"),
-        F.col("e_ts").alias("error_ts"),
-        F.col("c_event_id").alias("click_id"),
-        F.col("c_ts").alias("click_ts"),
-        F.col("c_value").alias("click_value"),
-    )
-
-
-@register(
-    "pk_dedup",
-    """
-    SELECT ts, user_id, min(event_id) AS event_id, count(*) AS n_dups
-    FROM events GROUP BY ts, user_id
-    """,
-    "R6 (PK-duplicate resolution — deterministic dropDuplicates)",
-)
-def pk_dedup(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return dd.pk_dedup(e, ["ts", "user_id"], "event_id")
-
-
-@register(
-    "cardinality_profile",
-    """
-    SELECT count(DISTINCT user_id) AS n_users,
-           count(DISTINCT event_type) AS n_types,
-           count(*) AS n_events
-    FROM events
-    """,
-    "§2.10 cardinality profiling (exact distinct; approx variant in bench)",
-)
-def cardinality_profile(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return e.agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.countDistinct("event_type").alias("n_types"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@register(
-    "vertical_split_rejoin",
-    """
-    WITH keyed AS (SELECT event_id, ts, user_id FROM events),
-         grp_a AS (SELECT event_id, event_type FROM events),
-         grp_b AS (SELECT event_id, value FROM events)
-    SELECT k.event_id, k.ts, k.user_id, a.event_type, b.value
-    FROM keyed k
-    JOIN grp_a a ON a.event_id = k.event_id
-    JOIN grp_b b ON b.event_id = k.event_id
-    """,
-    "T4+J1 (vertical partition projection and the PK reconstruction join)",
-)
-def vertical_split_rejoin(spark, sf_dir):
-    """The reference's core storage shape: one wide record vertically
-    split into field groups (T4), then reconstructed with PK equi-joins
-    (J1). At scale the N frames share partitioning (they were split
-    from one scan), so Catalyst plans co-partitioned joins — no extra
-    shuffle beyond the first."""
-    e = _t(spark, sf_dir, "events")
-    keyed = e.select("event_id", "ts", "user_id")
-    grp_a = e.select("event_id", "event_type")
-    grp_b = e.select("event_id", "value")
-    return keyed.join(grp_a, "event_id").join(grp_b, "event_id").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-
-
-@register(
-    "multimodal_metadata",
-    """
-    SELECT doc_id AS media_id, 'text/plain' AS media_type,
-           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-           md5(text) AS payload_md5
-    FROM documents
-    """,
-    "north-star multimodal: binary payload + typed metadata (JVM-only pass)",
-)
-def multimodal_metadata(spark, sf_dir):
-    from purpleair_data_logger_spark.operators import multimodal as mm
-
-    d = _t(spark, sf_dir, "documents")
-    return mm.payload_metadata(mm.attach_binary_payload(d, "doc_id", "text"))
-
-
-_MM_FEATURE_ORACLE = """
-    WITH h AS (SELECT doc_id AS media_id, sha256(text) AS hx FROM documents),
-    b AS (SELECT media_id,
-            list_transform(range(0,10), i ->
-              (strpos('0123456789abcdef', substr(hx, 2*i+1, 1))-1)*16 +
-              (strpos('0123456789abcdef', substr(hx, 2*i+2, 1))-1)) AS bs
-          FROM h)
-    SELECT media_id,
-           CAST(bs[9] %% 64 + 1 AS INT) AS width,
-           CAST(bs[10] %% 64 + 1 AS INT) AS height,
-           %s
-    FROM b
-    """ % ",\n           ".join(
-    f"CAST(bs[{i + 1}] AS INT) AS f{i}" for i in range(8)
-)
-
-
-@register(
-    "multimodal_features",
-    _MM_FEATURE_ORACLE,
-    "north-star multimodal: mapInPandas decode/featurize (stub decoder)",
-)
-def multimodal_features(spark, sf_dir):
-    """Arrow-batched decode/featurize, projected to driver-hashable
-    scalars. The mapInPandas operator emits ``features: array<float>``
-    (kept raw for the ANN feed and pytest determinism checks); the gate
-    query recovers each float32 feature back to its source digest byte
-    (``round(f * 255)`` — float32(b/255)·255 is within 1e-5 of b, so the
-    round is exact), making every column canonicalizable. The DuckDB
-    oracle replays `fake_decoder` arithmetic from `sha256(text)` hex."""
-    from purpleair_data_logger_spark.operators import multimodal as mm
-
-    d = _t(spark, sf_dir, "documents")
-    media = mm.attach_binary_payload(d, "doc_id", "text")
-    feats = mm.extract_features(media, decoder=mm.fake_decoder)
-    return feats.select(
-        "media_id",
-        "width",
-        "height",
-        *[
-            F.round(F.element_at("features", i + 1) * 255, 0)
-            .cast("int")
-            .alias(f"f{i}")
-            for i in range(8)
-        ],
-    )
-
-
-@register(
-    "multimodal_resize",
-    """
-    SELECT doc_id AS media_id,
-           CAST(6 AS INT) AS width,
-           CAST(4 AS INT) AS height,
-           CAST(CASE WHEN text IS NULL THEN NULL ELSE 24 END AS INT)
-               AS n_bytes,
-           upper(substr(sha256(text), 1, 48)) AS payload_hex
-    FROM documents
-    """,
-    "north-star multimodal: mapInPandas resize (stub resampler), payload replayed byte-for-byte",
-)
-def multimodal_resize(spark, sf_dir):
-    """Arrow-batched resize through the injectable-resampler seam. The
-    gate pins a ONE-block output size (6×4 = 24 bytes ≤ one sha256
-    block) because DuckDB's sha256 only accepts VARCHAR — the chained
-    blocks of larger targets hash raw digest bytes, which the oracle
-    cannot replay; the multi-block path is covered by the resize
-    contract test in test_llm_ops.py. Payload compared as hex, so the
-    resampler output is checked byte-for-byte."""
-    from purpleair_data_logger_spark.operators import multimodal as mm
-
-    d = _t(spark, sf_dir, "documents")
-    media = mm.attach_binary_payload(d, "doc_id", "text")
-    resized = mm.resize_media(media, width=6, height=4, resizer=mm.fake_resizer)
-    return resized.select(
-        "media_id",
-        "width",
-        "height",
-        F.length("payload").cast("int").alias("n_bytes"),
-        F.hex("payload").alias("payload_hex"),
-    )
-
-
-@register(
-    "approx_distinct_profile",
-    None,
-    "§2.10 approx_count_distinct cardinality profiling (HLL estimate)",
-)
-def approx_distinct_profile(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    return e.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.approx_count_distinct("event_type").alias("approx_types"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# D. LLM-data-pipeline operators (north star): dedup, text analysis,
-#    similarity search over documents/embeddings.
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "dedup_exact_docs",
-    """
-    SELECT md5(text) AS text_md5, count(*) AS n_copies,
-           min(doc_id) AS canonical_doc_id
-    FROM documents GROUP BY 1
-    """,
-    "north-star exact dedup (hash-groupBy)",
-)
-def dedup_exact_docs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return dd.exact_dedup_groups(d, "text", "doc_id")
-
-
-@register(
-    "text_quality",
-    """
-    SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS n_chars_computed,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
-               AS n_bpe_tokens,
-           CAST(len(list_filter(string_split(text, ' '),
-                    x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stopwords,
-           len(list_filter(string_split(text, ' '),
-                    x -> x IN ('the', 'a', 'of', 'and', 'to'))) * 1.0
-                 / len(string_split(text, ' ')) AS stopword_ratio,
-           list_aggregate(list_transform(string_split(text, ' '),
-                    x -> CAST(length(x) AS DOUBLE)), 'sum')
-                 / len(string_split(text, ' ')) AS mean_token_len
-    FROM documents
-    """,
-    "north-star text quality scoring (length/stopword/token stats)",
-)
-def text_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return tx.quality_features(d, "doc_id", "text")
-
-
-@register(
-    "quality_classifier_gate",
-    """
-    WITH f AS (
-      SELECT doc_id,
-             CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
-             list_aggregate(list_transform(string_split(text, ' '),
-                      x -> CAST(length(x) AS DOUBLE)), 'sum')
-                 / len(string_split(text, ' ')) AS ml,
-             CAST(len(list_filter(string_split(text, ' '),
-                      x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
-                 / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id,
-             ((CAST(0.6 AS DOUBLE)
-               + CAST(-0.35 AS DOUBLE) * ml)
-               + CAST(0.01 AS DOUBLE) * nt)
-               + CAST(8.0 AS DOUBLE) * sr AS margin
-      FROM f
-    )
-    SELECT doc_id, margin, margin > CAST(0 AS DOUBLE) AS quality_pass FROM m
-    """,
-    "north-star classifier-based quality filtering: linear-model inference as a pure codegen projection",
-)
-def quality_classifier_gate(spark, sf_dir):
-    """The trained-classifier curation stage, inference-side: a linear
-    margin over codegen quality features (weights folded in a fixed
-    alphabetical order so both engines evaluate the identical IEEE
-    expression tree — the oracle mirrors mean_token_len → n_tokens →
-    stopword_ratio). Sigmoid-free by the same monotone-decision
-    argument as the log-free BM25/PMI scores."""
-    d = _t(spark, sf_dir, "documents")
-    return tx.quality_classifier_score(d, "doc_id", "text")
-
-
-@register(
-    "lang_id",
-    """
-    WITH scored AS (
-      SELECT doc_id,
-        CAST(len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS s_de,
-        CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS s_en,
-        CAST(len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es'))) AS BIGINT) AS s_es,
-        CAST(len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS BIGINT) AS s_fr,
-        CAST(len(list_filter(string_split(text,' '), x -> x IN ('il','lo','le','e','di'))) AS BIGINT) AS s_it
-      FROM documents)
-    SELECT doc_id,
-      CASE
-        WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_it THEN 'de'
-        WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_it THEN 'en'
-        WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_it THEN 'es'
-        WHEN s_fr > 0 AND s_fr >= s_it THEN 'fr'
-        WHEN s_it > 0 THEN 'it'
-        ELSE 'und'
-      END AS predicted_lang,
-      greatest(s_de, s_en, s_es, s_fr, s_it) AS lang_score
-    FROM scored
-    """,
-    "north-star language ID (stopword-vote heuristic)",
-)
-def lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return tx.language_id(d, "doc_id", "text")
-
-
-@register(
-    "top_docs_per_lang",
-    """
-    SELECT lang, doc_id, n_chars, lang_rank FROM (
-      SELECT lang, doc_id, n_chars,
-             CAST(row_number() OVER (
-                 PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INTEGER)
-                 AS lang_rank
-      FROM documents)
-    WHERE lang_rank <= 5
-    """,
-    "north-star stratified selection: top-k per group (longest docs per language)",
-)
-def top_docs_per_lang(spark, sf_dir):
-    """Generic per-group top-k (one shuffle on the group key; AQE
-    coalesces the tiny post-filter output) — the selection primitive
-    for per-stratum training-data curation."""
-    d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
-    return (
-        d.select(
-            "lang",
-            "doc_id",
-            "n_chars",
-            F.row_number().over(w).cast("int").alias("lang_rank"),
-        )
-        .filter(F.col("lang_rank") <= 5)
-    )
-
-
-@register(
-    "corpus_token_accounting",
-    """
-    SELECT lang,
-           count(*) AS n_docs,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-           CAST(sum(length(text)) AS BIGINT) AS total_chars,
-           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_doc_tokens
-    FROM documents GROUP BY lang
-    """,
-    "north-star corpus accounting: token/char budgets per stratum (exact int aggs)",
-)
-def corpus_token_accounting(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    n_toks = F.size(F.split(F.col("text"), " ")).cast("long")
-    return d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(n_toks).alias("total_tokens"),
-        F.sum(F.length("text").cast("long")).alias("total_chars"),
-        F.max(n_toks).alias("max_doc_tokens"),
-    )
-
-
-@register(
-    "doc_repetition_ratio",
-    """
-    SELECT doc_id,
-           CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_token_share,
-           CAST(sum(cnt) AS BIGINT) AS n_tokens,
-           CAST(count(*) AS BIGINT) AS n_distinct_tokens
-    FROM (
-      SELECT doc_id, tok, count(*) AS cnt
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-            FROM documents)
-      GROUP BY doc_id, tok)
-    GROUP BY doc_id
-    """,
-    "north-star repetition quality signal (Gopher-style top-token share)",
-)
-def doc_repetition_ratio(spark, sf_dir):
-    """Per-document repetition signal: share of the single most frequent
-    token, plus exact token/distinct-token counts. A high top-token share
-    flags boilerplate/spam for corpus filtering (the duplicate-fraction
-    family of quality rules). ONE shuffle total, placed before the
-    explode: repartitioning by doc_id moves compact document rows (not
-    exploded token pairs), and hashpartitioning(doc_id) satisfies the
-    clustering requirement of BOTH aggregations — (doc_id, tok) and
-    (doc_id) — so neither adds an Exchange (pinned in test_plans). The
-    ratio is exact-int division so it hashes bit-identically
-    cross-engine."""
-    d = _t(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", "text")
-        .repartition("doc_id")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    )
-    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    return counts.groupBy("doc_id").agg(
-        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_token_share"),
-        F.sum("cnt").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct_tokens"),
-    )
-
-
-@register(
-    "dup_ngram_fraction",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-    g AS (
-      SELECT doc_id, 2 AS n, arr[i] || ' ' || arr[i+1] AS gram
-      FROM toks, LATERAL unnest(range(1, len(arr))) t(i)
-      UNION ALL
-      SELECT doc_id, 3 AS n, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS gram
-      FROM toks, LATERAL unnest(range(1, len(arr) - 1)) t(i)
-    ),
-    c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram)
-    SELECT doc_id,
-      CASE WHEN sum(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END) > 0
-           THEN CAST(sum(CASE WHEN n = 2 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
-                / sum(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END)
-           ELSE 0.0 END AS dup_2gram_char_frac,
-      CASE WHEN sum(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END) > 0
-           THEN CAST(sum(CASE WHEN n = 3 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
-                / sum(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END)
-           ELSE 0.0 END AS dup_3gram_char_frac
-    FROM c GROUP BY doc_id
-    """,
-    "north-star repetition signal #2: Gopher duplicate n-gram character fraction (2-grams + 3-grams)",
-)
-def dup_ngram_fraction(spark, sf_dir):
-    """Fraction of n-gram-occurrence characters in duplicated 2-/3-grams
-    per document — the Gopher repetition filter complementing
-    `doc_repetition_ratio`'s top-token share. Both n values share one
-    scan and one doc_id shuffle (tagged-gram explode)."""
-    d = _t(spark, sf_dir, "documents")
-    return tx.duplicate_ngram_fraction(d, "doc_id", "text", ns=(2, 3))
-
-
-@register(
-    "gopher_quality_gate",
-    """
-    WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS arr,
-                         string_split(text, chr(10)) AS lns FROM documents),
-    scalar AS (
-      SELECT doc_id,
-        CAST(len(arr) AS BIGINT) AS n_words,
-        list_aggregate(list_transform(arr, x -> CAST(length(x) AS DOUBLE)), 'sum')
-            / len(arr) AS mean_word_len,
-        len(arr) >= 50 AND len(arr) <= 100000 AS word_count_ok,
-        list_aggregate(list_transform(arr, x -> CAST(length(x) AS DOUBLE)), 'sum')
-            / len(arr) >= 4.0
-          AND list_aggregate(list_transform(arr, x -> CAST(length(x) AS DOUBLE)), 'sum')
-            / len(arr) <= 10.0 AS mean_word_len_ok,
-        CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(arr) < 0.1
-            AS symbol_ratio_ok,
-        CAST(len(list_filter(lns, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%'))
-            AS DOUBLE) / len(lns) < 0.9 AS bullet_lines_ok,
-        CAST(len(list_filter(lns, l -> l LIKE '%...')) AS DOUBLE) / len(lns) < 0.3
-            AS ellipsis_lines_ok,
-        CAST(len(list_filter(arr, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
-            / len(arr) > 0.8 AS alpha_words_ok,
-        len(list_filter(main.list_value('the','be','to','of','and','that','have','with'),
-            s -> list_contains(arr, s))) >= 1 AS stopwords_ok
-      FROM toks),
-    g AS (
-      SELECT doc_id, 1 AS n, arr[i] AS gram
-      FROM toks, LATERAL unnest(range(1, len(arr) + 1)) t(i)
-      UNION ALL
-      SELECT doc_id, 2, arr[i] || ' ' || arr[i+1]
-      FROM toks, LATERAL unnest(range(1, len(arr))) t(i)
-      UNION ALL
-      SELECT doc_id, 3, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
-      FROM toks, LATERAL unnest(range(1, len(arr) - 1)) t(i)
-    ),
-    c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram),
-    rep AS (
-      SELECT doc_id,
-        CAST(max(CASE WHEN n = 1 THEN cnt END) AS DOUBLE)
-            / sum(CASE WHEN n = 1 THEN cnt ELSE 0 END) AS top_token_share,
-        CASE WHEN sum(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END) > 0
-             THEN CAST(sum(CASE WHEN n = 2 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
-                  / sum(CASE WHEN n = 2 THEN cnt * length(gram) ELSE 0 END)
-             ELSE 0.0 END AS dup_2gram_char_frac,
-        CASE WHEN sum(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END) > 0
-             THEN CAST(sum(CASE WHEN n = 3 AND cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
-                  / sum(CASE WHEN n = 3 THEN cnt * length(gram) ELSE 0 END)
-             ELSE 0.0 END AS dup_3gram_char_frac
-      FROM c GROUP BY doc_id)
-    SELECT s.doc_id, s.n_words, s.mean_word_len,
-           r.top_token_share, r.dup_2gram_char_frac, r.dup_3gram_char_frac,
-           s.word_count_ok, s.mean_word_len_ok, s.symbol_ratio_ok,
-           s.bullet_lines_ok, s.ellipsis_lines_ok, s.alpha_words_ok, s.stopwords_ok,
-           r.top_token_share <= 0.12 AS top_token_ok,
-           r.dup_2gram_char_frac <= 0.1 AS dup_2gram_ok,
-           r.dup_3gram_char_frac <= 0.05 AS dup_3gram_ok,
-           s.word_count_ok AND s.mean_word_len_ok AND s.symbol_ratio_ok
-             AND s.bullet_lines_ok AND s.ellipsis_lines_ok AND s.alpha_words_ok
-             AND s.stopwords_ok AND r.top_token_share <= 0.12
-             AND r.dup_2gram_char_frac <= 0.1 AND r.dup_3gram_char_frac <= 0.05
-             AS gopher_pass
-    FROM scalar s JOIN rep r ON r.doc_id = s.doc_id
-    """,
-    "north-star composed Gopher rule-set gate: 10 quality rules + conjunction, one shuffle for all repetition signals",
-)
-def gopher_quality_gate(spark, sf_dir):
-    """The full Gopher/MassiveText §A1.1 rule-set as one auditable
-    gate query — every rule a flag, `gopher_pass` the conjunction.
-    Thresholds tuned so each rule family discriminates on the test
-    corpus (word count, mean word length, stopword presence, and all
-    three repetition signals split it; the line-shape and symbol rules
-    pass trivially on single-line synthetic docs but are fully
-    evaluated and hash-checked)."""
-    d = _t(spark, sf_dir, "documents")
-    return tx.gopher_quality_gate(
-        d, "doc_id", "text",
-        min_words=50, max_words=100_000,
-        min_mean_word_len=4.0, max_mean_word_len=10.0,
-        max_symbol_ratio=0.1, max_bullet_line_frac=0.9,
-        max_ellipsis_line_frac=0.3, min_alpha_word_frac=0.8,
-        min_stopword_hits=1, max_top_token_share=0.12,
-        max_dup_2gram_frac=0.1, max_dup_3gram_frac=0.05,
-    )
-
-
-@register(
-    "keyword_extraction",
-    """
-    WITH tf AS (SELECT doc_id, tok, count(*) AS tf
-                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                      FROM documents)
-                GROUP BY doc_id, tok),
-    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    scored AS (SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
-           CAST(tf.tf AS DOUBLE) * ((CAST(n.n_docs - dfreq.df AS DOUBLE) + 0.5)
-                / (CAST(dfreq.df AS DOUBLE) + 0.5)) AS score
-           FROM tf JOIN dfreq ON tf.tok = dfreq.tok CROSS JOIN n),
-    r AS (SELECT doc_id, tok, tf, df, score,
-          CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok)
-               AS INT) AS keyword_rank
-          FROM scored)
-    SELECT doc_id, keyword_rank, tok, CAST(tf AS BIGINT) AS tf,
-           CAST(df AS BIGINT) AS df, score
-    FROM r WHERE keyword_rank <= 5
-    """,
-    "north-star keyword extraction: per-doc top-k by log-free BM25-idf salience (tf·(N−df+½)/(df+½))",
-)
-def keyword_extraction(spark, sf_dir):
-    """Top-5 keywords per document by exact-arithmetic tf-idf salience
-    (BM25 idf sans log — same ranking, engine-portable score). Two
-    Exchanges: one doc-id shuffle shared by tf and the final window,
-    one vocab-sized df shuffle broadcast back."""
-    d = _t(spark, sf_dir, "documents")
-    return tx.keyword_extraction(d, "doc_id", "text", top_k=5)
-
-
-@register(
-    "cross_doc_dup_ngrams",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-    g AS (
-      SELECT doc_id,
-             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]
-                    || ' ' || arr[i+4] AS gram
-      FROM toks, LATERAL unnest(range(1, len(arr) - 3)) t(i)
-    ),
-    pdg AS (SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY doc_id, gram),
-    gd AS (SELECT gram, count(*) AS gram_docs FROM pdg GROUP BY gram)
-    SELECT pdg.doc_id,
-           CAST(sum(occ) AS BIGINT) AS ngram_occurrences,
-           CAST(sum(CASE WHEN gram_docs >= 2 THEN occ ELSE 0 END) AS BIGINT)
-               AS cross_dup_occurrences,
-           CAST(sum(CASE WHEN gram_docs >= 2 THEN occ ELSE 0 END) AS DOUBLE)
-               / CAST(sum(occ) AS DOUBLE) AS cross_dup_frac,
-           max(gram_docs) AS max_gram_docs
-    FROM pdg JOIN gd ON pdg.gram = gd.gram
-    GROUP BY pdg.doc_id
-    """,
-    "north-star cross-document duplicated-span signal (Lee et al. 2022 exact-substring dedup, 5-gram granularity)",
-)
-def cross_doc_dup_ngrams(spark, sf_dir):
-    """Per-document coverage by 5-grams that recur verbatim in OTHER
-    documents — the corpus-level boilerplate/syndication signal next to
-    `dup_ngram_fraction`'s within-doc repetition. Three key-sharded
-    Exchanges (id-gram compress, gram doc-count, id finish); vocabulary
-    never broadcast, hot grams combined map-side."""
-    d = _t(spark, sf_dir, "documents")
-    return tx.cross_doc_dup_ngrams(d, "doc_id", "text", n=5)
-
-
-@register(
-    "cross_doc_span_removal",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-    g AS (
-      SELECT doc_id, i AS start,
-             arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]
-                    || ' ' || arr[i+4] AS gram
-      FROM toks, LATERAL unnest(range(1, len(arr) - 3)) t(i)
-    ),
-    gd AS (
-      SELECT gram
-      FROM (SELECT gram, count(DISTINCT doc_id) AS dc FROM g GROUP BY gram)
-      WHERE dc >= 2
-    ),
-    cov AS (
-      SELECT DISTINCT g.doc_id, g.start + j AS pos
-      FROM g JOIN gd ON g.gram = gd.gram, LATERAL unnest(range(0, 5)) u(j)
-    ),
-    covagg AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed, list(pos) AS cl
-      FROM cov GROUP BY doc_id
-    )
-    SELECT t.doc_id,
-           CAST(len(arr) AS BIGINT) AS n_tokens,
-           CAST(coalesce(c.n_removed, 0) AS BIGINT) AS n_removed_tokens,
-           coalesce(array_to_string(
-             [arr[i] FOR i IN range(1, len(arr) + 1)
-              IF NOT list_contains(coalesce(c.cl, []), i)], ' '), '')
-             AS clean_text
-    FROM toks t LEFT JOIN covagg c ON t.doc_id = c.doc_id
-    """,
-    "north-star exact-substring span removal (Lee et al. 2022): drop tokens covered by cross-document 5-grams, reassemble",
-)
-def cross_doc_span_removal(spark, sf_dir):
-    """The rewrite half of exact-substring dedup: every token covered
-    by a 5-gram shared verbatim across ≥2 documents is removed and the
-    document reassembled — shared boilerplate vanishes corpus-wide,
-    unique prose survives. Join-attach + codegen rebuild; no windows,
-    no Python."""
-    d = _t(spark, sf_dir, "documents")
-    return dd.remove_cross_doc_spans(d, "doc_id", "text", n=5)
-
-
-@register(
-    "vocab_encode",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-    tf AS (
-      SELECT tok, count(*) AS total_tf
-      FROM (SELECT doc_id, unnest(arr) AS tok FROM toks)
-      GROUP BY tok
-    ),
-    v AS (
-      SELECT CAST(row_number() OVER (ORDER BY total_tf DESC, tok) AS INT)
-                 AS vocab_rank, tok
-      FROM (SELECT * FROM tf ORDER BY total_tf DESC, tok LIMIT 256)
-    ),
-    p AS (
-      SELECT doc_id, i AS pos, arr[i] AS tok
-      FROM toks, LATERAL unnest(range(1, len(arr) + 1)) t(i)
-    ),
-    j AS (
-      SELECT p.doc_id, p.pos, coalesce(v.vocab_rank, 0) AS tid
-      FROM p LEFT JOIN v ON p.tok = v.tok
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS token_ids
-    FROM j GROUP BY doc_id
-    """,
-    "north-star encode stage: tokenize-and-numericalize against the deterministic top-256 corpus vocabulary",
-)
-def vocab_encode(spark, sf_dir):
-    """The encode pass between curation and sequence packing: tokens
-    become their rank in the corpus top-256 vocabulary (OOV → 0),
-    order-preserving, serialized per doc. Vocab branch is top_k-bounded
-    so it broadcasts by construction; encode side rides the doc-id
-    repartition."""
-    d = _t(spark, sf_dir, "documents")
-    return tx.encode_with_vocabulary(d, "doc_id", "text", top_k=256)
-
-
-@register(
-    "unigram_rarity",
-    """
-    WITH pdt AS (
-      SELECT doc_id, tok, count(*) AS occ
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-      GROUP BY doc_id, tok
-    ),
-    tc AS (SELECT tok, CAST(sum(occ) AS BIGINT) AS corpus_tf FROM pdt GROUP BY tok),
-    n AS (SELECT CAST(sum(corpus_tf) AS BIGINT) AS corpus_total FROM tc)
-    SELECT pdt.doc_id,
-           CAST(sum(occ) AS BIGINT) AS n_tokens,
-           CAST(sum(occ * corpus_tf) AS DOUBLE)
-               / CAST(CAST(sum(occ) AS BIGINT) * min(corpus_total) AS DOUBLE)
-               AS mean_corpus_prob,
-           CAST(sum(CASE WHEN corpus_tf <= 2 THEN occ ELSE 0 END) AS DOUBLE)
-               / CAST(sum(occ) AS DOUBLE) AS rare_token_frac,
-           min(corpus_tf) AS min_corpus_tf
-    FROM pdt JOIN tc ON pdt.tok = tc.tok CROSS JOIN n
-    GROUP BY pdt.doc_id
-    """,
-    "north-star unigram-LM quality proxy (CCNet-style corpus-typicality gate, log-free exact arithmetic)",
-)
-def unigram_rarity(spark, sf_dir):
-    """Log-free unigram-LM document scoring: mean corpus probability,
-    hapax fraction, rarest-token count — the SQL-expressible stand-in
-    for CCNet's KenLM perplexity buckets. Exact-integer sums, one
-    final division, bit-identical cross-engine."""
-    d = _t(spark, sf_dir, "documents")
-    return tx.unigram_rarity(d, "doc_id", "text", rare_max_tf=2)
-
-
-@register(
-    "event_value_histogram",
-    """
-    SELECT event_type,
-           CAST(floor(value / CAST(5.0 AS DOUBLE)) AS BIGINT) AS bin,
-           CAST(floor(value / CAST(5.0 AS DOUBLE)) AS BIGINT) * CAST(5.0 AS DOUBLE) AS bin_lo,
-           (CAST(floor(value / CAST(5.0 AS DOUBLE)) AS BIGINT) + 1) * CAST(5.0 AS DOUBLE) AS bin_hi,
-           CAST(count(*) AS BIGINT) AS n
-    FROM events WHERE value IS NOT NULL
-    GROUP BY event_type, bin
-    """,
-    "distribution profiling: fixed-width value histogram per event type (one map-side-combined aggregate)",
-)
-def event_value_histogram(spark, sf_dir):
-    """Per-event-type fixed-width histogram of `value` — the scale-safe
-    distribution profile (output is |types|×|bins| rows regardless of
-    input size; no double-summing, so rows hash cross-engine)."""
-    e = _t(spark, sf_dir, "events")
-    return agg.value_histogram(e, "event_type", "value", bin_width=5.0)
-
-
-@register(
-    "bigram_collocations",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-    big AS (
-      SELECT arr[i] AS w1, arr[i+1] AS w2, count(*) AS c_ab
-      FROM toks, LATERAL unnest(range(1, len(arr))) t(i)
-      GROUP BY w1, w2
-      HAVING count(*) >= 5),
-    uni AS (
-      SELECT tok, count(*) AS c
-      FROM (SELECT unnest(arr) AS tok FROM toks)
-      GROUP BY tok),
-    n AS (SELECT CAST(sum(len(arr)) AS BIGINT) AS n_tokens FROM toks),
-    scored AS (
-      SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b, n.n_tokens,
-             (CAST(b.c_ab AS DOUBLE) * CAST(n.n_tokens AS DOUBLE))
-               / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
-      FROM big b
-      JOIN uni ua ON ua.tok = b.w1
-      JOIN uni ub ON ub.tok = b.w2
-      CROSS JOIN n),
-    r AS (
-      SELECT w1, w2, c_ab, c_a, c_b, lift,
-             CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS INT)
-                 AS colloc_rank
-      FROM scored)
-    SELECT colloc_rank, w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
-           CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b, lift
-    FROM r WHERE colloc_rank <= 100
-    """,
-    "north-star collocation mining: top-k adjacent pairs by log-free PMI lift (phrase/BPE-merge discovery)",
-)
-def bigram_collocations(spark, sf_dir):
-    """Top-100 collocations by exact-arithmetic PMI lift (min pair
-    count 5). One bigram shuffle + one vocab-sized unigram shuffle
-    broadcast back; top-k via TakeOrderedAndProject."""
-    d = _t(spark, sf_dir, "documents")
-    return tx.bigram_collocations(d, "doc_id", "text", top_k=100, min_count=5)
-
-
-@register(
-    "text_normalize",
-    """
-    SELECT doc_id,
-           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                ' +', ' ', 'g')) AS normalized_text,
-           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                ' +', ' ', 'g'))) AS normalized_md5
-    FROM documents
-    """,
-    "north-star text normalization (dedup pre-pass: lowercase/strip/collapse)",
-)
-def text_normalize(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return tx.normalize(d, "doc_id", "text")
-
-
-@register(
-    "corpus_curation_pipeline",
-    """
-    WITH rep AS (
-      SELECT doc_id, CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_token_share
-      FROM (
-        SELECT doc_id, tok, count(*) AS cnt
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-        GROUP BY doc_id, tok)
-      GROUP BY doc_id),
-    scored AS (
-      SELECT doc_id, lang,
-        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS s_de,
-        len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS s_en,
-        len(list_filter(string_split(text,' '), x -> x IN ('el','la','los','y','es'))) AS s_es,
-        len(list_filter(string_split(text,' '), x -> x IN ('le','la','les','et','est'))) AS s_fr,
-        len(list_filter(string_split(text,' '), x -> x IN ('il','lo','le','e','di'))) AS s_it,
-        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-            ' +', ' ', 'g'))) AS normalized_md5
-      FROM documents),
-    feats AS (
-      SELECT doc_id, lang, n_tokens, normalized_md5,
-        CASE
-          WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_it THEN 'de'
-          WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_it THEN 'en'
-          WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_it THEN 'es'
-          WHEN s_fr > 0 AND s_fr >= s_it THEN 'fr'
-          WHEN s_it > 0 THEN 'it'
-          ELSE 'und' END AS predicted_lang
-      FROM scored),
-    kept AS (
-      SELECT f.doc_id, f.lang AS stratum, f.n_tokens, f.normalized_md5
-      FROM feats f JOIN rep r USING (doc_id)
-      WHERE f.n_tokens >= 20 AND f.predicted_lang <> 'und'
-        AND r.top_token_share <= 0.25),
-    dd AS (
-      -- one survivor ROW per normalized text, matching the Spark
-      -- groupBy(md5) aggregate exactly: the filter form
-      -- (doc_id = min-over-md5) emits every duplicate-PK copy of the
-      -- canonical doc (r8 fuzz-found once the duplicate-PK mutation
-      -- stream shifted) — an exact-dedup stage must collapse them
-      SELECT min(doc_id) AS doc_id,
-             min_by(n_tokens, doc_id) AS n_tokens,
-             min_by(stratum, doc_id) AS stratum
-      FROM kept GROUP BY normalized_md5),
-    ranked AS (
-      SELECT stratum, doc_id, n_tokens,
-             CAST(row_number() OVER (
-                 PARTITION BY stratum
-                 ORDER BY n_tokens DESC, doc_id) AS INTEGER) AS sel_rank
-      FROM dd)
-    SELECT stratum, doc_id, n_tokens, sel_rank
-    FROM ranked WHERE sel_rank <= 20
-    """,
-    "north-star composed pipeline: quality gate -> lang gate -> normalize+dedup -> stratified selection",
-)
-def corpus_curation_pipeline(spark, sf_dir):
-    """The full training-data curation pipeline as ONE declarative plan
-    — the composition a user of the individual operators actually
-    runs. Every stage (repetition filter, language gate, normalized
-    exact dedup, per-language top-k) is hash-checked end-to-end
-    against the DuckDB replay."""
-    d = _t(spark, sf_dir, "documents")
-    return tx.curate(d, "doc_id", "text", strat_col="lang")
-
-
-@register(
-    "doc_fingerprint",
-    """
-    SELECT doc_id,
-           md5(array_to_string((string_split(lower(text), ' '))[1:16], ' '))
-               AS fingerprint_md5
-    FROM documents
-    """,
-    "north-star document fingerprinting (normalized-prefix hash)",
-)
-def doc_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return tx.fingerprint(d, "doc_id", "text", prefix_tokens=16)
-
-
-@register(
-    "jaccard_neardup_blocked",
-    """
-    WITH t AS (
-      SELECT doc_id, lang, source,
-             list_distinct(string_split(text, ' ')) AS toks
-      FROM documents)
-    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           round(len(list_intersect(a.toks, b.toks)) * 1.0
-                 / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-    FROM t a JOIN t b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.toks, b.toks)) * 1.0
-                / len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.9
-    """,
-    "north-star n-gram Jaccard near-dup (blocked pair generation)",
-)
-def jaccard_neardup_blocked(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return dd.jaccard_pairs_blocked(
-        d, "doc_id", "text", ["lang", "source"], threshold=0.9
-    )
-
-
-@register(
-    "neardup_prefix_filter_exact",
-    """
-    WITH d AS (
-      SELECT DISTINCT doc_id, text FROM documents
-      WHERE doc_id IS NOT NULL AND text IS NOT NULL
-    ),
-    dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
-    ds AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(w) - 2, 1) + 1),
-               i -> array_to_string(w[i:i+2], ' '))) AS toks
-      FROM dt
-    ),
-    t AS (SELECT doc_id, unnest(toks) AS tok FROM ds),
-    dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS dfc
-            FROM t GROUP BY 1),
-    o AS (
-      SELECT t.doc_id, list(t.tok ORDER BY f.dfc, t.tok) AS otoks
-      FROM t JOIN dft f ON f.tok = t.tok GROUP BY 1
-    ),
-    p AS (
-      SELECT doc_id, len(otoks) AS n,
-             otoks[1 : len(otoks) - ((80 * len(otoks) + 99) // 100) + 1]
-               AS pref
-      FROM o
-    ),
-    pe AS (SELECT doc_id, n, unnest(pref) AS tok FROM p),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-      FROM pe a JOIN pe b ON a.tok = b.tok AND a.doc_id < b.doc_id
-      WHERE a.n * 100 >= b.n * 80 AND b.n * 100 >= a.n * 80
-    )
-    SELECT doc_id_a, doc_id_b, jaccard FROM (
-      SELECT c.doc_id_a, c.doc_id_b,
-             round(len(list_intersect(da.toks, db.toks)) * 1.0
-                   / len(list_distinct(list_concat(da.toks, db.toks))), 4)
-               AS jaccard
-      FROM cand c
-      JOIN ds da ON da.doc_id = c.doc_id_a
-      JOIN ds db ON db.doc_id = c.doc_id_b
-    ) WHERE jaccard >= 0.8
-    """,
-    "EXACT unblocked all-pairs shingle-Jaccard similarity join via "
-    "prefix filtering (SSJoin/AllPairs/PPJoin): rarest-shingle "
-    "prefixes make candidate generation an equi-join with PROVABLY "
-    "perfect recall — the deterministic counterpart to the "
-    "probabilistic LSH path, no blocking key, no O(n^2)",
-)
-def neardup_prefix_filter_exact(spark, sf_dir):
-    """Every document pair with 3-shingle Jaccard >= 0.8, EXACTLY —
-    `operators/dedup.py::prefix_filter_neardups`. Candidates come from
-    an equi-join of document-frequency-ordered shingle PREFIXES
-    (|x| - ceil(0.8|x|) + 1 rarest shingles) under the size filter
-    0.8|x| <= |y| <= |x|/0.8; the prefix-filter lemma makes recall 1,
-    the exact verify makes precision 1. Completes the near-dup family:
-    blocked-exact needs a key, LSH-verified has probabilistic recall,
-    this is unblocked and complete — it measures the SAME shingle
-    Jaccard as `neardup_lsh_verified`, whose output must therefore be
-    a subset of this one's (pinned in pytest: any gap IS the LSH
-    recall loss, now measurable instead of estimated).
-
-    Scale: the candidate join keys on RARE shingles only (common-
-    phrase posting lists never join), so fan-out is bounded by
-    rare-shingle document frequencies, not corpus size; everything is
-    codegen joins/aggregates — one frequency pass, one ordered
-    regroup, the prefix equi-join, the candidate-only verify."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .select("doc_id", "text")
-        .distinct()
-    )
-    return dd.prefix_filter_neardups(
-        d, "doc_id", "text", threshold_pct=80, shingle_n=3
-    ).orderBy("doc_id_a", "doc_id_b")
-
-
-@register(
-    "knn_cosine_bruteforce",
-    """
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
-               FROM embeddings WHERE vec_id < 8),
-    pairs AS (
-      SELECT q.query_id, e.vec_id AS neighbor_id,
-             list_cosine_similarity(
-                 list_transform(q.qe, x -> CAST(x AS DOUBLE)),
-                 list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS s
-      FROM q, embeddings e WHERE e.vec_id <> q.query_id),
-    ranked AS (
-      SELECT query_id, neighbor_id,
-             CAST(row_number() OVER (
-                 PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS INTEGER)
-                 AS knn_rank
-      FROM pairs)
-    SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5
-    """,
-    "north-star ANN baseline: brute-force cosine top-k",
-)
-def knn_cosine_bruteforce(spark, sf_dir):
-    em = _t(spark, sf_dir, "embeddings")
-    queries = em.filter(F.col("vec_id") < 8)
-    return sim.knn_bruteforce(em, queries, "vec_id", "embedding", k=5)
-
-
-@register(
-    "knn_filtered",
-    """
-    WITH q AS (SELECT vec_id AS query_id, label, embedding AS qe
-               FROM embeddings WHERE vec_id < 8),
-    pairs AS (
-      SELECT q.query_id, q.label, e.vec_id AS neighbor_id,
-             list_cosine_similarity(
-                 list_transform(q.qe, x -> CAST(x AS DOUBLE)),
-                 list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS s
-      FROM q JOIN embeddings e ON e.label = q.label
-      WHERE e.vec_id <> q.query_id),
-    ranked AS (
-      SELECT query_id, label, neighbor_id,
-             CAST(row_number() OVER (
-                 PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS INTEGER)
-                 AS knn_rank
-      FROM pairs)
-    SELECT query_id, label, neighbor_id, knn_rank
-    FROM ranked WHERE knn_rank <= 5
-    """,
-    "north-star filtered vector search: cosine top-k constrained to the query's label partition (equi-join pair generation)",
-)
-def knn_filtered(spark, sf_dir):
-    """Tenant/shard-constrained ANN: neighbors must share the query's
-    label. The predicate rides pair generation as a broadcast equi-join
-    on the filter key (post-filtering an unconstrained top-k would
-    under-fill k), so candidates shrink from |corpus| to the label
-    partition."""
-    em = _t(spark, sf_dir, "embeddings")
-    queries = em.filter(F.col("vec_id") < 8)
-    return sim.knn_bruteforce_filtered(
-        em, queries, "vec_id", "embedding", "label", k=5
-    )
-
-
-@register(
-    "embedding_neardup_cosine",
-    """
-    WITH t AS (
-      SELECT vec_id, label,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings)
-    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-           round(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
-    FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.3
-    """,
-    "north-star embedding-cosine near-dup (label-blocked)",
-)
-def embedding_neardup_cosine(spark, sf_dir):
-    """Exact label-blocked cosine near-dup — the O(block²) baseline.
-
-    Bench classification (r7, VERDICT r6 #1): this row is an EVIDENCE
-    LEG, not a headline row. It is the deliberately-quadratic exact
-    formulation whose production path is
-    ``embedding_neardup_lsh_verified`` (hyperplane-LSH band join →
-    exact verify, collision-bounded — green in the same gate window);
-    at 100 TB you run the LSH row, and this one exists so the recorded
-    gap between the two is auditable evidence. bench.py therefore
-    times it (min-of-3, still in the frozen stable-subset composition
-    for round-over-round comparability) but reports it under
-    ``evidence_legs``, outside the headline ``value`` and outside
-    bench_compare's regression guard — a known-quadratic row drifting
-    with host noise should not fail the guard meant for production
-    plans. Correctness is unaffected: the row stays fully oracled.
-    """
-    em = _t(spark, sf_dir, "embeddings")
-    return sim.cosine_neardup_pairs(
-        em, "vec_id", "embedding", "label", threshold=0.3
-    )
-
-
-def _hyperplane_band_sql(n_planes: int, bands: int, dim: int):
-    """DuckDB replica of `similarity.lsh_band_signatures`: per-band sign
-    signatures against the SAME splitmix-derived hyperplanes Spark uses
-    (`similarity.random_hyperplanes` is engine-independent integer math,
-    so both sides evaluate identical plane literals). Dots run in double
-    on both sides; a sign flip would need |dot| within ~1e-13 of zero —
-    measure-zero for continuous embeddings, and verified exact at both
-    sf0.001 and sf0.01. Returns (band_cols, band_union) SQL fragments
-    over a CTE exposing (vec_id, v double[])."""
-    planes = sim.random_hyperplanes(dim, n_planes)
-    per_band = n_planes // bands
-
-    def band_val(b: int) -> str:
-        terms = " + ".join(
-            "(CASE WHEN list_dot_product(v, [%s]) >= 0 THEN CAST(%d AS BIGINT)"
-            " ELSE CAST(0 AS BIGINT) END)"
-            % (", ".join(repr(x) for x in planes[b * per_band + r]), 1 << r)
-            for r in range(per_band)
-        )
-        return f"({terms})"
-
-    band_cols = ",\n      ".join(f"{band_val(b)} AS _b{b}" for b in range(bands))
-    band_union = "\n      UNION ALL ".join(
-        f"SELECT vec_id, v, {b} AS band_idx, _b{b} AS band_val FROM sig"
-        for b in range(bands)
-    )
-    return band_cols, band_union
-
-
-def _embedding_neardup_lsh_oracle(
-    n_planes: int, bands: int, dim: int, threshold: float, plant_below: int
-) -> str:
-    """Full-pipeline replay of `embedding_neardup_lsh_verified`: planted
-    perturbed copies, hyperplane band signatures, band-collision
-    candidate join, exact-cosine verify. DuckDB list lambdas index from
-    1, so the planted perturbation uses ((i-1) % 3) - 1 to mirror
-    Spark's 0-based `transform` index; the perturbed sum is cast back
-    through FLOAT to match the Spark side's array<float> storage."""
-    band_cols, band_union = _hyperplane_band_sql(n_planes, bands, dim)
-    return f"""
-    WITH base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-      UNION ALL
-      SELECT vec_id + 100000,
-             list_transform(embedding,
-                 (x, i) -> CAST(CAST(CAST(x AS DOUBLE)
-                     + 0.01 * (((i-1) % 3) - 1) AS FLOAT) AS DOUBLE))
-      FROM embeddings WHERE vec_id < {plant_below}),
-    sig AS (SELECT vec_id, v,
-      {band_cols}
-    FROM base),
-    bnd AS ({band_union}),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-             a.v AS va, b.v AS vb
-      FROM bnd a JOIN bnd b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       AND a.vec_id < b.vec_id)
-    SELECT vec_id_a, vec_id_b,
-           round(list_cosine_similarity(va, vb), 4) AS cosine_sim
-    FROM cand WHERE list_cosine_similarity(va, vb) >= {threshold}
-    """
-
-
-def _knn_lsh_oracle(n_planes: int, bands: int, dim: int, k: int, q_below: int) -> str:
-    """Full-pipeline replay of `knn_lsh_bucketed`: band signatures for
-    corpus and queries, band-collision candidates, exact-cosine
-    row_number rank (ties broken on neighbor_id, as in Spark)."""
-    band_cols, band_union = _hyperplane_band_sql(n_planes, bands, dim)
-    return f"""
-    WITH base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
-    sig AS (SELECT vec_id, v,
-      {band_cols}
-    FROM base),
-    bnd AS ({band_union}),
-    cand AS (
-      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             q.v AS qv, c.v AS cv
-      FROM bnd c JOIN bnd q
-        ON c.band_idx = q.band_idx AND c.band_val = q.band_val
-      WHERE q.vec_id < {q_below} AND c.vec_id <> q.vec_id),
-    ranked AS (
-      SELECT query_id, neighbor_id,
-             CAST(row_number() OVER (
-                 PARTITION BY query_id
-                 ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id)
-                 AS INTEGER) AS knn_rank
-      FROM cand)
-    SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= {k}
-    """
-
-
-@register(
-    "embedding_neardup_lsh_verified",
-    _embedding_neardup_lsh_oracle(
-        n_planes=64, bands=8, dim=64, threshold=0.9, plant_below=50
-    ),
-    "north-star embedding near-dup scale path: hyperplane-LSH candidates -> exact cosine verify (full-pipeline oracle)",
-)
-def embedding_neardup_lsh_verified(spark, sf_dir):
-    """The 100 TB composition for embedding near-dups: banded
-    hyperplane-LSH equi-join generates candidates (never a blocked
-    O(block²) self-join), exact cosine verifies at the real near-dup
-    threshold (0.9, 8-bit × 8 bands). The raw corpus contains no pairs
-    that similar (max pairwise cosine ≈ 0.5), so the gate mines a
-    corpus augmented with deterministically perturbed copies of the
-    first 50 vectors — the planted near-dups the operator must find,
-    making the result set non-trivial and exactly predictable. The
-    hyperplanes come from engine-independent splitmix integer math
-    (`similarity.random_hyperplanes`), so the DuckDB oracle replays the
-    ENTIRE pipeline — planting, banding, candidate join, cosine verify
-    — with the same plane literals; recall + precision vs the exact
-    all-pairs truth are additionally pinned in tests/test_llm_ops.py."""
-    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = em.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x + 0.01 * ((i % 3) - 1).cast("double"),
-        ).cast("array<float>").alias("embedding"),
-    )
-    return sim.cosine_neardup_lsh_verified(
-        em.unionByName(planted), "vec_id", "embedding", threshold=0.9
-    )
-
-
-def _embedding_cluster_oracle(
-    n_planes: int, bands: int, dim: int, threshold: float, plant_below: int
-) -> str:
-    """Full-pipeline oracle for `embedding_cluster_dedup`: the planted
-    hyperplane-LSH + exact-cosine pair CTEs, then connected components
-    as a recursive CTE and the corpus-wide (vec_id, cluster_id, keep)
-    assignment — the embedding-side mirror of
-    `_neardup_cluster_oracle`."""
-    band_cols, band_union = _hyperplane_band_sql(n_planes, bands, dim)
-    return f"""
-    WITH RECURSIVE base AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
-      UNION ALL
-      SELECT vec_id + 100000,
-             list_transform(embedding,
-                 (x, i) -> CAST(CAST(CAST(x AS DOUBLE)
-                     + 0.01 * (((i-1) % 3) - 1) AS FLOAT) AS DOUBLE))
-      FROM embeddings WHERE vec_id < {plant_below}),
-    sig AS (SELECT vec_id, v,
-      {band_cols}
-    FROM base),
-    bnd AS ({band_union}),
-    cand AS (
-      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-             a.v AS va, b.v AS vb
-      FROM bnd a JOIN bnd b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       AND a.vec_id < b.vec_id),
-    ver AS (
-      SELECT vec_id_a, vec_id_b FROM cand
-      WHERE list_cosine_similarity(va, vb) >= {threshold}),
-    edges AS (SELECT vec_id_a AS u, vec_id_b AS v FROM ver
-              UNION SELECT vec_id_b, vec_id_a FROM ver),
-    cc(node, root) AS (
-      SELECT u, u FROM edges
-      UNION
-      SELECT e.v, cc.root FROM cc JOIN edges e ON e.u = cc.node),
-    comp AS (SELECT node, min(root) AS cluster_id FROM cc GROUP BY node)
-    SELECT b.vec_id,
-           coalesce(comp.cluster_id, b.vec_id) AS cluster_id,
-           coalesce(comp.cluster_id, b.vec_id) = b.vec_id AS keep
-    FROM base b LEFT JOIN comp ON comp.node = b.vec_id
-    """
-
-
-@register(
-    "embedding_cluster_dedup",
-    _embedding_cluster_oracle(
-        n_planes=64, bands=8, dim=64, threshold=0.9, plant_below=50
-    ),
-    "north-star embedding-side cluster dedup: hyperplane-LSH pairs -> connected components -> canonical survivor",
-)
-def embedding_cluster_dedup(spark, sf_dir):
-    """Semantic (embedding-space) duplicate clusters resolved to one
-    survivor each — the vector-side mirror of `neardup_cluster_dedup`:
-    `cosine_neardup_lsh_verified` pairs over the planted corpus (same
-    augmentation as `embedding_neardup_lsh_verified`, so the cluster
-    structure is non-trivial and exactly predictable), min-label
-    connected components, corpus-wide (vec_id, cluster_id, keep)
-    assignment. Same scale posture as the text-side layer: component
-    resolution touches only edge-incident vectors; the assignment is
-    one broadcastable left join."""
-    from purpleair_data_logger_spark.operators import clusters as cl
-
-    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    planted = em.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x + 0.01 * ((i % 3) - 1).cast("double"),
-        ).cast("array<float>").alias("embedding"),
-    )
-    aug = em.unionByName(planted)
-    pairs = sim.cosine_neardup_lsh_verified(
-        aug, "vec_id", "embedding", threshold=0.9
-    )
-    return cl.cluster_dedup(
-        aug, "vec_id", pairs, src_col="vec_id_a", dst_col="vec_id_b"
-    )
-
-
-@register(
-    "embedding_norms",
-    """
-    SELECT vec_id,
-           round(sqrt(list_aggregate(
-               list_transform(embedding,
-                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
-               AS l2_norm
-    FROM embeddings
-    """,
-    "north-star embedding profiling (JVM-side array math)",
-)
-def embedding_norms(spark, sf_dir):
-    em = _t(spark, sf_dir, "embeddings")
-    return em.select(
-        "vec_id",
-        F.round(sim.l2_norm(sim.as_double_array("embedding")), 4).alias("l2_norm"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# E. LSH pipelines — run in the portable md5 hash family so the FULL
-#    pipeline (shingle → minhash → bands → candidate join) is replayed
-#    by DuckDB oracle SQL, generated below. Production keeps the
-#    xxhash64 default in operators.dedup; pytest covers that config
-#    with recall assertions instead.
-# ---------------------------------------------------------------------------
-
-
-def _hex60_sql(expr: str) -> str:
-    """DuckDB replica of `operators.dedup.md5_long` applied to a 32-char
-    md5 hex expression: nibble-parse the first 15 hex digits to int64."""
-    return (
-        "CAST(list_sum(list_transform(range(1,16), j -> "
-        f"CAST(strpos('0123456789abcdef', substr({expr}, j, 1))-1 AS BIGINT)"
-        " * (CAST(1 AS BIGINT) << (4*(15-j))))) AS BIGINT)"
-    )
-
-
-def _minhash_lsh_cte(
-    num_hashes: int,
-    bands: int,
-    shingle_n: int,
-    *,
-    pair_cond: str = "a.doc_id < b.doc_id",
-    a_alias: str = "doc_id_a",
-    b_alias: str = "doc_id_b",
-) -> str:
-    """Shared CTE chain replaying the portable-md5 MinHash+LSH pipeline
-    up to the distinct candidate-pair set (`cand`); `sh` exposes the
-    per-doc distinct shingle sets for verify-stage reuse. ``pair_cond``
-    selects which banded pairs become candidates (within-corpus a<b by
-    default; a cross-split predicate for the incremental variant —
-    band signatures don't depend on the split, so banding ALL docs and
-    filtering at the join mirrors banding each side separately)."""
-    rpb = num_hashes // bands
-    p = dd.MERSENNE_P31
-    mh_cols = ",\n           ".join(
-        f"min((_h * {a} + {b}) % {p}) AS _mh{i}"
-        for i, (a, b) in enumerate(dd.affine_seeds(num_hashes))
-    )
-    band_selects = "\n      UNION ALL ".join(
-        "SELECT doc_id, %d AS band_idx, md5(concat_ws(',', %s)) AS band_hash FROM mh"
-        % (b, ", ".join(f"_mh{b * rpb + r}" for r in range(rpb)))
-        for b in range(bands)
-    )
-    return f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-    sh AS (SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(t)-{shingle_n - 1}, 1)+1),
-               i -> array_to_string(t[i:i+{shingle_n - 1}], ' '))) AS shing
-           FROM toks),
-    ex AS (SELECT doc_id, unnest(shing) AS s FROM sh),
-    exh AS (SELECT doc_id, {_hex60_sql("md5(s)")} % {p} AS _h FROM ex),
-    mh AS (SELECT doc_id,
-           {mh_cols}
-           FROM exh GROUP BY doc_id),
-    bnd AS ({band_selects}),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS {a_alias}, b.doc_id AS {b_alias}
-      FROM bnd a JOIN bnd b
-        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       AND {pair_cond})
-    """
-
-
-def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
-    return (
-        _minhash_lsh_cte(num_hashes, bands, shingle_n)
-        + "SELECT doc_id_a, doc_id_b FROM cand"
-    )
-
-
-def _neardup_lsh_verified_oracle(
-    num_hashes: int, bands: int, shingle_n: int, threshold: float
-) -> str:
-    jac = (
-        "round(len(list_intersect(sa.shing, sb.shing)) * 1.0"
-        " / len(list_distinct(list_concat(sa.shing, sb.shing))), 4)"
-    )
-    return (
-        _minhash_lsh_cte(num_hashes, bands, shingle_n)
-        + f"""
-    SELECT c.doc_id_a, c.doc_id_b, {jac} AS jaccard
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_id_a
-    JOIN sh sb ON sb.doc_id = c.doc_id_b
-    WHERE {jac} >= {threshold}
-    """
-    )
-
-
-def _simhash_oracle(n_bits: int, band_bits: int, max_hamming: int) -> str:
-    n_bands = n_bits // band_bits
-    mask = (1 << band_bits) - 1
-    votes = ",\n           ".join(
-        f"sum(CASE WHEN (_h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS _v{i}"
-        for i in range(n_bits)
-    )
-    fp_expr = "\n             + ".join(
-        f"(CASE WHEN _v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
-        for i in range(n_bits)
-    )
-    band_selects = "\n      UNION ALL ".join(
-        f"SELECT doc_id, fp, {b} AS band_idx,"
-        f" (fp >> {b * band_bits}) & {mask} AS band_val FROM fp"
-        for b in range(n_bands)
-    )
-    return f"""
-    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents),
-    h AS (SELECT doc_id, {_hex60_sql("md5(s)")} AS _h FROM tok),
-    v AS (SELECT doc_id,
-           {votes}
-          FROM h GROUP BY doc_id),
-    fp AS (SELECT doc_id,
-             {fp_expr}
-             AS fp
-           FROM v),
-    bnd AS ({band_selects}),
-    pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-             a.fp AS fp_a, b.fp AS fp_b
-      FROM bnd a JOIN bnd b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       AND a.doc_id < b.doc_id)
-    SELECT doc_id_a, doc_id_b,
-           CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming_distance
-    FROM pairs
-    WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
-    """
-
-
-@register(
-    "minhash_lsh_candidates",
-    _minhash_lsh_oracle(num_hashes=64, bands=16, shingle_n=3),
-    "north-star MinHash+LSH near-dup (portable md5 banding, full-pipeline oracle)",
-)
-def minhash_lsh_candidates(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return dd.minhash_lsh_candidates(
-        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3,
-        hash_family="md5",
-    )
-
-
-@register(
-    "neardup_lsh_verified",
-    _neardup_lsh_verified_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
-    "north-star scale-safe near-dup: LSH candidates -> exact Jaccard verify (retires quadratic blocking)",
-)
-def neardup_lsh_verified(spark, sf_dir):
-    """The 100 TB near-dup composition: banded MinHash candidates, then
-    exact shingle-Jaccard on candidates only — pair generation is
-    O(band collisions), never O(block²) like a blocked self-join on a
-    low-cardinality key."""
-    d = _t(spark, sf_dir, "documents")
-    return dd.neardup_lsh_verified(
-        d, "doc_id", "text", threshold=0.8,
-        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
-    )
-
-
-def _containment_lsh_oracle(
-    num_hashes: int, bands: int, shingle_n: int, threshold: float
-) -> str:
-    cont = (
-        "round(len(list_intersect(sa.shing, sb.shing)) * 1.0"
-        " / least(len(sa.shing), len(sb.shing)), 4)"
-    )
-    return (
-        _minhash_lsh_cte(num_hashes, bands, shingle_n)
-        + f"""
-    SELECT c.doc_id_a, c.doc_id_b, {cont} AS containment
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_id_a
-    JOIN sh sb ON sb.doc_id = c.doc_id_b
-    WHERE {cont} >= {threshold}
-    """
-    )
-
-
-@register(
-    "containment_neardups",
-    _containment_lsh_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
-    "north-star asymmetric near-dup: max-containment |A∩B|/min(|A|,|B|) over LSH candidates (partial-dup signal)",
-)
-def containment_neardups(spark, sf_dir):
-    """Max-containment verification over the banded candidates — flags
-    subset/quote-style partial duplication that symmetric Jaccard
-    under-scores; the result set is a superset of neardup_lsh_verified
-    at the same threshold."""
-    d = _t(spark, sf_dir, "documents")
-    return dd.containment_lsh_verified(
-        d, "doc_id", "text", threshold=0.8,
-        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
-    )
-
-
-@register(
-    "simhash_neardups",
-    _simhash_oracle(n_bits=60, band_bits=15, max_hamming=8),
-    "north-star SimHash near-dup (portable 60-bit fingerprint banding, full-pipeline oracle)",
-)
-def simhash_neardups(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return (
-        dd.simhash_neardup_candidates(d, "doc_id", "text", hash_family="md5")
-        .filter(F.col("hamming_distance") <= 8)
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.col("hamming_distance").cast("int").alias("hamming_distance"),
-        )
-    )
-
-
-@register(
-    "knn_lsh_bucketed",
-    _knn_lsh_oracle(n_planes=36, bands=12, dim=64, k=5, q_below=8),
-    "north-star ANN scale path: banded random-hyperplane LSH join (full-pipeline oracle)",
-)
-def knn_lsh_bucketed(spark, sf_dir):
-    """OR-amplified hyperplane LSH (3 bits × 12 bands) + exact rank on
-    candidates. The splitmix hyperplanes are engine-independent, so the
-    DuckDB oracle replays the full pipeline (banding → candidate join →
-    exact-cosine rank); recall ≥ 0.8 vs the brute-force baseline is
-    additionally asserted in tests/test_llm_ops.py."""
-    em = _t(spark, sf_dir, "embeddings")
-    queries = em.filter(F.col("vec_id") < 8)
-    return sim.knn_lsh(em, queries, "vec_id", "embedding", k=5, n_planes=36, bands=12)
-
-
-@register(
-    "knn_ivf",
-    None,
-    "north-star ANN scale path #2: IVF k-means coarse quantizer + nprobe list probing (recall floor pinned in pytest)",
-)
-def knn_ivf(spark, sf_dir):
-    """Inverted-file ANN: k-means centroids (iterative training — not
-    SQL-expressible, so rows-only at the gate), cosine list assignment,
-    probe 4/16 lists per query, exact rank inside. Recall ≥ 0.8 vs the
-    brute-force baseline is asserted in tests/test_llm_ops.py.
-
-    The quantizer is an offline index-build artifact, trained once per
-    corpus and reused across queries (in a serving deployment it lives
-    next to the data, like any ANN index) — memoized here per
-    (sf_dir) so repeated catalog calls measure the query path."""
-    em = _t(spark, sf_dir, "embeddings")
-    queries = em.filter(F.col("vec_id") < 8)
-    centroids = _ivf_centroids_cached(spark, sf_dir, n_lists=16)
-    return sim.knn_ivf(
-        em, queries, "vec_id", "embedding", k=5, n_lists=16, nprobe=4,
-        centroids=centroids,
-    )
-
-
-_IVF_CENTROID_CACHE: dict[tuple[str, int], list[list[float]]] = {}
-
-
-def _ivf_centroids_cached(
-    spark, sf_dir: str, *, n_lists: int, base_mod10: bool = False
-) -> list[list[float]]:
-    """``base_mod10`` trains on the `ann_index_append` base split only
-    (every 10th vector held out) — a frozen quantizer must never have
-    seen the append batch, or the row would test nothing."""
-    key = (sf_dir, n_lists, base_mod10)
-    if key not in _IVF_CENTROID_CACHE:
-        em = _t(spark, sf_dir, "embeddings")
-        if base_mod10:
-            em = em.filter(F.col("vec_id") % 10 != 0)
-        _IVF_CENTROID_CACHE[key] = sim.train_ivf_centroids(
-            em, "embedding", n_lists=n_lists
-        )
-    return _IVF_CENTROID_CACHE[key]
-
-
-_SQ8_CALIBRATION_CACHE: dict[tuple, tuple[list[float], list[float]]] = {}
-
-
-def _sq8_calibration_cached(
-    spark, sf_dir: str, *, base_mod10: bool = False
-) -> tuple[list[float], list[float]]:
-    key = (sf_dir, base_mod10)
-    if key not in _SQ8_CALIBRATION_CACHE:
-        em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
-        if base_mod10:
-            em = em.filter(F.col("vec_id") % 10 != 0)
-        _SQ8_CALIBRATION_CACHE[key] = sim.quantization_calibration(
-            em, "embedding"
-        )
-    return _SQ8_CALIBRATION_CACHE[key]
-
-
-@register(
-    "knn_ivf_quantized",
-    None,
-    "the composed ANN endpoint: IVF list pruning + centered-int8 candidate scoring + float rescore (IVF-SQ8; recall floor pinned in pytest)",
-)
-def knn_ivf_quantized(spark, sf_dir):
-    """The ANN ladder's top rung (VERDICT r5 #3): IVF coarse pruning
-    (sublinear scan) composed with SQ8 integer candidate scoring (64
-    B/vector) and exact float rescoring of |q|·C survivors. Rows-only
-    at the gate for the same reason as `knn_ivf` — k-means training is
-    iterative — with recall ≥ 0.8 vs brute force pinned in
-    tests/test_llm_ops.py and the broadcast-equi-join/no-cross-join
-    plan shape pinned in tests/test_plans.py. Both index artifacts
-    (centroids, calibration) are offline index-build products,
-    memoized per sf_dir so repeated catalog calls measure the query
-    path (the `knn_ivf` precedent)."""
-    em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
-    queries = em.filter(F.col("vec_id") < 8)
-    return sim.knn_ivf_quantized(
-        em, queries, "vec_id", "embedding", k=5, n_lists=16, nprobe=4,
-        centroids=_ivf_centroids_cached(spark, sf_dir, n_lists=16),
-        calibration=_sq8_calibration_cached(spark, sf_dir),
-    )
-
-
-@register(
-    "ann_index_append",
-    """
-    WITH d AS (
-      SELECT DISTINCT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-      FROM embeddings
-    ),
-    base AS (SELECT vec_id, ve FROM d WHERE vec_id % 10 <> 0),
-    -- frozen coarse quantizer: Forgy seeds = the 16 smallest base ids
-    cent AS (
-      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-                 AS list_id,
-             ve AS cv
-      FROM (SELECT vec_id, ve FROM base ORDER BY vec_id LIMIT 16)
-    ),
-    -- frozen SQ8 calibration from the BASE split only
-    be AS (SELECT vec_id, i AS pos, ve[i] AS v
-           FROM base, LATERAL unnest(range(1, len(ve) + 1)) t(i)),
-    cal AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM be GROUP BY 1),
-    -- assign EVERY vector under the frozen quantizer (append under
-    -- frozen params == rebuild over base+new: the pinned equivalence)
-    assign AS (
-      SELECT vec_id, list_id FROM (
-        SELECT d.vec_id, c.list_id,
-               row_number() OVER (
-                   PARTITION BY d.vec_id
-                   ORDER BY list_cosine_similarity(d.ve, c.cv) DESC,
-                            c.list_id) AS rn
-        FROM d, cent c)
-      WHERE rn <= 3
-    ),
-    ae AS (SELECT vec_id, i AS pos, ve[i] AS v
-           FROM d, LATERAL unnest(range(1, len(ve) + 1)) t(i)),
-    codes AS (
-      SELECT ae.vec_id,
-             string_agg(
-               CAST(CASE WHEN cal.mx = cal.mn THEN 0
-                    ELSE least(greatest(
-                           CAST(round((ae.v - cal.mn) * 255.0
-                                / (cal.mx - cal.mn)) AS BIGINT), 0), 255)
-                    END AS VARCHAR), ',' ORDER BY ae.pos) AS codes_csv
-      FROM ae JOIN cal USING (pos) GROUP BY 1
-    )
-    SELECT a.vec_id AS neighbor_id,
-           CAST(a.list_id AS INTEGER) AS list_id,
-           c.codes_csv,
-           (a.vec_id % 10 = 0) AS is_appended
-    FROM assign a JOIN codes c USING (vec_id)
-    """,
-    "incremental IVF-SQ8 index maintenance: assign + SQ8-encode new "
-    "vectors under the frozen quantizer/calibration and union onto "
-    "the base index (full-pipeline oracle; search-after-append + "
-    "recall pinned in pytest)",
-)
-def ann_index_append(spark, sf_dir):
-    """A 100 TB corpus grows after the index is built (VERDICT r6 #6):
-    new vectors must enter the IVF lists WITHOUT re-encoding the
-    existing corpus. This row exercises the maintenance cycle: build
-    the posting index over the base corpus (every 10th vector held
-    out), `ann_index_append` the held-out batch under the FROZEN
-    centroids + SQ8 calibration (O(|new|) work — the
-    `neardup_incremental_batch` discipline applied to ANN), and return
-    the grown index's posting rows with codes CSV-serialized (the
-    vocab_encode convention) and the appended rows flagged.
-
-    Fully oracled since r12 (VERDICT r11 #3): the append leg is
-    deterministic arithmetic over frozen artifacts, so the quantizer
-    here is the SQL-replayable frozen form — Forgy seed centroids
-    (the 16 smallest base vec_ids) + exact base min/span calibration —
-    with assignment ranked by `nearest_lists_exact`'s ordered-fold
-    cosine (bit-identical to DuckDB ``list_cosine_similarity``, the
-    `knn_cosine_bruteforce` precedent). The oracle replays the grown
-    index as one pass over base ∪ new under the same frozen artifacts,
-    which is exactly the append≡rebuild equivalence pinned in
-    tests/test_llm_ops.py. The TRAINED-quantizer variant (iterative
-    k-means) remains rows-only by nature and keeps its pytest pins:
-    recall-after-append ≥ 0.8 vs brute force on the grown corpus, and
-    `calibration_drift` as the paired re-encode trigger."""
-    em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
-    base = em.filter(F.col("vec_id") % 10 != 0)
-    new = em.filter(F.col("vec_id") % 10 == 0)
-    seeds = (
-        base.select("vec_id", sim.as_double_array("embedding").alias("_v"))
-        .orderBy("vec_id")
-        .limit(16)
-        .collect()
-    )  # driver-sized by construction: 16 rows (the centroid-literal seam)
-    centroids = [list(r["_v"]) for r in seeds]
-    calibration = sim.quantization_calibration(base, "embedding")
-    index = sim.build_ivf_sq8_index(
-        base, "vec_id", "embedding",
-        centroids=centroids, calibration=calibration, exact_assign=True,
-    )
-    grown = sim.ann_index_append(
-        index, new, "vec_id", "embedding",
-        centroids=centroids, calibration=calibration, exact_assign=True,
-    )
-    return grown.select(
-        "neighbor_id",
-        F.col("list_id").cast("int").alias("list_id"),
-        F.concat_ws(
-            ",", F.transform("_cc", lambda c: c.cast("string"))
-        ).alias("codes_csv"),
-        (F.col("neighbor_id") % 10 == 0).alias("is_appended"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# F. Curation privacy / decontamination / sampling — the remaining
-#    standard passes of a pre-training data pipeline, each fully
-#    SQL-replayable (portable regexes, portable md5 hash family).
-# ---------------------------------------------------------------------------
-
-_PII_PLANT_SQL = """
-      SELECT doc_id, text
-          || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
-                 || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-          || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
-                 || lpad(CAST(doc_id*7 % 1000 AS VARCHAR), 3, '0') || '-'
-                 || lpad(CAST(doc_id*13 % 10000 AS VARCHAR), 4, '0') ELSE '' END
-          || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
-                 || CAST(doc_id % 250 AS VARCHAR) || '.0.'
-                 || CAST(doc_id % 200 AS VARCHAR) ELSE '' END AS text
-      FROM documents
-"""
-
-
-@register(
-    "pii_scrub",
-    f"""
-    WITH planted AS ({_PII_PLANT_SQL})
-    SELECT doc_id,
-           md5(regexp_replace(regexp_replace(regexp_replace(text,
-               '{pii.EMAIL_RE}', '{pii.EMAIL_TOKEN}', 'g'),
-               '{pii.PHONE_RE}', '{pii.PHONE_TOKEN}', 'g'),
-               '{pii.IPV4_RE}', '{pii.IPV4_TOKEN}', 'g')) AS clean_md5,
-           CAST(len(regexp_extract_all(text, '{pii.EMAIL_RE}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '{pii.PHONE_RE}')) AS BIGINT) AS n_phones,
-           CAST(len(regexp_extract_all(text, '{pii.IPV4_RE}')) AS BIGINT) AS n_ipv4
-    FROM planted
-    """,
-    "north-star PII scrub: email/phone/IPv4 redaction + counts (portable regex, full-text md5 oracle)",
-)
-def pii_scrub(spark, sf_dir):
-    """PII redaction gate. The corpus is synthetic word-soup with no
-    organic PII, so the gate plants deterministic doc_id-derived
-    emails/phones/IPv4 (same pattern as the planted embedding
-    near-dups) and verifies BOTH the counts and the md5 of the entire
-    scrubbed text against DuckDB — a single-character divergence in any
-    redaction anywhere fails the hash."""
-    d = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    planted = d.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.when(
-                did % 3 == 0,
-                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
-            ).otherwise(F.lit("")),
-            F.when(
-                did % 4 == 0,
-                F.concat(
-                    F.lit(" call 555-"),
-                    F.lpad((did * 7 % 1000).cast("string"), 3, "0"),
-                    F.lit("-"),
-                    F.lpad((did * 13 % 10000).cast("string"), 4, "0"),
-                ),
-            ).otherwise(F.lit("")),
-            F.when(
-                did % 5 == 0,
-                F.concat(
-                    F.lit(" from 10."),
-                    (did % 250).cast("string"),
-                    F.lit(".0."),
-                    (did % 200).cast("string"),
-                ),
-            ).otherwise(F.lit("")),
-        ).alias("text"),
-    )
-    return pii.scrub_pii(planted, "doc_id", "text").select(
-        "doc_id",
-        F.md5("clean_text").alias("clean_md5"),
-        "n_emails",
-        "n_phones",
-        "n_ipv4",
-    )
-
-
-@register(
-    "benchmark_contamination",
-    """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-            range(1, greatest(len(w)-3, 1)+1),
-            i -> array_to_string(w[i:i+3], ' ')))) AS ng
-          FROM t),
-    b AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0)
-    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
-    FROM g JOIN b USING (ng) WHERE g.doc_id % 50 <> 0 GROUP BY 1
-    """,
-    "north-star decontamination: benchmark n-gram overlap flagging (broadcast bench-gram join)",
-)
-def benchmark_contamination(spark, sf_dir):
-    """Decontamination gate: docs with doc_id % 50 == 0 play the
-    held-out benchmark; every other document is checked for 4-gram
-    overlap with them (4, not the production 8-13, because the
-    synthetic corpus draws from a ~40-word vocabulary — at n=8 nothing
-    overlaps)."""
-    d = _t(spark, sf_dir, "documents")
-    bench = d.filter(F.col("doc_id") % 50 == 0)
-    corpus = d.filter(F.col("doc_id") % 50 != 0)
-    return tx.ngram_contamination(corpus, bench, "doc_id", "text", n=4)
-
-
-@register(
-    "hash_sample_stratified",
-    f"""
-    WITH s AS (SELECT doc_id, lang,
-                 {_hex60_sql("md5(CAST(doc_id AS VARCHAR))")} % 10000
-                     AS sample_bucket
-               FROM documents)
-    SELECT doc_id, lang, CAST(sample_bucket AS BIGINT) AS sample_bucket
-    FROM s
-    WHERE sample_bucket < CASE lang WHEN 'en' THEN 2000 WHEN 'de' THEN 5000
-                                    WHEN 'zh' THEN 10000 ELSE 500 END
-    """,
-    "north-star deterministic stratified sampling (portable md5 buckets, corpus-mixing rates)",
-)
-def hash_sample_stratified(spark, sf_dir):
-    """Reproducible corpus mixing: per-language keep rates (zh 100%,
-    de 50%, en 20%, rest 5%) decided by the portable md5 bucket of the
-    doc id — the same row samples identically on any engine, any
-    partitioning, any rerun, unlike seed-based `df.sample`."""
-    d = _t(spark, sf_dir, "documents")
-    sampled = smp.stratified_sample(
-        d, "doc_id", "lang",
-        {"en": 2000, "de": 5000, "zh": 10000},
-        default_bp=500,
-    )
-    return sampled.select(
-        "doc_id", "lang", smp.sample_bucket("doc_id").alias("sample_bucket")
-    )
-
-
-@register(
-    "paragraph_dedup_boilerplate",
-    """
-    WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    pl AS (SELECT doc_id,
-             -- coalesce: a slice starting past the end is NULL in
-             -- DuckDB but an empty array (-> '') in Spark
-             coalesce(array_to_string(w[1:15], ' '), '') || chr(10)
-             || coalesce(array_to_string(w[16:30], ' '), '') || chr(10)
-             || coalesce(array_to_string(w[31:len(w)], ' '), '')
-             || CASE WHEN doc_id % 2 = 0
-                     THEN chr(10) || 'subscribe to our newsletter for updates'
-                     ELSE '' END AS text2
-           FROM s),
-    pp AS (SELECT doc_id,
-             unnest(string_split(text2, chr(10))) AS para,
-             unnest(range(len(string_split(text2, chr(10))))) AS pos
-           FROM pl),
-    k AS (SELECT doc_id, pos, para, doc_id*100000 + pos AS key,
-             min(doc_id*100000 + pos) OVER (PARTITION BY md5(para)) AS mink
-          FROM pp)
-    SELECT doc_id,
-           md5(coalesce(string_agg(para, chr(10) ORDER BY pos)
-               FILTER (WHERE key = mink), '')) AS clean_md5,
-           CAST(count(*) FILTER (WHERE key = mink) AS BIGINT)
-               AS n_kept_paragraphs,
-           CAST(count(*) FILTER (WHERE key <> mink) AS BIGINT)
-               AS n_dropped_paragraphs
-    FROM k GROUP BY doc_id
-    """,
-    "north-star paragraph-level dedup / boilerplate removal (global first-occurrence + reassembly)",
-)
-def paragraph_dedup_boilerplate(spark, sf_dir):
-    """Paragraph-dedup gate. The word-soup corpus has no paragraph
-    structure, so the gate derives one (three token-chunks per doc) and
-    plants a boilerplate footer on every even doc_id — the classic
-    repeated-across-the-corpus paragraph the pass must keep exactly
-    once globally. Hash-checks the md5 of every reassembled document
-    plus per-doc kept/dropped counts against DuckDB."""
-    d = _t(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    toks = F.split(F.col("text"), " ")
-    text2 = F.concat(
-        F.concat_ws(
-            "\n",
-            F.concat_ws(" ", F.slice(toks, 1, 15)),
-            F.concat_ws(" ", F.slice(toks, 16, 15)),
-            F.concat_ws(" ", F.slice(toks, 31, 1_000_000)),
-        ),
-        F.when(
-            did % 2 == 0,
-            F.lit("\nsubscribe to our newsletter for updates"),
-        ).otherwise(F.lit("")),
-    )
-    planted = d.select("doc_id", text2.alias("text"))
-    return dd.paragraph_dedup(planted, "doc_id", "text", sep="\n")
-
-
-@register(
-    "train_val_test_split",
-    f"""
-    WITH s AS (SELECT doc_id, lang,
-                 {_hex60_sql("md5(CAST(doc_id AS VARCHAR))")} % 10000 AS b
-               FROM documents)
-    SELECT doc_id, lang,
-           CASE WHEN b < 9000 THEN 'train'
-                WHEN b < 9500 THEN 'val'
-                ELSE 'test' END AS split
-    FROM s
-    """,
-    "north-star deterministic train/val/test assignment (hash buckets; no cross-rebuild leakage)",
-)
-def train_val_test_split(spark, sf_dir):
-    """90/5/5 split keyed on the portable md5 bucket of doc_id — a
-    document can never migrate between splits across corpus rebuilds,
-    partitionings, or engines, which is the anti-leakage property
-    seed-based sampling lacks."""
-    d = _t(spark, sf_dir, "documents")
-    return smp.assign_split(
-        d, "doc_id", [("train", 9000), ("val", 500), ("test", 500)]
-    ).select("doc_id", "lang", "split")
-
-
-_TB_BUDGETS = {"en": 6000, "de": 2000, "es": 2000, "fr": 2000}  # zh excluded
-
-
-@register(
-    "token_budget_mixture",
-    f"""
-    WITH d AS (
-      SELECT doc_id, lang,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             {_hex60_sql("md5(CAST(doc_id AS VARCHAR))")} % 64 AS budget_bucket
-      FROM documents WHERE lang IN ('de', 'en', 'es', 'fr')
-    ),
-    pb AS (
-      SELECT lang, budget_bucket, sum(n_tokens) AS bk
-      FROM d GROUP BY lang, budget_bucket
-    ),
-    c AS (
-      SELECT lang, budget_bucket,
-             CAST(sum(bk) OVER (PARTITION BY lang ORDER BY budget_bucket
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-                 AS bucket_cum_tokens
-      FROM pb
-    ),
-    k AS (
-      SELECT * FROM c
-      WHERE bucket_cum_tokens <= CASE lang
-          WHEN 'en' THEN 6000 WHEN 'de' THEN 2000
-          WHEN 'es' THEN 2000 WHEN 'fr' THEN 2000 END
-    )
-    SELECT d.doc_id, d.lang, d.budget_bucket, d.n_tokens, k.bucket_cum_tokens
-    FROM d JOIN k ON d.lang = k.lang AND d.budget_bucket = k.budget_bucket
-    """,
-    "north-star token-budget mixture: per-language corpus selection by token budget (whole-hash-bucket prefix, never over budget)",
-)
-def token_budget_mixture(spark, sf_dir):
-    """Mixture building in the unit mixtures are specified in — tokens
-    per stratum, not doc rates: each language keeps the prefix of hash
-    buckets whose cumulative token count stays within its budget
-    (en 6000 / de 2000 / es 2000 / fr 2000; zh deliberately unbudgeted
-    → excluded). The cumulative window runs over the strata×64 bucket
-    aggregate, never the corpus."""
-    d = _t(spark, sf_dir, "documents").withColumn(
-        "n_tokens", tx.whitespace_token_count("text")
-    )
-    return smp.token_budget_sample(
-        d, "doc_id", "n_tokens", "lang", _TB_BUDGETS, n_buckets=64
-    )
-
-
-@register(
-    "quality_percentile_gate",
-    """
-    WITH r AS (SELECT lang, doc_id, n_chars,
-                 percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
-               FROM documents
-               WHERE lang IS NOT NULL AND n_chars IS NOT NULL)
-    SELECT lang, doc_id, n_chars, pr FROM r WHERE pr >= 0.75
-    """,
-    "north-star percentile quality gate: top quartile per language by exact percent_rank",
-)
-def quality_percentile_gate(spark, sf_dir):
-    """Keep the top quartile of documents per language by length —
-    percentile gating via exact percent_rank, which is an
-    engine-portable rational, instead of an interpolated quantile
-    cutoff (whose lerp is not)."""
-    d = _t(spark, sf_dir, "documents")
-    return agg.percent_rank_filter(d, "lang", "n_chars", "doc_id", min_pr=0.75)
-
-
-def _neardup_between_oracle(
-    num_hashes: int, bands: int, shingle_n: int, threshold: float
-) -> str:
-    jac = (
-        "round(len(list_intersect(sa.shing, sb.shing)) * 1.0"
-        " / len(list_distinct(list_concat(sa.shing, sb.shing))), 4)"
-    )
-    cte = _minhash_lsh_cte(
-        num_hashes,
-        bands,
-        shingle_n,
-        pair_cond="a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0",
-        a_alias="new_doc_id",
-        b_alias="base_doc_id",
-    )
-    return (
-        cte
-        + f"""
-    SELECT c.new_doc_id, c.base_doc_id, {jac} AS jaccard
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.new_doc_id
-    JOIN sh sb ON sb.doc_id = c.base_doc_id
-    WHERE {jac} >= {threshold}
-    """
-    )
-
-
-@register(
-    "neardup_incremental_batch",
-    _neardup_between_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
-    "north-star incremental corpus dedup: new batch vs existing corpus, LSH band join + exact verify",
-)
-def neardup_incremental_batch(spark, sf_dir):
-    """Incremental-ingest dedup gate: documents with doc_id % 10 == 0
-    play the incoming batch, the rest the existing corpus; near-dups
-    of the batch against the corpus are mined by a cross-side band
-    equi-join (no new x new, no base x base pair generation) and
-    verified with exact shingle-Jaccard >= 0.8."""
-    d = _t(spark, sf_dir, "documents")
-    new = d.filter(F.col("doc_id") % 10 == 0)
-    base = d.filter(F.col("doc_id") % 10 != 0)
-    return dd.neardup_lsh_between(
-        new, base, "doc_id", "text",
-        threshold=0.8, num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
-    )
-
-
-@register(
-    "neardup_prefix_incremental",
-    """
-    WITH d AS (
-      SELECT DISTINCT doc_id, text FROM documents
-      WHERE doc_id IS NOT NULL AND text IS NOT NULL
-    ),
-    dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
-    ds AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(w) - 2, 1) + 1),
-               i -> array_to_string(w[i:i+2], ' '))) AS toks
-      FROM dt
-    ),
-    news  AS (SELECT * FROM ds WHERE doc_id % 10 = 0),
-    bases AS (SELECT * FROM ds WHERE doc_id % 10 <> 0),
-    dft AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS dfc
-      FROM (SELECT doc_id, unnest(toks) AS tok FROM bases) GROUP BY 1
-    ),
-    onew AS (
-      SELECT t.doc_id, list(t.tok ORDER BY coalesce(f.dfc, 0), t.tok)
-               AS otoks
-      FROM (SELECT doc_id, unnest(toks) AS tok FROM news) t
-      LEFT JOIN dft f ON f.tok = t.tok GROUP BY 1
-    ),
-    obase AS (
-      SELECT t.doc_id, list(t.tok ORDER BY coalesce(f.dfc, 0), t.tok)
-               AS otoks
-      FROM (SELECT doc_id, unnest(toks) AS tok FROM bases) t
-      LEFT JOIN dft f ON f.tok = t.tok GROUP BY 1
-    ),
-    pe_new AS (
-      SELECT doc_id, len(otoks) AS n,
-             unnest(otoks[1 : len(otoks) - ((80*len(otoks)+99)//100) + 1])
-               AS tok
-      FROM onew
-    ),
-    pe_base AS (
-      SELECT doc_id, len(otoks) AS n,
-             unnest(otoks[1 : len(otoks) - ((80*len(otoks)+99)//100) + 1])
-               AS tok
-      FROM obase
-    ),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS nid, y.doc_id AS bid
-      FROM pe_new x JOIN pe_base y ON x.tok = y.tok
-      WHERE x.n * 100 >= y.n * 80 AND y.n * 100 >= x.n * 80
-    )
-    SELECT new_doc_id, base_doc_id, jaccard FROM (
-      SELECT c.nid AS new_doc_id, c.bid AS base_doc_id,
-             round(len(list_intersect(a.toks, b.toks)) * 1.0
-                   / len(list_distinct(list_concat(a.toks, b.toks))), 4)
-               AS jaccard
-      FROM cand c
-      JOIN news a  ON a.doc_id = c.nid
-      JOIN bases b ON b.doc_id = c.bid
-    ) WHERE jaccard >= 0.8
-    ORDER BY new_doc_id, base_doc_id
-    """,
-    "EXACT incremental similarity join via prefix filtering: new "
-    "batch vs existing corpus under the base's FROZEN df order (the "
-    "persistable PrefixIndex pattern), ONE prefix-join-prefix "
-    "candidate join, no new x new / base x base pairs, recall "
-    "provably 1 — the deterministic counterpart of the LSH "
-    "incremental path",
-)
-def neardup_prefix_incremental(spark, sf_dir):
-    """The exact version of the ingest-time dedup gate: every (new,
-    base) pair with 3-shingle Jaccard >= 0.8, where docs with
-    doc_id % 10 == 0 play the incoming batch (the
-    `neardup_incremental_batch` split, so the two paths' outputs are
-    directly comparable — the LSH path's pairs must be a SUBSET,
-    pinned in pytest). `dedup.py::prefix_filter_between`: prefixes
-    ordered by the BASE corpus's document frequency — one frozen
-    order keeps the base's PrefixIndex a persistable artifact, and
-    any fixed order satisfies the prefix-filter lemma, so candidates
-    are ONE prefix-join-prefix equi-join under the size filter (the
-    first common element in the global order lies in BOTH prefixes);
-    exact verify on candidates only."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .select("doc_id", "text")
-        .distinct()
-    )
-    new = d.filter(F.col("doc_id") % 10 == 0)
-    base = d.filter(F.col("doc_id") % 10 != 0)
-    return dd.prefix_filter_between(
-        new, base, "doc_id", "text", threshold_pct=80, shingle_n=3
-    ).orderBy("new_doc_id", "base_doc_id")
-
-
-@register(
-    "neardup_prefix_index_append",
-    """
-    WITH d AS (
-      SELECT DISTINCT doc_id, text FROM documents
-      WHERE doc_id IS NOT NULL AND text IS NOT NULL
-    ),
-    dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
-    ds AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(w) - 2, 1) + 1),
-               i -> array_to_string(w[i:i+2], ' '))) AS toks
-      FROM dt
-    ),
-    news  AS (SELECT * FROM ds WHERE doc_id % 10 = 0),
-    bases AS (SELECT * FROM ds WHERE doc_id % 10 NOT IN (0, 1)),
-    idxd  AS (SELECT * FROM ds WHERE doc_id % 10 <> 0),
-    dft AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS dfc
-      FROM (SELECT doc_id, unnest(toks) AS tok FROM bases) GROUP BY 1
-    ),
-    onew AS (
-      SELECT t.doc_id, list(t.tok ORDER BY coalesce(f.dfc, 0), t.tok)
-               AS otoks
-      FROM (SELECT doc_id, unnest(toks) AS tok FROM news) t
-      LEFT JOIN dft f ON f.tok = t.tok GROUP BY 1
-    ),
-    obase AS (
-      SELECT t.doc_id, list(t.tok ORDER BY coalesce(f.dfc, 0), t.tok)
-               AS otoks
-      FROM (SELECT doc_id, unnest(toks) AS tok FROM idxd) t
-      LEFT JOIN dft f ON f.tok = t.tok GROUP BY 1
-    ),
-    pe_new AS (
-      SELECT doc_id, len(otoks) AS n,
-             unnest(otoks[1 : len(otoks) - ((80*len(otoks)+99)//100) + 1])
-               AS tok
-      FROM onew
-    ),
-    pe_base AS (
-      SELECT doc_id, len(otoks) AS n,
-             unnest(otoks[1 : len(otoks) - ((80*len(otoks)+99)//100) + 1])
-               AS tok
-      FROM obase
-    ),
-    cand AS (
-      SELECT DISTINCT x.doc_id AS nid, y.doc_id AS bid
-      FROM pe_new x JOIN pe_base y ON x.tok = y.tok
-      WHERE x.n * 100 >= y.n * 80 AND y.n * 100 >= x.n * 80
-    )
-    SELECT new_doc_id, base_doc_id, jaccard FROM (
-      SELECT c.nid AS new_doc_id, c.bid AS base_doc_id,
-             round(len(list_intersect(a.toks, b.toks)) * 1.0
-                   / len(list_distinct(list_concat(a.toks, b.toks))), 4)
-               AS jaccard
-      FROM cand c
-      JOIN news a ON a.doc_id = c.nid
-      JOIN idxd b ON b.doc_id = c.bid
-    ) WHERE jaccard >= 0.8
-    ORDER BY new_doc_id, base_doc_id
-    """,
-    "index MAINTENANCE for the exact near-dup artifact: a second "
-    "batch is FOLDED into the persisted PrefixIndex under the frozen "
-    "base-df order (append, no rebuild — unseen elements rank rarest "
-    "at df 0), then the incoming batch is mined against the appended "
-    "index; recall stays provably 1 because the lemma holds for any "
-    "one fixed order",
-)
-def neardup_prefix_index_append(spark, sf_dir):
-    """The steady-state corpus-index lifecycle (VERDICT r10 #4):
-    `dedup.build_prefix_index` over the original corpus (doc_id % 10
-    in 2..9), `dedup.prefix_index_append` folds yesterday's crawl
-    (% 10 == 1) in WITHOUT a rebuild — its set/prefix rows computed
-    under the FROZEN base order — and today's batch (% 10 == 0) is
-    mined against the appended index. Verified pairs equal a full
-    rebuild's (append≡rebuild parity pinned in pytest; only candidate
-    counts differ as pruning efficiency drifts —
-    `dedup.prefix_index_drift_report` is the rebuild trigger). The
-    oracle replays the frozen order, both prefix tables, the size
-    filter, and the exact verify."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .select("doc_id", "text")
-        .distinct()
-    )
-    query = d.filter(F.col("doc_id") % 10 == 0)
-    add = d.filter(F.col("doc_id") % 10 == 1)
-    base = d.filter(F.col("doc_id") % 10 > 1)
-    idx = dd.build_prefix_index(
-        base, "doc_id", "text", threshold_pct=80, shingle_n=3
-    )
-    appended = dd.prefix_index_append(idx, add, "doc_id", "text")
-    return dd.prefix_filter_against_index(
-        query, appended, "doc_id", "text"
-    ).orderBy("new_doc_id", "base_doc_id")
-
-
-@register(
-    "prefix_index_drift",
-    """
-    WITH d AS (
-      SELECT DISTINCT doc_id, text FROM documents
-      WHERE doc_id IS NOT NULL AND text IS NOT NULL
-    ),
-    dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
-    ds AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(1, greatest(len(w) - 2, 1) + 1),
-               i -> array_to_string(w[i:i+2], ' '))) AS toks
-      FROM dt
-    ),
-    adds  AS (SELECT * FROM ds WHERE doc_id % 10 = 1),
-    bases AS (SELECT * FROM ds WHERE doc_id % 10 NOT IN (0, 1)),
-    dft AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS dfc
-      FROM (SELECT doc_id, unnest(toks) AS tok FROM bases) GROUP BY 1
-    ),
-    obase AS (
-      SELECT t.doc_id, list(t.tok ORDER BY coalesce(f.dfc, 0), t.tok)
-               AS otoks
-      FROM (SELECT doc_id, unnest(toks) AS tok FROM bases) t
-      LEFT JOIN dft f ON f.tok = t.tok GROUP BY 1
-    ),
-    oadd AS (
-      SELECT t.doc_id, list(t.tok ORDER BY coalesce(f.dfc, 0), t.tok)
-               AS otoks
-      FROM (SELECT doc_id, unnest(toks) AS tok FROM adds) t
-      LEFT JOIN dft f ON f.tok = t.tok GROUP BY 1
-    ),
-    pe AS (
-      SELECT unnest(otoks[1 : len(otoks) - ((80*len(otoks)+99)//100) + 1])
-               AS tok
-      FROM obase
-      UNION ALL
-      SELECT unnest(otoks[1 : len(otoks) - ((80*len(otoks)+99)//100) + 1])
-               AS tok
-      FROM oadd
-    ),
-    posts AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS prefix_postings
-      FROM pe GROUP BY 1
-    ),
-    j AS (
-      SELECT p.tok, CAST(coalesce(f.dfc, 0) AS BIGINT) AS frozen_dfc,
-             p.prefix_postings
-      FROM posts p LEFT JOIN dft f ON f.tok = p.tok
-    )
-    SELECT tok, frozen_dfc, prefix_postings,
-           CASE WHEN frozen_dfc > 0
-                THEN prefix_postings * 1.0 / frozen_dfc
-                ELSE prefix_postings * 1.0 END AS growth,
-           CASE WHEN frozen_dfc > 0
-                THEN (prefix_postings * 1.0 / frozen_dfc) > 4.0
-                ELSE prefix_postings >= 2 END AS needs_rebuild
-    FROM j ORDER BY prefix_postings DESC, tok LIMIT 20
-    """,
-    "the rebuild trigger for the append-maintained exact near-dup "
-    "index: per prefix element, live posting length vs the FROZEN "
-    "order's document frequency — a post-freeze boilerplate phrase "
-    "ranks 'rarest' (df 0) and its posting list grows the candidate "
-    "join quadratically while recall silently stays 1; the "
-    "calibration_drift -> re-encode pattern applied to text",
-)
-def prefix_index_drift(spark, sf_dir):
-    """`dedup.prefix_index_drift_report` over the same index-lifecycle
-    split as `neardup_prefix_index_append` (base % 10 in 2..9, folded
-    batch % 10 == 1): the top-20 heaviest prefix posting lists with
-    their frozen-df growth and the needs_rebuild flag. One
-    map-side-combined count over the prefix table, one join on the
-    element key, TakeOrdered — never touches document sets."""
-    d = (
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
-        .select("doc_id", "text")
-        .distinct()
-    )
-    add = d.filter(F.col("doc_id") % 10 == 1)
-    base = d.filter(F.col("doc_id") % 10 > 1)
-    idx = dd.build_prefix_index(
-        base, "doc_id", "text", threshold_pct=80, shingle_n=3
-    )
-    appended = dd.prefix_index_append(idx, add, "doc_id", "text")
-    return dd.prefix_index_drift_report(appended)
-
-
-@register(
-    "corpus_vocabulary",
-    """
-    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-               FROM documents),
-    a AS (SELECT tok, count(*) AS total_tf,
-                 count(DISTINCT doc_id) AS doc_freq
-          FROM t GROUP BY tok),
-    r AS (SELECT CAST(row_number() OVER (ORDER BY total_tf DESC, tok)
-                     AS INTEGER) AS vocab_rank,
-                 tok, total_tf, doc_freq
-          FROM a)
-    SELECT vocab_rank, tok, total_tf, doc_freq FROM r WHERE vocab_rank <= 100
-    """,
-    "north-star vocabulary building: corpus token df/tf, top-k by term frequency",
-)
-def corpus_vocabulary(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return tx.vocabulary(d, "doc_id", "text", top_k=100)
-
-
-def _neardup_cluster_oracle(
-    num_hashes: int, bands: int, shingle_n: int, threshold: float
-) -> str:
-    """Full-pipeline oracle for `neardup_cluster_dedup`: the LSH+verify
-    pair CTE chain, then connected components as a recursive CTE
-    (min-reachable-node per node ≡ the min-label fixpoint the Spark
-    propagation loop converges to)."""
-    jac = (
-        "round(len(list_intersect(sa.shing, sb.shing)) * 1.0"
-        " / len(list_distinct(list_concat(sa.shing, sb.shing))), 4)"
-    )
-    cte = _minhash_lsh_cte(num_hashes, bands, shingle_n).replace(
-        "WITH toks", "WITH RECURSIVE toks", 1
-    )
-    return (
-        cte
-        + f""", ver AS (
-      SELECT c.doc_id_a, c.doc_id_b
-      FROM cand c
-      JOIN sh sa ON sa.doc_id = c.doc_id_a
-      JOIN sh sb ON sb.doc_id = c.doc_id_b
-      WHERE {jac} >= {threshold}),
-    edges AS (SELECT doc_id_a AS u, doc_id_b AS v FROM ver
-              UNION SELECT doc_id_b, doc_id_a FROM ver),
-    cc(node, root) AS (
-      SELECT u, u FROM edges
-      UNION
-      SELECT e.v, cc.root FROM cc JOIN edges e ON e.u = cc.node),
-    comp AS (SELECT node, min(root) AS cluster_id FROM cc GROUP BY node)
-    SELECT d.doc_id,
-           coalesce(comp.cluster_id, d.doc_id) AS cluster_id,
-           coalesce(comp.cluster_id, d.doc_id) = d.doc_id AS keep
-    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
-    """
-    )
-
-
-@register(
-    "neardup_cluster_dedup",
-    _neardup_cluster_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
-    "north-star near-dup cluster resolution: connected components over LSH-verified pairs, canonical doc per cluster",
-)
-def neardup_cluster_dedup(spark, sf_dir):
-    """The final dedup decision: pairwise near-dups resolved to
-    clusters (iterative min-label propagation, O(diameter) rounds) and
-    exactly one canonical survivor per cluster. Output is the full
-    corpus assignment (doc_id, cluster_id, keep)."""
-    from purpleair_data_logger_spark.operators import clusters as cl
-
-    d = _t(spark, sf_dir, "documents")
-    pairs = dd.neardup_lsh_verified(
-        d, "doc_id", "text", threshold=0.8,
-        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
-    )
-    return cl.cluster_dedup(d, "doc_id", pairs)
-
-
-def _neardup_cluster_keep_longest_oracle(
-    num_hashes: int, bands: int, shingle_n: int, threshold: float
-) -> str:
-    """`_neardup_cluster_oracle` with the survivor policy flipped to
-    quality (longest doc wins, ties by id)."""
-    base = _neardup_cluster_oracle(num_hashes, bands, shingle_n, threshold)
-    head, _, _ = base.rpartition("SELECT d.doc_id,")
-    return (
-        head.rstrip()
-        + """, clustered AS (
-      SELECT d.doc_id, comp.cluster_id, d.n_chars
-      FROM documents d JOIN comp ON comp.node = d.doc_id),
-    ranked AS (
-      SELECT doc_id, cluster_id,
-             row_number() OVER (PARTITION BY cluster_id
-                                ORDER BY n_chars DESC, doc_id) = 1 AS keep
-      FROM clustered)
-    SELECT doc_id, cluster_id, keep FROM ranked
-    UNION ALL
-    SELECT d.doc_id, d.doc_id AS cluster_id, TRUE AS keep
-    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
-    WHERE comp.node IS NULL
-    """
-    )
-
-
-@register(
-    "neardup_clusters_star",
-    _neardup_cluster_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
-    "north-star cluster resolution via large-star/small-star (O(log^2 n) rounds) — same oracle as the label-propagation path",
-)
-def neardup_clusters_star(spark, sf_dir):
-    """Identical output contract to `neardup_cluster_dedup`, computed
-    with the Kiveris et al. large-star/small-star alternation instead
-    of label propagation — both implementations are held to the same
-    recursive-CTE oracle, so the driver gate verifies each."""
-    from purpleair_data_logger_spark.operators import clusters as cl
-
-    d = _t(spark, sf_dir, "documents")
-    pairs = dd.neardup_lsh_verified(
-        d, "doc_id", "text", threshold=0.8,
-        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
-    )
-    cc = cl.connected_components_star(pairs, "doc_id_a", "doc_id_b")
-    out = d.join(cc, d["doc_id"] == cc["node"], "left")
-    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-    return out.select(
-        F.col("doc_id"),
-        cluster.alias("cluster_id"),
-        (F.col("doc_id") == cluster).alias("keep"),
-    )
-
-
-@register(
-    "neardup_cluster_keep_best",
-    _neardup_cluster_keep_longest_oracle(
-        num_hashes=64, bands=16, shingle_n=3, threshold=0.8
-    ),
-    "north-star cluster dedup, production survivor policy: keep the best (longest) member per cluster",
-)
-def neardup_cluster_keep_best(spark, sf_dir):
-    """Same component resolution as `neardup_cluster_dedup`, but the
-    survivor is chosen by quality (n_chars desc, ties by id) — the
-    usual production policy. The selection window runs over the
-    clustered subset only, never the full corpus."""
-    from purpleair_data_logger_spark.operators import clusters as cl
-
-    d = _t(spark, sf_dir, "documents")
-    pairs = dd.neardup_lsh_verified(
-        d, "doc_id", "text", threshold=0.8,
-        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
-    )
-    return cl.cluster_dedup(
-        d, "doc_id", pairs, prefer=[F.desc("n_chars")]
-    )
-
-
-def _corpus_build_final_oracle(
-    num_hashes: int, bands: int, shingle_n: int, threshold: float
-) -> str:
-    """End-to-end corpus-build oracle: LSH cluster dedup → benchmark
-    decontamination → split assignment → per-split token accounting.
-    Splices the recursive cluster CTE with the contamination CTEs and
-    the portable split buckets."""
-    base = _neardup_cluster_oracle(num_hashes, bands, shingle_n, threshold)
-    head, _, _ = base.rpartition("SELECT d.doc_id,")
-    bucket = _hex60_sql("md5(CAST(doc_id AS VARCHAR))")
-    return (
-        head.rstrip()
-        + f""", t2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    g2 AS (SELECT doc_id, unnest(list_distinct(list_transform(
-             range(1, greatest(len(w)-3, 1)+1),
-             i -> array_to_string(w[i:i+3], ' ')))) AS ng
-           FROM t2),
-    b2 AS (SELECT DISTINCT ng FROM g2 WHERE doc_id % 50 = 0),
-    flagged AS (SELECT DISTINCT g2.doc_id
-                FROM g2 JOIN b2 USING (ng) WHERE g2.doc_id % 50 <> 0),
-    keepers AS (
-      SELECT d.doc_id, d.text
-      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
-      WHERE coalesce(comp.cluster_id, d.doc_id) = d.doc_id
-        AND d.doc_id % 50 <> 0),
-    clean AS (
-      SELECT k.doc_id, k.text FROM keepers k
-      LEFT JOIN flagged f ON f.doc_id = k.doc_id
-      WHERE f.doc_id IS NULL),
-    sp AS (
-      SELECT CASE WHEN {bucket} % 10000 < 9000 THEN 'train'
-                  WHEN {bucket} % 10000 < 9500 THEN 'val'
-                  ELSE 'test' END AS split,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-      FROM clean)
-    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS total_tokens
-    FROM sp GROUP BY split
-    """
-    )
-
-
-@register(
-    "corpus_build_final",
-    _corpus_build_final_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
-    "north-star end-to-end corpus build: cluster dedup -> decontaminate -> split -> token accounting",
-)
-def corpus_build_final(spark, sf_dir):
-    """The whole training-corpus build as one declarative plan:
-    near-dup cluster survivors (LSH + connected components), minus the
-    held-out benchmark docs (doc_id % 50 == 0) and every doc with
-    4-gram overlap against them, assigned to leakage-proof hash splits,
-    accounted in docs and tokens per split. Every stage is the same
-    operator the standalone gate queries exercise — this query pins
-    that they compose."""
-    from purpleair_data_logger_spark.operators import clusters as cl
-
-    d = _t(spark, sf_dir, "documents")
-    pairs = dd.neardup_lsh_verified(
-        d, "doc_id", "text", threshold=0.8,
-        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
-    )
-    survivors = (
-        cl.cluster_dedup(d, "doc_id", pairs)
-        .filter(F.col("keep"))
-        .select("doc_id")
-    )
-    # left_semi, not inner: a duplicate-PK corpus row must pass the
-    # survivor gate once per source row, never be MULTIPLIED by the
-    # survivor table's own duplicate rows (fuzz-found, r6 — the oracle
-    # filters `documents` rows, the SQL shape of a semi join).
-    corpus = d.join(survivors, "doc_id", "left_semi").filter(
-        F.col("doc_id") % 50 != 0
-    )
-    bench = d.filter(F.col("doc_id") % 50 == 0)
-    flagged = tx.ngram_contamination(corpus, bench, "doc_id", "text", n=4)
-    clean = corpus.join(flagged.select("doc_id"), "doc_id", "left_anti")
-    split = smp.assign_split(
-        clean, "doc_id", [("train", 9000), ("val", 500), ("test", 500)]
-    )
-    return split.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(tx.whitespace_token_count("text")).alias("total_tokens"),
-    )
-
-
-def _leakage_safe_split_oracle(
-    num_hashes: int, bands: int, shingle_n: int, threshold: float
-) -> str:
-    """Cluster CTE chain + split buckets keyed on the CLUSTER id."""
-    base = _neardup_cluster_oracle(num_hashes, bands, shingle_n, threshold)
-    head, _, _ = base.rpartition("SELECT d.doc_id,")
-    bucket = _hex60_sql("md5(CAST(cluster_id AS VARCHAR))")
-    return (
-        head.rstrip()
-        + f""", assigned AS (
-      SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
-      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id)
-    SELECT doc_id, cluster_id,
-           CASE WHEN {bucket} % 10000 < 9000 THEN 'train'
-                WHEN {bucket} % 10000 < 9500 THEN 'val'
-                ELSE 'test' END AS split
-    FROM assigned
-    """
-    )
-
-
-@register(
-    "leakage_safe_split",
-    _leakage_safe_split_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
-    "north-star leakage-safe splits: train/val/test keyed on the near-dup CLUSTER hash, so near-identical docs never straddle splits",
-)
-def leakage_safe_split(spark, sf_dir):
-    """`train_val_test_split` hashes the doc id, which lets two
-    near-identical documents land in train AND test — exactly the
-    contamination a dedup pass exists to prevent. This variant hashes
-    the near-dup cluster id instead: every member of a duplicate
-    cluster shares one bucket draw, so a cluster moves between splits
-    as a unit or not at all."""
-    from purpleair_data_logger_spark.operators import clusters as cl
-
-    d = _t(spark, sf_dir, "documents")
-    pairs = dd.neardup_lsh_verified(
-        d, "doc_id", "text", threshold=0.8,
-        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
-    )
-    assigned = cl.cluster_dedup(d, "doc_id", pairs).select("doc_id", "cluster_id")
-    return smp.assign_split(
-        assigned, "cluster_id", [("train", 9000), ("val", 500), ("test", 500)]
-    ).select("doc_id", "cluster_id", "split")
-
-
-@register(
-    "domain_cap_sample",
-    f"""
-    WITH r AS (
-      SELECT doc_id, source,
-             CAST(row_number() OVER (
-               PARTITION BY source
-               ORDER BY {_hex60_sql("md5(CAST(doc_id AS VARCHAR))")}, doc_id
-             ) AS INTEGER) AS group_rank
-      FROM documents)
-    SELECT doc_id, source, group_rank FROM r WHERE group_rank <= 10
-    """,
-    "north-star per-domain cap: at most K docs per source, deterministic hash order",
-)
-def domain_cap_sample(spark, sf_dir):
-    """The crawl-pipeline per-host cap (no single domain dominates the
-    corpus): keep the 10 hash-smallest docs per source — exact-K,
-    rerun/engine/partitioning-stable."""
-    d = _t(spark, sf_dir, "documents")
-    return smp.capped_per_group(d.select("doc_id", "source"), "doc_id", "source", 10)
-
-
-@register(
-    "document_chunking",
-    """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-               WHERE text IS NOT NULL),
-    s AS (SELECT doc_id, len(w) AS n,
-            list_transform(range(1, greatest(len(w) - 10, 1) + 1, 30),
-                           st -> array_to_string(w[st:st+39], ' ')) AS chunks
-          FROM t),
-    x AS (SELECT doc_id, n,
-            CAST(unnest(range(len(chunks))) AS INTEGER) AS chunk_idx,
-            unnest(chunks) AS chunk
-          FROM s)
-    SELECT doc_id, chunk_idx,
-           CAST(1 + chunk_idx * 30 AS BIGINT) AS chunk_start,
-           CAST(least(40, n - chunk_idx * 30) AS BIGINT) AS n_chunk_tokens,
-           md5(chunk) AS chunk_md5
-    FROM x
-    """,
-    "north-star document chunking: overlapping token windows for embedding/RAG prep (40-token chunks, 10 overlap)",
-)
-def document_chunking(spark, sf_dir):
-    """Chunking gate: 40-token windows striding 30 (10-token overlap),
-    one row per chunk with its 1-based token start, actual length, and
-    text digest — the pass that turns documents into embedding-model
-    inputs. Pure codegen sequence/transform/posexplode; no shuffle."""
-    d = _t(spark, sf_dir, "documents")
-    return tx.chunk_documents(
-        d, "doc_id", "text", chunk_tokens=40, overlap_tokens=10
-    )
-
-
-@register(
-    "sequence_packing",
-    f"""
-    WITH t AS (SELECT doc_id,
-                 {_hex60_sql("md5(CAST(doc_id AS VARCHAR))")} AS h,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-               FROM documents),
-    o AS (SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard,
-             coalesce(sum(n_tok) OVER (
-               PARTITION BY h % 16 ORDER BY h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
-          FROM t)
-    SELECT doc_id, shard, CAST(so AS BIGINT) AS start_offset,
-           CAST(so // 512 AS BIGINT) AS seq_in_shard
-    FROM o
-    """,
-    "north-star sequence packing: shard-local token-budget binning, no global sort",
-)
-def sequence_packing(spark, sf_dir):
-    """Training-sequence assignment: hash-sharded, hash-ordered token
-    cumsum → each doc's start offset and 512-token sequence index.
-    One shuffle on shard, per-shard sort, window cumsum — no global
-    ordering anywhere in the plan."""
-    from purpleair_data_logger_spark.operators import packing as pk
-
-    d = _t(spark, sf_dir, "documents")
-    with_counts = d.select(
-        "doc_id", tx.whitespace_token_count("text").alias("n_tok")
-    )
-    return pk.pack_sequences(
-        with_counts, "doc_id", "n_tok", budget=512, n_shards=16
-    )
-
-
-@register(
-    "multimodal_frame_sample",
-    """
-    WITH p AS (SELECT doc_id AS media_id, text,
-                 greatest(length(text) // 64, 1) AS n_avail
-               FROM documents WHERE text IS NOT NULL),
-    m AS (SELECT media_id, text, n_avail, least(4, n_avail) AS m FROM p),
-    f AS (SELECT media_id, CAST(k AS INT) AS frame_idx,
-             CAST(k * (n_avail // m) * 64 AS BIGINT) AS frame_offset,
-             md5(substr(text, k * (n_avail // m) * 64 + 1, 64)) AS frame_md5
-          FROM m, LATERAL unnest(range(m)) t(k))
-    SELECT media_id, frame_idx, frame_offset, frame_md5 FROM f
-    """,
-    "north-star multimodal: 1:N frame sampling over binary payloads (mapInPandas explode-in-batch)",
-)
-def multimodal_frame_sample(spark, sf_dir):
-    """Frame-sampling gate over text-derived binary payloads (the
-    corpus is ASCII, so DuckDB's character substr/md5 replays the
-    byte-slice digests of `fake_frame_extractor` exactly). Pins the
-    1:N mapInPandas shape: per-media frame rows with stride-sampled
-    offsets and frame digests."""
-    from purpleair_data_logger_spark.operators import multimodal as mm
-
-    d = _t(spark, sf_dir, "documents")
-    media = mm.attach_binary_payload(d, "doc_id", "text")
-    return mm.sample_frames(
-        media, frame_size=64, n_frames=4, frame_extractor=mm.fake_frame_extractor
-    )
-
-
-@register(
-    "median_value_by_event_type",
-    """
-    WITH vals AS (
-      SELECT event_type, value, count(*) AS cnt
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-    ),
-    ranked AS (
-      SELECT event_type, value,
-             sum(cnt) OVER (PARTITION BY event_type ORDER BY value
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
-               AS rnk,
-             cnt,
-             sum(cnt) OVER (PARTITION BY event_type) AS n
-      FROM vals
-    )
-    SELECT event_type, value AS median, CAST(n AS BIGINT) AS n
-    FROM ranked
-    WHERE rnk <= (n + 1) // 2 AND (n + 1) // 2 <= rnk + cnt - 1
-    """,
-    "A-family extension: exact per-group median as the k-th order "
-    "statistic over the distinct-value aggregate (no corpus sort, no "
-    "interpolation)",
-)
-def median_value_by_event_type(spark, sf_dir):
-    """Exact lower median of value per event type — an observed value
-    picked by rank interval over the per-(group, value) count table,
-    not an interpolated (engine-divergent) lerp and not a corpus
-    sort."""
-    e = _t(spark, sf_dir, "events")
-    return agg.grouped_median_exact(e, "event_type", "value")
-
-
-@register(
-    "m4_downsample_15min",
-    """
-    WITH s AS (
-      SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_ts,
-             user_id, ts, value
-      FROM events WHERE value IS NOT NULL
-    ), a AS (
-      SELECT bucket_ts, user_id, count(*) AS n,
-             min(struct_pack(t := ts, v := value)) AS fs,
-             max(struct_pack(t := ts, v := value)) AS ls,
-             min(struct_pack(v := value, t := ts)) AS lo,
-             max(struct_pack(v := value, t := ts)) AS hi
-      FROM s GROUP BY 1, 2
-    )
-    SELECT bucket_ts, user_id, n,
-           fs.v AS v_first, ls.v AS v_last,
-           lo.v AS v_min, lo.t AS t_at_min,
-           hi.v AS v_max, hi.t AS t_at_max
-    FROM a
-    """,
-    "A2 extension: M4 visualization-oriented downsampling (Jugel et "
-    "al. VLDB 2014) — the four per-pixel-bucket extremes a dashboard "
-    "needs for pixel-exact line rendering, superset of the Grafana "
-    "panel MAX (reference dashboard $__timeGroupAlias panels)",
-)
-def m4_downsample_15min(spark, sf_dir):
-    """Per (sensor key, 15-min pixel bucket): first/last by time and
-    min/max by value with their timestamps — one map-side-combined
-    hash aggregate whose output size is the rendered chart, not the
-    corpus. All extremes are lexicographic struct min/max: exact
-    comparisons, deterministic ties, cross-engine identical."""
-    e = _t(spark, sf_dir, "events")
-    return hf.m4_downsample(e, "ts", "user_id", "value", 900)
-
-
-@register(
-    "counter_delta_hourly",
-    """
-    WITH s AS (
-      SELECT user_id, ts, event_id,
-             CAST(round(value * 100) AS BIGINT) AS c,
-             time_bucket(INTERVAL '1 hour', ts) AS bucket_ts
-      FROM events WHERE value IS NOT NULL
-        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
-    ), d AS (
-      SELECT user_id, bucket_ts, c,
-             lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
-      FROM s
-    )
-    SELECT user_id, bucket_ts,
-           CAST(sum(CASE WHEN p IS NULL THEN 0
-                         WHEN c >= p THEN c - p
-                         ELSE c END) AS DOUBLE) / 100.0 AS counter_delta,
-           CAST(sum(CASE WHEN p IS NOT NULL AND c < p THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_resets,
-           count(*) AS n_samples
-    FROM d GROUP BY 1, 2
-    """,
-    "A-family extension: TimescaleDB counter_agg→delta — per-bucket "
-    "increase of a resetting monotone counter (reboot-safe rate "
-    "accounting the reference's uptime/rssi fields need at scale)",
-)
-def counter_delta_hourly(spark, sf_dir):
-    """Hourly counter increase per sensor key, reset-aware: consecutive
-    diffs in exact scaled-integer arithmetic, bucket-edge pairs
-    stitched via a lag over the per-bucket AGGREGATE (never a
-    corpus-row window on the bare key — the VERDICT r3 skew rule)."""
-    e = _t(spark, sf_dir, "events")
-    return hf.counter_delta(e, "ts", "user_id", "value", "event_id", 3600)
-
-
-@register(
-    "heartbeat_uptime_hourly",
-    """
-    WITH s AS (
-      SELECT user_id, epoch_us(ts) AS t, event_id FROM events
-      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
-    ), iv AS (
-      SELECT user_id, t,
-             least(coalesce(lead(t) OVER (PARTITION BY user_id
-                                          ORDER BY t, event_id),
-                            t + 1800000000), t + 1800000000) AS e
-      FROM s
-    ), ex AS (
-      SELECT user_id, t, e,
-             unnest(range(t // 3600000000, (e - 1) // 3600000000 + 1)) AS b
-      FROM iv WHERE e > t
-    )
-    SELECT user_id,
-           make_timestamp(b * 3600000000) AS bucket_ts,
-           CAST(sum(least(e, (b + 1) * 3600000000)
-                    - greatest(t, b * 3600000000)) AS BIGINT) AS uptime_us,
-           CAST(sum(least(e, (b + 1) * 3600000000)
-                    - greatest(t, b * 3600000000)) AS DOUBLE)
-             / 3600000000.0 AS uptime_ratio
-    FROM ex GROUP BY 1, 2
-    """,
-    "R-family extension: TimescaleDB heartbeat_agg — per-bucket "
-    "liveness union from poll heartbeats (the 'did the 65 s logger "
-    "loop stay up' SLO over reference PurpleAirDataLogger.py's "
-    "cadence)",
-)
-def heartbeat_uptime_hourly(spark, sf_dir):
-    """Hourly uptime per sensor key with a 30-min heartbeat timeout:
-    next-reading-truncated live intervals exploded onto the buckets
-    they span (bounded factor), summed exactly in microseconds. The
-    sequential lookup is two-tier (within-bucket lead + aggregate-
-    level lead), never a corpus-row window on the bare key."""
-    e = _t(spark, sf_dir, "events")
-    return hf.heartbeat_uptime(e, "ts", "user_id", "event_id", 3600, 1800)
-
-
-@register(
-    "weighted_sample_docs",
-    f"""
-    WITH s AS (
-      SELECT doc_id, lang,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
-             ln((CAST({_hex60_sql("md5(CAST(doc_id AS VARCHAR))")}
-                      % 1099511627776 AS DOUBLE) + 1) / 1099511627777.0)
-               / len(string_split(text, ' ')) AS pri
-      FROM documents
-    ), r AS (
-      SELECT doc_id, lang, weight,
-             CAST(row_number() OVER (PARTITION BY lang
-                                     ORDER BY pri DESC, doc_id)
-                  AS INTEGER) AS sample_rank
-      FROM s WHERE weight > 0
-    )
-    SELECT doc_id, lang, weight, sample_rank FROM r
-    WHERE sample_rank <= 20
-    """,
-    "north-star weighted sampling: Efraimidis–Spirakis A-Res as a "
-    "deterministic per-stratum top-k (length-weighted corpus "
-    "subsampling, portable md5 uniforms)",
-)
-def weighted_sample_docs(spark, sf_dir):
-    """Top-20 docs per language, inclusion probability proportional to
-    whitespace token count: the A-Res priority ln(u)/w over portable
-    md5 uniforms, so the reservoir draw is reproducible on any
-    engine/partitioning and the oracle replays it exactly."""
-    d = _t(spark, sf_dir, "documents")
-    weighted = d.withColumn(
-        "weight", F.size(F.split(F.col("text"), " ")).cast("long")
-    )
-    return smp.weighted_sample_per_group(
-        weighted, "doc_id", "lang", "weight", 20
-    ).select("doc_id", "lang", "weight", "sample_rank")
-
-
-@register(
-    "value_percentiles_by_event_type",
-    """
-    WITH vals AS (
-      SELECT event_type, value, count(*) AS cnt
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-    ),
-    ranked AS (
-      SELECT event_type, value,
-             sum(cnt) OVER (PARTITION BY event_type ORDER BY value
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
-               AS rnk,
-             cnt,
-             sum(cnt) OVER (PARTITION BY event_type) AS n
-      FROM vals
-    )
-    SELECT event_type, CAST(p.p_bp AS BIGINT) AS p_bp,
-           value AS pctl_value, CAST(n AS BIGINT) AS n
-    FROM ranked CROSS JOIN (VALUES (5000), (9500), (9900)) p(p_bp)
-    WHERE rnk <= (p.p_bp * n + 9999) // 10000
-      AND (p.p_bp * n + 9999) // 10000 <= rnk + cnt - 1
-    """,
-    "A-family extension: exact P50/P95/P99 per group by nearest rank "
-    "over the distinct-value aggregate — the dashboard latency row "
-    "without interpolation lerp or a corpus sort",
-)
-def value_percentiles_by_event_type(spark, sf_dir):
-    """Exact nearest-rank P50/P95/P99 of value per event type: target
-    rank k = ⌈p·n⌉ in integer basis-point arithmetic over the
-    per-(group, value) count table — observed values, engine-portable,
-    never a corpus sort (generalizes median_value_by_event_type)."""
-    e = _t(spark, sf_dir, "events")
-    return agg.grouped_percentiles_exact(
-        e, "event_type", "value", (5000, 9500, 9900)
-    )
-
-
-def _zorder_oracle() -> str:
-    from purpleair_data_logger_spark.sinks.corpus_lake import zorder_key_sql
-
-    z = zorder_key_sql(
-        "user_id", "CAST(round(value * 100) AS BIGINT)", bits=16
-    )
-    return f"""
-    SELECT event_id, CAST({z} AS BIGINT) AS z_key
-    FROM events WHERE value IS NOT NULL
-    """
-
-
-@register(
-    "zorder_key_events",
-    _zorder_oracle(),
-    "O3 extension: Morton/Z-order clustering key (Delta/Iceberg "
-    "OPTIMIZE ZORDER BY analog) — bit-interleaved layout key so "
-    "parquet row-group min/max skips on BOTH dimensions; pure "
-    "shift/mask codegen, engine-portable",
-)
-def zorder_key_events(spark, sf_dir):
-    """The 32-bit Morton key of (sensor key, centi-scaled value):
-    the multi-dimensional clustering key `sinks/corpus_lake.py::
-    write_zordered` sorts by — 2×16 shift/mask/or terms of exact
-    integer codegen, replayed bit-for-bit by the oracle."""
-    from purpleair_data_logger_spark.sinks.corpus_lake import zorder_key
-
-    e = _t(spark, sf_dir, "events")
-    return e.filter(F.col("value").isNotNull()).select(
-        "event_id",
-        zorder_key(
-            F.col("user_id"),
-            F.round(F.col("value") * 100).cast("long"),
-            bits=16,
-        ).alias("z_key"),
-    )
-
-
-@register(
-    "hll_daily_users_merge",
-    None,  # the sketch bytes are engine-specific (Apache DataSketches
-    # HLL); no SQL oracle can replay them. Accuracy is pytest-pinned
-    # against the exact distinct counts (tests/test_llm_ops.py
-    # precedent: approx_distinct_profile).
-    "A5/profiling extension: persistable-sketch distinct counting — "
-    "per-day hll_sketch_agg partials merged with hll_union_agg, the "
-    "incremental pattern that replaces full-corpus COUNT(DISTINCT) "
-    "re-scans for always-on dashboards",
-)
-def hll_daily_users_merge(spark, sf_dir):
-    """Mergeable distinct-count maintenance: build one HLL sketch per
-    day (map-side combinable aggregate over that day's partitions
-    ONLY), then answer the all-time distinct-users question by merging
-    the per-day sketches — never re-scanning history. At 100 TB this
-    is the difference between an incremental O(new day) update and a
-    full-corpus COUNT(DISTINCT) per dashboard refresh; the per-day
-    sketch table is the persisted artifact. Output: one row per day
-    with its estimate, plus the merged all-time estimate attached (a
-    1-row broadcast cross join), both as exact-typed BIGINTs."""
-    e = _t(spark, sf_dir, "events")
-    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.expr("hll_sketch_agg(user_id)").alias("_sk"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-    merged = daily.agg(
-        F.expr(
-            "CAST(hll_sketch_estimate(hll_union_agg(_sk)) AS BIGINT)"
-        ).alias("est_total_users")
-    )
-    return (
-        daily.select(
-            "day",
-            F.expr("CAST(hll_sketch_estimate(_sk) AS BIGINT)").alias(
-                "est_day_users"
-            ),
-            "n_events",
-        )
-        .crossJoin(F.broadcast(merged))
-    )
-
-
-@register(
-    "token_fertility_by_lang",
-    """
-    SELECT lang,
-           CAST(sum(len(regexp_extract_all(text,
-                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT)
-               AS total_bpe_tokens,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT)
-               AS total_ws_tokens,
-           CAST(sum(len(regexp_extract_all(text,
-                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS DOUBLE)
-             / CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
-               AS fertility
-    FROM documents GROUP BY lang
-    """,
-    "north-star mixture-design metric: tokenizer fertility "
-    "(BPE-ish tokens per whitespace word) per language — the "
-    "statistic that converts word budgets into token budgets per "
-    "stratum",
-)
-def token_fertility_by_lang(spark, sf_dir):
-    """Per-language tokenizer fertility: Σ BPE-ish tokens / Σ
-    whitespace words — exact BIGINT sums (order-independent), one
-    final division; one map-side-combined aggregate over the same
-    codegen token expressions `text_quality` uses. The number that
-    turns a per-language word budget into the token budget
-    `token_budget_sample` actually needs."""
-    d = _t(spark, sf_dir, "documents")
-    bpe = tx.bpe_token_count("text")
-    ws = tx.whitespace_token_count("text")
-    return d.groupBy("lang").agg(
-        F.sum(bpe).alias("total_bpe_tokens"),
-        F.sum(ws).alias("total_ws_tokens"),
-        (
-            F.sum(bpe).cast("double") / F.sum(ws).cast("double")
-        ).alias("fertility"),
-    )
-
-
-@register(
-    "downtime_incidents",
-    """
-    WITH s AS (
-      SELECT user_id, ts, event_id,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS prev
-      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
-    )
-    SELECT user_id, prev AS gap_start_ts, ts AS gap_end_ts,
-           CAST(epoch_us(ts) - epoch_us(prev) AS BIGINT) AS gap_us
-    FROM s
-    WHERE prev IS NOT NULL
-      AND epoch_us(ts) - epoch_us(prev) > 1800000000
-    """,
-    "R-family extension: downtime incident report — gaps between "
-    "consecutive readings beyond the threshold (the WHEN/how-long "
-    "inverse of heartbeat_agg), two-tier lag so no corpus-row window "
-    "keys on the bare sensor id",
-)
-def downtime_incidents(spark, sf_dir):
-    """Every >30-min silence per sensor key with its exact start/end/
-    duration: in-partition lag over (key, day) plus a boundary stitch
-    over the per-day aggregate — the VERDICT r3 skew rule applied to
-    gap detection."""
-    e = _t(spark, sf_dir, "events")
-    return hf.gap_incidents(e, "ts", "user_id", "event_id", 1800)
-
-
-@register(
-    "state_agg_user_event",
-    """
-    WITH s AS (
-      SELECT user_id, event_type, epoch_us(ts) AS t,
-             lead(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-             ) AS nxt
-      FROM events WHERE event_type IS NOT NULL
-        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
-    )
-    SELECT user_id, event_type,
-           CAST(sum(nxt - t) AS BIGINT) AS duration_us,
-           count(*) AS n_samples
-    FROM s WHERE nxt IS NOT NULL
-    GROUP BY 1, 2
-    """,
-    "R-family extension: TimescaleDB state_agg — time-in-state per "
-    "(key, state) under LOCF, exact BIGINT microseconds; the "
-    "channel_state/channel_flags read "
-    "(PurpleAirPSQLQueryStatements.py:28-31), two-tier lead so no "
-    "corpus-row window keys on the bare sensor id",
-)
-def state_agg_user_event(spark, sf_dir):
-    """How long each sensor key spent in each state (event_type as
-    the categorical), LOCF semantics — each reading's state holds
-    until the next reading; the last reading's open tail contributes
-    nothing (the streaming mirrors own the live tail).
-    `hf.state_agg`: bounded (key, day) lead windows + a boundary
-    stitch over the per-day aggregate."""
-    e = _t(spark, sf_dir, "events")
-    return hf.state_agg(e, "ts", "user_id", "event_type", "event_id")
-
-
-@register(
-    "state_durations_hourly",
-    """
-    WITH s AS (
-      SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
-             lead(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-             ) AS nxt
-      FROM events WHERE event_type IS NOT NULL
-        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
-    ), iv AS (
-      SELECT * FROM s WHERE nxt IS NOT NULL AND nxt > t
-    ), ex AS (
-      SELECT user_id, event_type, t, nxt,
-             unnest(range(t // 3600000000, (nxt - 1) // 3600000000 + 1))
-               AS b
-      FROM iv
-    )
-    SELECT user_id, event_type,
-           make_timestamp(b * 3600000000) AS bucket_ts,
-           CAST(sum(least(nxt, (b + 1) * 3600000000)
-                    - greatest(t, b * 3600000000)) AS BIGINT) AS duration_us
-    FROM ex GROUP BY 1, 2, 3
-    """,
-    "R-family extension: TimescaleDB duration_in(state, agg, bucket) "
-    "— per-(key, state, hour) exact time-in-state under LOCF; the "
-    "state_agg totals resolved onto the dashboard time axis via the "
-    "heartbeat clip-explode",
-)
-def state_durations_hourly(spark, sf_dir):
-    """Hourly seconds-in-state per (sensor, state): LOCF intervals
-    from the two-tier lead, exploded onto the hours they span
-    (JVM-side sequence) and clipped exactly — consecutive intervals
-    never overlap so clipped lengths sum without a merge pass.
-    `hf.state_agg_bucketed`."""
-    e = _t(spark, sf_dir, "events")
-    return hf.state_agg_bucketed(
-        e, "ts", "user_id", "event_type", "event_id", 3600
-    )
-
-
-@register(
-    "state_timeline_transitions",
-    """
-    WITH s AS (
-      SELECT user_id, ts, event_type,
-             lag(event_type) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-             ) AS prev_st
-      FROM events WHERE event_type IS NOT NULL
-        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
-    )
-    SELECT user_id, ts AS transition_ts,
-           prev_st AS from_state, event_type AS to_state
-    FROM s WHERE prev_st IS NOT NULL AND prev_st <> event_type
-    """,
-    "R-family extension: TimescaleDB timeline_agg — the ordered "
-    "state-transition edge list (WHEN each key changed state), "
-    "two-tier lag with a deterministic struct-max boundary stitch",
-)
-def state_timeline_transitions(spark, sf_dir):
-    """Every state CHANGE per sensor key: (key, transition_ts,
-    from_state, to_state) — the companion read to state_agg's
-    per-state totals. `hf.state_timeline`: in-partition lag over
-    (key, day) plus previous-day-last-state stitch via a
-    lexicographic struct max (deterministic under duplicate
-    timestamps)."""
-    e = _t(spark, sf_dir, "events")
-    return hf.state_timeline(e, "ts", "user_id", "event_type", "event_id")
-
-
-@register(
-    "scd2_user_state",
-    """
-    WITH s AS (
-      SELECT user_id, ts, event_id, event_type,
-             lag(event_type) OVER (
-               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-             ) AS prev_st
-      FROM events
-      WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        AND event_id IS NOT NULL AND event_type IS NOT NULL
-    ),
-    chg AS (
-      SELECT user_id, ts, event_id, event_type FROM s
-      WHERE prev_st IS NULL OR prev_st <> event_type
-    )
-    SELECT user_id, event_type AS state, ts AS valid_from,
-           lead(ts) OVER w AS valid_to,
-           lead(ts) OVER w IS NULL AS is_current,
-           CAST(row_number() OVER w AS BIGINT) AS version_n
-    FROM chg
-    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-    """,
-    "warehouse-standard SCD type-2 dimension build from the event "
-    "changelog: one row per state EPISODE with [valid_from, valid_to) "
-    "validity, is_current, per-key version numbers — consecutive "
-    "equal states collapse, deterministic (ts, id) versioning",
-)
-def scd2_user_state(spark, sf_dir):
-    """The versioned user-state dimension (`operators/scd.py`): what
-    state was each user in, when, as the interval table facts join
-    against (the `range_join_click_error` shape) — the TABLE form of
-    the state family next to state_agg's totals and state_timeline's
-    transition edges, and the batch analog of the CDC snapshot diff.
-
-    Scale: one key-shuffle window finds change points; the closing /
-    numbering windows run over change rows only (a small fraction of
-    any log that observes faster than it changes)."""
-    from purpleair_data_logger_spark.operators import scd
-
-    e = _t(spark, sf_dir, "events")
-    return scd.scd2_from_changelog(
-        e, ["user_id"], "ts", "event_id", "event_type"
-    )
-
-
-@register(
-    "dq_report_events",
-    """
-    WITH g AS (
-      SELECT count(*) AS n,
-             sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS v0,
-             count(*) - count(DISTINCT struct_pack(k := event_id)) AS v1,
-             sum(CASE WHEN value IS NOT NULL
-                       AND (value < 0 OR value > 1000) THEN 1 ELSE 0 END)
-               AS v2,
-             sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
-                      ('click','error','purchase','signup','view')
-                      THEN 1 ELSE 0 END) AS v3,
-             sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS v4
-      FROM events
-    )
-    SELECT c.constraint, g.n AS n_rows,
-           CAST(CASE c.i WHEN 0 THEN g.v0 WHEN 1 THEN g.v1 WHEN 2 THEN g.v2
-                         WHEN 3 THEN g.v3 ELSE g.v4 END AS BIGINT)
-               AS violations,
-           (CASE c.i WHEN 0 THEN g.v0 WHEN 1 THEN g.v1 WHEN 2 THEN g.v2
-                     WHEN 3 THEN g.v3 ELSE g.v4 END) = 0 AS passed
-    FROM g CROSS JOIN (VALUES
-        (0, 'not_null(event_id)'),
-        (1, 'unique(event_id)'),
-        (2, 'in_range(value,0.0,1000.0)'),
-        (3, 'accepted_values(event_type)'),
-        (4, 'not_null(ts)')) c(i, "constraint")
-    """,
-    "write-gate extension: declarative data-quality report "
-    "(Deequ/expectations pattern) — N constraints compiled into ONE "
-    "map-side-combined aggregate pass, exact violation counts, "
-    "engine-portable verdicts",
-)
-def dq_report_events(spark, sf_dir):
-    """The pre-publish quality gate on the events batch: five
-    constraints (PK not-null + unique, value range, accepted event
-    types, timestamp present) computed in one aggregate scan and
-    exploded into one report row each — `operators/quality.py`, with
-    `check_or_raise` gating writes on the same report."""
-    from purpleair_data_logger_spark.operators import quality as dq
-
-    e = _t(spark, sf_dir, "events")
-    return dq.quality_report(
-        e,
-        [
-            dq.not_null("event_id"),
-            dq.unique(["event_id"]),
-            dq.in_range("value", 0.0, 1000.0),
-            dq.accepted_values(
-                "event_type",
-                ["click", "error", "purchase", "signup", "view"],
-            ),
-            dq.not_null("ts"),
-        ],
-    )
-
-
-@register(
-    "value_trend_by_user",
-    """
-    WITH s AS (
-      SELECT user_id,
-             CAST(floor(epoch(ts)) AS BIGINT) AS t,
-             CAST(round(value * 100) AS BIGINT) AS c
-      FROM events WHERE value IS NOT NULL
-        AND user_id IS NOT NULL AND ts IS NOT NULL
-    ), t0s AS (
-      SELECT user_id, min(t) AS t0 FROM s GROUP BY 1
-    ), g AS (
-      SELECT s.user_id, count(*) AS n, min(t0s.t0) AS t0,
-             sum(s.c) AS sc,
-             sum(s.t - t0s.t0) AS st,
-             sum(s.c * (s.t - t0s.t0)) AS sct,
-             sum((s.t - t0s.t0) * (s.t - t0s.t0)) AS stt
-      FROM s JOIN t0s USING (user_id) GROUP BY 1
-    )
-    SELECT user_id, n, make_timestamp(t0 * 1000000) AS t0,
-           CASE WHEN CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
-                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0.0
-                THEN (CAST(n AS DOUBLE) * CAST(sct AS DOUBLE)
-                      - CAST(sc AS DOUBLE) * CAST(st AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
-                        - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
-                     * 3600.0 / 100
-           END AS slope_per_hour,
-           CASE WHEN CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
-                     - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) <> 0.0
-                THEN (CAST(sc AS DOUBLE)
-                      - (CAST(n AS DOUBLE) * CAST(sct AS DOUBLE)
-                         - CAST(sc AS DOUBLE) * CAST(st AS DOUBLE))
-                        / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
-                           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
-                        * CAST(st AS DOUBLE))
-                     / CAST(n AS DOUBLE) / 100
-                ELSE CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) / 100
-           END AS intercept
-    FROM g
-    """,
-    "A-family extension: TimescaleDB stats_agg→slope/intercept — "
-    "per-key least-squares trend with an exact-BIGINT Gram matrix "
-    "(rebased timestamps, scaled values) and fixed-order final "
-    "divisions",
-)
-def value_trend_by_user(spark, sf_dir):
-    """Per-user linear drift rate of value over time: exact integer
-    Gram sums (rebased seconds × centi-scaled values), five
-    fixed-order float ops at the end — the sensor-drift read,
-    bit-identical cross-engine."""
-    e = _t(spark, sf_dir, "events")
-    return hf.trend_stats(e, "ts", "user_id", "value")
-
-
-@register(
-    "mode_value_by_event_type",
-    """
-    WITH vals AS (
-      SELECT event_type, value, count(*) AS cnt
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-    )
-    SELECT event_type,
-           (max(struct_pack(c := cnt, v := value))).v AS mode,
-           CAST((max(struct_pack(c := cnt, v := value))).c AS BIGINT)
-               AS mode_count,
-           count(*) AS n_distinct
-    FROM vals GROUP BY 1
-    """,
-    "A-family extension: exact per-group mode as a lexicographic "
-    "struct argmax over the distinct-value count table — no sort, no "
-    "window, deterministic greatest-value tie rule",
-)
-def mode_value_by_event_type(spark, sf_dir):
-    """Most frequent value per event type: max(struct(count, value))
-    over the map-side-combined count table — the same struct-extreme
-    trick as M4, ties to the greatest value by contract."""
-    e = _t(spark, sf_dir, "events")
-    return agg.grouped_mode_exact(e, "event_type", "value")
-
-
-@register(
-    "winsorized_event_values",
-    """
-    WITH vals AS (
-      SELECT event_type, value, count(*) AS cnt
-      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-    ),
-    ranked AS (
-      SELECT event_type, value,
-             sum(cnt) OVER (PARTITION BY event_type ORDER BY value
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
-               AS rnk,
-             cnt,
-             sum(cnt) OVER (PARTITION BY event_type) AS n
-      FROM vals
-    ),
-    p AS (
-      SELECT event_type, p.p_bp, value AS pctl_value
-      FROM ranked CROSS JOIN (VALUES (500), (9500)) p(p_bp)
-      WHERE rnk <= (p.p_bp * n + 9999) // 10000
-        AND (p.p_bp * n + 9999) // 10000 <= rnk + cnt - 1
-    ),
-    cuts AS (
-      SELECT event_type,
-             min(CASE WHEN p_bp = 500 THEN pctl_value END) AS lo_cut,
-             min(CASE WHEN p_bp = 9500 THEN pctl_value END) AS hi_cut
-      FROM p GROUP BY 1
-    ),
-    clipped AS (
-      SELECT e.event_type, c.lo_cut, c.hi_cut, e.value,
-             CAST(round(least(greatest(e.value, c.lo_cut), c.hi_cut)
-                        * 100) AS BIGINT) AS cv
-      FROM events e JOIN cuts c USING (event_type)
-      WHERE e.value IS NOT NULL
-    )
-    SELECT event_type,
-           min(lo_cut) AS lo_cut, min(hi_cut) AS hi_cut,
-           count(*) AS n,
-           CAST(sum(CASE WHEN value < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_clipped_low,
-           CAST(sum(CASE WHEN value > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_clipped_high,
-           CAST(sum(cv) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0
-               AS winsorized_mean
-    FROM clipped GROUP BY 1
-    """,
-    "A-family extension: winsorized robust mean — values clipped to "
-    "the group's exact nearest-rank [P5, P95] (observed cutoffs, "
-    "broadcast back), aggregated as exact scaled BIGINTs with a "
-    "fixed-order final division",
-)
-def winsorized_event_values(spark, sf_dir):
-    """Outlier-robust per-group mean: clip to the exact [P5, P95]
-    observed cutoffs (the `grouped_percentiles_exact` machinery,
-    broadcast back as a 2-row-per-group table), sum the clipped
-    values as scaled BIGINTs, divide once by n and once by the scale
-    — bit-identical cross-engine, corpus never sorted."""
-    e = _t(spark, sf_dir, "events")
-    return agg.winsorized_stats(
-        e, "event_type", "value", lo_bp=500, hi_bp=9500
-    )
-
-
-@register(
-    "asof_next_error",
-    """
-    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
-         errs AS (SELECT * FROM events WHERE event_type = 'error')
-    SELECT c.event_id, c.user_id, c.ts,
-           (SELECT e.ts FROM errs e
-            WHERE e.user_id = c.user_id AND e.ts >= c.ts
-            ORDER BY e.ts, e.event_id LIMIT 1) AS asof_ts,
-           (SELECT e.value FROM errs e
-            WHERE e.user_id = c.user_id AND e.ts >= c.ts
-            ORDER BY e.ts, e.event_id LIMIT 1) AS asof_value
-    FROM clicks c
-    """,
-    "temporal-join family: FORWARD as-of join (earliest match "
-    "at-or-after) — the 'next state change after this event' "
-    "direction DuckDB's native ASOF lacks; same merge-scan, mirrored "
-    "sort",
-)
-def asof_next_error(spark, sf_dir):
-    """For each click, the user's next error at-or-after it:
-    `operators.asof.asof_join(direction="forward")` — the merge-scan
-    over descending timestamps (right rows first at equal ts, so the
-    boundary stays inclusive). One shuffle + one sort, no per-row
-    probe, no range blowup."""
-    from purpleair_data_logger_spark.operators.asof import asof_join
-
-    e = _t(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "event_id", "ts", "user_id"
-    )
-    errs = e.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", "value", "event_id"
-    )
-    return asof_join(
-        clicks,
-        errs,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        right_payload=["ts", "value"],
-        direction="forward",
-        # pins WHICH same-timestamp error wins, replaying the oracle's
-        # ORDER BY e.ts, e.event_id LIMIT 1 (smallest id at the
-        # boundary ts) — without it the carried payload is
-        # partitioning-dependent when (user_id, ts) collides
-        tiebreaker="event_id",
-    ).select("event_id", "user_id", "ts", "asof_ts", "asof_value")
-
-
-@register(
-    "sliding_active_users",
-    """
-    WITH bounds AS (
-      SELECT time_bucket(INTERVAL '15 minutes', min(ts))
-               - INTERVAL '45 minutes' AS lo,
-             max(ts) AS hi
-      FROM events
-    ), starts AS (
-      SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS ws
-      FROM bounds
-    )
-    SELECT s.ws AS window_start,
-           count(DISTINCT e.user_id) AS active_users,
-           count(*) AS n_events
-    FROM starts s
-    JOIN events e ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL '1 hour'
-    GROUP BY 1
-    """,
-    "A/R-family extension: sliding-window distinct actives (1 h "
-    "window, 15 min slide) — the overlapping-window mode the tumbling "
-    "A1-A3 family doesn't exercise; Spark window(ts, len, slide) "
-    "replicated by a window-start spine range-join in the oracle",
-)
-def sliding_active_users(spark, sf_dir):
-    """Hourly active sensors/users at 15-minute granularity: Spark's
-    sliding `window()` assigns each event to its 4 overlapping
-    epoch-aligned windows (a ×(len/slide) Expand, then one exact
-    distinct aggregate). Only non-empty windows emit — matching the
-    oracle's inner spine join."""
-    e = _t(spark, sf_dir, "events")
-    w = F.window("ts", "1 hour", "15 minutes")
-    return (
-        e.groupBy(w.alias("_w"))
-        .agg(
-            F.countDistinct("user_id").alias("active_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-        .select(
-            F.col("_w.start").alias("window_start"),
-            "active_users",
-            "n_events",
-        )
-    )
-
-
-@register(
-    "lttb_downsample_events",
-    # The chain-dependent argmax is replayable since the kernel went
-    # exact-integer (VERDICT r10 #8): the recursive CTE carries the
-    # previous kept point per key and re-derives each bucket's pick by
-    # the SAME c-scaled integer cross product, so the selection — not
-    # just the aggregate — is re-derived independently. bounds replay
-    # np.linspace bit-for-bit (i*step + 1 in IEEE double, trunc, with
-    # the endpoint pinned to n-1 exactly as np sets it).
-    """
-    WITH RECURSIVE f AS (
-      SELECT user_id, ts, value FROM events
-      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
-    ),
-    o AS (
-      SELECT user_id, ts, value,
-             CAST(row_number() OVER w - 1 AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
-             CAST(round(value * 100) AS BIGINT) AS v,
-             (epoch_us(ts) - first_value(epoch_us(ts)) OVER w) // 1000000
-               AS x
-      FROM f
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
-    ),
-    big AS MATERIALIZED (SELECT * FROM o WHERE n > 50),
-    keys AS (SELECT DISTINCT user_id, n FROM big),
-    bnd AS (
-      SELECT k.user_id, k.n, t.i,
-             CASE WHEN t.i = 48 THEN k.n - 1
-                  ELSE CAST(trunc(CAST(t.i AS DOUBLE)
-                       * ((CAST(k.n AS DOUBLE) - 2) / 48.0) + 1.0)
-                       AS BIGINT)
-             END AS b
-      FROM keys k, range(49) t(i)
-    ),
-    bkt AS MATERIALIZED (
-      SELECT a.user_id, a.i, a.b AS lo, h.b AS hi, h.b AS nlo,
-             CASE WHEN a.i <= 46 THEN n2.b ELSE a.n END AS nhi
-      FROM bnd a
-      JOIN bnd h ON h.user_id = a.user_id AND h.i = a.i + 1
-      LEFT JOIN bnd n2 ON n2.user_id = a.user_id AND n2.i = a.i + 2
-      WHERE a.i <= 47
-    ),
-    cent AS MATERIALIZED (
-      SELECT bk.user_id, bk.i,
-             CAST(count(*) AS BIGINT) AS c,
-             CAST(sum(o.x) AS BIGINT) AS sx,
-             CAST(sum(o.v) AS BIGINT) AS sv
-      FROM bkt bk JOIN big o
-        ON o.user_id = bk.user_id AND o.rn >= bk.nlo AND o.rn < bk.nhi
-      GROUP BY 1, 2
-    ),
-    rec AS (
-      SELECT user_id, CAST(-1 AS BIGINT) AS i,
-             rn AS a_rn, x AS a_x, v AS a_v
-      FROM big WHERE rn = 0
-      UNION ALL
-      SELECT user_id, i, a_rn, a_x, a_v FROM (
-        SELECT r.user_id, r.i + 1 AS i,
-               o.rn AS a_rn, o.x AS a_x, o.v AS a_v,
-               row_number() OVER (
-                 PARTITION BY r.user_id
-                 ORDER BY abs((c.c * r.a_x - c.sx) * (o.v - r.a_v)
-                              - (r.a_x - o.x) * (c.sv - c.c * r.a_v))
-                            DESC,
-                          o.rn ASC
-               ) AS rk
-        FROM rec r
-        JOIN bkt bk ON bk.user_id = r.user_id AND bk.i = r.i + 1
-        JOIN cent c ON c.user_id = r.user_id AND c.i = r.i + 1
-        JOIN big o ON o.user_id = r.user_id
-                  AND o.rn >= bk.lo AND o.rn < bk.hi
-        WHERE r.i < 47
-      ) WHERE rk = 1
-    ),
-    sel AS (
-      SELECT user_id, a_rn AS rn FROM rec
-      UNION ALL
-      SELECT user_id, n - 1 AS rn FROM keys
-    )
-    SELECT b.user_id, b.ts, b.value
-    FROM big b JOIN sel s ON s.user_id = b.user_id AND s.rn = b.rn
-    UNION ALL
-    SELECT user_id, ts, value FROM o WHERE n <= 50
-    ORDER BY user_id, ts, value
-    """,
-    "A2 extension: LTTB perception-optimal downsampling (Steinarsson "
-    "2013) — exact-integer selection, so the sequential chain is "
-    "replayed by a per-key recursive-CTE argmax (the kcore oracle "
-    "precedent)",
-)
-def lttb_downsample_events(spark, sf_dir):
-    """Per sensor key, the 50 points that best preserve the series
-    shape (largest-triangle-three-buckets): one shuffle on the key,
-    one Arrow batch + numpy kernel per series — the documented
-    pandas-UDF case for chain-dependent algorithms. Selection runs on
-    exact integers (1 s x resolution, 2-decimal scaled values — see
-    `lttb_indices`), so the chain-dependent argmax is bit-replayable
-    by the recursive-CTE oracle."""
-    e = _t(spark, sf_dir, "events")
-    return hf.lttb_downsample(e, "ts", "user_id", "value", 50)
-
-
-@register(
-    "frequent_tokens_docs",
-    """
-    WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
-               FROM documents),
-    n AS (SELECT count(*) AS total FROM t)
-    SELECT tok, count(*) AS n_occurrences,
-           (SELECT total FROM n) AS n_total,
-           CAST(count(*) AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM n)
-               AS freq
-    FROM t GROUP BY tok
-    HAVING count(*) * 10000 >= 100 * (SELECT total FROM n)
-    """,
-    "north-star heavy hitters: exact frequent tokens (support >= 1%) "
-    "via the two-scan candidate/verify formulation — per-partition "
-    "pigeonhole candidates, broadcast-semi-join verify; the shuffle "
-    "carries candidates, never the distinct-token table",
-)
-def frequent_tokens_docs(spark, sf_dir):
-    """Every token at >= 1% of the corpus with its exact count —
-    stopword discovery / hot-key detection. `agg.frequent_items`: a
-    partition emits only values locally above support (provable
-    superset by pigeonhole), the corpus is re-scanned once to
-    exact-count the candidates; all thresholds are integer
-    cross-multiplications."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(tx.tokens("text")).alias("tok"))
-    return agg.frequent_items(toks, "tok", support_bp=100)
-
-
-@register(
-    "frequent_tokens_by_lang",
-    """
-    WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
-               FROM documents),
-    n AS (SELECT lang, count(*) AS total FROM t GROUP BY 1)
-    SELECT t.lang, t.tok, count(*) AS n_occurrences,
-           CAST(min(n.total) AS BIGINT) AS n_total,
-           CAST(count(*) AS DOUBLE) / CAST(min(n.total) AS DOUBLE) AS freq
-    FROM t JOIN n ON t.lang = n.lang
-    GROUP BY 1, 2
-    HAVING count(*) * 10000 >= 100 * min(n.total)
-    """,
-    "north-star per-group heavy hitters: per-language frequent tokens "
-    "(>= 1% of the language's corpus) — the pigeonhole candidate/"
-    "verify shape applied per (partition, group); per-language "
-    "stopword discovery",
-)
-def frequent_tokens_by_lang(spark, sf_dir):
-    """Per-language stopword discovery: within each language, every
-    token at >= 1% of that language's token mass with exact counts.
-    `agg.grouped_frequent_items`: candidates clear the support against
-    the GROUP's rows in each partition, totals attach by broadcast,
-    thresholds stay integer cross-multiplications."""
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select("lang", F.explode(tx.tokens("text")).alias("tok"))
-    return agg.grouped_frequent_items(
-        toks, ["lang"], "tok", support_bp=100
-    )
-
-
-@register(
-    "asap_smooth_events",
-    None,  # Oracle-impossibility note (VERDICT r10 #8 follow-up —
-    # the LTTB exact-integer treatment was evaluated and does NOT
-    # extend here): replaying the window search needs the kurtosis
-    # constraint kurt(smoothed_w) >= kurt(original) decided exactly.
-    # In scaled integers that is m·Σu⁴·(Σv²)² >= n·Σv⁴·(Σu²)² with
-    # u_i = m·S_i − ΣS (S_i the w-window sums) — the 4th-power sums
-    # alone reach ~10²⁶ at this data's magnitudes and the
-    # cross-multiplied comparison ~10⁶⁸, past BIGINT (~9·10¹⁸) and
-    # HUGEINT/int128 (~1.7·10³⁸) in any SQL engine; evaluating it in
-    # float instead reintroduces exactly the np-pairwise-summation vs
-    # SQL-streaming-sum divergence that forced LTTB to integers.
-    # Correctness is therefore pinned the other way: the kernel
-    # against an independent plain-loop reference, the operator
-    # against the kernel, plus a rows-only driver check.
-    "A2/A4 extension: ASAP smoothing (Rong & Bailis VLDB'17; "
-    "TimescaleDB asap_smooth) — the auto-parameterized "
-    "roughness-minimal, kurtosis-preserving moving average a "
-    "dashboard draws instead of a hand-tuned one. Rows-only by "
-    "arithmetic necessity: deciding the kurtosis constraint exactly "
-    "needs ~10^68 cross-multiplied integer magnitudes (4th-power "
-    "sums x squared 2nd-power sums), beyond int64 AND int128 — see "
-    "the registration note",
-)
-def asap_smooth_events(spark, sf_dir):
-    """Smooth each sensor's hourly mean series with the ASAP-chosen
-    window: minimal roughness among windows that preserve kurtosis
-    (spikes survive). Pre-aggregated to the calendar-bounded hourly
-    series first — the same series-fits-one-worker contract as LTTB —
-    then one Arrow-batched kernel pass per key."""
-    e = _t(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        agg.time_bucket("ts", 3600).alias("bucket_ts"), "user_id"
-    ).agg(F.avg("value").alias("v"))
-    return hf.asap_smooth(hourly, "bucket_ts", "user_id", "v", max_window=24)
-
-
-@register(
-    "m4_lttb_downsample_events",
-    # Fully oracled since the LTTB kernel went exact-integer (VERDICT
-    # r10 #8): the M4 stage is the oracled m4_downsample_15min struct-
-    # extreme shape, its ≤4 points per bucket unnest + dedup into the
-    # composed series, and the SAME recursive-CTE argmax chain as
-    # lttb_downsample_events replays the selection.
-    """
-    WITH RECURSIVE s AS (
-      SELECT time_bucket(INTERVAL '15 minutes', ts) AS b,
-             user_id, ts, value
-      FROM events WHERE value IS NOT NULL
-    ),
-    a AS (
-      SELECT b, user_id,
-             min(struct_pack(t := ts, v := value)) AS fs,
-             max(struct_pack(t := ts, v := value)) AS ls,
-             min(struct_pack(v := value, t := ts)) AS lo,
-             max(struct_pack(v := value, t := ts)) AS hi
-      FROM s GROUP BY 1, 2
-    ),
-    px AS (
-      SELECT user_id,
-             unnest([fs, ls,
-                     struct_pack(t := lo.t, v := lo.v),
-                     struct_pack(t := hi.t, v := hi.v)]) AS u
-      FROM a
-    ),
-    f AS (
-      SELECT DISTINCT user_id, u.t AS ts, u.v AS value FROM px
-      WHERE user_id IS NOT NULL AND u.t IS NOT NULL
-    ),
-    o AS (
-      SELECT user_id, ts, value,
-             CAST(row_number() OVER w - 1 AS BIGINT) AS rn,
-             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
-             CAST(round(value * 100) AS BIGINT) AS v,
-             (epoch_us(ts) - first_value(epoch_us(ts)) OVER w) // 1000000
-               AS x
-      FROM f
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
-    ),
-    big AS MATERIALIZED (SELECT * FROM o WHERE n > 50),
-    keys AS (SELECT DISTINCT user_id, n FROM big),
-    bnd AS (
-      SELECT k.user_id, k.n, t.i,
-             CASE WHEN t.i = 48 THEN k.n - 1
-                  ELSE CAST(trunc(CAST(t.i AS DOUBLE)
-                       * ((CAST(k.n AS DOUBLE) - 2) / 48.0) + 1.0)
-                       AS BIGINT)
-             END AS b
-      FROM keys k, range(49) t(i)
-    ),
-    bkt AS MATERIALIZED (
-      SELECT a2.user_id, a2.i, a2.b AS lo, h.b AS hi, h.b AS nlo,
-             CASE WHEN a2.i <= 46 THEN n2.b ELSE a2.n END AS nhi
-      FROM bnd a2
-      JOIN bnd h ON h.user_id = a2.user_id AND h.i = a2.i + 1
-      LEFT JOIN bnd n2 ON n2.user_id = a2.user_id AND n2.i = a2.i + 2
-      WHERE a2.i <= 47
-    ),
-    cent AS MATERIALIZED (
-      SELECT bk.user_id, bk.i,
-             CAST(count(*) AS BIGINT) AS c,
-             CAST(sum(o.x) AS BIGINT) AS sx,
-             CAST(sum(o.v) AS BIGINT) AS sv
-      FROM bkt bk JOIN big o
-        ON o.user_id = bk.user_id AND o.rn >= bk.nlo AND o.rn < bk.nhi
-      GROUP BY 1, 2
-    ),
-    rec AS (
-      SELECT user_id, CAST(-1 AS BIGINT) AS i,
-             rn AS a_rn, x AS a_x, v AS a_v
-      FROM big WHERE rn = 0
-      UNION ALL
-      SELECT user_id, i, a_rn, a_x, a_v FROM (
-        SELECT r.user_id, r.i + 1 AS i,
-               o.rn AS a_rn, o.x AS a_x, o.v AS a_v,
-               row_number() OVER (
-                 PARTITION BY r.user_id
-                 ORDER BY abs((c.c * r.a_x - c.sx) * (o.v - r.a_v)
-                              - (r.a_x - o.x) * (c.sv - c.c * r.a_v))
-                            DESC,
-                          o.rn ASC
-               ) AS rk
-        FROM rec r
-        JOIN bkt bk ON bk.user_id = r.user_id AND bk.i = r.i + 1
-        JOIN cent c ON c.user_id = r.user_id AND c.i = r.i + 1
-        JOIN big o ON o.user_id = r.user_id
-                  AND o.rn >= bk.lo AND o.rn < bk.hi
-        WHERE r.i < 47
-      ) WHERE rk = 1
-    ),
-    sel AS (
-      SELECT user_id, a_rn AS rn FROM rec
-      UNION ALL
-      SELECT user_id, n - 1 AS rn FROM keys
-    )
-    SELECT b2.user_id, b2.ts, b2.value
-    FROM big b2 JOIN sel s2 ON s2.user_id = b2.user_id AND s2.rn = b2.rn
-    UNION ALL
-    SELECT user_id, ts, value FROM o WHERE n <= 50
-    ORDER BY user_id, ts, value
-    """,
-    "A2 extension: the SCALE.md corpus-series path as ONE operator — "
-    "M4 pre-aggregation (distributed, ≤4 points/bucket) feeding LTTB "
-    "over the bounded extreme-point series (VERDICT r4 #8); fully "
-    "oracled end-to-end via the exact-integer recursive-CTE chain",
-)
-def m4_lttb_downsample_events(spark, sf_dir):
-    """Downsample each sensor's series to 50 shape-preserving points
-    without ever shipping a raw series to one worker: M4 15-min
-    extremes first (pure aggregate — the stage that must scale),
-    then LTTB over the ≤4-points-per-bucket result. This is the
-    contract users are told to follow for series that exceed one
-    worker; `hf.m4_then_lttb` pins it as a single call."""
-    e = _t(spark, sf_dir, "events")
-    return hf.m4_then_lttb(e, "ts", "user_id", "value", 900, 50)
-
-
-@register(
-    "conversion_funnel",
-    """
-    WITH v AS (
-      SELECT user_id, min(ts) AS t_view FROM events
-      WHERE event_type = 'view' GROUP BY user_id
-    ),
-    c AS (
-      SELECT e.user_id, min(e.ts) AS t_click
-      FROM events e JOIN v ON e.user_id = v.user_id
-      WHERE e.event_type = 'click' AND e.ts > v.t_view
-      GROUP BY e.user_id
-    ),
-    p AS (
-      SELECT e.user_id, min(e.ts) AS t_purchase
-      FROM events e JOIN c ON e.user_id = c.user_id
-      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
-      GROUP BY e.user_id
-    )
-    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
-           p.t_purchase IS NOT NULL AS converted
-    FROM v
-    LEFT JOIN c ON v.user_id = c.user_id
-    LEFT JOIN p ON v.user_id = p.user_id
-    """,
-    "events-analytics extension: ordered view->click->purchase funnel "
-    "(stage-anchored conditional minima, no per-user sequence scan)",
-)
-def conversion_funnel(spark, sf_dir):
-    """Ordered funnel: first view, first click AFTER that view, first
-    purchase AFTER that click, per user. Each stage is one map-side-
-    combined aggregate anchored on the previous stage's timestamp
-    (attached by an equi-join on user) — never a per-user ordered
-    window scan over raw events, so a hot user is an AQE-splittable
-    join key rather than one sort partition. At 100 TB each stage's
-    output is one row per surviving user."""
-    e = _t(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        e.join(v, "user_id")
-        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        e.join(c, "user_id")
-        .filter(
-            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
-        )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
-        .select(
-            "user_id",
-            "t_view",
-            "t_click",
-            "t_purchase",
-            F.col("t_purchase").isNotNull().alias("converted"),
-        )
-    )
-
-
-@register(
-    "weekly_retention_cohorts",
-    """
-    WITH fw AS (
-      SELECT user_id,
-             CAST(min(epoch_us(ts) // 604800000000) AS BIGINT)
-               AS cohort_week
-      FROM events GROUP BY user_id
-    ),
-    act AS (
-      SELECT DISTINCT e.user_id, fw.cohort_week,
-             CAST(epoch_us(e.ts) // 604800000000 AS BIGINT)
-               AS active_week
-      FROM events e JOIN fw ON e.user_id = fw.user_id
-    )
-    SELECT cohort_week,
-           CAST(active_week - cohort_week AS BIGINT) AS weeks_since_first,
-           CAST(count(*) AS BIGINT) AS n_active_users
-    FROM act
-    GROUP BY 1, 2
-    """,
-    "events-analytics extension: retention cohort matrix (first-seen "
-    "week x weeks-since, distinct active users)",
-)
-def weekly_retention_cohorts(spark, sf_dir):
-    """The retention triangle: users bucketed by first-seen epoch week,
-    counted distinct per (cohort, weeks-since-first). Two aggregates +
-    one join on user_id; the distinct collapses map-side on (user,
-    week) before the final count — integer week arithmetic end to
-    end."""
-    e = _t(spark, sf_dir, "events").select(
-        "user_id",
-        (F.unix_micros(F.col("ts").cast("timestamp")) / (7 * 86400 * 1_000_000))
-        .cast("long")
-        .alias("week"),
-    )
-    fw = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    act = e.join(fw, "user_id").select("user_id", "cohort_week", F.col("week").alias("active_week")).distinct()
-    return (
-        act.groupBy(
-            "cohort_week",
-            (F.col("active_week") - F.col("cohort_week")).alias("weeks_since_first"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_active_users"))
-    )
-
-
-@register(
-    "corpus_accounting_rollup",
-    """
-    SELECT lang, source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
-    FROM documents
-    GROUP BY ROLLUP (lang, source)
-    """,
-    "O-family extension: multi-level ROLLUP accounting (the subtotal "
-    "reporting shape Spark executes as one Expand+aggregate pass)",
-)
-def corpus_accounting_rollup(spark, sf_dir):
-    """Corpus accounting at every aggregation level in one query:
-    (lang, source), per-lang subtotals, and the grand total via
-    ROLLUP — Spark plans this as a single Expand + hash aggregate
-    (each input row expands to its 3 grouping sets map-side and
-    partial-aggregates before the one shuffle), not three scans.
-    Exact integer counts/sums, so subtotal rows hash cross-engine."""
-    d = _t(spark, sf_dir, "documents")
-    return d.rollup("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(tx.whitespace_token_count("text")).alias("total_tokens"),
-    )
-
-
-@register(
-    "event_type_pivot",
-    """
-    SELECT user_id,
-           CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
-           CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
-           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
-           CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
-           CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
-    FROM events
-    GROUP BY user_id
-    """,
-    "O-family extension: pivot (long->wide reshaping with an explicit "
-    "pivot-value list)",
-)
-def event_type_pivot(spark, sf_dir):
-    """Per-user event counts pivoted to one column per event type —
-    the long→wide reshaping every dashboard/feature-matrix export
-    needs. The pivot VALUES are explicit: with them, Spark pivots off
-    ONE scan (a (user, type) pre-aggregate feeding the pivot
-    aggregate — both map-side combined); without them it would burn an
-    extra distinct-scan job to discover the columns, and the output
-    schema would depend on the data (a rerun hazard at 100 TB).
-    Unmatched cells coalesce to 0 to match COUNT FILTER semantics."""
-    e = _t(spark, sf_dir, "events")
-    types = ["click", "error", "purchase", "signup", "view"]
-    pivoted = e.groupBy("user_id").pivot("event_type", types).count()
-    return pivoted.select(
-        "user_id",
-        *[
-            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
-            for t in types
-        ],
-    )
-
-
-@register(
-    "ccnet_quality_buckets",
-    """
-    WITH pdt AS (
-      SELECT doc_id, tok, count(*) AS occ
-      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-      GROUP BY doc_id, tok
-    ),
-    tc AS (SELECT tok, CAST(sum(occ) AS BIGINT) AS corpus_tf FROM pdt GROUP BY tok),
-    n AS (SELECT CAST(sum(corpus_tf) AS BIGINT) AS corpus_total FROM tc),
-    r AS (
-      SELECT pdt.doc_id,
-             CAST(sum(occ * corpus_tf) AS DOUBLE)
-               / CAST(CAST(sum(occ) AS BIGINT) * min(corpus_total) AS DOUBLE)
-               AS mcp
-      FROM pdt JOIN tc ON pdt.tok = tc.tok CROSS JOIN n
-      GROUP BY pdt.doc_id
-    ),
-    s AS (
-      SELECT d.doc_id, d.lang,
-             CAST(floor(r.mcp * 1000000) AS BIGINT) AS score_q
-      FROM r JOIN documents d ON r.doc_id = d.doc_id
-    ),
-    vals AS (SELECT lang, score_q, count(*) AS cnt FROM s GROUP BY 1, 2),
-    ranked AS (
-      SELECT lang, score_q,
-             sum(cnt) OVER (PARTITION BY lang ORDER BY score_q
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
-               AS rnk,
-             sum(cnt) OVER (PARTITION BY lang) AS n
-      FROM vals
-    ),
-    prt AS (
-      SELECT lang, score_q,
-             CASE WHEN n > 1 THEN CAST(rnk - 1 AS DOUBLE)
-                                  / CAST(n - 1 AS DOUBLE)
-                  ELSE 0.0 END AS pr
-      FROM ranked
-    )
-    SELECT s.doc_id, s.lang, s.score_q, prt.pr,
-           CASE WHEN prt.pr >= 2.0/3.0 THEN 'head'
-                WHEN prt.pr >= 1.0/3.0 THEN 'middle'
-                ELSE 'tail' END AS ccnet_bucket
-    FROM s JOIN prt ON s.lang = prt.lang AND s.score_q = prt.score_q
-    """,
-    "north-star composed curation: CCNet head/middle/tail perplexity "
-    "buckets (unigram-LM score -> per-language percentile tertiles)",
-)
-def ccnet_quality_buckets(spark, sf_dir):
-    """CCNet's head/middle/tail stratification (Wenzek et al. 2020):
-    per-language tertiles of the log-free unigram-LM score. The
-    continuous score is floor-quantized to an integer first (the
-    documented `percent_rank_filter` contract for continuous scores —
-    floor of identical doubles is engine-exact where round() is not),
-    then the percentile attaches via the two-pass rank-over-aggregate
-    table: the corpus is never window-partitioned by the ~5-value
-    language key."""
-    d = _t(spark, sf_dir, "documents")
-    r = tx.unigram_rarity(d, "doc_id", "text", rare_max_tf=2)
-    s = r.select(
-        "doc_id",
-        F.floor(F.col("mean_corpus_prob") * 1_000_000)
-        .cast("long")
-        .alias("score_q"),
-    ).join(d.select("doc_id", "lang"), "doc_id")
-    prt = agg.percent_rank_table(s, "lang", "score_q")
-    third = F.lit(1.0) / F.lit(3.0)
-    return s.join(F.broadcast(prt), ["lang", "score_q"]).select(
-        "doc_id",
-        "lang",
-        "score_q",
-        "pr",
-        F.when(F.col("pr") >= F.lit(2.0) / F.lit(3.0), F.lit("head"))
-        .when(F.col("pr") >= third, F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("ccnet_bucket"),
-    )
-
-
-@register(
-    "shipping_priority_topk",
-    """
-    SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-           o_orderdate, o_orderpriority
-    FROM customer, orders, lineitem
-    WHERE c_mktsegment = 'BUILDING'
-      AND c_custkey = o_custkey
-      AND l_orderkey = o_orderkey
-      AND o_orderdate < TIMESTAMP '1998-06-01'
-      AND l_shipdate > TIMESTAMP '1998-06-01'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, o_orderdate, l_orderkey
-    LIMIT 10
-    """,
-    "J-family 3-way fact join + top-k (the TPC-H Q3 shape over the "
-    "customer/orders/lineitem tables)",
-)
-def shipping_priority_topk(spark, sf_dir):
-    """Unshipped-revenue shipping priority: segment-filtered customers
-    ⨝ orders ⨝ lineitem, per-order revenue, global top-10. The filtered
-    customer key set broadcasts; both date predicates push to their
-    scans; the top-k is orderBy+limit = TakeOrderedAndProject (a
-    per-partition top-k merged on the driver — the full aggregate
-    never sits in one partition). Full tiebreak (revenue DESC, date,
-    orderkey-unique) makes the limit deterministic cross-engine;
-    revenue uses the round(sum, 4) contract part_brand_revenue pinned.
-    """
-    cutoff = F.lit("1998-06-01").cast("timestamp")
-    c = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
-                ),
-                4,
-            ).alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
-        .limit(10)
-    )
-
-
-@register(
-    "bpe_train_encode",
-    None,  # training is iterative (one merge depends on all previous);
-    # not SQL-expressible — parity is pinned in tests/test_bpe.py
-    # against an independently-written reference trainer, like knn_ivf.
-    "north-star tokenizer surface: BPE training (corpus-scale word "
-    "count + bounded driver loop) and distinct-word-joined encoding",
-)
-def bpe_train_encode(spark, sf_dir):
-    """Train a BPE tokenizer on the corpus (ONE map-side-combined word
-    count; the merge loop runs over the bounded top-m word table, the
-    IVF-quantizer collect pattern) and encode every document with it —
-    Python touches only the distinct-word table, the corpus side is
-    posexplode + equi-join + order-restoring reassembly."""
-    from purpleair_data_logger_spark.operators import bpe
-
-    d = _t(spark, sf_dir, "documents")
-    wf = bpe.word_frequency_table(d, "text", top_m=30_000)
-    merges = bpe.train_bpe(wf, num_merges=40)
-    return bpe.encode_corpus(d, "doc_id", "text", merges).select(
-        "doc_id",
-        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
-        "n_bpe_tokens",
-    )
-
-
-@register(
-    "bigram_lm_fluency",
-    """
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
-    g AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
-          FROM toks, LATERAL unnest(range(1, len(arr))) t(i)),
-    pd AS (SELECT doc_id, w1, w2, count(*) AS occ FROM g GROUP BY 1, 2, 3),
-    bg AS (SELECT w1, w2, CAST(sum(occ) AS BIGINT) AS c2 FROM pd GROUP BY 1, 2),
-    ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bg GROUP BY 1)
-    SELECT pd.doc_id,
-           CAST(sum(occ) AS BIGINT) AS n_bigrams,
-           CAST(sum(occ * c2) AS DOUBLE) / CAST(sum(occ * c1) AS DOUBLE)
-             AS cond_prob_wmean,
-           CAST(sum(CASE WHEN c2 >= 2 THEN occ ELSE 0 END) AS DOUBLE)
-             / CAST(sum(occ) AS DOUBLE) AS seen_bigram_frac,
-           CAST(min(c2) AS BIGINT) AS min_bigram_tf
-    FROM pd JOIN bg USING (w1, w2) JOIN ctx USING (w1)
-    GROUP BY pd.doc_id
-    """,
-    "north-star text analysis: bigram-LM fluency proxy (log-free KenLM-"
-    "gate analog over word transitions)",
-)
-def bigram_lm_fluency(spark, sf_dir):
-    """Corpus-typicality of word-to-word transitions per document —
-    the fluency signal a unigram model misses (word salad has
-    plausible unigrams, implausible bigrams). All scores are ratios
-    of exact BIGINT sums; conditional contexts derive from the bigram
-    table itself (no separate unigram pass)."""
-    d = _t(spark, sf_dir, "documents")
-    return tx.bigram_lm_score(d, "doc_id", "text")
-
-
-@register(
-    "gapfill_locf_hourly",
-    """
-    WITH b AS (
-      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, user_id,
-             max(value) AS v
-      FROM events GROUP BY 1, 2
-    ), bounds AS (
-      SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b
-    ), spine AS (
-      SELECT u.user_id, g.bucket_ts
-      FROM (SELECT DISTINCT user_id FROM b) u
-      CROSS JOIN bounds
-      CROSS JOIN LATERAL (SELECT unnest(generate_series(bounds.lo,
-                     bounds.hi, INTERVAL '1 hour')) AS bucket_ts) g
-    )
-    SELECT s.user_id, s.bucket_ts,
-           last_value(b.v IGNORE NULLS) OVER (
-             PARTITION BY s.user_id ORDER BY s.bucket_ts
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
-           b.v IS NULL AS is_gapfilled
-    FROM spine s
-    LEFT JOIN b ON s.user_id = b.user_id AND s.bucket_ts = b.bucket_ts
-    """,
-    "A-family extension: TimescaleDB time_bucket_gapfill + locf "
-    "(the reference stack's gap-filling read path, "
-    "PurpleAirPSQLQueryStatements.py:564-580 context)",
-)
-def gapfill_locf_hourly(spark, sf_dir):
-    """Dense hourly series per sensor key with last-observation-
-    carried-forward fill; output rows = |keys| x calendar buckets,
-    independent of input size (corpus touched once, map-side combined).
-    """
-    e = _t(spark, sf_dir, "events")
-    return agg.gapfill_locf(e, "ts", 3600, ["user_id"], "value")
-
-
-@register(
-    "gapfill_interpolate_hourly",
-    """
-    WITH b AS (
-      SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_ts, user_id,
-             max(value) AS v
-      FROM events GROUP BY 1, 2
-    ), bounds AS (
-      SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b
-    ), spine AS (
-      SELECT u.user_id, g.bucket_ts
-      FROM (SELECT DISTINCT user_id FROM b) u
-      CROSS JOIN bounds
-      CROSS JOIN LATERAL (SELECT unnest(generate_series(bounds.lo,
-                     bounds.hi, INTERVAL '1 hour')) AS bucket_ts) g
-    ), j AS (
-      SELECT s.user_id, s.bucket_ts, b.v,
-             epoch_us(s.bucket_ts) // 3600000000 AS idx
-      FROM spine s
-      LEFT JOIN b ON s.user_id = b.user_id AND s.bucket_ts = b.bucket_ts
-    ), w AS (
-      SELECT user_id, bucket_ts, v, idx,
-             last_value(v IGNORE NULLS) OVER wp AS pv,
-             last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
-               OVER wp AS pi,
-             first_value(v IGNORE NULLS) OVER wn AS nv,
-             first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
-               OVER wn AS ni
-      FROM j
-      WINDOW wp AS (PARTITION BY user_id ORDER BY bucket_ts
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             wn AS (PARTITION BY user_id ORDER BY bucket_ts
-                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-    )
-    SELECT user_id, bucket_ts,
-           CASE WHEN v IS NOT NULL THEN v
-                ELSE pv + (nv - pv) * (CAST(idx - pi AS DOUBLE)
-                                       / CAST(ni - pi AS DOUBLE)) END
-             AS value_filled,
-           v IS NULL AS is_gapfilled
-    FROM w
-    """,
-    "A-family extension: TimescaleDB time_bucket_gapfill + interpolate "
-    "(linear fill between observed neighbors; edges stay NULL)",
-)
-def gapfill_interpolate_hourly(spark, sf_dir):
-    """Linear interpolation across missing hourly buckets per sensor
-    key — the trend-true companion to LOCF. The interpolation fraction
-    is a division of two exact bucket-index integers, so the filled
-    doubles agree bit-for-bit across engines."""
-    e = _t(spark, sf_dir, "events")
-    return agg.gapfill_interpolate(e, "ts", 3600, ["user_id"], "value")
-
-
-@register(
-    "time_weighted_hourly",
-    """
-    WITH staged AS (
-      SELECT user_id, event_id,
-             time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
-             epoch_us(ts) AS ts_us,
-             epoch_us(time_bucket(INTERVAL '1 hour', ts)) + 3600000000
-               AS end_us,
-             CAST(round(value * 100) AS BIGINT) AS v_scaled
-      FROM events
-    ), d AS (
-      SELECT *, coalesce(lead(ts_us) OVER (
-                  PARTITION BY user_id, bucket_ts
-                  ORDER BY ts_us, event_id), end_us) - ts_us AS d_us
-      FROM staged
-    )
-    SELECT user_id, bucket_ts,
-           CAST(sum(v_scaled * d_us) AS DOUBLE)
-             / CAST(sum(d_us) AS DOUBLE) / 100.0 AS time_weighted_avg,
-           CAST(sum(d_us) AS BIGINT) AS covered_us, count(*) AS n_samples
-    FROM d GROUP BY 1, 2
-    """,
-    "A-family extension: TimescaleDB time_weight('LOCF') -> average "
-    "per bucket; exact-BIGINT numerator/denominator, one final division",
-)
-def time_weighted_hourly(spark, sf_dir):
-    """Irregular-sample duration-weighted mean per (sensor, hour):
-    each reading weighted by how long it stayed current (LOCF
-    weighting, last reading extends to the bucket end)."""
-    e = _t(spark, sf_dir, "events")
-    return agg.time_weighted_avg(
-        e, "ts", 3600, ["user_id"], "value", "event_id"
-    )
-
-
-@register(
-    "sensor_spike_detection",
-    """
-    WITH staged AS (
-      SELECT event_id, user_id, value,
-             CAST(round(value * 100) AS BIGINT) AS c,
-             epoch_us(ts) AS ts_us
-      FROM events
-    ), wz AS (
-      SELECT event_id, user_id, value, c,
-             count(*) OVER w AS n_window,
-             sum(c) OVER w AS s1, sum(c * c) OVER w AS s2
-      FROM staged
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
-                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
-    )
-    SELECT event_id, user_id, value, n_window,
-           (n_window >= 8 AND (n_window * c - s1) > 0
-            AND (n_window * c - s1) * (n_window * c - s1)
-                > 9 * (n_window * s2 - s1 * s1)) AS is_spike
-    FROM wz
-    """,
-    "A4 extension: trailing z-score exceedance alert in exact integer "
-    "arithmetic (no float variance, no sqrt)",
-)
-def sensor_spike_detection(spark, sf_dir):
-    """Upward >3-sigma exceedance vs the sensor's own trailing-7-day
-    history — the alerting read a monitoring deployment runs on this
-    data. Integer-exact test: (n*c - S1)^2 > 9*(n*S2 - S1^2)."""
-    e = _t(spark, sf_dir, "events")
-    return agg.rolling_zscore_flags(
-        e,
-        "ts",
-        "user_id",
-        "value",
-        "event_id",
-        trailing_seconds=7 * 86400,
-        z_threshold=3,
-        min_samples=8,
-    )
-
-
-@register(
-    "cusum_drift_by_user",
-    """
-    WITH f AS (
-      SELECT user_id, event_id, ts, value,
-             CAST(round(value * 100) AS BIGINT) AS v
-      FROM events WHERE value IS NOT NULL
-        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
-    ),
-    t AS (
-      SELECT user_id,
-             CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
-      FROM f GROUP BY 1
-    ),
-    d AS (
-      SELECT f.user_id, f.event_id, f.ts, f.value, f.v - t.mu - 200 AS dd
-      FROM f JOIN t USING (user_id)
-    ),
-    p AS (
-      SELECT *, CAST(sum(dd) OVER w AS BIGINT) AS ps
-      FROM d
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    ),
-    s AS (
-      SELECT *, ps - least(CAST(0 AS BIGINT), min(ps) OVER w2) AS sc
-      FROM p
-      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT user_id, event_id, ts, value, CAST(sc AS DOUBLE) / 100.0 AS cusum
-    FROM s WHERE sc > 30000
-    """,
-    "A4/R3 extension: Page's one-sided CUSUM drift detector as pure "
-    "window algebra — S_i = P_i - min prefix(P), exact scaled-BIGINT "
-    "arithmetic, the slow-drift alert a MAX-threshold panel misses",
-)
-def cusum_drift_by_user(spark, sf_dir):
-    """Upward CUSUM alarms per sensor key against its own truncating
-    integer-scaled mean, slack 2.00 and threshold 300.00 value units.
-    The sequential recurrence max(0, S+d) is rewritten as prefix-sum
-    minus running-min-of-prefix-sum — two windows, no UDF — and runs
-    two-tier over (key, calendar-day) partitions per the skew rule."""
-    e = _t(spark, sf_dir, "events")
-    return hf.cusum_scan(
-        e,
-        "ts",
-        "user_id",
-        "value",
-        "event_id",
-        slack=2.0,
-        threshold=300.0,
-    )
-
-
-@register(
-    "cusum_twosided_by_user",
-    """
-    WITH f AS (
-      SELECT user_id, event_id, ts, value,
-             CAST(round(value * 100) AS BIGINT) AS v
-      FROM events WHERE value IS NOT NULL
-        AND user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
-    ),
-    t AS (
-      SELECT user_id,
-             CAST(sum(v) AS BIGINT) // CAST(count(*) AS BIGINT) AS mu
-      FROM f GROUP BY 1
-    ),
-    d AS (
-      SELECT f.user_id, f.event_id, f.ts, f.value,
-             f.v - t.mu - 200 AS du, f.v - t.mu + 200 AS dd
-      FROM f JOIN t USING (user_id)
-    ),
-    p AS (
-      SELECT *, CAST(sum(du) OVER w AS BIGINT) AS psu,
-                CAST(sum(dd) OVER w AS BIGINT) AS psd
-      FROM d
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    ),
-    s AS (
-      SELECT *,
-             psu - least(CAST(0 AS BIGINT), min(psu) OVER w2) AS su,
-             greatest(CAST(0 AS BIGINT), max(psd) OVER w2) - psd AS sd
-      FROM p
-      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT user_id, event_id, ts, value,
-           CAST(su AS DOUBLE) / 100.0 AS cusum_high,
-           CAST(sd AS DOUBLE) / 100.0 AS cusum_low,
-           CASE WHEN su > 30000 AND sd > 30000 THEN 'both'
-                WHEN su > 30000 THEN 'up' ELSE 'down' END AS alarm_side
-    FROM s WHERE su > 30000 OR sd > 30000
-    """,
-    "two-sided Page CUSUM: the downward-drift accumulator (clogged "
-    "sensor under-reading) runs beside the upward one in the same "
-    "Window node — running max of prefix mirrors the running min",
-)
-def cusum_twosided_by_user(spark, sf_dir):
-    """Two-sided CUSUM alarms per sensor key (VERDICT r5 #4): both
-    Page accumulators via the symmetric prefix identities (S⁺ = P⁺ −
-    min prefix, S⁻ = max prefix − P⁻), exact scaled-BIGINT, one
-    Window node per tier — same shuffle count as the one-sided scan."""
-    e = _t(spark, sf_dir, "events")
-    return hf.cusum_scan_twosided(
-        e,
-        "ts",
-        "user_id",
-        "value",
-        "event_id",
-        slack=2.0,
-        threshold=300.0,
-    )
-
-
-@register(
-    "edit_distance_neardups",
-    """
-    WITH base AS (
-      SELECT doc_id, lang, n_chars, n_chars // 64 AS band,
-             lower(substr(text, 1, 48)) AS pfx
-      FROM documents
-      WHERE text IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL
-    ),
-    p AS (
-      SELECT least(a.doc_id, b.doc_id) AS id_a,
-             greatest(a.doc_id, b.doc_id) AS id_b,
-             levenshtein(a.pfx, b.pfx) AS ed
-      FROM base a JOIN base b
-        ON a.lang = b.lang
-       AND (b.band = a.band OR b.band = a.band + 1)
-       AND (a.band <> b.band OR a.doc_id < b.doc_id)
-       AND abs(a.n_chars - b.n_chars) <= 64
-    )
-    SELECT DISTINCT id_a, id_b, CAST(ed AS INT) AS edit_dist
-    FROM p WHERE ed <= 12
-    """,
-    "character-level fuzzy dedup: blocked Levenshtein pairs (typo/OCR "
-    "variants token-set methods miss) — banded O(t·n) DP on a capped "
-    "prefix; adjacent-band hash join + exact |dlen|<=64 residual so "
-    "boundary-straddling pairs are kept (VERDICT r10 #2), never a "
-    "corpus cross join",
-)
-def edit_distance_neardups(spark, sf_dir):
-    """Edit-distance near-dup pairs over lang blocks with an exact
-    |dlen| <= 64 length constraint (adjacent 64-char length bands
-    joined via a 2-way explode so it stays one hash equi-join) and
-    the threshold-banded Levenshtein DP on a 48-char lowercased
-    prefix. Completes the near-dup ladder at the character
-    level (MinHash = token sets, SimHash = weighted features,
-    embedding-LSH = semantics, Levenshtein = keystrokes); the full
-    blocking → capped-DP → threshold pipeline replays in DuckDB."""
-    d = _t(spark, sf_dir, "documents")
-    return dd.edit_distance_neardups(
-        d, "doc_id", "text", block_cols=["lang"], len_col="n_chars"
-    )
-
-
-@register(
-    "late_order_priority",
-    """
-    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
-    FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-      AND o_orderdate < TIMESTAMP '1996-01-01'
-      AND EXISTS (
-        SELECT 1 FROM lineitem l
-        WHERE l.l_orderkey = o.o_orderkey
-          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
-    GROUP BY 1
-    """,
-    "TPC-H Q4 shape: EXISTS-correlated semi-join from the order table "
-    "into the fact table with a per-order lateness predicate, then a "
-    "tiny priority rollup",
-)
-def late_order_priority(spark, sf_dir):
-    """Orders placed in 1995 with at least one line item shipped more
-    than 60 days after the order date, counted per priority class —
-    the TPC-H Q4 pattern (EXISTS → left-semi equi-join on the order
-    key with the non-equi lateness predicate evaluated inside the
-    join). Scale shape: the date predicate prunes the orders side
-    before the join; the semi join shuffles on o_orderkey (AQE
-    broadcast when the pruned side is small), emits each order at
-    most once regardless of line-item fan-out, and the final rollup
-    is a map-side-combined aggregate over |orders| rows."""
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
-        F.col("l_shipdate")
-        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    )
-    return (
-        o.join(li, on=cond, how="left_semi")
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_late_orders"))
-    )
-
-
-@register(
-    "copurchase_pairs",
-    """
-    WITH li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-    ),
-    p AS (
-      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    )
-    SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
-    FROM p GROUP BY 1, 2
-    ORDER BY n_orders DESC, part_a, part_b LIMIT 100
-    """,
-    "market-basket pair mining: per-order self-join bounded by basket "
-    "size, pair-count aggregate, deterministic top-100",
-)
-def copurchase_pairs(spark, sf_dir):
-    """Top co-purchased part pairs: distinct (order, part) → self
-    equi-join on the order key → pair-count rollup → deterministic
-    top-100 (ties broken on the pair). Scale shape: the quadratic
-    term is bounded by basket size (≤ C(12,2) = 66 pairs per order
-    here, a data invariant — never corpus²); the self-join shuffles
-    once on l_orderkey and both sides reuse that partitioning; the
-    pair aggregate is map-side combined and the top-100 plans as
-    TakeOrderedAndProject, never a global sort of all pairs."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    return (
-        a.join(b, on="l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy(F.desc("n_orders"), "part_a", "part_b")
-        .limit(100)
-    )
-
-
-@register(
-    "small_quantity_revenue",
-    """
-    WITH li AS (
-      SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
-      FROM lineitem
-      WHERE l_partkey IS NOT NULL AND l_quantity IS NOT NULL
-    )
-    SELECT CAST(sum(l.price_c) AS DOUBLE) / 7.0 / 100.0 AS avg_yearly
-    FROM li l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#4'
-      AND 0 < (SELECT sum(l2.qty - 5 * l.qty) FROM li l2
-               WHERE l2.l_partkey = l.l_partkey)
-    """,
-    "TPC-H Q17 shape: correlated scalar subquery (each lineitem vs its "
-    "part's average quantity) decorrelated into ONE per-partkey "
-    "aggregate + ONE equi-join — never a per-row re-scan",
-)
-def small_quantity_revenue(spark, sf_dir):
-    """Average yearly revenue lost if small-quantity orders (below 20%
-    of the part's average order quantity) were no longer taken, for one
-    brand — the TPC-H Q17 correlated-scalar-subquery pattern (VERDICT
-    r6 #3).
-
-    The oracle states it in the classic correlated form (the inner
-    aggregate references the outer row); the Spark plan is the
-    decorrelated equivalent: ONE per-partkey aggregate scan producing
-    (sum_qty, n_li), joined back to the fact rows on the equi-key, with
-    the per-row comparison evaluated post-join — the optimizer-correct
-    shape vs re-executing the subquery per row. The comparison
-    ``l_quantity < 0.2 * avg(l_quantity)`` is order-dependent in
-    floats (the avg is a summation), so both sides evaluate the exact
-    integer equivalent ``5 * qty * n < sum_qty`` — BIGINT, no division,
-    no summation-order hazard on the boundary.
-
-    Scale shape: the brand predicate is pushed to the part scan and the
-    surviving keys ride a broadcast semi-style equi-join into BOTH
-    lineitem branches BEFORE the group aggregate (valid because the
-    group key is the join key — a whole partkey is either in the brand
-    or not), so the per-partkey aggregate runs over |brand's lineitems|
-    not |lineitem|; the stats join is an equi-join on l_partkey (AQE
-    broadcasts the aggregate side when it fits, shuffles otherwise);
-    the final rollup is a single-row map-side-combined aggregate. Money
-    stays exact-cents BIGINT until the one final division, mirroring
-    `pricing_summary`'s overflow contract.
-    """
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        # NULL contract (sf0.01 fuzz twin, r10): a NULL quantity
-        # carries no observation — without this filter the oracle's
-        # correlated sum skips the NULL terms while the decorrelated
-        # count(*) counts the rows, so the 5·qty·n < Σqty comparison
-        # diverges on parts containing a NULL-qty lineitem.
-        .filter(F.col("l_partkey").isNotNull() & F.col("l_quantity").isNotNull())
-        .select(
-            "l_partkey",
-            F.round(F.col("l_quantity")).cast("long").alias("qty"),
-            F.round(F.col("l_extendedprice") * 100)
-            .cast("long")
-            .alias("price_c"),
-        )
-    )
-    sel = (
-        _t(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "Brand#4")
-        .select("p_partkey")
-    )
-    li_sel = li.join(
-        F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey")
-    ).drop("p_partkey")
-    stats = li_sel.groupBy("l_partkey").agg(
-        F.sum("qty").alias("_sum_qty"), F.count(F.lit(1)).alias("_n_li")
-    )
-    return (
-        li_sel.join(stats, "l_partkey")
-        .filter(F.lit(5) * F.col("qty") * F.col("_n_li") < F.col("_sum_qty"))
-        .agg(
-            (
-                F.sum("price_c").cast("double") / F.lit(7.0) / F.lit(100.0)
-            ).alias("avg_yearly")
-        )
-    )
-
-
-@register(
-    "above_avg_orders",
-    """
-    WITH o AS (
-      SELECT o_orderkey, o_custkey, o_orderpriority,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
-      FROM orders
-      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
-    )
-    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_big_orders,
-           CAST(sum(total_c) AS DOUBLE) / 100.0 AS big_order_revenue
-    FROM o
-    WHERE 0 < (SELECT sum(2 * o.total_c - 3 * o2.total_c) FROM o o2
-               WHERE o2.o_custkey = o.o_custkey)
-    GROUP BY 1
-    """,
-    "correlated scalar subquery against the row's OWN group (orders "
-    "50% above the customer's average), decorrelated to one aggregate "
-    "+ one equi-join",
-)
-def above_avg_orders(spark, sf_dir):
-    """Orders more than 50% above their own customer's average order
-    value, rolled up by priority — the self-correlated variant of the
-    Q17 pattern (the subquery aggregates the SAME table the outer row
-    comes from, so the naive plan re-scans `orders` per order row).
-
-    Decorrelated Spark plan: one per-custkey aggregate (sum, count),
-    one equi-join back on o_custkey, comparison post-join, tiny final
-    rollup. The predicate ``total > 1.5 * avg(total)`` is evaluated in
-    exact integer form ``2 * total_c * n > 3 * sum_c`` (equivalently
-    the oracle's Σ(2·total_c − 3·total_c2) > 0), dodging the float
-    summation-order boundary exactly as `small_quantity_revenue` does.
-
-    Scale shape: both sides of the join shuffle once on o_custkey (the
-    aggregate reuses the probe side's partitioning under AQE); no
-    per-row re-scan, no nested loop; the priority rollup is map-side
-    combined over the filtered rows.
-    """
-    o = (
-        _t(spark, sf_dir, "orders")
-        # NULL total carries no observation (the small_quantity_revenue
-        # fuzz lesson, r10: a NULL measure diverges the correlated-sum
-        # oracle from the decorrelated count) — latent here only while
-        # the fuzzer leaves o_totalprice unmutated.
-        .filter(F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull())
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            "o_orderpriority",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_c"),
-        )
-    )
-    stats = o.groupBy("o_custkey").agg(
-        F.sum("total_c").alias("_sum_c"), F.count(F.lit(1)).alias("_n_o")
-    )
-    return (
-        o.join(stats, "o_custkey")
-        .filter(
-            F.lit(2) * F.col("total_c") * F.col("_n_o")
-            > F.lit(3) * F.col("_sum_c")
-        )
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).alias("n_big_orders"),
-            (F.sum("total_c").cast("double") / F.lit(100.0)).alias(
-                "big_order_revenue"
-            ),
-        )
-    )
-
-
-@register(
-    "mad_outliers_by_event_type",
-    """
-    WITH e AS (
-      SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL
-    ),
-    vals1 AS (SELECT event_type, value, count(*) AS cnt FROM e GROUP BY 1, 2),
-    rank1 AS (
-      SELECT event_type, value,
-             sum(cnt) OVER (PARTITION BY event_type ORDER BY value
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
-               AS rnk,
-             cnt, sum(cnt) OVER (PARTITION BY event_type) AS n
-      FROM vals1
-    ),
-    med AS (
-      SELECT event_type, value AS group_median FROM rank1
-      WHERE rnk <= (n + 1) // 2 AND (n + 1) // 2 <= rnk + cnt - 1
-    ),
-    d AS (
-      SELECT e.event_id, e.event_type, e.value, med.group_median,
-             abs(e.value - med.group_median) AS adev
-      FROM e JOIN med USING (event_type)
-    ),
-    vals2 AS (SELECT event_type, adev, count(*) AS cnt FROM d GROUP BY 1, 2),
-    rank2 AS (
-      SELECT event_type, adev,
-             sum(cnt) OVER (PARTITION BY event_type ORDER BY adev
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt + 1
-               AS rnk,
-             cnt, sum(cnt) OVER (PARTITION BY event_type) AS n
-      FROM vals2
-    ),
-    mad AS (
-      SELECT event_type, adev AS group_mad FROM rank2
-      WHERE rnk <= (n + 1) // 2 AND (n + 1) // 2 <= rnk + cnt - 1
-    )
-    SELECT d.event_id, d.event_type, d.value, d.group_median, mad.group_mad,
-           (d.value - d.group_median) / mad.group_mad AS robust_z
-    FROM d JOIN mad USING (event_type)
-    WHERE mad.group_mad > 0 AND d.adev > 3.5 * mad.group_mad
-    """,
-    "exact-order-statistics family extension: median-absolute-deviation "
-    "robust outlier flags (Iglewicz–Hodges k=3.5) — the 50%-breakdown "
-    "alternative to the z-score spike detector, and the outlier-filter "
-    "pass a training-data pipeline runs before normalization",
-)
-def mad_outliers_by_event_type(spark, sf_dir):
-    """Rows whose |value − group median| exceeds 3.5 × the group MAD —
-    both center and spread are exact lower medians over the
-    distinct-value count table (no corpus sort, no interpolation), so
-    the flagged set is bit-identical across engines."""
-    e = _t(spark, sf_dir, "events")
-    return agg.mad_outliers(e, "event_type", "value", ["event_id"], k=3.5)
-
-
-@register(
-    "stats2d_click_error_by_user",
-    """
-    WITH b AS (
-      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket_ts,
-             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS x,
-             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS y
-      FROM events GROUP BY 1, 2
-    ),
-    s AS (
-      SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy
-      FROM b GROUP BY 1
-    )
-    SELECT user_id, n AS n_pairs, sx AS sum_x, sy AS sum_y,
-      CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
-        CAST(n * sxy - sx * sy AS DOUBLE)
-          / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                 * CAST(n * syy - sy * sy AS DOUBLE))
-      END AS corr_click_error,
-      CASE WHEN (n * sxx - sx * sx) > 0 THEN
-        CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
-      END AS slope,
-      CASE WHEN (n * sxx - sx * sx) > 0 THEN
-        (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
-           / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
-          / CAST(n AS DOUBLE)
-      END AS intercept
-    FROM s
-    """,
-    "A-family extension: TimescaleDB stats_agg(y, x) 2-D — per-key "
-    "corr/OLS slope/intercept between hourly click and error counts, "
-    "from exact BIGINT power sums (float corr() aggregates are "
-    "summation-order-divergent across engines)",
-)
-def stats2d_click_error_by_user(spark, sf_dir):
-    """Does clicking correlate with erroring, per user? Hourly count
-    pairs (spine = every hour the user emitted ANY event), then the
-    six exact integer power sums collapse each user to one row; the
-    closed forms are evaluated in one fixed float expression each —
-    bit-identical cross-engine. Two map-side-combined shuffles, the
-    second on the narrower bare key."""
-    e = _t(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "user_id", agg.time_bucket("ts", 3600).alias("bucket_ts")
-    ).agg(
-        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
-        .cast("long")
-        .alias("x"),
-        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
-        .cast("long")
-        .alias("y"),
-    )
-    return hf.stats2d_exact(
-        hourly,
-        "user_id",
-        "x",
-        "y",
-        corr_alias="corr_click_error",
-    )
-
-
-@register(
-    "acf_value_by_user",
-    """
-    WITH s AS (
-      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS x,
-             lead(CAST(round(value * 100) AS BIGINT), 1) OVER w AS y1,
-             lead(CAST(round(value * 100) AS BIGINT), 2) OVER w AS y2,
-             lead(CAST(round(value * 100) AS BIGINT), 3) OVER w AS y3
-      FROM events
-      WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        AND event_id IS NOT NULL AND value IS NOT NULL
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-    ),
-    p AS (
-      SELECT user_id, 1 AS lag, x, y1 AS y FROM s WHERE y1 IS NOT NULL
-      UNION ALL
-      SELECT user_id, 2, x, y2 FROM s WHERE y2 IS NOT NULL
-      UNION ALL
-      SELECT user_id, 3, x, y3 FROM s WHERE y3 IS NOT NULL
-    ),
-    g AS (
-      SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy
-      FROM p GROUP BY 1, 2
-    )
-    SELECT user_id, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
-           sx AS sum_x, sy AS sum_y,
-           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
-                THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                            * CAST(n * syy - sy * sy AS DOUBLE))
-           END AS acf
-    FROM g ORDER BY user_id, lag
-    """,
-    "A-family extension: per-key lag-1..3 autocorrelation from exact "
-    "BIGINT power sums (one window pass computes every lag's lead, "
-    "one aggregate finishes) — the seasonality/stickiness probe, "
-    "bit-identical cross-engine where float corr aggregates are not",
-)
-def acf_value_by_user(spark, sf_dir):
-    """Is each user's value series sticky or mean-reverting? ACF at
-    observation-lags 1-3 per user (`hyperfunctions.autocorr_exact`):
-    decimal-scaled exact power sums per (user, lag), one float
-    expression at the end. One window shuffle computes all three
-    leads; the explode emits 3 pairs/row; one map-side-combined
-    aggregate per (user, lag) finishes. sum_y rides along as the
-    shift audit (differs from sum_x only by the k-row head/tail)."""
-    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    return hf.autocorr_exact(
-        e, ["user_id"], "ts", "event_id", "value", lags=(1, 2, 3)
-    ).orderBy("user_id", "lag")
-
-
-@register(
-    "embedding_quantize_int8",
-    """
-    WITH d AS (
-      SELECT DISTINCT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-      FROM embeddings
-    ),
-    e AS (
-      SELECT vec_id, i AS pos, ve[i] AS v
-      FROM d, LATERAL unnest(range(1, len(ve) + 1)) t(i)
-    ),
-    c AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
-    q AS (
-      SELECT e.vec_id, e.pos,
-             CASE WHEN c.mx = c.mn THEN 0
-                  ELSE least(greatest(
-                         CAST(round((e.v - c.mn) * 255.0 / (c.mx - c.mn))
-                              AS BIGINT), 0), 255)
-             END AS code
-      FROM e JOIN c USING (pos)
-    )
-    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
-           CAST(sum(code) AS BIGINT) AS code_sum,
-           string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos) AS codes_csv
-    FROM q GROUP BY vec_id
-    """,
-    "north-star ANN scale path, encode stage: affine int8 scalar "
-    "quantization (SQ8) against per-dimension corpus calibration — 4x "
-    "less memory/IO than float32; codes are single fixed float "
-    "expressions ending in half-away-from-zero rounding, bit-identical "
-    "cross-engine",
-)
-def embedding_quantize_int8(spark, sf_dir):
-    """SQ8-encode every corpus vector against the corpus's own
-    per-dimension min/span calibration; serialize codes in dimension
-    order (the vocab_encode CSV convention for array-valued gates).
-    Vector identity is the PK: a re-ingested duplicate vec_id row
-    collapses before encoding (fuzz r6 — the oracle's unnest-regroup
-    collapses duplicates implicitly, so both engines must)."""
-    em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
-    mins, spans = sim.quantization_calibration(em, "embedding")
-    codes = sim.quantize_int8(em, "vec_id", "embedding", mins, spans)
-    return codes.select(
-        "vec_id",
-        F.size("codes").cast("long").alias("n_dims"),
-        F.aggregate(
-            "codes", F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("code_sum"),
-        F.array_join(F.transform("codes", lambda x: x.cast("string")), ",")
-        .alias("codes_csv"),
-    )
-
-
-@register(
-    "knn_quantized_rescored",
-    """
-    WITH d AS (
-      SELECT DISTINCT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-      FROM embeddings
-    ),
-    e AS (
-      SELECT vec_id, i AS pos, ve[i] AS v
-      FROM d, LATERAL unnest(range(1, len(ve) + 1)) t(i)
-    ),
-    c AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM e GROUP BY 1),
-    q AS (
-      SELECT e.vec_id, e.pos,
-             CASE WHEN c.mx = c.mn THEN 0
-                  ELSE least(greatest(
-                         CAST(round((e.v - c.mn) * 255.0 / (c.mx - c.mn))
-                              AS BIGINT), 0), 255)
-             END - 128 AS cc
-      FROM e JOIN c USING (pos)
-    ),
-    qq AS (SELECT vec_id AS query_id, pos, cc FROM q WHERE vec_id < 8),
-    scores AS (
-      SELECT qq.query_id, q.vec_id AS neighbor_id,
-             CAST(sum(qq.cc * q.cc) AS BIGINT) AS iscore
-      FROM qq JOIN q ON qq.pos = q.pos AND q.vec_id <> qq.query_id
-      GROUP BY 1, 2
-    ),
-    cand AS (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY iscore DESC, neighbor_id) AS rk
-      FROM scores
-    ),
-    resc AS (
-      SELECT cand.query_id, cand.neighbor_id,
-             list_cosine_similarity(dq.ve, dn.ve) AS s
-      FROM cand
-      JOIN d dq ON dq.vec_id = cand.query_id
-      JOIN d dn ON dn.vec_id = cand.neighbor_id
-      WHERE cand.rk <= 40
-    ),
-    ranked AS (
-      SELECT query_id, neighbor_id,
-             CAST(row_number() OVER (PARTITION BY query_id
-                                     ORDER BY s DESC, neighbor_id)
-                  AS INTEGER) AS knn_rank
-      FROM resc
-    )
-    SELECT query_id, neighbor_id, knn_rank FROM ranked WHERE knn_rank <= 5
-    """,
-    "north-star ANN scale path, search stage: SQ8 centered-int8-dot "
-    "candidate generation (exact BIGINT scores - deterministic "
-    "candidate set) + exact cosine rescoring of top-8k candidates "
-    "only; the corpus-wide pass reads 64 bytes/vector instead of 256",
-)
-def knn_quantized_rescored(spark, sf_dir):
-    """Two-stage SQ8 ANN: integer-dot candidates (C = 8k, exact BIGINT,
-    ties by id — the candidate SET is cross-engine deterministic),
-    then exact float cosine on the C candidates per query. Recall vs
-    the brute-force baseline is pytest-pinned."""
-    em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
-    queries = em.filter(F.col("vec_id") < 8)
-    return sim.knn_quantized_rescored(
-        em, queries, "vec_id", "embedding", k=5, candidate_factor=8
-    )
-
-
-@register(
-    "pricing_summary",
-    """
-    WITH b AS (
-      SELECT l_returnflag, l_linestatus,
-             CAST(round(l_quantity) AS BIGINT) AS qty,
-             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
-             CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
-             CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
-      FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    ),
-    g AS (
-      SELECT l_returnflag, l_linestatus,
-             CAST(sum(qty) AS BIGINT) AS sum_qty,
-             CAST(sum(price_c) AS BIGINT) AS sbp,
-             CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) AS sdp,
-             CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct))
-                  AS BIGINT) AS sch,
-             CAST(sum(disc_pct) AS BIGINT) AS sd,
-             CAST(count(*) AS BIGINT) AS count_order
-      FROM b GROUP BY 1, 2
-    )
-    SELECT l_returnflag, l_linestatus, sum_qty,
-           CAST(sbp AS DOUBLE) / 100.0 AS sum_base_price,
-           CAST(sdp AS DOUBLE) / 10000.0 AS sum_disc_price,
-           CAST(sch AS DOUBLE) / 1000000.0 AS sum_charge,
-           CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
-           CAST(sbp AS DOUBLE) / count_order / 100.0 AS avg_price,
-           CAST(sd AS DOUBLE) / count_order / 100.0 AS avg_disc,
-           count_order
-    FROM g
-    """,
-    "A-family flagship: the TPC-H Q1 pricing summary (pushdown date "
-    "filter, ONE map-side-combined aggregate over the fact table) in "
-    "exact-cents BIGINT arithmetic — float sums are summation-order "
-    "nondeterministic, so every money column is scaled to its decimal "
-    "granularity, summed as integers, and divided once at the end",
-)
-def pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape over the lineitem fact table: per
-    (returnflag, linestatus) quantity/price/discount/charge sums and
-    means. All money arithmetic is exact — cents, basis-point discount
-    and tax factors — so sums are BIGINT (order-independent) and the
-    only float ops are the final fixed-order divisions mirrored in the
-    oracle. The scan reads 6 of 11 columns with the date predicate
-    pushed to parquet; one Exchange total (plan-pinned).
-
-    Overflow contract: Σ price_c·(100−d)·(100+t) < 2⁶³ holds to ~10⁸
-    lineitems per group at TPC-H price scale; beyond that, widen the
-    charge sum to DECIMAL(38,0) (same expression, same determinism).
-    """
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
-    )
-    qty = F.round(F.col("l_quantity")).cast("long")
-    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
-    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
-    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
-    g = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(qty).alias("sum_qty"),
-        F.sum(price_c).alias("_sbp"),
-        F.sum(price_c * (F.lit(100) - disc_pct)).alias("_sdp"),
-        F.sum(
-            price_c * (F.lit(100) - disc_pct) * (F.lit(100) + tax_pct)
-        ).alias("_sch"),
-        F.sum(disc_pct).alias("_sd"),
-        F.count(F.lit(1)).alias("count_order"),
-    )
-    return g.select(
-        "l_returnflag",
-        "l_linestatus",
-        "sum_qty",
-        (F.col("_sbp").cast("double") / F.lit(100.0)).alias("sum_base_price"),
-        (F.col("_sdp").cast("double") / F.lit(10000.0)).alias("sum_disc_price"),
-        (F.col("_sch").cast("double") / F.lit(1000000.0)).alias("sum_charge"),
-        (F.col("sum_qty").cast("double") / F.col("count_order")).alias(
-            "avg_qty"
-        ),
-        (
-            F.col("_sbp").cast("double") / F.col("count_order") / F.lit(100.0)
-        ).alias("avg_price"),
-        (
-            F.col("_sd").cast("double") / F.col("count_order") / F.lit(100.0)
-        ).alias("avg_disc"),
-        "count_order",
-    )
-
-
-@register(
-    "revenue_rollup_region_nation",
-    """
-    WITH o AS (
-      SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_c
-      FROM orders WHERE o_custkey IS NOT NULL
-    ),
-    j AS (
-      SELECT r.r_name, n.n_name, o.total_c
-      FROM o
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n ON n.n_nationkey = c.c_nationkey
-      JOIN region r ON r.r_regionkey = n.n_regionkey
-    )
-    SELECT r_name, n_name,
-           CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS INTEGER) AS lvl,
-           CAST(count(*) AS BIGINT) AS n_orders,
-           CAST(sum(total_c) AS DOUBLE) / 100.0 AS revenue
-    FROM j GROUP BY ROLLUP (r_name, n_name)
-    """,
-    "multi-level aggregate (GROUPING SETS family): ROLLUP over the "
-    "region→nation dimension hierarchy with GROUPING-disambiguated "
-    "subtotal levels — the OLAP cube shape the read-path ladder lacked",
-)
-def revenue_rollup_region_nation(spark, sf_dir):
-    """Order revenue rolled up the region→nation hierarchy in ONE pass:
-    leaf rows, per-region subtotals, and the grand total, each tagged
-    with the grouping level (2·grouping(region)+grouping(nation)) so a
-    NULL dimension value is distinguishable from a subtotal row.
-
-    Spark plans rollup as a single Expand node feeding ONE hash
-    aggregate — three grouping sets share one shuffle, not three scans
-    + a union (what a user without grouping sets would write). Money is
-    exact-cents BIGINT summed per set with one final division.
-
-    Scale shape: Expand triples the aggregate input rows but the
-    map-side partial aggregate collapses them before the one shuffle;
-    the dimension joins broadcast (region/nation are tiny, customer
-    rides AQE). No second scan of orders at any level.
-    """
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey").isNotNull())
-        .select(
-            "o_custkey",
-            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_c"),
-        )
-    )
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
-    j = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("r_name", "n_name", "total_c")
-    )
-    return j.rollup("r_name", "n_name").agg(
-        (F.lit(2) * F.grouping("r_name") + F.grouping("n_name"))
-        .cast("int")
-        .alias("lvl"),
-        F.count(F.lit(1)).alias("n_orders"),
-        (F.sum("total_c").cast("double") / F.lit(100.0)).alias("revenue"),
-    )
-
-
-@register(
-    "late_sole_supplier",
-    """
-    WITH li AS (
-      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
-      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-      WHERE l_suppkey IS NOT NULL
-    ),
-    late AS (
-      SELECT DISTINCT l_orderkey, l_suppkey FROM li
-      WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
-    )
-    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-    WHERE EXISTS (SELECT 1 FROM li l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM late l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey)
-    GROUP BY 1, 2
-    ORDER BY numwait DESC, s_suppkey
-    LIMIT 100
-    """,
-    "TPC-H Q21 shape: EXISTS + NOT EXISTS over the same fact table "
-    "(the sole late supplier on multi-supplier orders), decorrelated "
-    "into two per-order aggregates — never a per-row re-scan",
-)
-def late_sole_supplier(spark, sf_dir):
-    """Suppliers who were the ONLY late shipper on a multi-supplier
-    order (late = shipped >60 days after the order date), ranked by
-    how many orders they alone held up — the TPC-H Q21
-    EXISTS/NOT-EXISTS pattern.
-
-    The oracle states it in the classic correlated form; the Spark
-    plan is the set-algebra decorrelation: ONE per-order distinct-
-    supplier count (EXISTS another supplier ⇔ n_suppliers ≥ 2) and ONE
-    per-order late-supplier count (NOT EXISTS another late ⇔
-    n_late = 1), each an equi-join back on l_orderkey — the optimizer-
-    correct shape vs re-scanning lineitem per candidate row.
-
-    Scale shape: lineitem→orders is the one fact-fact equi-join (AQE
-    picks sort-merge, both sides pre-bucketable on orderkey); both
-    per-order aggregates are map-side combined on the SAME key so AQE
-    reuses the exchange; supplier is a broadcast dim; the top-100
-    plans as TakeOrderedAndProject with a deterministic s_suppkey
-    tie-break, never a global sort.
-    """
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_suppkey").isNotNull())
-        .select("l_orderkey", "l_suppkey", "l_shipdate")
-        .join(
-            _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
-    )
-    late = (
-        li.filter(
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    multi = (
-        li.groupBy("l_orderkey")
-        .agg(F.countDistinct("l_suppkey").alias("_n_supp"))
-        .filter(F.col("_n_supp") >= 2)
-        .select("l_orderkey")
-    )
-    sole_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("_n_late"))
-        .filter(F.col("_n_late") == 1)
-        .select("l_orderkey")
-    )
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        late.join(multi, "l_orderkey", "left_semi")
-        .join(sole_late, "l_orderkey", "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
-        .limit(100)
-    )
-
-
-#: Fixed lexical query for the ranked-retrieval gate rows — four mid-
-#: frequency corpus terms; the oracles inline the same literals.
-_BM25_TERMS = ["vector", "hash", "merge", "scan"]
-
-_BM25_SCORE_SQL = """
-    WITH t AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS toks
-      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
-    ),
-    f AS (
-      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-             CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS tf0,
-             CAST(len(list_filter(toks, x -> x = 'hash')) AS BIGINT) AS tf1,
-             CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS tf2,
-             CAST(len(list_filter(toks, x -> x = 'scan')) AS BIGINT) AS tf3
-      FROM t
-    ),
-    s AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS DOUBLE) AS l,
-             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
-             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
-             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2,
-             CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df3
-      FROM f
-    ),
-    sc AS (
-      SELECT doc_id, dl, tf0 + tf1 + tf2 + tf3 AS tf_total,
-             (n - df0 + 0.5)/(df0 + 0.5) * (CAST(tf0 AS DOUBLE) * 2.2)
-               / (CAST(tf0 AS DOUBLE)
-                  + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)*n/l))
-           + (n - df1 + 0.5)/(df1 + 0.5) * (CAST(tf1 AS DOUBLE) * 2.2)
-               / (CAST(tf1 AS DOUBLE)
-                  + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)*n/l))
-           + (n - df2 + 0.5)/(df2 + 0.5) * (CAST(tf2 AS DOUBLE) * 2.2)
-               / (CAST(tf2 AS DOUBLE)
-                  + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)*n/l))
-           + (n - df3 + 0.5)/(df3 + 0.5) * (CAST(tf3 AS DOUBLE) * 2.2)
-               / (CAST(tf3 AS DOUBLE)
-                  + 1.2*(0.25 + 0.75*CAST(dl AS DOUBLE)*n/l))
-             AS score
-      FROM f, s
-    )
-"""
-
-
-@register(
-    "bm25_topk_docs",
-    _BM25_SCORE_SQL
-    + """
-    SELECT doc_id, dl, tf_total, score,
-           CAST(rnk AS INTEGER) AS bm25_rank
-    FROM (SELECT doc_id, dl, tf_total, score,
-                 row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
-          FROM sc WHERE tf_total > 0)
-    WHERE rnk <= 50
-    """,
-    "north-star ranked retrieval: BM25 top-k lexical search (odds-idf, "
-    "log-free determinism form) over the documents corpus",
-)
-def bm25_topk_docs(spark, sf_dir):
-    """Top-50 documents by BM25 for a fixed 4-term query — the lexical
-    ranker of the retrieval stack (`operators/ranking.py`; determinism
-    contract in the module docstring: integer tf/df/dl/N/L, fixed
-    left-associated float tree, odds-form idf — no cross-engine ln).
-
-    Scale shape: per-doc tf/dl are higher-order array ops in one
-    codegen'd projection (no explode); corpus stats are one broadcast
-    aggregate; the top-50 cut is TakeOrderedAndProject and ranks are
-    assigned by a window over the 50 survivors only — no global sort.
-    """
-    from purpleair_data_logger_spark.operators import ranking as rk
-
-    d = _t(spark, sf_dir, "documents")
-    return rk.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=50)
-
-
-@register(
-    "hybrid_rank_fusion",
-    _BM25_SCORE_SQL
-    + """
-    , br AS (
-      SELECT doc_id AS item_id, CAST(rnk AS INTEGER) AS bm25_rank
-      FROM (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
-                     AS rnk
-            FROM sc WHERE tf_total > 0)
-      WHERE rnk <= 200
-    ),
-    q AS (
-      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
-      FROM embeddings WHERE vec_id = 0
-    ),
-    cr AS (
-      SELECT item_id, CAST(rnk AS INTEGER) AS cos_rank
-      FROM (SELECT e.vec_id AS item_id,
-                   row_number() OVER (
-                     ORDER BY list_cosine_similarity(
-                       list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
-                       q.qe) DESC, e.vec_id) AS rnk
-            FROM embeddings e, q WHERE e.vec_id <> 0)
-      WHERE rnk <= 200
-    ),
-    fused AS (
-      SELECT COALESCE(b.item_id, c.item_id) AS item_id,
-             b.bm25_rank, c.cos_rank,
-             COALESCE(CAST(floor(1000000.0
-                 / CAST(b.bm25_rank + 60 AS DOUBLE)) AS BIGINT), 0)
-           + COALESCE(CAST(floor(1000000.0
-                 / CAST(c.cos_rank + 60 AS DOUBLE)) AS BIGINT), 0)
-               AS rrf_scaled
-      FROM br b FULL OUTER JOIN cr c ON b.item_id = c.item_id
-    )
-    SELECT item_id, bm25_rank, cos_rank, rrf_scaled,
-           CAST(rnk AS INTEGER) AS fused_rank
-    FROM (SELECT *, row_number() OVER (ORDER BY rrf_scaled DESC, item_id)
-                      AS rnk
-          FROM fused)
-    WHERE rnk <= 50
-    """,
-    "north-star hybrid search: reciprocal-rank fusion of the BM25 "
-    "lexical ranking and the embedding-cosine vector ranking "
-    "(integer-scaled RRF, k=60) — the retrieval fuser every RAG "
-    "curation pipeline runs",
-)
-def hybrid_rank_fusion(spark, sf_dir):
-    """RRF fusion of lexical (BM25 top-200) and vector (cosine top-200
-    to the vec_id=0 query embedding) rankings over the shared
-    doc_id/vec_id id space; fused top-50 with both source ranks.
-
-    Contributions are ⌊1e6/(60+rank)⌋ BIGINTs, so the fused score is
-    an exact integer sum — order-free and hash-comparable; an item on
-    one list only contributes 0 from the other.
-
-    Scale shape: each signal is cut to top-R BEFORE the fusion join
-    (TakeOrderedAndProject per signal), so the full-outer join is
-    rank-list-sized — at 100 TB the corpus never reaches the fuser,
-    only two R-row lists do.
-    """
-    from purpleair_data_logger_spark.operators import ranking as rk
-
-    d = _t(spark, sf_dir, "documents")
-    em = _t(spark, sf_dir, "embeddings")
-    br = rk.bm25_topk(d, "doc_id", "text", _BM25_TERMS, k=200).select(
-        F.col("doc_id").alias("item_id"), "bm25_rank"
-    )
-    cr = sim.knn_bruteforce(
-        em, em.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=200
-    ).select(F.col("neighbor_id").alias("item_id"), F.col("knn_rank").alias("cos_rank"))
-    from purpleair_data_logger_spark.operators.ranking import rrf_fuse
-
-    return rrf_fuse(br, cr, "item_id", "bm25_rank", "cos_rank", topk=50)
-
-
-@register(
-    "temporal_split_embargo",
-    """
-    SELECT event_id, ts,
-           CASE WHEN ts < TIMESTAMP '2024-01-23' THEN 'train'
-                WHEN ts >= TIMESTAMP '2024-01-25' THEN 'test'
-                ELSE 'embargo' END AS split
-    FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
-    """,
-    "north-star leakage-safe TEMPORAL split: train < embargo start, "
-    "test >= cutoff, the embargo gap labeled and kept visible — the "
-    "time-axis complement of the cluster-keyed content split",
-)
-def temporal_split_embargo(spark, sf_dir):
-    """Time-based train/test assignment with a 2-day embargo before
-    the 2024-01-25 cutoff (`operators/sampling.py::temporal_split`).
-    `leakage_safe_split` guards content leakage (near-dup clusters
-    straddling splits); this guards TEMPORAL leakage (trailing-window
-    features near the boundary seeing post-cutoff behavior) — the
-    standard backtesting discipline.
-
-    Scale shape: one codegen'd CASE projection, zero shuffles;
-    timestamp comparisons are exact microsecond integers cross-engine.
-    """
-    e = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_id").isNotNull() & F.col("ts").isNotNull())
-        .select("event_id", "ts")
-    )
-    return smp.temporal_split(
-        e, "ts", cutoff="2024-01-25", embargo="2024-01-23"
-    )
-
-
-#: Ground-truth ranking replay shared by the ANN eval oracle — the
-#: `knn_cosine_bruteforce` oracle body as a CTE chain fragment.
-_KNN_GT_SQL = """
-    gtq AS (SELECT vec_id AS query_id, embedding AS qe
-            FROM embeddings WHERE vec_id < 8),
-    gtp AS (
-      SELECT gtq.query_id, e.vec_id AS neighbor_id,
-             list_cosine_similarity(
-                 list_transform(gtq.qe, x -> CAST(x AS DOUBLE)),
-                 list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS s
-      FROM gtq, embeddings e WHERE e.vec_id <> gtq.query_id),
-    gt AS (
-      SELECT query_id, neighbor_id, knn_rank
-      FROM (SELECT query_id, neighbor_id,
-                   CAST(row_number() OVER (
-                       PARTITION BY query_id
-                       ORDER BY s DESC, neighbor_id) AS INTEGER) AS knn_rank
-            FROM gtp)
-      WHERE knn_rank <= 5)
-"""
-
-
-@register(
-    "ann_recall_eval",
-    "WITH cand AS ("
-    + _knn_lsh_oracle(n_planes=36, bands=12, dim=64, k=5, q_below=8)
-    + "),\n"
-    + _KNN_GT_SQL
-    + """
-    , hits AS (
-      -- EXISTS, not JOIN: the Spark side is a left-semi join, which
-      -- counts each candidate row ONCE however many ground-truth rows
-      -- match it — a duplicated corpus vector (sf0.01 fuzz twin, r10)
-      -- occupies two gt ranks and double-counted the hit under JOIN
-      SELECT c.query_id, CAST(count(*) AS BIGINT) AS n_hits
-      FROM cand c
-      WHERE EXISTS (SELECT 1 FROM gt g
-                    WHERE g.query_id = c.query_id
-                      AND g.neighbor_id = c.neighbor_id)
-      GROUP BY 1),
-    top1 AS (SELECT query_id, neighbor_id FROM gt WHERE knn_rank = 1),
-    rr AS (
-      SELECT c.query_id,
-             CAST(floor(1000000.0 / CAST(c.knn_rank AS DOUBLE)) AS BIGINT)
-               AS rr_scaled
-      FROM cand c JOIN top1 t
-        ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id),
-    qs AS (SELECT DISTINCT query_id FROM gt)
-    SELECT q.query_id,
-           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_k,
-           COALESCE(r.rr_scaled, CAST(0 AS BIGINT)) AS rr_scaled
-    FROM qs q
-    LEFT JOIN hits h ON h.query_id = q.query_id
-    LEFT JOIN rr r ON r.query_id = q.query_id
-    """,
-    "retrieval-quality evaluation as a query: per-query recall@5 and "
-    "scaled reciprocal rank of the LSH ANN rung against the "
-    "brute-force ground truth — the index-quality report a 100 TB "
-    "ANN deployment runs after every index build",
-)
-def ann_recall_eval(spark, sf_dir):
-    """Evaluate `knn_lsh_bucketed` against `knn_cosine_bruteforce`
-    per query (`operators/ranking.py::retrieval_eval`): hits in the
-    top-5, recall@5, and the ⌊1e6/rank⌋-scaled reciprocal rank of the
-    ground truth's nearest neighbor. pytest pins aggregate recall
-    floors (test_llm_ops.py); this makes the evaluation itself a
-    first-class, oracle-replayable query — queries with ZERO hits
-    still emit a row, so silent index misses surface.
-
-    Scale shape: both rankings are the already-bounded k-row-per-query
-    lists, so every eval join is rank-list-sized (broadcast); exact
-    integer hit counts and floor-scaled BIGINT reciprocal ranks — no
-    float means, hash-comparable cross-engine.
-    """
-    from purpleair_data_logger_spark.operators import ranking as rk
-
-    em = _t(spark, sf_dir, "embeddings")
-    queries = em.filter(F.col("vec_id") < 8)
-    gt = sim.knn_bruteforce(em, queries, "vec_id", "embedding", k=5)
-    cand = sim.knn_lsh(
-        em, queries, "vec_id", "embedding", k=5, n_planes=36, bands=12
-    )
-    return rk.retrieval_eval(
-        gt, cand, "query_id", "neighbor_id", "knn_rank", k=5
-    )
-
-
-@register(
-    "rerank_crossencoder",
-    f"""
-    WITH q AS (
-      SELECT CAST(query_id AS BIGINT) AS query_id, qtext
-      FROM (VALUES (1, 'vector hash join'),
-                   (2, 'merge scan window'),
-                   (3, 'stream batch spark')) v(query_id, qtext)
-    ),
-    d AS (
-      SELECT doc_id, text FROM documents
-      WHERE doc_id IS NOT NULL AND text IS NOT NULL
-    ),
-    tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
-               AS tok
-      FROM d
-    ),
-    qf AS (
-      SELECT query_id, qtext, string_split(qtext, ' ')[1] AS tok FROM q
-    ),
-    cand AS (
-      SELECT DISTINCT qf.query_id, t.doc_id
-      FROM tok t JOIN qf ON qf.tok = t.tok
-    ),
-    scored AS (
-      SELECT c.query_id, c.doc_id,
-             {_hex60_sql("sha256(qf.qtext || chr(31) || d.text)")}
-               AS ce_score
-      FROM cand c
-      JOIN d ON d.doc_id = c.doc_id
-      JOIN qf ON qf.query_id = c.query_id
-    ),
-    r AS (
-      SELECT query_id, doc_id, ce_score,
-             CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY ce_score DESC, doc_id
-             ) AS INT) AS rerank
-      FROM scored
-    )
-    SELECT query_id, doc_id, ce_score, rerank FROM r WHERE rerank <= 10
-    ORDER BY query_id, rerank
-    """,
-    "retrieval stage 3: cross-encoder RERANKING of first-stage "
-    "candidates (inverted-index term lookup here; BM25/ANN in "
-    "production) — joint (query, doc) scoring through ONE candidate-"
-    "bounded mapInPandas Arrow stage with an injectable scorer "
-    "(deterministic sha256 stub, the encoder/multimodal seam), "
-    "WindowGroupLimit top-k per query",
-)
-def rerank_crossencoder(spark, sf_dir):
-    """Rerank each query's candidate documents with the injectable
-    cross-encoder (`ranking.rerank_topk`): first stage = an
-    inverted-index equi-join (query's first term ∈ doc token set —
-    never a corpus×queries nested loop), then the scorer runs once
-    per candidate pair inside a single Arrow stage (stub here; a
-    model runtime in production — `fake_cross_scorer` is the 60-bit
-    sha256 hash the oracle nibble-parses), then a per-query
-    WindowGroupLimit top-10. The corpus is touched by exactly one id
-    equi-join; the query table broadcasts."""
-    from purpleair_data_logger_spark.operators import ranking as rk
-
-    queries = spark.createDataFrame(
-        [(1, "vector hash join"), (2, "merge scan window"),
-         (3, "stream batch spark")],
-        "query_id long, qtext string",
-    )
-    d = _t(spark, sf_dir, "documents").filter(
-        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-    )
-    tok = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("_tok"),
-    )
-    qfirst = queries.select(
-        "query_id", F.split("qtext", " ").getItem(0).alias("_tok")
-    )
-    cand = (
-        tok.join(F.broadcast(qfirst), "_tok")
-        .select("query_id", "doc_id")
-        .distinct()
-    )
-    return rk.rerank_topk(
-        cand, queries, d,
-        query_id_col="query_id", doc_id_col="doc_id",
-        query_text_col="qtext", doc_text_col="text",
-        k=10, scorer=rk.fake_cross_scorer,
-    ).orderBy("query_id", "rerank")
-
-
-@register(
-    "orders_snapshot_diff",
-    """
-    WITH old AS (
-      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
-      FROM orders WHERE o_orderkey IS NOT NULL
-    ),
-    new AS (
-      SELECT o_orderkey, o_orderstatus,
-             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
-                  ELSE o_totalprice END AS o_totalprice,
-             o_orderpriority
-      FROM old WHERE o_orderkey % 97 <> 0
-      UNION ALL
-      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice,
-             o_orderpriority
-      FROM old WHERE o_orderkey % 83 = 0
-    )
-    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
-           CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
-                WHEN n.o_orderkey IS NULL THEN 'deleted'
-                WHEN (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
-                  OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
-                  OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
-                  THEN 'changed' END AS status
-    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
-    WHERE (o.o_orderkey IS NULL) OR (n.o_orderkey IS NULL)
-       OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
-       OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
-       OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
-    """,
-    "snapshot reconciliation (CDC diff): row-level inserted/deleted/"
-    "changed classification between two table versions — one "
-    "co-partitioned full-outer PK join, NULL-safe column compare, "
-    "unchanged rows pruned before anything downstream",
-)
-def orders_snapshot_diff(spark, sf_dir):
-    """Diff two deterministic versions of the orders table
-    (`operators/diff.py::snapshot_diff`): the 'new' snapshot drops
-    every 97th key (deleted), bumps every 89th total (changed), and
-    re-keys every 83rd row past the key space (inserted) — a
-    synthetic-but-exact CDC fixture derived in-query from the same
-    scan, so the diff's output is fully predictable and replayable.
-
-    NULL contract: NULL keys filtered both sides (unaddressable rows
-    can't be reconciled); NULL→value flips in compared columns ARE
-    changes (NULL-safe equality, `eqNullSafe` ↔ IS DISTINCT FROM).
-
-    Scale shape: one full-outer equi-join on the PK (co-partitioned /
-    bucketed layouts make it exchange-free), NULL-safe comparisons in
-    codegen — no row hashing, no Python; the unchanged filter prunes
-    ~97% of the join output immediately.
-    """
-    from purpleair_data_logger_spark.operators.diff import snapshot_diff
-
-    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
-    old = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey").isNotNull())
-        .select(*cols)
-    )
-    new = (
-        old.filter(F.col("o_orderkey") % 97 != 0)
-        .select(
-            "o_orderkey",
-            "o_orderstatus",
-            F.when(
-                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.0
-            )
-            .otherwise(F.col("o_totalprice"))
-            .alias("o_totalprice"),
-            "o_orderpriority",
-        )
-        .unionByName(
-            old.filter(F.col("o_orderkey") % 83 == 0).select(
-                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-                "o_orderstatus",
-                "o_totalprice",
-                "o_orderpriority",
-            )
-        )
-    )
-    return snapshot_diff(
-        old,
-        new,
-        ["o_orderkey"],
-        ["o_orderstatus", "o_totalprice", "o_orderpriority"],
-    )
-
-
-@register(
-    "substring_search_trigram",
-    """
-    SELECT doc_id,
-           CAST((length(text) - length(replace(text, 'scan merge', '')))
-                / length('scan merge') AS BIGINT) AS n_occurrences
-    FROM documents
-    WHERE doc_id IS NOT NULL AND text IS NOT NULL
-      AND position('scan merge' IN text) > 0
-    """,
-    "grep-at-scale: literal substring search via a character-trigram "
-    "inverted-index candidate pass + exact verify — candidates bounded "
-    "by the rarest gram's posting list, never a corpus-wide contains()",
-)
-def substring_search_trigram(spark, sf_dir):
-    """Documents containing the literal 'scan merge' with exact
-    occurrence counts (`operators/text.py::substring_search`). The
-    oracle states the semantic spec (position + replace-length
-    identity); the Spark plan is the index formulation: distinct-gram
-    explode semi-joined against the broadcast query-gram set, full-
-    coverage candidates only, exact contains verify on candidates —
-    at 100 TB the exploded (gram, doc) pairs are a persisted inverted
-    index and the scan-every-byte LIKE never runs corpus-wide.
-    """
-    d = _t(spark, sf_dir, "documents")
-    return tx.substring_search(d, "doc_id", "text", "scan merge")
-
-
-@register(
-    "heavy_part_suppliers",
-    """
-    WITH heavy AS (
-      SELECT l_partkey FROM (
-        SELECT l.l_partkey, p.p_size,
-               CAST(sum(round(l.l_quantity)) AS BIGINT) AS qty_1995
-        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE l.l_partkey IS NOT NULL AND l.l_suppkey IS NOT NULL
-          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
-          AND l.l_shipdate < TIMESTAMP '1996-01-01'
-        GROUP BY 1, 2)
-      WHERE qty_1995 > 20 * p_size
-    )
-    SELECT s.s_suppkey, s.s_name,
-           CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_heavy_parts
-    FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
-    WHERE l.l_partkey IN (SELECT l_partkey FROM heavy)
-      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
-      AND l.l_shipdate < TIMESTAMP '1996-01-01'
-    GROUP BY 1, 2
-    ORDER BY n_heavy_parts DESC, s_suppkey
-    LIMIT 100
-    """,
-    "TPC-H Q20 shape: IN-subquery whose members are defined by a "
-    "correlated aggregate threshold (parts shipped beyond 20x their "
-    "size in 1995), resolved to the suppliers moving them — "
-    "decorrelated to one aggregate + semi joins, never a per-row "
-    "re-scan",
-)
-def heavy_part_suppliers(spark, sf_dir):
-    """Suppliers ranked by how many 'heavy' parts they shipped in
-    1995, where heavy means the part's total 1995 shipped quantity
-    exceeds 20× its size — the TPC-H Q20 pattern (an IN-subquery whose
-    membership is itself a correlated aggregate comparison; the
-    reference schema has no partsupp table, so p_size stands in for
-    the availability threshold — the SHAPE is the point).
-
-    The oracle states the classic IN form; the Spark plan decorrelates
-    it: ONE per-(partkey, size) aggregate over the date-pruned
-    lineitem scan produces the heavy-part key set, which semi-joins
-    back into the same date-pruned fact — never a per-row re-scan of
-    lineitem per candidate.
-
-    Scale shape: the date predicate is pushed to both lineitem scans
-    (partition pruning at scale); the quantity threshold is exact
-    integer cross-multiplication (Σround(qty) > 20·size — BIGINT, no
-    float avg); the heavy-key set is aggregate-output-sized so AQE
-    broadcasts the semi join; supplier is a broadcast dim; distinct
-    part counting is a two-phase aggregate on the surviving rows; the
-    top-100 plans as TakeOrderedAndProject with a deterministic
-    s_suppkey tie-break.
-    """
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_partkey").isNotNull()
-            & F.col("l_suppkey").isNotNull()
-            & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
-        )
-        .select(
-            "l_partkey",
-            "l_suppkey",
-            F.round(F.col("l_quantity")).cast("long").alias("qty"),
-        )
-    )
-    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
-    heavy = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("l_partkey", "p_size")
-        .agg(F.sum("qty").alias("_qty"))
-        .filter(F.col("_qty") > F.lit(20) * F.col("p_size"))
-        .select("l_partkey")
-    )
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        li.join(heavy, "l_partkey", "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.countDistinct("l_partkey").alias("n_heavy_parts"))
-        .orderBy(F.desc("n_heavy_parts"), F.asc("s_suppkey"))
-        .limit(100)
-    )
-
-
-@register(
-    "order_count_distribution",
-    """
-    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
-    FROM (
-      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
-      FROM customer c LEFT JOIN orders o
-        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
-      GROUP BY 1
-    )
-    GROUP BY 1
-    ORDER BY n_customers DESC, n_orders DESC
-    """,
-    "TPC-H Q13 shape: outer-join histogram — customers by how many "
-    "non-urgent orders they placed, INCLUDING the zero-order bucket "
-    "(the filter must live in the join condition, not WHERE)",
-)
-def order_count_distribution(spark, sf_dir):
-    """Distribution of customers by their count of non-urgent orders —
-    the TPC-H Q13 shape (left outer join + double aggregation). The
-    classic trap: putting the priority filter in WHERE silently turns
-    the outer join inner and drops the zero-order customers that ARE
-    the point of the histogram; it stays in the join condition.
-
-    Scale shape: customer and orders shuffle once on custkey (both
-    fact-sized at 100 TB — no broadcast); the per-customer count is a
-    map-side-combinable aggregate; the second aggregate runs over one
-    row per customer and the final histogram is tiny. The priority
-    predicate is evaluated join-side so Catalyst still pushes the
-    orders column pruning (custkey, orderkey, priority only) to the
-    scan.
-    """
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderpriority"
-    )
-    per_cust = (
-        c.join(
-            o,
-            (F.col("o_custkey") == F.col("c_custkey"))
-            & (F.col("o_orderpriority") != "1-URGENT"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
-    )
-    return (
-        per_cust.groupBy("n_orders")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
-    )
-
-
-@register(
-    "large_volume_customers",
-    """
-    WITH big AS (
-      SELECT l_orderkey,
-             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
-      FROM lineitem
-      GROUP BY 1
-      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250
-    )
-    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
-           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
-           b.sum_qty
-    FROM big b
-    JOIN orders o ON o.o_orderkey = b.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    ORDER BY total_cents DESC, o.o_orderkey
-    LIMIT 100
-    """,
-    "TPC-H Q18 shape: group-filter IN-subquery (orders whose total "
-    "shipped quantity exceeds a threshold) resolved to the customers "
-    "placing them — aggregate once, join the tiny survivor set back",
-)
-def large_volume_customers(spark, sf_dir):
-    """The 100 largest orders by value among those moving more than
-    250 units, with their customers — the TPC-H Q18 pattern (an
-    IN-subquery whose membership is a HAVING-filtered aggregate over
-    the fact table).
-
-    Decorrelated Spark plan: ONE per-orderkey aggregate over lineitem
-    (quantity summed as exact BIGINT units) filtered to the >250
-    survivors, which then drive equi-joins into orders and customer —
-    never a per-order re-scan of lineitem; money is exact cents.
-
-    Scale shape: lineitem shuffles once on l_orderkey (map-side
-    combine first). The survivor set is p99-SIZED — small relative to
-    orders but still SF-proportional — so the join strategy is left
-    to AQE (it broadcasts at test scale and shuffles at 100 TB, where
-    a forced broadcast of ~1% of all orderkeys would OOM executors);
-    customer likewise joins under AQE's choice. The top-100 plans as
-    TakeOrderedAndProject with a deterministic orderkey tie-break.
-    """
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select(
-            "l_orderkey",
-            F.round(F.col("l_quantity")).cast("long").alias("_qty"),
-        )
-    )
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("_qty").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 250)
-    )
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderdate",
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
-    )
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    return (
-        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .select(
-            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
-            "total_cents", "sum_qty",
-        )
-        .orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
-        .limit(100)
-    )
-
-
-@register(
-    "supplier_part_breadth",
-    """
-    SELECT p.p_brand, p.p_size,
-           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand <> 'Brand#45'
-      AND l.l_suppkey IS NOT NULL AND l.l_partkey IS NOT NULL
-      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                              WHERE s_acctbal < 0
-                                AND s_suppkey IS NOT NULL)
-    GROUP BY 1, 2
-    ORDER BY supplier_cnt DESC, p_brand, p_size
-    LIMIT 100
-    """,
-    "TPC-H Q16 shape: supplier breadth per part attribute with a "
-    "NOT-IN exclusion list — anti-join against the (tiny) excluded "
-    "supplier set, then a distinct-count aggregate",
-)
-def supplier_part_breadth(spark, sf_dir):
-    """How many distinct suppliers ship each (brand, size) of part,
-    excluding one brand and every supplier in arrears — the TPC-H Q16
-    pattern (NOT IN exclusion + COUNT(DISTINCT) over a dimension
-    attribute rollup; the reference schema has no partsupp table, so
-    observed lineitem (part, supplier) pairs stand in for it).
-
-    The NOT IN resolves to a broadcast left-anti join against the
-    negative-balance supplier list (exclusion lists are always tiny
-    relative to the fact); the brand filter pushes into the part
-    dimension BEFORE its broadcast join; the distinct count is
-    Spark's two-phase partial-distinct aggregate — dedup on
-    (brand, size, suppkey) map-side, count reduce-side — never a
-    global sort.
-
-    Scale shape: one shuffle on the group keys; part and the
-    exclusion list broadcast; top-100 is TakeOrderedAndProject with
-    (brand, size) completing a deterministic total order.
-    """
-    bad = (
-        _t(spark, sf_dir, "supplier")
-        .filter((F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull())
-        .select("s_suppkey")
-    )
-    p = (
-        _t(spark, sf_dir, "part")
-        .filter(F.col("p_brand") != "Brand#45")
-        .select("p_partkey", "p_brand", "p_size")
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_suppkey").isNotNull() & F.col("l_partkey").isNotNull()
-    ).select("l_partkey", "l_suppkey")
-    return (
-        li.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
-                "left_anti")
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .groupBy("p_brand", "p_size")
-        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
-        .limit(100)
-    )
-
-
-@register(
-    "idle_rich_customers",
-    """
-    WITH bal AS (
-      SELECT c_custkey, c_mktsegment,
-             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
-      FROM customer
-      WHERE c_custkey IS NOT NULL AND c_mktsegment IS NOT NULL
-    ),
-    stat AS (
-      SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c,
-             CAST(count(*) AS BIGINT) AS n_c
-      FROM bal WHERE bal_c > 0
-    )
-    SELECT c_mktsegment AS segment,
-           CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(bal_c) AS BIGINT) AS total_bal_cents
-    FROM bal, stat
-    WHERE bal_c * n_c > sum_c
-      AND c_custkey NOT IN (SELECT o_custkey FROM orders
-                            WHERE o_orderdate >= TIMESTAMP '2000-01-01'
-                              AND o_custkey IS NOT NULL)
-    GROUP BY 1
-    ORDER BY 1
-    """,
-    "TPC-H Q22 shape: above-average balances with NO recent activity "
-    "— global scalar aggregate broadcast + anti-join against the "
-    "date-pruned fact",
-)
-def idle_rich_customers(spark, sf_dir):
-    """Customers whose balance beats the positive-balance average but
-    who placed no order since 2000 — the TPC-H Q22 pattern (a global
-    scalar subquery feeding a per-row comparison, plus a NOT EXISTS
-    anti-join; idleness here is recency-based since every customer in
-    the testdata has SOME order).
-
-    The scalar average never re-executes per row: one 1-row aggregate
-    (sum, count as exact cents/BIGINT) cross-joins broadcast, and the
-    comparison is exact integer cross-multiplication
-    ``bal_c * n > sum_c`` — no float-average boundary. The NOT IN is a
-    left-anti join against orders date-pruned BEFORE the join (at
-    scale that predicate is partition pruning, and the distinct
-    custkey set it leaves is months-sized, not history-sized).
-
-    Scale shape: customer scans once for the scalar and once for the
-    probe (two column-pruned reads); the anti join shuffles on
-    custkey or broadcasts the pruned side under AQE; final rollup is
-    segment-sized.
-
-    NULL contract: a NULL custkey/segment carries no observation
-    (filtered both engines); a NULL o_custkey in the subquery would
-    null the oracle's entire NOT IN under three-valued logic while
-    Spark's anti join shrugs it off — the classic NOT-IN trap, found
-    by the fuzz sweep — so it is filtered explicitly on BOTH sides.
-    """
-    bal = (
-        _t(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey").isNotNull() & F.col("c_mktsegment").isNotNull())
-        .select(
-            "c_custkey",
-            "c_mktsegment",
-            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
-        )
-    )
-    stat = bal.filter(F.col("bal_c") > 0).agg(
-        F.sum("bal_c").alias("_sum_c"), F.count(F.lit(1)).alias("_n_c")
-    )
-    recent = (
-        _t(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
-            & F.col("o_custkey").isNotNull()
-        )
-        .select("o_custkey")
-    )
-    return (
-        bal.crossJoin(F.broadcast(stat))
-        .filter(F.col("bal_c") * F.col("_n_c") > F.col("_sum_c"))
-        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum("bal_c").alias("total_bal_cents"),
-        )
-        .orderBy("segment")
-    )
-
-
-@register(
-    "min_cost_supplier",
-    """
-    WITH offer AS (
-      SELECT l_partkey, l_suppkey, min(l_extendedprice) AS min_price
-      FROM lineitem
-      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
-      GROUP BY 1, 2
-    ),
-    best AS (
-      SELECT l_partkey, min(min_price) AS best_price FROM offer GROUP BY 1
-    )
-    SELECT o.l_partkey AS p_partkey, o.l_suppkey AS s_suppkey, s.s_name,
-           n.n_name AS nation,
-           CAST(round(o.min_price * 100) AS BIGINT) AS best_price_cents
-    FROM offer o
-    JOIN best b ON b.l_partkey = o.l_partkey AND o.min_price = b.best_price
-    JOIN supplier s ON s.s_suppkey = o.l_suppkey
-    JOIN nation n ON n.n_nationkey = s.s_nationkey
-    ORDER BY p_partkey, s_suppkey
-    LIMIT 200
-    """,
-    "TPC-H Q2 shape: the per-part MINIMUM-cost supplier (correlated "
-    "min subquery) — decorrelated to one aggregate + a window min, "
-    "ties kept, never a per-part re-scan",
-)
-def min_cost_supplier(spark, sf_dir):
-    """For each part, the supplier(s) observed offering its lowest
-    price — the TPC-H Q2 pattern (a correlated MIN subquery selecting
-    the argmin row per group; lineitem's observed (part, supplier,
-    price) triples stand in for the missing partsupp table).
-
-    Decorrelated Spark plan: one (partkey, suppkey) min-price
-    aggregate shrinks the fact, then a window MIN over partkey on the
-    AGGREGATE (one row per pair, not per lineitem) with an equality
-    filter keeps every tied argmin — semantically identical to the
-    oracle's aggregate + self-join, one shuffle cheaper. Price
-    equality compares untouched parquet doubles (no arithmetic), so
-    it is bit-exact cross-engine; cents conversion happens only in
-    the output projection.
-
-    Scale shape: the fact shuffles once on (partkey, suppkey), the
-    window reuses the partkey prefix of that partitioning; supplier
-    and nation broadcast; top-200 is TakeOrderedAndProject on the
-    deterministic (partkey, suppkey) order.
-    """
-    offer = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("l_extendedprice").alias("min_price"))
-    )
-    w = Window.partitionBy("l_partkey")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    return (
-        offer.withColumn("_best", F.min("min_price").over(w))
-        .filter(F.col("min_price") == F.col("_best"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
-        .select(
-            F.col("l_partkey").alias("p_partkey"),
-            F.col("l_suppkey").alias("s_suppkey"),
-            "s_name",
-            F.col("n_name").alias("nation"),
-            F.round(F.col("min_price") * 100).cast("long")
-            .alias("best_price_cents"),
-        )
-        .orderBy("p_partkey", "s_suppkey")
-        .limit(200)
-    )
-
-
-@register(
-    "pagerank_copurchase",
-    """
-    WITH RECURSIVE li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-    ),
-    edges AS (
-      SELECT a.l_partkey AS u, b.l_partkey AS v
-      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_partkey <> b.l_partkey
-      GROUP BY 1, 2
-    ),
-    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
-    pr(iter, node, rank) AS (
-      SELECT 0, u, CAST(1000000000 AS BIGINT) FROM deg
-      UNION ALL
-      SELECT p.iter + 1, e.v,
-             CAST(150000000 + (sum(p.rank // d.d) * 85) // 100 AS BIGINT)
-      FROM pr p
-      JOIN edges e ON e.u = p.node
-      JOIN deg d ON d.u = p.node
-      WHERE p.iter < 8
-      GROUP BY p.iter + 1, e.v
-    )
-    SELECT node AS part_id, rank AS rank_e9 FROM pr WHERE iter = 8
-    ORDER BY rank_e9 DESC, part_id
-    LIMIT 50
-    """,
-    "link analysis: 8-iteration PageRank over the co-purchase graph "
-    "in exact BIGINT fixed-point — bit-identical across partitionings "
-    "and engines, two shuffles per round, lineage truncated per round",
-)
-def pagerank_copurchase(spark, sf_dir):
-    """The 50 highest-authority parts in the co-purchase graph
-    (`operators/graph.py::pagerank`) — an ITERATIVE algorithm held to
-    a full value-hash oracle: the exact-integer recurrence
-    (share = rank DIV deg; rank' = 0.15·scale + (Σshares·85) DIV 100)
-    makes every round order-independent, so DuckDB's recursive CTE
-    replays all 8 rounds bit-for-bit. The co-purchase edge set is the
-    `copurchase_pairs` basket-bounded self-join, kept symmetric (a<>b,
-    both orientations) so the graph has no dangling nodes.
-
-    Scale shape: the quadratic edge term is basket-bounded (never
-    corpus²); each round is one adjacency⋈ranks equi-join plus one
-    map-side-combinable BIGINT sum — two shuffles; no window over the
-    corpus, no Python, no rank vectors on the driver; the top-50 is
-    TakeOrderedAndProject. Overflow contract: scale·N·85 < 2^63 ⇒
-    N < 1.08e8 nodes at scale 1e9 (documented in operators/graph.py).
-    """
-    from purpleair_data_logger_spark.operators import graph as gr
-
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, on="l_orderkey")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-    )
-    ranks = gr.pagerank(edges, "u", "v", n_iter=8, directed=True)
-    # directed=True because the basket self-join above already emits
-    # BOTH orientations (u <> v, not u < v) — re-symmetrizing inside
-    # pagerank would only add a redundant union before the distinct.
-    return (
-        ranks.select(F.col("node").alias("part_id"), F.col("rank").alias("rank_e9"))
-        .orderBy(F.desc("rank_e9"), F.asc("part_id"))
-        .limit(50)
-    )
-
-
-def _countmin_oracle(width: int, depth: int) -> str:
-    """DuckDB replay of the Count-Min build + point-query pipeline:
-    same md5 row-salted buckets (via `_hex60_sql`), same cell sums,
-    same min-over-rows estimate — the sketch is deterministic, so the
-    'approximate' operator still gets a full value-hash oracle."""
-    rows_values = ", ".join(f"({r})" for r in range(depth))
-    h_cell = _hex60_sql("md5(concat('cm', CAST(r.r AS VARCHAR), '|', tok))")
-    h_query = _hex60_sql(
-        "md5(concat('cm', CAST(r.r AS VARCHAR), '|', e.tok))"
-    )
-    return f"""
-    WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
-               FROM documents),
-    rws(r) AS (VALUES {rows_values}),
-    cells AS (
-      SELECT r.r AS row, {h_cell} % {width} AS bucket,
-             CAST(count(*) AS BIGINT) AS cnt
-      FROM t CROSS JOIN rws r
-      GROUP BY 1, 2
-    ),
-    exact AS (
-      SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
-      FROM t GROUP BY 1
-      ORDER BY n_exact DESC, tok LIMIT 30
-    ),
-    q AS (
-      SELECT e.tok, e.n_exact, CAST(min(c.cnt) AS BIGINT) AS n_est
-      FROM exact e CROSS JOIN rws r
-      JOIN cells c ON c.row = r.r AND c.bucket = {h_query} % {width}
-      GROUP BY 1, 2
-    )
-    SELECT tok, n_exact, n_est, n_est - n_exact AS overestimate
-    FROM q ORDER BY n_exact DESC, tok
-    """
-
-
-@register(
-    "countmin_token_counts",
-    _countmin_oracle(width=2048, depth=4),
-    "mergeable Count-Min frequency sketch (portable md5 rows, "
-    "deterministic → fully oracled) point-queried at the exact top-30 "
-    "tokens; the build shuffle carries at most depth*width cells per "
-    "partition regardless of corpus size",
-)
-def countmin_token_counts(spark, sf_dir):
-    """Count-Min sketch over the document token stream
-    (`operators/sketches.py`), point-queried at the exact top-30
-    tokens — output (tok, n_exact, n_est, overestimate) makes the
-    sketch's one-sided error VISIBLE row by row (n_est >= n_exact
-    always; the driver hash pins the exact overestimates since the
-    md5 hash family is engine-portable).
-
-    Scale shape: the build is one scan + depth-way explode + one
-    map-side-combined (row, bucket) sum — the summary is <= depth*width
-    rows however big the corpus, so it BROADCASTS into the point
-    query; the exact top-30 side exists only to exhibit the error and
-    is itself one aggregate + TakeOrderedAndProject. At 100 TB the
-    sketch is the artifact you persist per day/partition and
-    `countmin_merge` (cell-wise sum) rolls up — the HLL union algebra
-    with counts.
-    """
-    from purpleair_data_logger_spark.operators import sketches as sk
-
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(tx.tokens("text")).alias("tok"))
-    sketch = sk.countmin_table(toks, "tok", width=2048, depth=4)
-    exact = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.desc("n_exact"), F.asc("tok"))
-        .limit(30)
-    )
-    est = sk.countmin_estimate(sketch, exact, "tok", width=2048, depth=4)
-    return est.select(
-        "tok",
-        "n_exact",
-        "n_est",
-        (F.col("n_est") - F.col("n_exact")).alias("overestimate"),
-    ).orderBy(F.desc("n_exact"), F.asc("tok"))
-
-
-@register(
-    "quantile_sketch_events",
-    f"""
-    WITH src AS (
-      SELECT event_type, event_id, value,
-             {_hex60_sql("md5('bk|' || CAST(event_id AS VARCHAR))")} AS h
-      FROM events
-      WHERE event_type IS NOT NULL AND event_id IS NOT NULL
-        AND value IS NOT NULL
-    ),
-    samp AS (
-      SELECT event_type, event_id, value FROM (
-        SELECT event_type, event_id, value,
-               row_number() OVER (
-                 PARTITION BY event_type ORDER BY h, event_id, value
-               ) AS rn
-        FROM src) WHERE rn <= 256
-    ),
-    sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample
-           FROM samp GROUP BY 1),
-    rk AS (
-      SELECT event_type, value,
-             row_number() OVER (
-               PARTITION BY event_type ORDER BY value, event_id
-             ) AS vr
-      FROM samp
-    ),
-    est AS (
-      SELECT s.event_type, CAST(q.q_pct AS BIGINT) AS q_pct,
-             s.n_sample, r.value AS est_value
-      FROM sz s
-      CROSS JOIN (VALUES (10), (50), (90), (99)) q(q_pct)
-      JOIN rk r ON r.event_type = s.event_type
-               AND r.vr = 1 + (q.q_pct * (s.n_sample - 1)) // 100
-    ),
-    audit AS (
-      SELECT e.event_type, e.q_pct,
-             CAST(sum(CASE WHEN x.value <= e.est_value THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_le,
-             CAST(count(*) AS BIGINT) AS n_rows
-      FROM est e JOIN src x ON x.event_type = e.event_type
-      GROUP BY 1, 2
-    )
-    SELECT e.event_type, e.q_pct, e.n_sample, e.est_value,
-           (10000 * a.n_le) // a.n_rows AS true_rank_bp
-    FROM est e JOIN audit a
-      ON a.event_type = e.event_type AND a.q_pct = e.q_pct
-    ORDER BY e.event_type, e.q_pct
-    """,
-    "mergeable bottom-k quantile sketch (deterministic md5 priorities "
-    "-> fully oracled, rare for a quantile sketch) with an exact "
-    "rank-error audit column; one key-shuffle of O(groups*k) rows "
-    "however large the input (map-side WindowGroupLimit)",
-)
-def quantile_sketch_events(spark, sf_dir):
-    """Percentile estimates (p10/p50/p90/p99) of `value` per event
-    type from a 256-row bottom-k-by-md5 sample, AUDITED against the
-    full table: `true_rank_bp` is the exact rank (basis points) the
-    estimate actually lands at, so every gate run re-measures the
-    sketch's rank error instead of trusting the O(1/sqrt(k)) bound
-    (`operators/sketches.py::bottomk_quantiles`).
-
-    Scale shape: the sample is one key-shuffle whose reduce side sees
-    at most k rows per group (WindowGroupLimit collapses map-side);
-    the audit is one more scan aggregated per (key, q) against the
-    BROADCAST <=20-row estimate table. At 100 TB the per-partition
-    samples are the persisted artifact and `bottomk_merge` (union,
-    re-take k smallest) rolls them up exactly — the CMS/HLL merge
-    algebra applied to rank queries.
-    """
-    from purpleair_data_logger_spark.operators import sketches as sk
-
-    e = (
-        _t(spark, sf_dir, "events")
-        .filter(
-            F.col("event_type").isNotNull()
-            & F.col("event_id").isNotNull()
-            & F.col("value").isNotNull()
-        )
-        .select("event_type", "event_id", "value")
-    )
-    est = sk.bottomk_quantiles(
-        e, ["event_type"], "value", "event_id", k=256
-    )
-    audit = (
-        e.join(
-            F.broadcast(est.select("event_type", "q_pct", "est_value")),
-            "event_type",
-        )
-        .groupBy("event_type", "q_pct")
-        .agg(
-            F.sum(
-                F.when(F.col("value") <= F.col("est_value"), 1).otherwise(0)
-            ).cast("long").alias("n_le"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-    return (
-        est.join(audit, ["event_type", "q_pct"])
-        .select(
-            "event_type",
-            "q_pct",
-            "n_sample",
-            "est_value",
-            F.expr("(10000 * n_le) DIV n_rows").alias("true_rank_bp"),
-        )
-        .orderBy("event_type", "q_pct")
-    )
-
-
-@register(
-    "market_share_by_year",
-    """
-    WITH rev AS (
-      SELECT EXTRACT(year FROM o.o_orderdate) AS order_year,
-             r.r_name AS region,
-             n.n_name AS cust_nation,
-             CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c4
-      FROM lineitem l
-      JOIN orders o   ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n   ON n.n_nationkey = c.c_nationkey
-      JOIN region r   ON r.r_regionkey = n.n_regionkey
-      WHERE l.l_orderkey IS NOT NULL AND o.o_custkey IS NOT NULL
-    )
-    SELECT order_year, region,
-           CAST(sum(CASE WHEN cust_nation = 'NATION_7' THEN rev_c4
-                         ELSE 0 END) AS BIGINT) AS nation_rev_c4,
-           CAST(sum(rev_c4) AS BIGINT) AS total_rev_c4,
-           CAST(sum(CASE WHEN cust_nation = 'NATION_7' THEN rev_c4
-                         ELSE 0 END) AS DOUBLE)
-             / CAST(sum(rev_c4) AS DOUBLE) AS mkt_share
-    FROM rev
-    GROUP BY 1, 2
-    HAVING sum(CASE WHEN cust_nation = 'NATION_7' THEN rev_c4
-               ELSE 0 END) > 0
-    ORDER BY order_year, region
-    """,
-    "TPC-H Q8 shape: market share — a conditional aggregate against "
-    "its own group total (CASE-in-sum over one multi-way join tree, "
-    "no self-join, no second scan); money exact to the 4th decimal",
-)
-def market_share_by_year(spark, sf_dir):
-    """NATION_7's share of customer revenue per (year, region) — the
-    TPC-H Q8 market-share pattern: the numerator is a CASE-gated sum
-    over the SAME rows as the denominator, so one scan of one join
-    tree yields both (the naive form scans or self-joins twice).
-
-    Money is exact: price cents × integer discount percent gives
-    BIGINT 10⁻⁴-dollar units, both sums order-independent; the share
-    is ONE float division of two identical-integer operands —
-    bit-identical cross-engine.
-
-    Scale shape: lineitem joins orders on the fact key (both shuffle
-    once; at this SF AQE broadcasts orders), then customer, nation,
-    region attach as broadcast dims; the (year, region) rollup is
-    map-side combined; HAVING prunes empty groups post-aggregate.
-    """
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey").isNotNull())
-        .select(
-            "l_orderkey",
-            (
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (
-                    F.lit(100)
-                    - F.round(F.col("l_discount") * 100).cast("long")
-                )
-            ).alias("rev_c4"),
-        )
-    )
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey").isNotNull())
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.year("o_orderdate").alias("order_year"),
-        )
-    )
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    n = _t(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_regionkey", F.col("n_name").alias("cust_nation")
-    )
-    r = _t(spark, sf_dir, "region").select(
-        "r_regionkey", F.col("r_name").alias("region")
-    )
-    nation_rev = F.sum(
-        F.when(F.col("cust_nation") == "NATION_7", F.col("rev_c4")).otherwise(
-            F.lit(0).cast("long")
-        )
-    )
-    return (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
-        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
-        .groupBy("order_year", "region")
-        .agg(
-            nation_rev.alias("nation_rev_c4"),
-            F.sum("rev_c4").alias("total_rev_c4"),
-            (
-                nation_rev.cast("double")
-                / F.sum("rev_c4").cast("double")
-            ).alias("mkt_share"),
-        )
-        .filter(F.col("nation_rev_c4") > 0)
-        .orderBy("order_year", "region")
-    )
-
-
-@register(
-    "value_drift_report",
-    """
-    WITH binned AS (
-      SELECT CAST(floor(value / CAST(5.0 AS DOUBLE)) AS BIGINT) AS bin,
-             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 0
-                           ELSE 1 END) AS BIGINT) AS n_ref,
-             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1
-                           ELSE 0 END) AS BIGINT) AS n_cur
-      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
-      GROUP BY 1
-    ),
-    tot AS (
-      SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
-             CAST(sum(n_cur) AS BIGINT) AS t_cur
-      FROM binned
-    ),
-    per_bin AS (
-      SELECT bin, CAST(bin AS DOUBLE) * CAST(5.0 AS DOUBLE) AS bin_lo,
-             n_ref, n_cur,
-             CASE WHEN t_ref > 0 THEN (n_ref * 10000) // t_ref
-                  ELSE 0 END AS share_ref_bp,
-             CASE WHEN t_cur > 0 THEN (n_cur * 10000) // t_cur
-                  ELSE 0 END AS share_cur_bp
-      FROM binned CROSS JOIN tot
-    ),
-    d AS (
-      SELECT *,
-             abs(share_cur_bp - share_ref_bp) AS drift_bp
-      FROM per_bin
-    ),
-    tvd AS (SELECT CAST(sum(drift_bp) // 2 AS BIGINT) AS tvd_bp FROM d)
-    SELECT bin, bin_lo, n_ref, n_cur, share_ref_bp, share_cur_bp,
-           drift_bp, tvd_bp
-    FROM d CROSS JOIN tvd
-    """,
-    "pipeline monitoring: per-bin distribution drift between two time "
-    "windows in exact floored basis points + report-level total-"
-    "variation distance — one CASE-gated scan, 1-row broadcasts, "
-    "no ln() (the PSI/KL shape without cross-engine float logs)",
-)
-def value_drift_report(spark, sf_dir):
-    """Value-distribution drift of the events stream across the
-    2024-01-16 split (`operators/aggregations.py::distribution_drift`):
-    per occupied bin, both windows' counts and floored-basis-point
-    shares, the absolute share drift, and the report-level TVD — the
-    monitoring read that catches schema-valid-but-differently-
-    distributed data before it poisons a training mix. All arithmetic
-    exact integers; output |bins| rows regardless of input size."""
-    e = _t(spark, sf_dir, "events")
-    return agg.distribution_drift(
-        e, "ts", "value", split_ts="2024-01-16", bin_width=5.0
-    )
-
-
-@register(
-    "triangle_census_copurchase",
-    """
-    WITH li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-    ),
-    e0 AS (
-      SELECT a.l_partkey AS a, b.l_partkey AS b
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2
-    ),
-    deg AS (
-      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
-        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
-      GROUP BY 1
-    ),
-    o AS (
-      SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a
-                  ELSE e0.b END AS u,
-             CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b
-                  ELSE e0.a END AS v
-      FROM e0 JOIN deg da ON da.node = e0.a
-              JOIN deg db ON db.node = e0.b
-    ),
-    tri AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_triangles
-      FROM o x JOIN o y ON x.v = y.u
-      WHERE EXISTS (SELECT 1 FROM o z WHERE z.u = x.u AND z.v = y.v)
-    ),
-    nd AS (
-      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-             CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
-      FROM deg
-    ),
-    ec AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0)
-    SELECT n_nodes, n_edges, n_wedges, n_triangles,
-           (3 * n_triangles * 1000000) // n_wedges AS gcc_ppm,
-           CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE) AS gcc
-    FROM nd, ec, tri
-    """,
-    "graph analytics: exact triangle census + global clustering "
-    "coefficient via degree orientation — every triangle counted "
-    "once, wedge-join fan-out bounded O(sqrt(m)) on any graph (the "
-    "hub-skew answer); support-pruned co-purchase edges",
-)
-def triangle_census_copurchase(spark, sf_dir):
-    """Triangle count and global clustering coefficient of the
-    support-pruned co-purchase graph (edges appearing in >= 2 baskets
-    — the noise floor for co-occurrence graphs, and what keeps the
-    edge set basket-signal-sized instead of hairball-sized at any SF:
-    ~3.5k edges here at sf0.01 AND sf0.1).
-    `operators/graph.py::triangle_stats`: degree-oriented wedge join +
-    closure semi-join — the node-iterator++ shape whose fan-out stays
-    O(sqrt(m)) even with celebrity hubs. All counts exact BIGINT; the
-    coefficient is also emitted as exact ppm.
-    """
-    from purpleair_data_logger_spark.operators import graph as gr
-
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, on="l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("_w"))
-        .filter(F.col("_w") >= 2)
-        .select("pa", "pb")
-    )
-    return gr.triangle_stats(edges, "pa", "pb")
-
-
-@register(
-    "bfs_hops_copurchase",
-    """
-    WITH RECURSIVE li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-    ),
-    e0 AS (
-      SELECT a.l_partkey AS a, b.l_partkey AS b
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2
-    ),
-    e AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
-    walk(node, hops) AS (
-      SELECT DISTINCT l_partkey, CAST(0 AS BIGINT) FROM li
-      WHERE l_partkey < 5
-      UNION
-      SELECT e.v, w.hops + 1 FROM walk w JOIN e ON e.u = w.node
-      WHERE w.hops < 12
-    ),
-    d AS (SELECT node, CAST(min(hops) AS BIGINT) AS hops
-          FROM walk GROUP BY 1)
-    SELECT hops, CAST(count(*) AS BIGINT) AS n_parts
-    FROM d GROUP BY 1 ORDER BY 1
-    """,
-    "graph analytics: multi-source BFS hop histogram over the "
-    "support-pruned co-purchase graph — frontier-expansion rounds "
-    "(diameter-bounded, early-exit), exact min-hop integers",
-)
-def bfs_hops_copurchase(spark, sf_dir):
-    """How many hops separate every part from the seed set (parts
-    0-4) in the support-pruned co-purchase graph, as a hop histogram
-    (`operators/graph.py::bfs_hops`). The oracle replays BFS as a
-    recursive reachability CTE with min-hop aggregation; the Spark
-    plan is frontier expansion with per-round settled anti-joins and
-    early exit at an empty frontier — rounds = graph diameter, not
-    the hop cap. Unreached parts are absent (∞)."""
-    from purpleair_data_logger_spark.operators import graph as gr
-
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, on="l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("_w"))
-        .filter(F.col("_w") >= 2)
-        .select("pa", "pb")
-    )
-    sources = li.filter(F.col("l_partkey") < 5).select("l_partkey")
-    hops = gr.bfs_hops(edges, "pa", "pb", sources, "l_partkey", max_hops=12)
-    return (
-        hops.groupBy("hops")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .orderBy("hops")
-    )
-
-
-@register(
-    "sssp_copurchase",
-    """
-    WITH RECURSIVE li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-    ),
-    e0 AS (
-      SELECT a.l_partkey AS a, b.l_partkey AS b,
-             CASE WHEN count(*) >= 4 THEN 1
-                  WHEN count(*) = 3 THEN 2 ELSE 3 END AS w
-      FROM li a JOIN li b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2
-    ),
-    e AS (SELECT a AS u, b AS v, w FROM e0 UNION SELECT b, a, w FROM e0),
-    walk(node, dist) AS (
-      SELECT DISTINCT l_partkey, CAST(0 AS BIGINT) FROM li
-      WHERE l_partkey < 5
-      UNION
-      SELECT e.v, wk.dist + e.w FROM walk wk JOIN e ON e.u = wk.node
-      WHERE wk.dist + e.w <= 15
-    ),
-    d AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist
-          FROM walk GROUP BY 1)
-    SELECT dist AS cost, CAST(count(*) AS BIGINT) AS n_parts
-    FROM d GROUP BY 1 ORDER BY 1
-    """,
-    "graph analytics: multi-source WEIGHTED shortest paths "
-    "(distributed Bellman-Ford, frontier-pruned relaxation rounds, "
-    "early exit at fixpoint) — affinity-priced co-purchase edges, "
-    "exact BIGINT path costs, cost-bounded recursive-CTE oracle",
-)
-def sssp_copurchase(spark, sf_dir):
-    """Cheapest-path cost histogram from the seed parts (0-4) when
-    co-purchase edges are PRICED by affinity: support >= 4 baskets
-    costs 1, exactly 3 costs 2, the support floor (2) costs 3 — so the
-    cheapest route prefers strong ties and the answer genuinely
-    differs from the BFS hop histogram over the same graph.
-    `operators/graph.py::shortest_paths`: frontier-pruned Bellman-Ford
-    relaxation with exact integer costs; the oracle replays it as a
-    cost-bounded recursive reachability CTE (states bounded by
-    nodes x cap, positive weights make cost bound hops) with min-cost
-    aggregation. The cost cap (15) is applied INSIDE both searches —
-    `max_dist` prunes the Spark frontier (bounding relaxation rounds
-    at the cap, so a long cheap chain can never exhaust max_rounds on
-    nodes the query would discard), the CTE's WHERE bounds the
-    enumeration; unreached parts are absent (infinity)."""
-    from purpleair_data_logger_spark.operators import graph as gr
-
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, on="l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("_w"))
-        .filter(F.col("_w") >= 2)
-        .select(
-            "pa",
-            "pb",
-            F.when(F.col("_w") >= 4, 1)
-            .when(F.col("_w") == 3, 2)
-            .otherwise(3)
-            .cast("long")
-            .alias("cost"),
-        )
-    )
-    sources = li.filter(F.col("l_partkey") < 5).select("l_partkey")
-    dist = gr.shortest_paths(
-        edges, "pa", "pb", "cost", sources, "l_partkey", max_dist=15
-    )
-    return (
-        dist.filter(F.col("dist") <= 15)
-        .groupBy(F.col("dist").alias("cost"))
-        .agg(F.count(F.lit(1)).alias("n_parts"))
-        .orderBy("cost")
-    )
-
-
-@register(
-    "local_supplier_volume",
-    """
-    SELECT n.n_name AS nation,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-                AS BIGINT) AS revenue_c4
-    FROM lineitem l
-    JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN nation n   ON n.n_nationkey = c.c_nationkey
-    WHERE c.c_nationkey = s.s_nationkey
-      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o.o_orderdate < TIMESTAMP '1997-01-01'
-      AND l.l_orderkey IS NOT NULL AND l.l_suppkey IS NOT NULL
-      AND o.o_custkey IS NOT NULL
-    GROUP BY 1
-    ORDER BY revenue_c4 DESC, nation
-    """,
-    "TPC-H Q5 shape: LOCAL-supplier volume — the cross-dimension "
-    "equality (customer nation == supplier nation) rides the join "
-    "tree as a post-join predicate, one scan, exact money",
-)
-def local_supplier_volume(spark, sf_dir):
-    """1996 revenue where the customer and the line's supplier share a
-    nation — the TPC-H Q5 pattern, whose distinctive feature is the
-    EQUALITY BETWEEN TWO DIMENSIONS (c_nationkey = s_nationkey)
-    threaded through the fact: it is not a join key of either dim but
-    a predicate that only resolves after both have attached.
-
-    Scale shape: the date predicate prunes orders at the scan (and
-    partitions, at scale) BEFORE the fact join; customer, supplier,
-    nation broadcast; the nation equality evaluates post-join on
-    attached integer keys (no extra shuffle); money is exact
-    10⁻⁴-dollar BIGINT; the rollup is nation-sized.
-    """
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull())
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            (
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-            ).alias("rev_c4"),
-        )
-    )
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(
-            F.col("o_custkey").isNotNull()
-            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-        )
-        .select("o_orderkey", "o_custkey")
-    )
-    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = _t(spark, sf_dir, "nation").select(
-        "n_nationkey", F.col("n_name").alias("nation")
-    )
-    return (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
-        .groupBy("nation")
-        .agg(F.sum("rev_c4").alias("revenue_c4"))
-        .orderBy(F.desc("revenue_c4"), F.asc("nation"))
-    )
-
-
-@register(
-    "returned_revenue_customers",
-    """
-    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-                AS BIGINT) AS lost_revenue_c4,
-           CAST(count(*) AS BIGINT) AS n_returned_items
-    FROM lineitem l
-    JOIN orders o   ON o.o_orderkey = l.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-    JOIN nation n   ON n.n_nationkey = c.c_nationkey
-    WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o.o_orderdate < TIMESTAMP '1997-07-01'
-      AND l.l_orderkey IS NOT NULL AND o.o_custkey IS NOT NULL
-    GROUP BY 1, 2, 3
-    ORDER BY lost_revenue_c4 DESC, c_custkey
-    LIMIT 20
-    """,
-    "TPC-H Q10 shape: returned-item revenue ranking — flag predicate "
-    "pushed to the fact scan, date-pruned orders, broadcast dims, "
-    "top-20 TakeOrderedAndProject",
-)
-def returned_revenue_customers(spark, sf_dir):
-    """The 20 customers who returned the most revenue in 1997-H1 — the
-    TPC-H Q10 pattern (fact-side flag predicate × order-side date
-    range × customer rollup × top-k). Both predicates reach their
-    scans (returnflag on lineitem, the date range on orders — at
-    scale, partition pruning); customer and nation broadcast; money
-    exact; the top-20 plans as TakeOrderedAndProject with a custkey
-    tie-break."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_returnflag") == "R") & F.col("l_orderkey").isNotNull()
-        )
-        .select(
-            "l_orderkey",
-            (
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-            ).alias("rev_c4"),
-        )
-    )
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(
-            F.col("o_custkey").isNotNull()
-            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
-        )
-        .select("o_orderkey", "o_custkey")
-    )
-    c = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey"
-    )
-    n = _t(spark, sf_dir, "nation").select(
-        "n_nationkey", F.col("n_name").alias("nation")
-    )
-    return (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
-        .groupBy("c_custkey", "c_name", "nation")
-        .agg(
-            F.sum("rev_c4").alias("lost_revenue_c4"),
-            F.count(F.lit(1)).alias("n_returned_items"),
-        )
-        .orderBy(F.desc("lost_revenue_c4"), F.asc("c_custkey"))
-        .limit(20)
-    )
-
-
-@register(
-    "kcore_copurchase",
-    # Peeling IS recursive-CTE expressible despite the data-dependent
-    # round count: each recursive step re-derives per-node degrees with
-    # window functions over the working edge set and keeps only edges
-    # whose both endpoints still have degree >= k; a bool_and() OVER ()
-    # fixpoint flag stops the recursion the round nothing changes. The
-    # one-more-filter at the end makes the "peeled to empty" and
-    # "reached fixpoint" terminations read identically. (r9 VERDICT #6:
-    # the PageRank recursive-CTE precedent, extended with windows.)
-    """
-    WITH RECURSIVE lp AS (
-      SELECT DISTINCT l_orderkey, l_partkey
-      FROM lineitem
-      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
-    ),
-    co AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_partkey < b.l_partkey
-      GROUP BY 1, 2
-      HAVING count(*) >= 2
-    ),
-    sym AS (
-      SELECT CAST(pa AS BIGINT) AS u, CAST(pb AS BIGINT) AS v FROM co
-      UNION ALL
-      SELECT CAST(pb AS BIGINT), CAST(pa AS BIGINT) FROM co
-    ),
-    peel(iter, u, v) AS (
-      SELECT 0, u, v FROM sym
-      UNION ALL
-      SELECT iter + 1, u, v FROM (
-        SELECT iter, u, v, du, dv,
-               bool_and(du >= 3 AND dv >= 3) OVER () AS all_ok
-        FROM (
-          SELECT iter, u, v,
-                 count(*) OVER (PARTITION BY u) AS du,
-                 count(*) OVER (PARTITION BY v) AS dv
-          FROM peel
-        )
-      )
-      WHERE du >= 3 AND dv >= 3 AND NOT all_ok
-    ),
-    last_round AS (
-      SELECT u, v FROM peel WHERE iter = (SELECT max(iter) FROM peel)
-    ),
-    fixpoint AS (
-      SELECT u FROM (
-        SELECT u,
-               count(*) OVER (PARTITION BY u) AS du,
-               count(*) OVER (PARTITION BY v) AS dv
-        FROM last_round
-      ) WHERE du >= 3 AND dv >= 3
-    )
-    SELECT DISTINCT u AS node FROM fixpoint ORDER BY node
-    """,
-    "graph analytics: 3-core of the support-pruned co-purchase graph "
-    "— the dense kernel that survives stripping hangers-on; peeling "
-    "rounds with AQE-planned anti-joins, unique fixpoint, oracled via "
-    "a windowed recursive CTE",
-)
-def kcore_copurchase(spark, sf_dir):
-    """Parts in the 3-core of the support-pruned co-purchase graph
-    (`operators/graph.py::kcore`): every member co-purchases with >= 3
-    other members WITHIN the core — the robust-hub set for
-    recommendation seeding. The k-core is unique, so the row set is
-    deterministic. k=3 (r9 VERDICT #1): at the driver's gate scale
-    factor (sf0.01) the support-pruned graph has no 4-core, so the old
-    k=4 gate row was vacuously empty; k=3 keeps a non-trivial core at
-    every test SF (935/2000 nodes at sf0.01, 200/200 at sf0.001) and
-    `tests/test_graph.py` pins non-emptiness so the gate row can never
-    go vacuous again."""
-    from purpleair_data_logger_spark.operators import graph as gr
-
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
-        )
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
-    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
-    edges = (
-        a.join(b, on="l_orderkey")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("_w"))
-        .filter(F.col("_w") >= 2)
-        .select("pa", "pb")
-    )
-    return gr.kcore(edges, "pa", "pb", k=3).orderBy("node")
-
-
-@register(
-    "forecast_revenue_change",
-    """
-    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                    * CAST(round(l_discount * 100) AS BIGINT))
-                AS BIGINT) AS promo_revenue_c4,
-           CAST(count(*) AS BIGINT) AS n_lineitems
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate < TIMESTAMP '1997-01-01'
-      AND l_discount >= 0.05 AND l_discount <= 0.07
-      AND l_quantity < 24
-    """,
-    "TPC-H Q6 shape: THE pushdown probe — one scan, every predicate "
-    "at the parquet reader, one map-side-combined exact-money "
-    "aggregate, zero joins",
-)
-def forecast_revenue_change(spark, sf_dir):
-    """Revenue that would have been gained by eliminating mid-range
-    discounts on small 1996 orders — the TPC-H Q6 pattern. The whole
-    query is one scan whose FOUR predicates (date range, discount
-    band, quantity cap) must all reach the parquet reader — row-group
-    statistics then skip most of a 100 TB fact before a byte
-    decompresses — feeding one map-side-combined aggregate. Money is
-    the exact price-cents × discount-percent BIGINT product; no join,
-    no window, no shuffle beyond the 1-row final aggregate."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_discount") >= 0.05)
-            & (F.col("l_discount") <= 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * F.round(F.col("l_discount") * 100).cast("long")
-            ).alias("promo_revenue_c4"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-    )
-
-
-@register(
-    "top_supplier_revenue",
-    """
-    WITH rev AS (
-      SELECT l_suppkey,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                  AS BIGINT) AS total_rev_c4
-      FROM lineitem
-      WHERE l_suppkey IS NOT NULL
-        AND l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate < TIMESTAMP '1996-04-01'
-      GROUP BY 1
-    ),
-    best AS (SELECT max(total_rev_c4) AS m FROM rev)
-    SELECT s.s_suppkey, s.s_name, r.total_rev_c4
-    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_rev_c4 = (SELECT m FROM best)
-    ORDER BY s_suppkey
-    """,
-    "TPC-H Q15 shape: the row(s) attaining a GLOBAL max-over-"
-    "aggregate (the classic view + scalar subquery), decorrelated to "
-    "one aggregate + a global-window max with ties kept",
-)
-def top_supplier_revenue(spark, sf_dir):
-    """The supplier(s) with the highest 1996-Q1 revenue — the TPC-H
-    Q15 pattern (a revenue VIEW consulted twice: once for the max,
-    once to select the attaining rows — ties must all surface). The
-    Spark plan aggregates ONCE and takes the max as a global window
-    over the aggregate's supplier-count-sized rows, then equality-
-    filters — exact BIGINT money makes the tie comparison exact, and
-    the fact is never scanned twice. Supplier attaches broadcast."""
-    rev = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_suppkey").isNotNull()
-            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-        )
-        .groupBy("l_suppkey")
-        .agg(
-            F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (
-                    F.lit(100)
-                    - F.round(F.col("l_discount") * 100).cast("long")
-                )
-            ).alias("total_rev_c4")
-        )
-    )
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    best = Window.partitionBy()
-    return (
-        rev.withColumn("_m", F.max("total_rev_c4").over(best))
-        .filter(F.col("total_rev_c4") == F.col("_m"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .select("s_suppkey", "s_name", "total_rev_c4")
-        .orderBy("s_suppkey")
-    )
-
-
-_PQ_CODEBOOK_CACHE: dict[str, list] = {}
-
-
-@register(
-    "knn_pq",
-    None,  # k-means codebook training is iterative (the knn_ivf
-    # precedent) and ADC scores are floats, so rows-only at the gate;
-    # recall vs brute force + encode determinism pinned in pytest.
-    "ANN ladder memory endpoint: product quantization (Jégou 2011) — "
-    "8 one-byte codebook ids per vector (32x vs float64), ADC "
-    "lookup-table scoring, exact rescore of survivors; recall pinned",
-)
-def knn_pq(spark, sf_dir):
-    """PQ-ADC top-5 neighbors for the first 8 vectors
-    (`operators/similarity.py::knn_pq`): the corpus-wide candidate
-    pass reads 8 BYTES per vector (n_sub=8 subspaces × 256-centroid
-    codebooks — one byte per code, 32x smaller than the float64
-    vector) and scores each with 8 table lookups; only the top-40
-    candidates per query pay exact float cosine. The codebook is an
-    offline index artifact (trained once per corpus on a bounded
-    deterministic sample, memoized per sf_dir like the IVF quantizer)
-    so repeated catalog calls measure the query path."""
-    em = _t(spark, sf_dir, "embeddings")
-    queries = em.filter(F.col("vec_id") < 8)
-    if sf_dir not in _PQ_CODEBOOK_CACHE:
-        _PQ_CODEBOOK_CACHE[sf_dir] = sim.train_pq_codebooks(
-            em, "embedding", n_sub=8, k_codes=256
-        )
-    return sim.knn_pq(
-        em, queries, "vec_id", "embedding",
-        k=5, n_sub=8, k_codes=256, codebooks=_PQ_CODEBOOK_CACHE[sf_dir],
-    )
-
-
-@register(
-    "disjunctive_brand_revenue",
-    """
-    SELECT p.p_brand,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
-                AS BIGINT) AS revenue_c4,
-           CAST(count(*) AS BIGINT) AS n_lineitems
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l.l_shipdate < TIMESTAMP '1997-01-01'
-      AND l.l_partkey IS NOT NULL
-      AND (
-            (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
-             AND l.l_quantity BETWEEN 1 AND 11)
-         OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
-             AND l.l_quantity BETWEEN 10 AND 20)
-         OR (p.p_brand = 'Brand#5'  AND p.p_size BETWEEN 1 AND 15
-             AND l.l_quantity BETWEEN 20 AND 30)
-      )
-    GROUP BY 1
-    ORDER BY p_brand
-    """,
-    "TPC-H Q19 shape: disjunction of conjunct groups across the "
-    "fact and a dimension — the derived common conjuncts (quantity "
-    "envelope, brand IN-list, size ceiling) are hoisted to the scans "
-    "by hand because no optimizer infers them through a join",
-)
-def disjunctive_brand_revenue(spark, sf_dir):
-    """Revenue from three brand-specific (size-range x quantity-range)
-    channels — the TPC-H Q19 pattern (reference workload analog: the
-    dashboard panels' multi-predicate OR filters, Grafana JSON). The
-    optimizer lesson this adds over the other 16 TPC-H shapes: an
-    OR-of-ANDs that references BOTH join sides cannot be pushed
-    through the join by Catalyst, so its derived single-side
-    implications must be hoisted manually — `l_quantity BETWEEN 1 AND
-    30` + the ship-date range reach the lineitem scan, `p_brand IN
-    (...) AND p_size BETWEEN 1 AND 15` reach the part scan — and only
-    the residual disjunction evaluates post-join. Without the hoist
-    the fact scan reads every quantity at 100 TB; with it the scan is
-    row-group-pruned on both columns (plan-pinned).
-
-    Scale shape: part prunes to three brands before its broadcast;
-    one fact scan, zero shuffles before the 3-group aggregate; exact
-    10^-4-dollar BIGINT money."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_partkey").isNotNull()
-            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            # derived conjunct of the OR (hoisted: reaches the scan)
-            & F.col("l_quantity").between(1, 30)
-        )
-        .select(
-            "l_partkey",
-            "l_quantity",
-            (
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-            ).alias("rev_c4"),
-        )
-    )
-    p = (
-        _t(spark, sf_dir, "part")
-        .filter(
-            # derived conjuncts of the OR (hoisted: reach the scan)
-            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#5")
-            & F.col("p_size").between(1, 15)
-        )
-        .select("p_partkey", "p_brand", "p_size")
-    )
-    ch = (
-        (
-            (F.col("p_brand") == "Brand#12")
-            & F.col("p_size").between(1, 5)
-            & F.col("l_quantity").between(1, 11)
-        )
-        | (
-            (F.col("p_brand") == "Brand#23")
-            & F.col("p_size").between(1, 10)
-            & F.col("l_quantity").between(10, 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#5")
-            & F.col("p_size").between(1, 15)
-            & F.col("l_quantity").between(20, 30)
-        )
-    )
-    return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .filter(ch)
-        .groupBy("p_brand")
-        .agg(
-            F.sum("rev_c4").alias("revenue_c4"),
-            F.count(F.lit(1)).alias("n_lineitems"),
-        )
-        .orderBy("p_brand")
-    )
-
-
-@register(
-    "two_nation_trade_volume",
-    """
-    SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(rev_c4) AS BIGINT) AS revenue_c4
-    FROM (
-      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-             CAST(round(l.l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c4
-      FROM lineitem l
-      JOIN orders o   ON o.o_orderkey = l.l_orderkey
-      JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN supplier s ON s.s_suppkey = l.l_suppkey
-      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
-      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
-      WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
-          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
-        AND l.l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l.l_shipdate < TIMESTAMP '1998-01-01'
-        AND l.l_orderkey IS NOT NULL AND l.l_suppkey IS NOT NULL
-        AND o.o_custkey IS NOT NULL
-    )
-    GROUP BY 1, 2, 3
-    ORDER BY 1, 2, 3
-    """,
-    "TPC-H Q7 shape: two-nation pair predicate threaded through the "
-    "fact — both nation filters push into the dimension scans BEFORE "
-    "their broadcasts, the pair disjunction resolves post-join",
-)
-def two_nation_trade_volume(spark, sf_dir):
-    """Shipping volume between two nations by direction and year —
-    the TPC-H Q7 pattern. The distinctive plan lesson: the pair
-    predicate names the SAME dimension (nation) twice in different
-    roles (supplier's vs customer's), so the single-nation implication
-    `n_name IN (pair)` is pushed into BOTH dimension attach paths
-    before their broadcasts — supplier and customer each shrink to two
-    nations' worth of keys before touching the fact — and only the
-    direction disjunction (which needs both roles attached) evaluates
-    post-join.
-
-    Scale shape: nation filters prune both dim broadcasts; the fact
-    scan is date-pruned; zero non-broadcast joins besides the
-    orders attach (orderkey shuffle, AQE-planned); exact money; the
-    rollup is 2 directions x 2 years."""
-    pair = ("NATION_13", "NATION_19")
-    n_pair = (
-        _t(spark, sf_dir, "nation")
-        .filter(F.col("n_name").isin(*pair))
-        .select("n_nationkey", "n_name")
-    )
-    s = (
-        _t(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(n_pair),
-            F.col("n_nationkey") == F.col("s_nationkey"),
-        )
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
-    )
-    c = (
-        _t(spark, sf_dir, "customer")
-        .join(
-            F.broadcast(n_pair),
-            F.col("n_nationkey") == F.col("c_nationkey"),
-        )
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
-    )
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_orderkey").isNotNull()
-            & F.col("l_suppkey").isNotNull()
-            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-        .select(
-            "l_orderkey",
-            "l_suppkey",
-            F.year("l_shipdate").cast("long").alias("l_year"),
-            (
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-            ).alias("rev_c4"),
-        )
-    )
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey").isNotNull())
-        .select("o_orderkey", "o_custkey")
-    )
-    direction = (
-        (F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1])
-    ) | (
-        (F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0])
-    )
-    return (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .filter(direction)
-        .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("rev_c4").alias("revenue_c4"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
-    )
-
-
-@register(
-    "priority_lines_by_returnflag",
-    """
-    SELECT l.l_returnflag,
-           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
-      AND l.l_shipdate < TIMESTAMP '1998-01-01'
-      AND l.l_orderkey IS NOT NULL
-      AND l.l_returnflag IS NOT NULL
-      AND o.o_orderpriority IS NOT NULL
-    GROUP BY 1
-    ORDER BY 1
-    """,
-    "TPC-H Q12 shape: two-channel CASE-in-sum — one pass splits the "
-    "joined rows into high/low priority counts; no self-join, no "
-    "second scan, no pivot shuffle",
-)
-def priority_lines_by_returnflag(spark, sf_dir):
-    """Per return-flag counts of lineitems on high- vs low-priority
-    orders, 1997 shipments — the TPC-H Q12 pattern. The plan lesson:
-    splitting one population into N labeled channels is a CASE
-    expression INSIDE each aggregate, not a per-channel self-join or a
-    pivot — one scan of each table, one shuffle, and the channel
-    arithmetic rides the existing partial aggregation (map-side
-    combine sees both counters).
-
-    Scale shape: the date range prunes the fact scan; the
-    orderkey join shuffles both sides once (orders is not
-    broadcastable at scale — AQE plans it); the aggregate output is
-    |returnflag| = 3 rows; counts are exact BIGINTs."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_orderkey").isNotNull()
-            & F.col("l_returnflag").isNotNull()
-            & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
-        )
-        .select("l_orderkey", "l_returnflag")
-    )
-    o = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority").isNotNull())
-        .select("o_orderkey", "o_orderpriority")
-    )
-    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias(
-                "high_line_count"
-            ),
-            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias(
-                "low_line_count"
-            ),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-#: Shared by document_embeddings / document_embeddings_incremental:
-#: the 16 per-dim integer numerators recovered from the chunk sha256
-#: hex digests (oracle side) and from the float32 embedding (Spark
-#: side). Factored so a precision fix applies to both queries at once.
-_EMB_SUM_SQL = """CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 1, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 2, 1))-1))) AS BIGINT) AS s0,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 3, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 4, 1))-1))) AS BIGINT) AS s1,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 5, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 6, 1))-1))) AS BIGINT) AS s2,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 7, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 8, 1))-1))) AS BIGINT) AS s3,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 9, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 10, 1))-1))) AS BIGINT) AS s4,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 11, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 12, 1))-1))) AS BIGINT) AS s5,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 13, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 14, 1))-1))) AS BIGINT) AS s6,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 15, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 16, 1))-1))) AS BIGINT) AS s7,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 17, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 18, 1))-1))) AS BIGINT) AS s8,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 19, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 20, 1))-1))) AS BIGINT) AS s9,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 21, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 22, 1))-1))) AS BIGINT) AS s10,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 23, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 24, 1))-1))) AS BIGINT) AS s11,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 25, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 26, 1))-1))) AS BIGINT) AS s12,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 27, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 28, 1))-1))) AS BIGINT) AS s13,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 29, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 30, 1))-1))) AS BIGINT) AS s14,
-           CAST(list_sum(list_transform(hs, hx -> (strpos('0123456789abcdef', substr(hx, 31, 1))-1)*16 + (strpos('0123456789abcdef', substr(hx, 32, 1))-1))) AS BIGINT) AS s15"""
-
-
-def _emb_recovery_cols():
-    """round(e_i * 255 * n_chunks) recovers the exact per-dim integer
-    sum — cast to double BEFORE the multiplies (float32 arithmetic
-    would add ~2 more ulp on top of the unavoidable float32 STORAGE
-    rounding); exact while the per-dim sum < 2^23, i.e. n_chunks <=
-    32_896 (~4 MB of text at 128-char chunks), far past any real
-    document."""
-    return [
-        F.round(
-            F.element_at("embedding", i + 1).cast("double")
-            * 255
-            * F.col("n_chunks")
-        )
-        .cast("long")
-        .alias(f"s{i}")
-        for i in range(16)
-    ]
-
-
-@register(
-    "document_embeddings",
-    """
-    WITH d AS (
-      SELECT doc_id, text,
-             CAST(greatest(1, ceil(length(text) / 128.0)) AS BIGINT) AS nch
-      FROM documents
-      WHERE text IS NOT NULL AND doc_id IS NOT NULL
-    ),
-    ch AS (
-      SELECT doc_id, nch,
-             list_transform(range(0, nch), k ->
-               sha256(substr(text, CAST(k * 128 + 1 AS INT), 128))) AS hs
-      FROM d
-    )
-    SELECT doc_id, CAST(nch AS BIGINT) AS n_chunks,
-           """ + _EMB_SUM_SQL + """
-    FROM ch
-    """,
-    "north-star embedding generation: chunk -> encode -> mean-pool via "
-    "one mapInPandas Arrow stage (stub model, injectable) — the "
-    "corpus->embeddings edge of the ANN ladder",
-)
-def document_embeddings(spark, sf_dir):
-    """Generate the ``embedding array<float>`` column the whole ANN
-    ladder consumes (`operators/encoder.py::encode_documents`): split
-    each document into 128-character chunks, encode every chunk with
-    the injectable encoder (deterministic sha256 stub here; a model
-    runtime in production), mean-pool back to one vector per document
-    — all inside ONE Arrow stage, no chunk-row explode, no shuffle
-    (plan-pinned). Pooling keeps integer sums and divides once by
-    255*n_chunks, so the gate recovers each per-dim integer numerator
-    exactly (``round(e_i * 255 * n_chunks)``) and DuckDB replays the
-    full chunk/encode/pool pipeline from sha256 hex."""
-    from purpleair_data_logger_spark.operators import encoder as enc
-
-    d = _t(spark, sf_dir, "documents").filter(
-        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-    )
-    emb = enc.encode_documents(
-        d, "doc_id", "text", dim=16, chunk_chars=128,
-        encoder=enc.fake_encoder,
-    )
-    return emb.select("doc_id", "n_chunks", *_emb_recovery_cols())
-
-
-@register(
-    "promo_revenue_share",
-    """
-    SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN rev_c4 ELSE 0 END)
-                AS BIGINT) AS promo_rev_c4,
-           CAST(sum(rev_c4) AS BIGINT) AS total_rev_c4,
-           100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN rev_c4 ELSE 0 END)
-                 / sum(rev_c4) AS promo_share_pct
-    FROM (
-      SELECT l_partkey,
-             CAST(round(l_extendedprice * 100) AS BIGINT)
-               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
-        AND l_shipdate < TIMESTAMP '1996-04-01'
-        AND l_partkey IS NOT NULL
-    ) l JOIN part p ON p.p_partkey = l.l_partkey
-    """,
-    "TPC-H Q14 shape: promo revenue share — CASE-gated sum beside the "
-    "plain sum in ONE pass, type predicate evaluated post-broadcast, "
-    "share as one float division of identical integers",
-)
-def promo_revenue_share(spark, sf_dir):
-    """What fraction of one month's revenue came from PROMO parts —
-    the TPC-H Q14 pattern. Like Q8, numerator and denominator are ONE
-    scan (CASE inside the sum, never a second scan or self-join); the
-    month prunes the fact scan (partition pruning at scale), part
-    broadcasts, and the percentage is a single float division of two
-    exact BIGINTs (bit-stable cross-engine)."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(
-            F.col("l_partkey").isNotNull()
-            & (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
-        )
-        .select(
-            "l_partkey",
-            (
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-            ).alias("rev_c4"),
-        )
-    )
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    promo = F.when(F.col("p_type") == "PROMO", F.col("rev_c4")).otherwise(
-        F.lit(0).cast("long")
-    )
-    return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .agg(
-            F.sum(promo).alias("promo_rev_c4"),
-            F.sum("rev_c4").alias("total_rev_c4"),
-        )
-        .select(
-            "promo_rev_c4",
-            "total_rev_c4",
-            (
-                F.lit(100.0)
-                * F.col("promo_rev_c4")
-                / F.col("total_rev_c4")
-            ).alias("promo_share_pct"),
-        )
-    )
-
-
-@register(
-    "top_revenue_parts_share",
-    """
-    WITH pr AS (
-      SELECT l_partkey AS partkey,
-             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                  AS BIGINT) AS rev_c4
-      FROM lineitem
-      WHERE l_partkey IS NOT NULL
-      GROUP BY 1
-    ),
-    tot AS (
-      SELECT CAST(sum(rev_c4) AS BIGINT) AS total_c4,
-             CAST(count(*) AS BIGINT) AS n_parts
-      FROM pr
-    )
-    SELECT partkey, rev_c4
-    FROM pr, tot
-    WHERE 2 * rev_c4 * n_parts > 3 * total_c4
-    ORDER BY rev_c4 DESC, partkey
-    """,
-    "TPC-H Q11 shape: HAVING against a global aggregate OF THE SAME "
-    "aggregate tree — per-key rollup, 1-row scalar broadcast back, "
-    "exact-integer cross-multiplied share threshold",
-)
-def top_revenue_parts_share(spark, sf_dir):
-    """Parts whose lifetime revenue exceeds 1.5x the uniform share —
-    the TPC-H Q11 pattern (a HAVING clause whose right side is a
-    GLOBAL aggregate over the same groups). Decorrelated the same way
-    Q11's spec intends: aggregate per part ONCE, roll that aggregate
-    up to one (total, count) row, broadcast it back over the per-part
-    rows, and compare with exact-BIGINT cross-multiplication
-    (2 * rev * n_parts > 3 * total) — never a float share, never a
-    second scan of the fact. The threshold scales with the part count
-    and sits below the observed ~1.75x max share, so the row is
-    non-vacuous at every test SF (2 parts at sf0.001, 29 at sf0.01 —
-    the kcore vacuous-gate lesson, r9 VERDICT #1).
-
-    Scale shape: one fact shuffle (the per-part aggregate); the global
-    rollup reads the AGGREGATE (part-count-sized, AQE reuses the
-    exchange); the scalar crossJoin is a 1-row broadcast."""
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
-    pr = (
-        li.select(
-            F.col("l_partkey").alias("partkey"),
-            (
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-            ).alias("rev_c4"),
-        )
-        .groupBy("partkey")
-        .agg(F.sum("rev_c4").alias("rev_c4"))
-    )
-    tot = pr.agg(
-        F.sum("rev_c4").alias("total_c4"),
-        F.count(F.lit(1)).alias("n_parts"),
-    )
-    return (
-        pr.crossJoin(F.broadcast(tot))
-        .filter(2 * F.col("rev_c4") * F.col("n_parts") > 3 * F.col("total_c4"))
-        .select("partkey", "rev_c4")
-        .orderBy(F.desc("rev_c4"), F.asc("partkey"))
-    )
-
-
-@register(
-    "product_profit_by_nation_year",
-    """
-    SELECT n.n_name AS nation,
-           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
-                    * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
-                    - CAST(round(p.p_retailprice * 100) AS BIGINT)
-                      * CAST(round(l.l_quantity) AS BIGINT) * 100)
-                AS BIGINT) AS profit_c4
-    FROM lineitem l
-    JOIN part p     ON p.p_partkey = l.l_partkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    WHERE p.p_name LIKE '%widget%'
-      AND l.l_partkey IS NOT NULL AND l.l_suppkey IS NOT NULL
-    GROUP BY 1, 2
-    ORDER BY nation, l_year DESC
-    """,
-    "TPC-H Q9 shape: product-line profit by supplier nation and year "
-    "— substring LIKE pruned into the part dimension before its "
-    "broadcast, profit as exact-integer arithmetic in the sum",
-)
-def product_profit_by_nation_year(spark, sf_dir):
-    """Profit on one product line (name contains 'widget') by the
-    supplier's nation and ship year — the TPC-H Q9 pattern. The
-    reference schema has no partsupp, so unit cost is the part's
-    retail price (profit = revenue - retailprice x quantity), keeping
-    Q9's distinctive shape: a SUBSTRING predicate that prunes the part
-    dimension before its broadcast, two dimension attach paths
-    (part by partkey, nation through supplier), and a profit
-    EXPRESSION (not a bare measure) inside the sum — all in exact
-    10^-4-dollar BIGINT arithmetic so the sum is order-independent.
-
-    Scale shape: part shrinks to the product line before broadcast;
-    supplier/nation broadcast; one fact scan, one rollup shuffle on
-    (nation, year)."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_partkey").isNotNull() & F.col("l_suppkey").isNotNull())
-        .select(
-            "l_partkey",
-            "l_suppkey",
-            F.year("l_shipdate").cast("long").alias("l_year"),
-            (
-                F.round(F.col("l_extendedprice") * 100).cast("long")
-                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
-            ).alias("rev_c4"),
-            (
-                F.round(F.col("l_quantity")).cast("long") * F.lit(100)
-            ).alias("qty_x100"),
-        )
-    )
-    part = (
-        _t(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("%widget%"))
-        .select(
-            "p_partkey",
-            F.round(F.col("p_retailprice") * 100).cast("long").alias("retail_c2"),
-        )
-    )
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    n = _t(spark, sf_dir, "nation").select(
-        "n_nationkey", F.col("n_name").alias("nation")
-    )
-    return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
-        .groupBy("nation", "l_year")
-        .agg(
-            F.sum(
-                F.col("rev_c4") - F.col("retail_c2") * F.col("qty_x100")
-            ).alias("profit_c4")
-        )
-        .orderBy(F.asc("nation"), F.desc("l_year"))
-    )
-
-
-def _lsh_skew_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
-    return (
-        _minhash_lsh_cte(num_hashes, bands, shingle_n)
-        + """
-    , bsz AS (
-      SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS c
-      FROM bnd GROUP BY 1, 2
-    )
-    SELECT CAST(band_idx AS BIGINT) AS band_idx,
-           CAST(count(*) AS BIGINT) AS n_buckets,
-           CAST(max(c) AS BIGINT) AS max_bucket_size,
-           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
-               AS colliding_docs,
-           CAST(sum(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
-    FROM bsz
-    GROUP BY 1
-    ORDER BY 1
-    """
-    )
-
-
-@register(
-    "lsh_bucket_skew_report",
-    _lsh_skew_oracle(num_hashes=64, bands=16, shingle_n=3),
-    "north-star LSH ops tooling: per-band bucket-skew report — the "
-    "degenerate-bucket check run BEFORE the band join at 100 TB",
-)
-def lsh_bucket_skew_report(spark, sf_dir):
-    """Per-band skew diagnostics over the MinHash LSH index
-    (`operators/dedup.py::lsh_bucket_skew_report`): bucket count, max
-    bucket size, colliding docs, and the EXACT candidate-pair total
-    the band join would generate. The band join's cost is quadratic in
-    each bucket — one boilerplate family collapsing thousands of docs
-    into one (band_idx, band_hash) turns 'collision-bounded' into
-    all-pairs silently; this report is the pre-join alert that makes
-    that hazard visible as data (the remediation is upstream exact /
-    boilerplate dedup). Two map-side-combined aggregates over the band
-    index; exact BIGINT pair arithmetic (integer DIV — c·(c−1) is
-    even)."""
-    d = _t(spark, sf_dir, "documents")
-    return dd.lsh_bucket_skew_report(
-        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3,
-        hash_family="md5",
-    )
-
-
-def _lsh_capped_drop_oracle(
-    num_hashes: int, bands: int, shingle_n: int, cap: int
-) -> str:
-    return (
-        _minhash_lsh_cte(num_hashes, bands, shingle_n)
-        + f"""
-    , bsz AS (
-      SELECT band_idx, band_hash, CAST(count(*) AS BIGINT) AS c
-      FROM bnd GROUP BY 1, 2
-    )
-    SELECT CAST(band_idx AS BIGINT) AS band_idx,
-           CAST(count(*) AS BIGINT) AS n_buckets,
-           CAST(sum(CASE WHEN c > {cap} THEN 1 ELSE 0 END) AS BIGINT)
-               AS buckets_over_cap,
-           CAST(sum(CASE WHEN c > {cap} THEN c ELSE 0 END) AS BIGINT)
-               AS docs_dropped,
-           CAST(sum(CASE WHEN c > {cap} THEN c * (c - 1) // 2 ELSE 0 END)
-               AS BIGINT) AS pairs_dropped,
-           CAST(sum(CASE WHEN c <= {cap} THEN c * (c - 1) // 2 ELSE 0 END)
-               AS BIGINT) AS pairs_kept
-    FROM bsz
-    GROUP BY 1
-    ORDER BY 1
-    """
-    )
-
-
-@register(
-    "lsh_capped_drop_report",
-    _lsh_capped_drop_oracle(num_hashes=64, bands=16, shingle_n=3, cap=2),
-    "north-star LSH ops tooling: per-band audit of what a degenerate-"
-    "bucket ceiling would drop — run before enabling max_bucket_size",
-)
-def lsh_capped_drop_report(spark, sf_dir):
-    """Per-band accounting of the bucket-size ceiling's cost
-    (`operators/dedup.py::lsh_capped_drop_report`, VERDICT r11 #1):
-    with a cap of 2, how many buckets exceed it, the docs and exact
-    candidate pairs the `keep_buckets_within_cap` semi-join would
-    drop, and the pairs kept. The mitigation itself ships as
-    ``max_bucket_size`` on `minhash_lsh_candidates` /
-    `neardup_lsh_verified` / `cosine_neardup_lsh_verified` (off by
-    default — this report is how a deployment prices the cap before
-    turning it on; the recall contract and bounded-candidates proof
-    live in tests/test_llm_ops.py's planted-boilerplate pins)."""
-    d = _t(spark, sf_dir, "documents")
-    return dd.lsh_capped_drop_report(
-        d, "doc_id", "text", max_bucket_size=2,
-        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
-    )
-
-
-@register(
-    "document_embeddings_incremental",
-    """
-    WITH todo AS (
-      SELECT doc_id, text FROM documents d
-      WHERE d.text IS NOT NULL AND d.doc_id IS NOT NULL
-        AND NOT EXISTS (SELECT 1 FROM embeddings e
-                        WHERE e.vec_id = d.doc_id
-                          AND e.vec_id % 5 <> 0)
-    ),
-    d AS (
-      SELECT doc_id, text,
-             CAST(greatest(1, ceil(length(text) / 128.0)) AS BIGINT) AS nch
-      FROM todo
-    ),
-    ch AS (
-      SELECT doc_id, nch,
-             list_transform(range(0, nch), k ->
-               sha256(substr(text, CAST(k * 128 + 1 AS INT), 128))) AS hs
-      FROM d
-    )
-    SELECT doc_id, CAST(nch AS BIGINT) AS n_chunks,
-           """ + _EMB_SUM_SQL + """
-    FROM ch
-    """,
-    "north-star embedding generation, steady-state ingest shape: "
-    "anti-join against the already-encoded id set, then ONE Arrow "
-    "encode pass over only the new documents",
-)
-def document_embeddings_incremental(spark, sf_dir):
-    """Encode only the documents that do not yet have an embedding —
-    the per-ingest shape of the corpus->embeddings edge (the
-    `neardup_lsh_between` precedent: the accumulated artifact is never
-    recomputed, each batch pays only for itself). The already-encoded
-    id set (embeddings.vec_id here) attaches as a LEFT ANTI equi-join
-    BEFORE the Arrow stage, so the model-cost-dominated encode pass
-    runs over |new docs| rows only; at 100 TB the id set is far past
-    broadcast size, so the anti-join is a shuffle AQE plans (or a
-    runtime bloom filter prunes map-side — the id column is narrow).
-    Same chunk/encode/pool arithmetic as `document_embeddings`, fully
-    DuckDB-replayed including the NOT EXISTS.
-
-    Fixture note: the testdata's embeddings table covers EVERY doc_id,
-    which would make this row vacuously empty (the kcore r9 lesson) —
-    so the 'already encoded' set is carved deterministically in-query
-    (vec_id % 5 <> 0 counts as encoded, leaving a 20% backlog at every
-    SF), the `orders_snapshot_diff` synthetic-fixture pattern."""
-    from purpleair_data_logger_spark.operators import encoder as enc
-
-    d = _t(spark, sf_dir, "documents").filter(
-        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-    )
-    done = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % 5 != 0)
-        .select(F.col("vec_id").alias("doc_id"))
-    )
-    todo = d.join(done, "doc_id", "left_anti")
-    emb = enc.encode_documents(
-        todo, "doc_id", "text", dim=16, chunk_chars=128,
-        encoder=enc.fake_encoder,
-    )
-    return emb.select("doc_id", "n_chunks", *_emb_recovery_cols())
-
-
-def _corpus_overlap_oracle(num_hashes: int, shingle_n: int) -> str:
-    """Replay of `dedup.corpus_overlap_minhash` (portable md5 family):
-    per side, the same shingle/md5/affine chain as `_minhash_lsh_cte`
-    collapsed to ONE global min per seed; agreement counted
-    component-wise on the 1x1 join."""
-    p31 = dd.MERSENNE_P31
-    seeds = dd.affine_seeds(num_hashes)
-
-    def side(tag: str, pred: str) -> str:
-        mins = ",\n             ".join(
-            f"min((_h * {a} + {b}) % {p31}) AS {tag}{i}"
-            for i, (a, b) in enumerate(seeds)
-        )
-        return f"""
-    toks_{tag} AS (SELECT string_split(text, ' ') AS t FROM documents
-                   WHERE text IS NOT NULL AND doc_id IS NOT NULL
-                     AND {pred}),
-    sh_{tag} AS (SELECT list_distinct(list_transform(
-                   range(1, greatest(len(t)-{shingle_n - 1}, 1)+1),
-                   i -> array_to_string(t[i:i+{shingle_n - 1}], ' '))) AS shing
-                 FROM toks_{tag}),
-    exh_{tag} AS (SELECT {_hex60_sql("md5(s)")} % {p31} AS _h
-                  FROM (SELECT unnest(shing) AS s FROM sh_{tag})),
-    mh_{tag} AS (SELECT {mins}
-                 FROM exh_{tag})"""
-
-    agree = "\n             + ".join(
-        f"(CASE WHEN _a{i} = _b{i} THEN 1 ELSE 0 END)"
-        for i in range(num_hashes)
-    )
-    return f"""
-    WITH {side('_a', 'doc_id % 2 = 0')},
-    {side('_b', 'doc_id % 2 = 1')}
-    SELECT CAST({num_hashes} AS BIGINT) AS n_hashes,
-           CAST({agree} AS BIGINT) AS n_agree,
-           CAST({agree} AS DOUBLE) / {num_hashes}.0 AS jaccard_est
-    FROM mh__a, mh__b
-    """
-
-
-@register(
-    "corpus_overlap_minhash",
-    _corpus_overlap_oracle(num_hashes=64, shingle_n=3),
-    "north-star dedup planning sketch: corpus-level MinHash Jaccard "
-    "estimate between two crawls — one global min-aggregate per side, "
-    "never a shingle-granularity join",
-)
-def corpus_overlap_minhash(spark, sf_dir):
-    """Estimate the shingle-set Jaccard between two corpus halves
-    (`operators/dedup.py::corpus_overlap_minhash`) — the answer to
-    "do these two crawls overlap enough to pay for a cross-corpus
-    near-dup pass?" computed from one cheap scan of each side. The
-    halves are the even/odd doc_id split (true shingle Jaccard ~ 0.25
-    at both test SFs, so the row is never vacuous and the estimator
-    has something real to estimate); the pytest pins the estimate
-    against the exact Jaccard within the Broder stderr bound.
-
-    Scale shape: one global map-side-combinable min-aggregate per
-    corpus (reduce side sees 64 values/partition), one 1x1 broadcast
-    cross join — the exact overlap this estimates would instead
-    shuffle every distinct shingle of both corpora."""
-    d = _t(spark, sf_dir, "documents").filter(
-        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-    )
-    return dd.corpus_overlap_minhash(
-        d.filter(F.col("doc_id") % 2 == 0),
-        d.filter(F.col("doc_id") % 2 == 1),
-        "text",
-        num_hashes=64,
-        shingle_n=3,
-        hash_family="md5",
-    )
-
+from purpleair_data_logger_spark.queries import timeseries_filters  # noqa: E402, F401
+from purpleair_data_logger_spark.queries import joins_sets  # noqa: E402, F401
+from purpleair_data_logger_spark.queries import embeddings_ann  # noqa: E402, F401
+from purpleair_data_logger_spark.queries import lsh_pipelines  # noqa: E402, F401
+from purpleair_data_logger_spark.queries import curation_sampling  # noqa: E402, F401
+from purpleair_data_logger_spark.queries import analytics_events  # noqa: E402, F401
+from purpleair_data_logger_spark.queries import text_retrieval  # noqa: E402, F401
+from purpleair_data_logger_spark.queries import graph_sketches  # noqa: E402, F401
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering (see all_queries docstring). The driver records
@@ -9213,3 +437,4 @@ def _validate_gate_lists() -> None:
 
 
 _validate_gate_lists()
+

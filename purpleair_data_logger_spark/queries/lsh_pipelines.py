@@ -1,0 +1,398 @@
+"""E: LSH pipelines in the portable md5 hash family so the FULL pipeline is replayed by generated DuckDB oracle SQL.
+
+Split from catalog.py in r12 (VERDICT r11 #7). Registration order is
+load-bearing: catalog.py imports the family modules in the original
+single-file source order, and queries register in module-body order,
+so `all_queries()` and the gate window are byte-identical to the
+pre-split catalog."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from purpleair_data_logger_spark.io import load_table
+from purpleair_data_logger_spark.operators import aggregations as agg
+from purpleair_data_logger_spark.operators import dedup as dd
+from purpleair_data_logger_spark.operators import hyperfunctions as hf
+from purpleair_data_logger_spark.operators import pii
+from purpleair_data_logger_spark.operators import sampling as smp
+from purpleair_data_logger_spark.operators import similarity as sim
+from purpleair_data_logger_spark.operators import text as tx
+from purpleair_data_logger_spark.queries._core import _t, register
+from purpleair_data_logger_spark.queries._shared import (
+    _hex60_sql,
+    _hyperplane_band_sql,
+    _knn_lsh_oracle,
+    _minhash_lsh_cte,
+)
+
+# ---------------------------------------------------------------------------
+# E. LSH pipelines — run in the portable md5 hash family so the FULL
+#    pipeline (shingle → minhash → bands → candidate join) is replayed
+#    by DuckDB oracle SQL, generated below. Production keeps the
+#    xxhash64 default in operators.dedup; pytest covers that config
+#    with recall assertions instead.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
+    return (
+        _minhash_lsh_cte(num_hashes, bands, shingle_n)
+        + "SELECT doc_id_a, doc_id_b FROM cand"
+    )
+
+
+def _neardup_lsh_verified_oracle(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float
+) -> str:
+    jac = (
+        "round(len(list_intersect(sa.shing, sb.shing)) * 1.0"
+        " / len(list_distinct(list_concat(sa.shing, sb.shing))), 4)"
+    )
+    return (
+        _minhash_lsh_cte(num_hashes, bands, shingle_n)
+        + f"""
+    SELECT c.doc_id_a, c.doc_id_b, {jac} AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_id_a
+    JOIN sh sb ON sb.doc_id = c.doc_id_b
+    WHERE {jac} >= {threshold}
+    """
+    )
+
+
+def _simhash_oracle(n_bits: int, band_bits: int, max_hamming: int) -> str:
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (_h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS _v{i}"
+        for i in range(n_bits)
+    )
+    fp_expr = "\n             + ".join(
+        f"(CASE WHEN _v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(n_bits)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, fp, {b} AS band_idx,"
+        f" (fp >> {b * band_bits}) & {mask} AS band_val FROM fp"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents),
+    h AS (SELECT doc_id, {_hex60_sql("md5(s)")} AS _h FROM tok),
+    v AS (SELECT doc_id,
+           {votes}
+          FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id,
+             {fp_expr}
+             AS fp
+           FROM v),
+    bnd AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             a.fp AS fp_a, b.fp AS fp_b
+      FROM bnd a JOIN bnd b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_id_a, doc_id_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming_distance
+    FROM pairs
+    WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    """
+
+
+@register(
+    "minhash_lsh_candidates",
+    _minhash_lsh_oracle(num_hashes=64, bands=16, shingle_n=3),
+    "north-star MinHash+LSH near-dup (portable md5 banding, full-pipeline oracle)",
+)
+def minhash_lsh_candidates(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_n=3,
+        hash_family="md5",
+    )
+
+
+@register(
+    "neardup_lsh_verified",
+    _neardup_lsh_verified_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
+    "north-star scale-safe near-dup: LSH candidates -> exact Jaccard verify (retires quadratic blocking)",
+)
+def neardup_lsh_verified(spark, sf_dir):
+    """The 100 TB near-dup composition: banded MinHash candidates, then
+    exact shingle-Jaccard on candidates only — pair generation is
+    O(band collisions), never O(block²) like a blocked self-join on a
+    low-cardinality key."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.neardup_lsh_verified(
+        d, "doc_id", "text", threshold=0.8,
+        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    )
+
+
+def _containment_lsh_oracle(
+    num_hashes: int, bands: int, shingle_n: int, threshold: float
+) -> str:
+    cont = (
+        "round(len(list_intersect(sa.shing, sb.shing)) * 1.0"
+        " / least(len(sa.shing), len(sb.shing)), 4)"
+    )
+    return (
+        _minhash_lsh_cte(num_hashes, bands, shingle_n)
+        + f"""
+    SELECT c.doc_id_a, c.doc_id_b, {cont} AS containment
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_id_a
+    JOIN sh sb ON sb.doc_id = c.doc_id_b
+    WHERE {cont} >= {threshold}
+    """
+    )
+
+
+@register(
+    "containment_neardups",
+    _containment_lsh_oracle(num_hashes=64, bands=16, shingle_n=3, threshold=0.8),
+    "north-star asymmetric near-dup: max-containment |A∩B|/min(|A|,|B|) over LSH candidates (partial-dup signal)",
+)
+def containment_neardups(spark, sf_dir):
+    """Max-containment verification over the banded candidates — flags
+    subset/quote-style partial duplication that symmetric Jaccard
+    under-scores; the result set is a superset of neardup_lsh_verified
+    at the same threshold."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.containment_lsh_verified(
+        d, "doc_id", "text", threshold=0.8,
+        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    )
+
+
+@register(
+    "simhash_neardups",
+    _simhash_oracle(n_bits=60, band_bits=15, max_hamming=8),
+    "north-star SimHash near-dup (portable 60-bit fingerprint banding, full-pipeline oracle)",
+)
+def simhash_neardups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        dd.simhash_neardup_candidates(d, "doc_id", "text", hash_family="md5")
+        .filter(F.col("hamming_distance") <= 8)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.col("hamming_distance").cast("int").alias("hamming_distance"),
+        )
+    )
+
+
+@register(
+    "knn_lsh_bucketed",
+    _knn_lsh_oracle(n_planes=36, bands=12, dim=64, k=5, q_below=8),
+    "north-star ANN scale path: banded random-hyperplane LSH join (full-pipeline oracle)",
+)
+def knn_lsh_bucketed(spark, sf_dir):
+    """OR-amplified hyperplane LSH (3 bits × 12 bands) + exact rank on
+    candidates. The splitmix hyperplanes are engine-independent, so the
+    DuckDB oracle replays the full pipeline (banding → candidate join →
+    exact-cosine rank); recall ≥ 0.8 vs the brute-force baseline is
+    additionally asserted in tests/test_llm_ops.py."""
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    return sim.knn_lsh(em, queries, "vec_id", "embedding", k=5, n_planes=36, bands=12)
+
+
+@register(
+    "knn_ivf",
+    None,
+    "north-star ANN scale path #2: IVF k-means coarse quantizer + nprobe list probing (recall floor pinned in pytest)",
+)
+def knn_ivf(spark, sf_dir):
+    """Inverted-file ANN: k-means centroids (iterative training — not
+    SQL-expressible, so rows-only at the gate), cosine list assignment,
+    probe 4/16 lists per query, exact rank inside. Recall ≥ 0.8 vs the
+    brute-force baseline is asserted in tests/test_llm_ops.py.
+
+    The quantizer is an offline index-build artifact, trained once per
+    corpus and reused across queries (in a serving deployment it lives
+    next to the data, like any ANN index) — memoized here per
+    (sf_dir) so repeated catalog calls measure the query path."""
+    em = _t(spark, sf_dir, "embeddings")
+    queries = em.filter(F.col("vec_id") < 8)
+    centroids = _ivf_centroids_cached(spark, sf_dir, n_lists=16)
+    return sim.knn_ivf(
+        em, queries, "vec_id", "embedding", k=5, n_lists=16, nprobe=4,
+        centroids=centroids,
+    )
+
+
+_IVF_CENTROID_CACHE: dict[tuple[str, int], list[list[float]]] = {}
+
+
+def _ivf_centroids_cached(
+    spark, sf_dir: str, *, n_lists: int, base_mod10: bool = False
+) -> list[list[float]]:
+    """``base_mod10`` trains on the `ann_index_append` base split only
+    (every 10th vector held out) — a frozen quantizer must never have
+    seen the append batch, or the row would test nothing."""
+    key = (sf_dir, n_lists, base_mod10)
+    if key not in _IVF_CENTROID_CACHE:
+        em = _t(spark, sf_dir, "embeddings")
+        if base_mod10:
+            em = em.filter(F.col("vec_id") % 10 != 0)
+        _IVF_CENTROID_CACHE[key] = sim.train_ivf_centroids(
+            em, "embedding", n_lists=n_lists
+        )
+    return _IVF_CENTROID_CACHE[key]
+
+
+_SQ8_CALIBRATION_CACHE: dict[tuple, tuple[list[float], list[float]]] = {}
+
+
+def _sq8_calibration_cached(
+    spark, sf_dir: str, *, base_mod10: bool = False
+) -> tuple[list[float], list[float]]:
+    key = (sf_dir, base_mod10)
+    if key not in _SQ8_CALIBRATION_CACHE:
+        em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
+        if base_mod10:
+            em = em.filter(F.col("vec_id") % 10 != 0)
+        _SQ8_CALIBRATION_CACHE[key] = sim.quantization_calibration(
+            em, "embedding"
+        )
+    return _SQ8_CALIBRATION_CACHE[key]
+
+
+@register(
+    "knn_ivf_quantized",
+    None,
+    "the composed ANN endpoint: IVF list pruning + centered-int8 candidate scoring + float rescore (IVF-SQ8; recall floor pinned in pytest)",
+)
+def knn_ivf_quantized(spark, sf_dir):
+    """The ANN ladder's top rung (VERDICT r5 #3): IVF coarse pruning
+    (sublinear scan) composed with SQ8 integer candidate scoring (64
+    B/vector) and exact float rescoring of |q|·C survivors. Rows-only
+    at the gate for the same reason as `knn_ivf` — k-means training is
+    iterative — with recall ≥ 0.8 vs brute force pinned in
+    tests/test_llm_ops.py and the broadcast-equi-join/no-cross-join
+    plan shape pinned in tests/test_plans.py. Both index artifacts
+    (centroids, calibration) are offline index-build products,
+    memoized per sf_dir so repeated catalog calls measure the query
+    path (the `knn_ivf` precedent)."""
+    em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
+    queries = em.filter(F.col("vec_id") < 8)
+    return sim.knn_ivf_quantized(
+        em, queries, "vec_id", "embedding", k=5, n_lists=16, nprobe=4,
+        centroids=_ivf_centroids_cached(spark, sf_dir, n_lists=16),
+        calibration=_sq8_calibration_cached(spark, sf_dir),
+    )
+
+
+@register(
+    "ann_index_append",
+    """
+    WITH d AS (
+      SELECT DISTINCT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    base AS (SELECT vec_id, ve FROM d WHERE vec_id % 10 <> 0),
+    -- frozen coarse quantizer: Forgy seeds = the 16 smallest base ids
+    cent AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                 AS list_id,
+             ve AS cv
+      FROM (SELECT vec_id, ve FROM base ORDER BY vec_id LIMIT 16)
+    ),
+    -- frozen SQ8 calibration from the BASE split only
+    be AS (SELECT vec_id, i AS pos, ve[i] AS v
+           FROM base, LATERAL unnest(range(1, len(ve) + 1)) t(i)),
+    cal AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM be GROUP BY 1),
+    -- assign EVERY vector under the frozen quantizer (append under
+    -- frozen params == rebuild over base+new: the pinned equivalence)
+    assign AS (
+      SELECT vec_id, list_id FROM (
+        SELECT d.vec_id, c.list_id,
+               row_number() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY list_cosine_similarity(d.ve, c.cv) DESC,
+                            c.list_id) AS rn
+        FROM d, cent c)
+      WHERE rn <= 3
+    ),
+    ae AS (SELECT vec_id, i AS pos, ve[i] AS v
+           FROM d, LATERAL unnest(range(1, len(ve) + 1)) t(i)),
+    codes AS (
+      SELECT ae.vec_id,
+             string_agg(
+               CAST(CASE WHEN cal.mx = cal.mn THEN 0
+                    ELSE least(greatest(
+                           CAST(round((ae.v - cal.mn) * 255.0
+                                / (cal.mx - cal.mn)) AS BIGINT), 0), 255)
+                    END AS VARCHAR), ',' ORDER BY ae.pos) AS codes_csv
+      FROM ae JOIN cal USING (pos) GROUP BY 1
+    )
+    SELECT a.vec_id AS neighbor_id,
+           CAST(a.list_id AS INTEGER) AS list_id,
+           c.codes_csv,
+           (a.vec_id % 10 = 0) AS is_appended
+    FROM assign a JOIN codes c USING (vec_id)
+    """,
+    "incremental IVF-SQ8 index maintenance: assign + SQ8-encode new "
+    "vectors under the frozen quantizer/calibration and union onto "
+    "the base index (full-pipeline oracle; search-after-append + "
+    "recall pinned in pytest)",
+)
+def ann_index_append(spark, sf_dir):
+    """A 100 TB corpus grows after the index is built (VERDICT r6 #6):
+    new vectors must enter the IVF lists WITHOUT re-encoding the
+    existing corpus. This row exercises the maintenance cycle: build
+    the posting index over the base corpus (every 10th vector held
+    out), `ann_index_append` the held-out batch under the FROZEN
+    centroids + SQ8 calibration (O(|new|) work — the
+    `neardup_incremental_batch` discipline applied to ANN), and return
+    the grown index's posting rows with codes CSV-serialized (the
+    vocab_encode convention) and the appended rows flagged.
+
+    Fully oracled since r12 (VERDICT r11 #3): the append leg is
+    deterministic arithmetic over frozen artifacts, so the quantizer
+    here is the SQL-replayable frozen form — Forgy seed centroids
+    (the 16 smallest base vec_ids) + exact base min/span calibration —
+    with assignment ranked by `nearest_lists_exact`'s ordered-fold
+    cosine (bit-identical to DuckDB ``list_cosine_similarity``, the
+    `knn_cosine_bruteforce` precedent). The oracle replays the grown
+    index as one pass over base ∪ new under the same frozen artifacts,
+    which is exactly the append≡rebuild equivalence pinned in
+    tests/test_llm_ops.py. The TRAINED-quantizer variant (iterative
+    k-means) remains rows-only by nature and keeps its pytest pins:
+    recall-after-append ≥ 0.8 vs brute force on the grown corpus, and
+    `calibration_drift` as the paired re-encode trigger."""
+    em = _t(spark, sf_dir, "embeddings").dropDuplicates(["vec_id"])
+    base = em.filter(F.col("vec_id") % 10 != 0)
+    new = em.filter(F.col("vec_id") % 10 == 0)
+    seeds = (
+        base.select("vec_id", sim.as_double_array("embedding").alias("_v"))
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    )  # driver-sized by construction: 16 rows (the centroid-literal seam)
+    centroids = [list(r["_v"]) for r in seeds]
+    calibration = sim.quantization_calibration(base, "embedding")
+    index = sim.build_ivf_sq8_index(
+        base, "vec_id", "embedding",
+        centroids=centroids, calibration=calibration, exact_assign=True,
+    )
+    grown = sim.ann_index_append(
+        index, new, "vec_id", "embedding",
+        centroids=centroids, calibration=calibration, exact_assign=True,
+    )
+    return grown.select(
+        "neighbor_id",
+        F.col("list_id").cast("int").alias("list_id"),
+        F.concat_ws(
+            ",", F.transform("_cc", lambda c: c.cast("string"))
+        ).alias("codes_csv"),
+        (F.col("neighbor_id") % 10 == 0).alias("is_appended"),
+    )
+
+
