@@ -500,6 +500,22 @@ def main() -> None:
             "minhash_lsh_candidates": "1.37x-vs-best is ambient "
             "variance: identical-code history 1.50-3.56 s, fresh-JVM "
             "min-of-5 1.87 s, sibling LSH legs co-drift (r10)",
+            # r12 quiet-host confirmation (VERDICT r11 #2): the A2
+            # bucketed-aggregate family's 1.7-2.0x-vs-best r11 readings
+            # were cold/contended draws, not a plan regression. Proof:
+            # (a) zero diffs in the query path since the fast r9 runs
+            # (git diff d81bf5e..HEAD over dashboard.py / aggregations
+            # / filters / io / session is empty) and plans unchanged
+            # per the census; (b) fresh-JVM quiet-host min-of-6 lands
+            # dashboard_bucketed_max 0.331 s (1.31x best-prior),
+            # hourly 0.310 (1.11x), historic 0.293 (1.33x) with the
+            # FLAT CONTROL rows equally elevated (topk_orders 0.217 =
+            # 1.63x, pk_dedup 0.340 = 1.33x) — i.e. the pooled-history
+            # minima are the lucky tail and the whole host sits
+            # ~1.1-1.6x above them on identical code.
+            "dashboard_bucketed_max": "r11's 2.03x was an "
+            "undersampled cold draw: quiet-host fresh-JVM min-of-6 is "
+            "1.31x best-prior with control rows co-elevated (r12)",
         },
         "metric": "catalog wall time excluding evidence foils (noop sink, local)",
         "value": round(total, 3),
