@@ -88,6 +88,7 @@ def _minhash_lsh_cte(
     pair_cond: str = "a.doc_id < b.doc_id",
     a_alias: str = "doc_id_a",
     b_alias: str = "doc_id_b",
+    max_bucket_size: int | None = None,
 ) -> str:
     """Shared CTE chain replaying the portable-md5 MinHash+LSH pipeline
     up to the distinct candidate-pair set (`cand`); `sh` exposes the
@@ -95,7 +96,10 @@ def _minhash_lsh_cte(
     selects which banded pairs become candidates (within-corpus a<b by
     default; a cross-split predicate for the incremental variant —
     band signatures don't depend on the split, so banding ALL docs and
-    filtering at the join mirrors banding each side separately)."""
+    filtering at the join mirrors banding each side separately).
+    ``max_bucket_size`` replays `dedup.keep_buckets_within_cap`: the
+    candidate join reads only band rows whose bucket is within the
+    cap (r12's degenerate-bucket ceiling)."""
     rpb = num_hashes // bands
     p = dd.MERSENNE_P31
     mh_cols = ",\n           ".join(
@@ -107,6 +111,14 @@ def _minhash_lsh_cte(
         % (b, ", ".join(f"_mh{b * rpb + r}" for r in range(rpb)))
         for b in range(bands)
     )
+    if max_bucket_size is None:
+        cap_ctes, join_src = "", "bnd"
+    else:
+        cap_ctes = f"""
+    bkeep AS (SELECT band_idx, band_hash FROM bnd
+              GROUP BY 1, 2 HAVING count(*) <= {int(max_bucket_size)}),
+    bndk AS (SELECT b.* FROM bnd b JOIN bkeep USING (band_idx, band_hash)),"""
+        join_src = "bndk"
     return f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     sh AS (SELECT doc_id,
@@ -119,10 +131,10 @@ def _minhash_lsh_cte(
     mh AS (SELECT doc_id,
            {mh_cols}
            FROM exh GROUP BY doc_id),
-    bnd AS ({band_selects}),
+    bnd AS ({band_selects}),{cap_ctes}
     cand AS (
       SELECT DISTINCT a.doc_id AS {a_alias}, b.doc_id AS {b_alias}
-      FROM bnd a JOIN bnd b
+      FROM {join_src} a JOIN {join_src} b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND {pair_cond})
     """

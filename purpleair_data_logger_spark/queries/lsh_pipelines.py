@@ -44,14 +44,20 @@ def _minhash_lsh_oracle(num_hashes: int, bands: int, shingle_n: int) -> str:
 
 
 def _neardup_lsh_verified_oracle(
-    num_hashes: int, bands: int, shingle_n: int, threshold: float
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    threshold: float,
+    max_bucket_size: int | None = None,
 ) -> str:
     jac = (
         "round(len(list_intersect(sa.shing, sb.shing)) * 1.0"
         " / len(list_distinct(list_concat(sa.shing, sb.shing))), 4)"
     )
     return (
-        _minhash_lsh_cte(num_hashes, bands, shingle_n)
+        _minhash_lsh_cte(
+            num_hashes, bands, shingle_n, max_bucket_size=max_bucket_size
+        )
         + f"""
     SELECT c.doc_id_a, c.doc_id_b, {jac} AS jaccard
     FROM cand c
@@ -129,6 +135,37 @@ def neardup_lsh_verified(spark, sf_dir):
     return dd.neardup_lsh_verified(
         d, "doc_id", "text", threshold=0.8,
         num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    )
+
+
+@register(
+    "neardup_lsh_capped",
+    _neardup_lsh_verified_oracle(
+        num_hashes=64, bands=16, shingle_n=3, threshold=0.8,
+        max_bucket_size=2,
+    ),
+    "north-star degenerate-bucket mitigation end-to-end: bucket-capped "
+    "LSH candidates -> exact Jaccard verify (full-pipeline oracle incl. "
+    "the cap semi-join)",
+)
+def neardup_lsh_capped(spark, sf_dir):
+    """`neardup_lsh_verified` with the r12 degenerate-bucket ceiling ON
+    (`max_bucket_size=2`): over-cap buckets are semi-join-dropped
+    before the band join (`dedup.keep_buckets_within_cap`), so the
+    worst-case candidate count is bounded at cap·(cap−1)/2 per bucket
+    regardless of boilerplate density. The oracle replays the ENTIRE
+    capped pipeline — banding, the bucket-size HAVING filter, the
+    candidate join over kept rows, the exact verify — so the cap's
+    recall contract (a pair survives iff some ≤-cap band still holds
+    it) is hash-checked against DuckDB on the real corpus, where cap 2
+    genuinely drops a planted 3-doc family (`lsh_capped_drop_report`
+    prices it per band). The uncapped row stays registered as the
+    default-config gate."""
+    d = _t(spark, sf_dir, "documents")
+    return dd.neardup_lsh_verified(
+        d, "doc_id", "text", threshold=0.8,
+        num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+        max_bucket_size=2,
     )
 
 
