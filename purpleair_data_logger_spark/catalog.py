@@ -220,31 +220,16 @@ _GATE_PRIORITY: list[str] = [
 #: still-gated query. Deferral keeps the oracle in the catalog — the
 #: judge can still driver_sim any of these.
 _GATE_DEFER: list[str] = [
-    "directory_parse_index",     # sensor_directory + X2 parse, both still gated
-    "union_priority_tiers",      # trivial UNION; r1-r3 green
-    "epoch_roundtrip",           # T5 cast; r1-r3 green
     "json_props_extract",        # X-scalar subset; r1-r3 green
-    "max_age_recency",           # F6 subset of snapshot_filters; r1-r3 green
-    "topk_orders",               # LIMIT/top-k; r1-r3 green
     "jaccard_neardup_blocked",   # O(block²) baseline for neardup_lsh_verified
     "embedding_neardup_cosine",  # O(block²) baseline for embedding_neardup_lsh_verified
     "knn_cosine_bruteforce",     # brute-force baseline for knn_lsh_bucketed
-    "embedding_norms",           # scalar prep for the above; r2-r3 green
     "approx_distinct_profile",   # no_oracle by design (HLL estimates pytest-pinned); rows-only gate adds nothing
-    "text_normalize",            # subsumed by corpus_curation_pipeline stage
-    "doc_fingerprint",           # scalar hash; r2-r3 green
-    "cardinality_profile",       # distinct counts; r2-r3 green
-    "tumbling_avg_10min",        # same tumbling-agg family as hourly_continuous_aggregate (still gated); r1-r3 green
-    "rolling_pseudo_averages",   # same rolling-window family as rolling_avg_trailing_1h (still gated); r1-r3 green
     "multimodal_metadata",       # scalar metadata projection; r1-r3 green (features + frame_sample still gated)
     "hash_sample_stratified",    # same md5-bucket family as train_val_test_split + domain_cap_sample (both still gated); r2-r3 green
-    "doc_repetition_ratio",      # subsumed by gopher_quality_gate (top-token share) + dup_ngram_fraction, both gated; r2-r3 green
     "benchmark_contamination",   # r2-r3 green; same operator gates inside corpus_build_final + streaming decontamination test
-    "pk_dedup",                  # R6; r1-r3 green ×3, dedup_exact_docs still gates the dedup family + crash-safe upsert pytest
     "vertical_split_rejoin",     # T4; r2-r3 green ×2, and the PK rejoin family keeps the entry() smoke + broadcast-dims plan pin + bucketed zero-shuffle pytest every round
-    "anti_join_inactive",        # r1-r3 green; 0-row compare adds little — the broadcast semi-/anti join plan shapes are pytest-pinned and sensor_directory keeps the directory family r1-r3 rows
     "sessionize_users",          # r2-r3 green ×2; the streaming session_window variant is pytest-pinned and asof/range-join still gate the temporal-join family
-    "knn_cosine_bruteforce",     # r1-r3 green ×3 brute baseline; knn_filtered/knn_lsh_bucketed still gate the ANN family and pytest pins LSH/IVF recall against it
     "text_quality",              # r1-r3 green ×3; gopher_quality_gate (still gated) evaluates a superset of the same feature family
     "corpus_token_accounting",   # r1-r3 green ×3; corpus_build_final (still gated) computes the same per-split accounting inside its composition
     "lang_id",                   # r1-r3 green ×3; corpus_curation_pipeline (still gated) hash-checks the same language predictions inside its composition
@@ -263,7 +248,6 @@ _GATE_DEFER: list[str] = [
     "historic_range_downsample",  # r1-r3 green ×3; the range-filter + downsample family stays gated via hourly_continuous_aggregate and the pushdown pins
     "range_join_click_error",    # r3 green; the temporal-join family stays gated via asof_next_error (in-window) and keeps the no-nested-loop plan pin + stream-stream interval-join parity test
     "hourly_continuous_aggregate",  # r1-r3 green ×3 (A1); the tumbling-bucket family stays gated via time_weighted_hourly + the gapfill pair, and the streaming continuous-aggregate path is pytest-pinned
-    "dashboard_bucketed_max",    # r1-r3 green ×3 (A2); m4_downsample_15min (newly windowed) computes the same per-bucket MAX plus first/last/min — a strict superset of the panel shape
     "rolling_avg_trailing_1h",   # r1-r3 green ×3 (A4/R3); the trailing range-frame family stays gated via sensor_spike_detection (same frame, same key) and rolling_pseudo_averages' r3 row
     "knn_lsh_bucketed",          # r1-r3 green ×3; the ANN family stays gated via knn_filtered (same hyperplane-LSH bucketing + predicate) plus pytest recall pins vs the brute-force baseline
     "train_val_test_split",      # r2-r3 green ×2; leakage_safe_split (still gated) is the production split path and assign_split's bucket ranges are property-tested
@@ -272,15 +256,11 @@ _GATE_DEFER: list[str] = [
     "embedding_neardup_lsh_verified",  # r2-r3 green ×2; the hyperplane-LSH family stays gated via embedding_cluster_dedup + knn_filtered (both in-window) and the full-pipeline DuckDB oracle remains in the catalog
     "semi_join_show_only",       # r1-r3 green ×3; the J2/J3 broadcast semi-join plan shape is pytest-pinned (test_plans.py::test_semi_join_broadcasts_filter_table) and the directory workload keeps sensor_directory's r1-r3 rows
     "neardup_clusters_star",     # r4 green; the cluster layer stays gated ×2 in-window (neardup_cluster_dedup, neardup_cluster_keep_best) and both CC algorithms keep their adversarial-graph pytest parity
-    "gapfill_locf_hourly",       # r4 green; gapfill_interpolate_hourly (in-window) exercises the same bucket-spine generate + fill shape, LOCF vs interpolate being the only delta
-    "median_value_by_event_type",  # r4 green; median is the p50 special case of value_percentiles_by_event_type (in-window), and the rotated-in mode/winsorized rows keep the exact-order-statistics family triple-gated
     "counter_delta_hourly",      # r4 green; the two-tier lag family stays gated via value_trend_by_user (rotated in, same shape) and the streaming counter mirror keeps its batch-parity pytest
     "quality_percentile_gate",   # r4 green; the percent-rank-gate family stays gated via ccnet_quality_buckets + dq_report_events (both in-window) and the cutoff math is shared with the r5-gated winsorized/percentile rows
-    "event_value_histogram",     # r4 green; a width_bucket groupBy subsumed by the still-gated m4/percentile aggregation family; histogram bucketing is pytest-pinned
     "weighted_sample_docs",      # r4 green; the A-Res priority-sampling family stays gated via token_budget_mixture (in-window, same WindowGroupLimit shape) + domain_cap_sample
     "event_type_pivot",          # r4 green; the grouping-sets family stays gated via corpus_accounting_rollup (in-window ROLLUP superset) and the pivot column-expansion is pytest-pinned
     "conversion_funnel",         # r4 green; the ordered-event-analytics family stays gated via weekly_retention_cohorts (in-window) and the stage-ordering semantics are pytest-pinned
-    "reconstruction_join",       # r1-r3 green ×3; the J1 9-way PK rejoin stays exercised every round by the entry() smoke check, the broadcast-dims plan pin, and the zero-shuffle bucketed-join pytest
     "vocab_encode",              # r4 green; corpus_vocabulary (in-window) gates the same top-k vocab build, and the encode application is pytest-pinned against it
     "bigram_lm_fluency",         # r4 green; bigram_collocations (in-window) gates the same bigram-count aggregate, and the LM scoring math is pytest-pinned
     "heartbeat_uptime_hourly",   # r4 green; the interval/gap family stays gated ×2 in-window (downtime_incidents, time_weighted_hourly) and the streaming heartbeat mirror keeps its batch-parity pytest
@@ -354,6 +334,18 @@ def _validate_gate_lists() -> None:
     overlap = set(_GATE_PRIORITY) & (set(_GATE_DEFER) | set(_GATE_RETIRED))
     if overlap:
         raise RuntimeError(f"queries both prioritized and deferred/retired: {overlap}")
+    # the two non-priority ledgers must not disagree about a query's
+    # rotation status, and no list may carry duplicates (code-review
+    # r12: 19 retired names and one literal duplicate had accreted in
+    # _GATE_DEFER, silently resolved by dict-dedup in the fallback)
+    both = set(_GATE_DEFER) & set(_GATE_RETIRED)
+    if both:
+        raise RuntimeError(f"queries both deferred and retired: {both}")
+    dupes = {n for n in _GATE_DEFER if _GATE_DEFER.count(n) > 1} | {
+        n for n in _GATE_PRIORITY if _GATE_PRIORITY.count(n) > 1
+    }
+    if dupes:
+        raise RuntimeError(f"duplicate names in gate lists: {dupes}")
     # Retirement eligibility (COVERAGE.md §"Gate rotation & retirement"):
     # only oracled queries can retire (rows-only never rotate anyway),
     # and each must have at least one recorded driver-gate round — a

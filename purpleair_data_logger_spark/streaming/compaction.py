@@ -16,21 +16,28 @@ instead:
 
 - the sink dir stays a WRITE-ONLY ingestion buffer owned by the
   stream (its checkpoint + metadata log are never touched);
-- `fold_closed_batches` moves CLOSED micro-batches — committed to the
-  sink log, and never the newest ``keep_last_batches`` — into a
-  compacted parquet lake via a staged-directory rename (one atomic
-  rename per fold, the `sinks/atomic` discipline), then deletes the
-  folded buffer files;
+- `fold_closed_batches` moves CLOSED files — committed to the sink
+  log, and never attributed to the newest ``keep_last_batches`` log
+  entries — into a compacted parquet lake via a staged-directory
+  rename (one atomic rename per fold, the `sinks/atomic` discipline),
+  then deletes the folded buffer files;
 - `read_stream_output` is the read surface: lake ∪ the not-yet-folded
   buffer tail. In-flight files (present on disk but not yet in the
   sink log) are invisible to the fold by construction and excluded
   from reads exactly as the sink log itself excludes them.
 
-Crash safety: the fold dir name is deterministic from the batch range,
-so a crash between the rename-commit and the watermark write is healed
-on the next tick (the existing dir is detected and recorded, never
-re-folded or double-counted); a crash mid-stage leaves only a
-``_staging``-prefixed dir that the next tick removes.
+State is tracked per FILE PATH, not per batch id (code-review r12):
+Spark compacts its own sink log (``fileSink.log.compactInterval``,
+default 10) and deletes superseded plain entries after a delay, after
+which a ``.compact`` entry re-lists EVERY historical path under one
+batch id — batch-id bookkeeping would misattribute already-folded
+files and read deleted paths. Folded paths live in the lake's
+``_folded.json`` AND in a ``_FOLDED_SOURCES.json`` manifest written
+INSIDE each fold dir before its atomic rename, so a crash between the
+rename-commit and the watermark write heals forward completely: the
+next tick re-records the fold from its manifest and finishes deleting
+its source files (underscore-prefixed files are invisible to parquet
+readers by convention).
 
 Scale shape: each tick's cost is O(files folded) — the buffer is
 bounded by fold cadence × micro-batch rate, the lake grows by one
@@ -48,68 +55,97 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 _FOLDED_STATE = "_folded.json"
+_FOLD_MANIFEST = "_FOLDED_SOURCES.json"
 _STAGING_PREFIX = "_staging_fold_"
 
 
-def _sink_batch_files(sink_path: str) -> dict[int, list[str]]:
-    """Per-batch NEW data files from the FileStreamSink's
-    ``_spark_metadata`` log, batch id → absolute paths. Only files the
-    sink has durably committed appear; a ``.compact`` log entry
-    repeats history, so adds are diffed against everything seen in
-    earlier batches."""
+def _read_log_entries(log_file: str) -> list[str]:
+    """Data-file paths listed by one sink-log file (v1 JSON lines)."""
+    out: list[str] = []
+    with open(log_file) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line == "v1":
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("action") not in (None, "add"):
+                continue
+            path = rec.get("path", "")
+            if path.startswith("file:"):
+                path = path[len("file:") :]
+                while path.startswith("//"):
+                    path = path[1:]
+            if path:
+                out.append(path)
+    return out
+
+
+def _sink_log(sink_path: str) -> dict[int, tuple[bool, str]]:
+    """batch id → (is_compact, log-file path), one entry per batch id
+    (a ``.compact`` supersedes a plain file of the same id)."""
     meta = os.path.join(sink_path, "_spark_metadata")
     if not os.path.isdir(meta):
         return {}
-    batches: list[tuple[int, str]] = []
+    by_id: dict[int, tuple[bool, str]] = {}
     for name in os.listdir(meta):
         if name.startswith(".") or name.endswith(".crc"):
             continue
-        base = name[: -len(".compact")] if name.endswith(".compact") else name
+        is_compact = name.endswith(".compact")
+        base = name[: -len(".compact")] if is_compact else name
         try:
             bid = int(base)
         except ValueError:
             continue
-        # a plain file and its .compact sibling share a batch id —
-        # prefer the .compact (it is the authoritative superset)
-        batches.append((bid, os.path.join(meta, name)))
-    batches.sort(key=lambda t: (t[0], t[1].endswith(".compact")))
-    by_id: dict[int, str] = {}
-    for bid, p in batches:
-        by_id[bid] = p  # later (compact) entry wins per the sort
+        prev = by_id.get(bid)
+        if prev is None or (is_compact and not prev[0]):
+            by_id[bid] = (is_compact, os.path.join(meta, name))
+    return by_id
+
+
+def _sink_committed_files(sink_path: str) -> list[str]:
+    """The sink log's authoritative CURRENT file set: every add listed
+    by the latest ``.compact`` (which replays all history) plus all
+    later plain entries — correct even after Spark deletes superseded
+    plain log files. Order is log order; duplicates collapse."""
+    log = _sink_log(sink_path)
+    if not log:
+        return []
+    compacts = [b for b, (c, _) in log.items() if c]
+    start = max(compacts) if compacts else min(log)
     seen: set[str] = set()
-    out: dict[int, list[str]] = {}
-    for bid in sorted(by_id):
-        entries: list[str] = []
-        with open(by_id[bid]) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line or line == "v1":
-                    continue
-                try:
-                    rec = json.loads(line)
-                except ValueError:
-                    continue
-                if rec.get("action") not in (None, "add"):
-                    continue
-                path = rec.get("path", "")
-                if path.startswith("file:"):
-                    path = path[len("file:") :]
-                    while path.startswith("//"):
-                        path = path[1:]
-                if path:
-                    entries.append(path)
-        adds = [p for p in entries if p not in seen]
-        seen.update(entries)
-        out[bid] = adds
+    out: list[str] = []
+    for bid in sorted(b for b in log if b >= start):
+        for p in _read_log_entries(log[bid][1]):
+            if p not in seen:
+                seen.add(p)
+                out.append(p)
     return out
+
+
+def _hot_tail_files(sink_path: str, keep_last_batches: int) -> set[str]:
+    """Files attributed to the newest ``keep_last_batches`` log
+    entries — the conservative hot tail the fold never touches. A
+    ``.compact`` entry in the tail re-lists history, which only makes
+    the tail LARGER (under-folding for one tick), never smaller."""
+    log = _sink_log(sink_path)
+    hot: set[str] = set()
+    for bid in sorted(log)[-keep_last_batches:] if log else []:
+        hot.update(_read_log_entries(log[bid][1]))
+    return hot
 
 
 def _load_folded(lake_path: str) -> dict:
     p = os.path.join(lake_path, _FOLDED_STATE)
     if not os.path.exists(p):
-        return {"batches": [], "folds": []}
+        return {"files": [], "folds": []}
     with open(p) as fh:
-        return json.load(fh)
+        state = json.load(fh)
+    state.setdefault("files", [])
+    state.setdefault("folds", [])
+    return state
 
 
 def _save_folded(lake_path: str, state: dict) -> None:
@@ -121,28 +157,43 @@ def _save_folded(lake_path: str, state: dict) -> None:
 
 
 def heal_lake(lake_path: str) -> None:
-    """Remove abandoned staging dirs and record any fold dir that
-    committed (rename done) before its watermark write landed — the
-    forward-heal of a crash between the two steps."""
+    """Remove abandoned staging dirs; re-record any fold dir that
+    committed (rename done) before its watermark write landed, from
+    the manifest the fold carries INSIDE itself — and finish deleting
+    that fold's source files (the crash-window leak, code-review r12).
+    Fold-named dirs without a readable manifest are skipped, never a
+    crash."""
     if not os.path.isdir(lake_path):
         return
     state = _load_folded(lake_path)
     known = {f["dir"] for f in state["folds"]}
+    folded = set(state["files"])
     changed = False
     for name in sorted(os.listdir(lake_path)):
         full = os.path.join(lake_path, name)
         if name.startswith(_STAGING_PREFIX):
             shutil.rmtree(full, ignore_errors=True)
             continue
-        if name.startswith("fold_") and os.path.isdir(full) and name not in known:
-            # committed fold whose bookkeeping was lost: batch range is
-            # encoded in the dir name — restore the record
-            rng = name[len("fold_") :].split("-")
-            bids = list(range(int(rng[0]), int(rng[-1]) + 1))
-            state["folds"].append({"dir": name, "batches": bids})
-            state["batches"] = sorted(set(state["batches"]) | set(bids))
-            changed = True
+        if not (name.startswith("fold_") and os.path.isdir(full)):
+            continue
+        if name in known:
+            continue
+        manifest = os.path.join(full, _FOLD_MANIFEST)
+        try:
+            with open(manifest) as fh:
+                sources = json.load(fh)
+        except (OSError, ValueError):
+            continue  # not one of ours (or torn) — leave it alone
+        state["folds"].append({"dir": name, "n_files": len(sources)})
+        folded.update(sources)
+        for p in sources:  # finish the interrupted source deletion
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        changed = True
     if changed:
+        state["files"] = sorted(folded)
         _save_folded(lake_path, state)
 
 
@@ -155,46 +206,50 @@ def fold_closed_batches(
     target_files: int = 1,
     delete_folded: bool = True,
 ) -> int:
-    """One maintenance tick: compact every CLOSED micro-batch's sink
-    files into the lake. Closed = committed to the sink's
-    ``_spark_metadata`` log AND not among the newest
-    ``keep_last_batches`` (the conservative hot tail — the log entry
-    is durable, but the stream owner may still be serving readers the
-    raw path for its freshest batch). Returns the number of batches
-    folded; 0 is a normal idle tick."""
+    """One maintenance tick: compact every CLOSED sink file into the
+    lake. Closed = committed to the sink's ``_spark_metadata`` log,
+    not yet folded, and not attributed to the newest
+    ``keep_last_batches`` log entries (the conservative hot tail — the
+    log entry is durable, but the stream owner may still be serving
+    readers the raw path for its freshest batch). Returns the number
+    of FILES folded; 0 is a normal idle tick."""
     if keep_last_batches < 1:
         raise ValueError(
             f"keep_last_batches must be >= 1 (the in-flight guard), "
             f"got {keep_last_batches}"
         )
     heal_lake(lake_path)
-    batch_files = _sink_batch_files(sink_path)
-    if not batch_files:
+    committed = _sink_committed_files(sink_path)
+    if not committed:
         return 0
     state = _load_folded(lake_path)
-    done = set(state["batches"])
-    closed = sorted(bid for bid in batch_files if bid not in done)[
-        : -keep_last_batches or None
+    folded = set(state["files"])
+    hot = _hot_tail_files(sink_path, keep_last_batches)
+    files = [
+        p
+        for p in committed
+        if p not in folded and p not in hot and os.path.exists(p)
     ]
-    closed = [b for b in closed if batch_files[b]]
-    if not closed:
+    if not files:
         return 0
-    files = [p for b in closed for p in batch_files[b]]
-    fold_name = f"fold_{closed[0]}-{closed[-1]}"
+    fold_name = f"fold_{len(state['folds']):06d}"
+    staging = os.path.join(lake_path, _STAGING_PREFIX + fold_name)
     final = os.path.join(lake_path, fold_name)
-    if not os.path.isdir(final):  # crash-heal: rename may have landed
-        staging = os.path.join(lake_path, _STAGING_PREFIX + fold_name)
-        shutil.rmtree(staging, ignore_errors=True)
-        (
-            spark.read.parquet(*files)
-            .coalesce(target_files)
-            .write.mode("overwrite")
-            .option("compression", "zstd")
-            .parquet(staging)
-        )
-        os.replace(staging, final)  # the single atomic commit point
-    state["folds"].append({"dir": fold_name, "batches": closed})
-    state["batches"] = sorted(set(state["batches"]) | set(closed))
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        spark.read.parquet(*files)
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .parquet(staging)
+    )
+    # the manifest rides inside the fold, BEFORE the atomic rename:
+    # heal_lake can always finish a fold from the fold alone
+    with open(os.path.join(staging, _FOLD_MANIFEST), "w") as fh:
+        json.dump(sorted(files), fh)
+    os.replace(staging, final)  # the single atomic commit point
+    state["folds"].append({"dir": fold_name, "n_files": len(files)})
+    state["files"] = sorted(folded | set(files))
     _save_folded(lake_path, state)
     if delete_folded:
         for p in files:
@@ -202,30 +257,30 @@ def fold_closed_batches(
                 os.remove(p)
             except OSError:
                 pass
-    return len(closed)
+    return len(files)
 
 
 def read_stream_output(
     spark: SparkSession, sink_path: str, lake_path: str
 ) -> DataFrame:
     """The read surface for a compacted streaming sink: compacted lake
-    folds ∪ the buffer's not-yet-folded committed batches. Matches a
+    folds ∪ the buffer's not-yet-folded committed files. Matches a
     plain metadata-log read of the sink bit-for-bit at every point in
     the fold lifecycle (pinned in tests); in-flight files — on disk
     but absent from the sink log — are excluded exactly as the sink
-    log itself excludes them."""
+    log itself excludes them. Robust to Spark compacting/cleaning its
+    own sink log: both sides are tracked per file path."""
     heal_lake(lake_path)
     state = (
-        _load_folded(lake_path) if os.path.isdir(lake_path) else
-        {"batches": [], "folds": []}
+        _load_folded(lake_path)
+        if os.path.isdir(lake_path)
+        else {"files": [], "folds": []}
     )
-    done = set(state["batches"])
-    batch_files = _sink_batch_files(sink_path)
+    folded = set(state["files"])
     tail = [
         p
-        for b in sorted(batch_files)
-        if b not in done
-        for p in batch_files[b]
+        for p in _sink_committed_files(sink_path)
+        if p not in folded and os.path.exists(p)
     ]
     parts = []
     for f in state["folds"]:

@@ -228,7 +228,11 @@ def main() -> None:
         # window exists for the row) vs the recent-era best too
         if trips(n, b) and (br is None or trips(n, br)):
             regressions.append((name, b, n))
-        rb_note = f"  recent {br:7.3f} x{n / br:4.2f}" if br else ""
+        rb_note = (
+            f"  recent {br:7.3f} x{n / br if br else 0:4.2f}"
+            if br is not None
+            else ""
+        )
         print(
             f"{name:38s} best {b:7.3f} ({src[name]:>14s})  "
             f"now {n:7.3f}  x{n / b if b else 0:5.2f}{rb_note}"
@@ -276,7 +280,7 @@ def main() -> None:
                 print(
                     f"  {name}: {tries} retries, best {b:.3f}, "
                     f"min {now['queries'].get(name, float('nan')):.3f}, "
-                    f"median {med:.3f} (x{med / b:.2f}){mark}"
+                    f"median {med:.3f} (x{med / b if b else 0:.2f}){mark}"
                 )
     if regressions:
         print(f"\nREGRESSIONS (> {REGRESSION_FACTOR}x best prior; sub-"

@@ -2821,15 +2821,20 @@ def test_streaming_pack_one_batch_equals_batch(spark, tmp_path):
 
 
 def test_streaming_sink_compaction_tick(spark, tmp_path):
-    """VERDICT r11 #5: streaming parquet sinks append one file per
-    micro-batch; the maintenance tick folds CLOSED batches (committed
-    to the sink's _spark_metadata log, never the newest) into a
-    compacted lake via a staged atomic rename, deletes the folded
-    buffer files, and the read surface (lake ∪ unfolded tail) stays
-    row-for-row identical through every fold. In-flight files — on
-    disk but absent from the sink log — are never folded and never
-    read, exactly matching the sink log's own visibility rule."""
+    """VERDICT r11 #5 + code-review r12: the maintenance tick folds
+    CLOSED sink files (committed to the _spark_metadata log, never the
+    newest entry's) into a compacted lake via a staged atomic rename,
+    deletes the folded buffer files, and the read surface (lake ∪
+    unfolded tail) stays row-for-row identical through every fold.
+    State is per FILE PATH with a manifest inside each fold dir, so
+    the tick survives Spark compacting/cleaning its own sink log, a
+    crash between rename and watermark write heals forward INCLUDING
+    the source deletion, junk fold-named dirs are skipped, and
+    in-flight files (on disk, absent from the log) are never folded
+    and never read — the sink log's own visibility rule."""
+    import json as _json
     import os
+    import shutil as _sh
 
     from purpleair_data_logger_spark.streaming import compaction as C
     from purpleair_data_logger_spark.streaming.pack import streaming_pack
@@ -2854,23 +2859,28 @@ def test_streaming_sink_compaction_tick(spark, tmp_path):
         return {tuple(r) for r in df.collect()}
 
     truth = rows_of(spark.read.parquet(sink))
-    batches = C._sink_batch_files(sink)
-    assert len(batches) == 3 and all(batches.values())
+    log = C._sink_log(sink)
+    assert sorted(log) == [0, 1, 2]
+    per_batch = {b: C._read_log_entries(f) for b, (_, f) in log.items()}
+    committed = C._sink_committed_files(sink)
+    assert set(committed) == {p for v in per_batch.values() for p in v}
 
-    # tick 1: batches 0-1 fold (newest stays hot), reader unchanged,
-    # folded buffer files are gone, the hot batch's files remain, one
-    # committed fold dir in the lake
-    assert C.fold_closed_batches(spark, sink, lake, keep_last_batches=1) == 2
+    # tick 1: batches 0-1's files fold (newest entry stays hot), the
+    # reader is unchanged, folded buffer files are gone, the hot
+    # batch's files remain, one committed fold dir in the lake with
+    # its manifest inside
+    n01 = len(per_batch[0]) + len(per_batch[1])
+    assert C.fold_closed_batches(spark, sink, lake, keep_last_batches=1) == n01
     assert rows_of(C.read_stream_output(spark, sink, lake)) == truth
     assert not any(
-        os.path.exists(p) for b in (0, 1) for p in batches[b]
+        os.path.exists(p) for b in (0, 1) for p in per_batch[b]
     )
-    assert all(os.path.exists(p) for p in batches[2])
-    import json as _json
-
+    assert all(os.path.exists(p) for p in per_batch[2])
     state = _json.load(open(os.path.join(lake, "_folded.json")))
-    assert state["batches"] == [0, 1]
-    assert os.path.isdir(os.path.join(lake, state["folds"][0]["dir"]))
+    assert set(state["files"]) == set(per_batch[0]) | set(per_batch[1])
+    fold_dir = os.path.join(lake, state["folds"][0]["dir"])
+    manifest = _json.load(open(os.path.join(fold_dir, "_FOLDED_SOURCES.json")))
+    assert set(manifest) == set(state["files"])
 
     # idempotent idle tick: nothing new is closed
     assert C.fold_closed_batches(spark, sink, lake) == 0
@@ -2885,8 +2895,6 @@ def test_streaming_sink_compaction_tick(spark, tmp_path):
     part = next(
         f for f in os.listdir(inflight_dir) if f.endswith(".parquet")
     )
-    import shutil as _sh
-
     planted = os.path.join(sink, "part-99999-inflight.snappy.parquet")
     _sh.copy(os.path.join(inflight_dir, part), planted)
     assert C.fold_closed_batches(spark, sink, lake) == 0
@@ -2894,8 +2902,28 @@ def test_streaming_sink_compaction_tick(spark, tmp_path):
     assert os.path.exists(planted)  # untouched
     os.remove(planted)
 
+    # SINK-LOG COMPACTION survival (code-review r12 #1): Spark replaces
+    # history with one .compact entry re-listing EVERY path under one
+    # batch id and deletes superseded plain entries — path-based state
+    # must neither re-fold deleted files nor lose the unfolded tail
+    meta = os.path.join(sink, "_spark_metadata")
+    all_entries = []
+    for b in sorted(per_batch):
+        with open(os.path.join(meta, str(b))) as fh:
+            all_entries.extend(
+                ln for ln in fh.read().strip().split("\n") if ln != "v1"
+            )
+    with open(os.path.join(meta, "2.compact"), "w") as fh:
+        fh.write("v1\n" + "\n".join(all_entries) + "\n")
+    for b in (0, 1, 2):
+        os.remove(os.path.join(meta, str(b)))
+    assert set(C._sink_committed_files(sink)) == set(committed)
+    assert C.fold_closed_batches(spark, sink, lake) == 0  # all hot/folded
+    assert rows_of(C.read_stream_output(spark, sink, lake)) == truth
+
     # the stream keeps running: more source waves, same checkpoint —
-    # new batches land, the next tick folds them, reader stays exact
+    # new batches land, the next tick folds everything outside the hot
+    # tail (including batch 2, no longer newest), reader stays exact
     for wave in range(3, 5):
         rows = [(wave * 100 + i, 3 + i % 5) for i in range(1, 21)]
         spark.createDataFrame(rows, "doc_id long, n_tok long").coalesce(
@@ -2907,29 +2935,57 @@ def test_streaming_sink_compaction_tick(spark, tmp_path):
         max_files_per_trigger=1,
     )
     assert q.awaitTermination(180)
-    new_tail = {
-        p
-        for b, v in C._sink_batch_files(sink).items()
-        if b >= 2
-        for p in v
-    }
-    truth |= rows_of(spark.read.parquet(*sorted(new_tail)))
-    assert C.fold_closed_batches(spark, sink, lake) == 2  # batches 2-3
+    log2 = C._sink_log(sink)
+    newest = max(log2)
+    hot = set(C._read_log_entries(log2[newest][1]))
+    committed2 = C._sink_committed_files(sink)
+    # truth = the old batches' rows (already folded into the lake, so
+    # gone from disk) plus the new waves' committed files
+    new_files = [p for p in committed2 if p not in set(committed)]
+    truth = truth | rows_of(spark.read.parquet(*new_files))
+    expect = [
+        p for p in committed2
+        if p not in set(_json.load(open(os.path.join(lake, "_folded.json")))["files"])
+        and p not in hot and os.path.exists(p)
+    ]
+    assert C.fold_closed_batches(spark, sink, lake) == len(expect) > 0
     assert rows_of(C.read_stream_output(spark, sink, lake)) == truth
 
-    # crash heal: a committed fold dir whose watermark write was lost
-    # is re-recorded (never re-folded), and abandoned staging dirs die
+    # crash heal (code-review r12 #2): a fold dir committed but
+    # unrecorded (watermark write lost) is re-recorded FROM ITS OWN
+    # MANIFEST and its leaked source files are deleted; junk fold dirs
+    # without a manifest are skipped, staging dirs are swept
     state_path = os.path.join(lake, "_folded.json")
     state = _json.load(open(state_path))
-    state["batches"] = [0, 1]
-    state["folds"] = state["folds"][:1]
+    lost = state["folds"][-1]
+    lost_sources = _json.load(
+        open(os.path.join(lake, lost["dir"], "_FOLDED_SOURCES.json"))
+    )
+    state["folds"] = state["folds"][:-1]
+    state["files"] = sorted(set(state["files"]) - set(lost_sources))
     with open(state_path, "w") as fh:
         _json.dump(state, fh)
+    leaked = str(tmp_path / "leaked_source.parquet")
+    # recreate one "leaked" source file the crashed tick failed to delete
+    spark.createDataFrame(
+        [(1, 1, 0, 0)],
+        "doc_id long, shard int, start_offset long, seq_in_shard long",
+    ).coalesce(1).write.mode("overwrite").parquet(leaked)
+    leaked_part = next(
+        os.path.join(leaked, f)
+        for f in os.listdir(leaked)
+        if f.endswith(".parquet")
+    )
+    _sh.copy(leaked_part, lost_sources[0])
     os.makedirs(os.path.join(lake, "_staging_fold_zzz"), exist_ok=True)
+    os.makedirs(os.path.join(lake, "fold_junk_no_manifest"), exist_ok=True)
     C.heal_lake(lake)
     assert not os.path.isdir(os.path.join(lake, "_staging_fold_zzz"))
+    assert os.path.isdir(os.path.join(lake, "fold_junk_no_manifest"))  # skipped
     healed = _json.load(open(state_path))
-    assert healed["batches"] == [0, 1, 2, 3]
+    assert lost["dir"] in {f["dir"] for f in healed["folds"]}
+    assert set(lost_sources) <= set(healed["files"])
+    assert not os.path.exists(lost_sources[0])  # leak finished
     assert rows_of(C.read_stream_output(spark, sink, lake)) == truth
 
 
