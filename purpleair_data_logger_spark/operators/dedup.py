@@ -466,10 +466,21 @@ def neardup_lsh_between(
     bands: int = 16,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    max_base_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup: near-dups of a NEW batch against an
     EXISTING corpus, verified exactly — the operation a 100 TB pipeline
     runs on every ingest (is today's crawl already in the corpus?).
+
+    ``max_base_bucket_size`` (off by default) is the cross-side form
+    of the degenerate-bucket ceiling (VERDICT r11 #1): a boilerplate
+    family in the BASE corpus collapses into one (band_idx, band_hash)
+    bucket of size B, and every matching new row pays B candidates on
+    every ingest, forever. With the cap, over-cap base buckets are
+    semi-join-dropped before the cross-side join; a new doc loses a
+    candidate only when its base near-dup lives exclusively in over-cap
+    base buckets — a dense near-exact base family that upstream exact /
+    `paragraph_dedup_boilerplate` dedup should have collapsed.
 
     Candidate generation is a band equi-join between the two sides'
     LSH indexes, so it is O(cross-side band collisions): no new×new,
@@ -494,6 +505,7 @@ def neardup_lsh_between(
         new_df, bb, sb, id_col, text_col,
         threshold=threshold, num_hashes=num_hashes, bands=bands,
         shingle_n=shingle_n, hash_family=hash_family,
+        max_base_bucket_size=max_base_bucket_size,
     )
 
 
@@ -509,10 +521,15 @@ def neardup_against_index(
     bands: int = 16,
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
+    max_base_bucket_size: int | None = None,
 ) -> DataFrame:
     """`neardup_lsh_between` against PRECOMPUTED base-corpus artifacts —
     the steady-state ingest shape where only the new batch pays
-    signature cost.
+    signature cost. ``max_base_bucket_size`` drops over-cap BASE
+    buckets before the cross-side join (see `neardup_lsh_between` for
+    the recall contract); in steady state a deployment caps the
+    persisted index ONCE at build/append time with
+    `keep_buckets_within_cap` instead of per ingest.
 
     ``base_index``: (base_doc_id, band_idx, band_hash) — `lsh_banded`
     output over the corpus, persistable bucketed on the band key so
@@ -531,6 +548,10 @@ def neardup_against_index(
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         hash_family=hash_family,
     ).select(F.col(id_col).alias("new_doc_id"), "band_idx", "band_hash")
+    if max_base_bucket_size is not None:
+        base_index = keep_buckets_within_cap(
+            base_index, max_base_bucket_size
+        )
     cands = (
         bn.join(base_index, on=["band_idx", "band_hash"])
         .filter(F.col("new_doc_id") != F.col("base_doc_id"))

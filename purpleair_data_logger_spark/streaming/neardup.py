@@ -139,6 +139,7 @@ def run_incremental_neardup_stream(
     max_files_per_trigger: int = 1,
     fold_every: int | None = None,
     recent_window_batches: int | None = None,
+    max_base_bucket_size: int | None = None,
 ):
     """File-source streaming ingest dedup: parquet-in → per-batch
     `neardup_against_index` → pairs + fresh parquet-out, availableNow
@@ -147,13 +148,29 @@ def run_incremental_neardup_stream(
     ``fold_every`` / ``recent_window_batches``: the index-maintenance
     options from the module docstring (mutually exclusive). LSH band
     keys are content hashes, so both maintenance forms are append-
-    exact (`dedup.lsh_index_append`: append ≡ rebuild row-for-row)."""
+    exact (`dedup.lsh_index_append`: append ≡ rebuild row-for-row).
+
+    ``max_base_bucket_size`` (off by default) applies the r12
+    degenerate-bucket ceiling ONCE to the base index at stream start —
+    a boilerplate base bucket of size B otherwise charges every
+    matching new row B candidates on every trigger, forever
+    (`dedup.keep_buckets_within_cap` recall contract). Folded appends
+    re-apply the cap so the growing index never regrows an over-cap
+    bucket silently."""
     _check_maintenance_args(fold_every, recent_window_batches)
     base_index, base_sh = build_base_artifacts(
         base_df, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         hash_family=hash_family,
     )
+    if max_base_bucket_size is not None:
+        from purpleair_data_logger_spark.operators.dedup import (
+            keep_buckets_within_cap,
+        )
+
+        base_index = keep_buckets_within_cap(
+            base_index, max_base_bucket_size
+        ).localCheckpoint()
     st: dict = {
         "index": base_index, "sh": base_sh, "pending": [],
         "recent_idx": None, "recent_sh": None,
@@ -205,6 +222,14 @@ def run_incremental_neardup_stream(
                     num_hashes=num_hashes, bands=bands,
                     shingle_n=shingle_n, hash_family=hash_family,
                 )
+                if max_base_bucket_size is not None:
+                    from purpleair_data_logger_spark.operators.dedup import (  # noqa: PLC0415
+                        keep_buckets_within_cap,
+                    )
+
+                    idx2 = keep_buckets_within_cap(
+                        idx2, max_base_bucket_size
+                    )
                 st["index"] = idx2.localCheckpoint()
                 st["sh"] = sh2.localCheckpoint()
                 st["pending"] = []

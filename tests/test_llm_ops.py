@@ -929,6 +929,49 @@ def test_lsh_bucket_cap_bounds_planted_boilerplate_blowup(spark):
     assert ver == {(200, 201)}
 
 
+def test_neardup_between_base_bucket_cap(spark):
+    """The cross-side form of the degenerate-bucket ceiling: a
+    boilerplate family in the BASE corpus charges every matching new
+    row |family| candidates on every ingest. With
+    ``max_base_bucket_size`` the over-cap base buckets are dropped
+    before the cross-side join — the boilerplate match vanishes, a
+    genuine small-bucket near-dup still verifies, and capped output is
+    a subset of uncapped."""
+    from purpleair_data_logger_spark.operators import dedup as dd
+
+    boiler_text = "exactly the same boilerplate text here again"
+    normal_text = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while the evening sun sets slowly behind the old mill"
+    )
+    base = spark.createDataFrame(
+        [(i, boiler_text) for i in range(12)] + [(50, normal_text)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (200, boiler_text),  # matches the degenerate family
+            (201, normal_text.replace("mill", "barn")),  # genuine pair
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(threshold=0.7, num_hashes=16, bands=4, shingle_n=3)
+    uncapped = {
+        (r["new_doc_id"], r["base_doc_id"])
+        for r in dd.neardup_lsh_between(new, base, "doc_id", "text", **kw).collect()
+    }
+    assert {(200, i) for i in range(12)} <= uncapped
+    assert (201, 50) in uncapped
+    capped = {
+        (r["new_doc_id"], r["base_doc_id"])
+        for r in dd.neardup_lsh_between(
+            new, base, "doc_id", "text", max_base_bucket_size=5, **kw
+        ).collect()
+    }
+    assert capped <= uncapped
+    assert capped == {(201, 50)}  # the family is bounded out, recall intact
+
+
 def test_cosine_lsh_bucket_cap_bounds_planted_family(spark):
     """The hyperplane-LSH analog of the bucket cap: a family of
     identical embeddings lands in one (band_idx, band_val) bucket per
