@@ -667,8 +667,18 @@ def lsh_bucket_skew_report(
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         hash_family=hash_family,
     )
+    return lsh_index_skew_report(b)
+
+
+def lsh_index_skew_report(banded: DataFrame) -> DataFrame:
+    """`lsh_bucket_skew_report` over an EXISTING band index — the form
+    a deployment runs on its persisted `lsh_banded` artifact (or the
+    ingest stream runs on its just-folded index, `streaming/neardup.py`
+    ``skew_check``) without re-banding the corpus. Input needs
+    (band_idx, band_hash) columns; extra columns pass through the
+    count. Same exact-BIGINT pair arithmetic as the corpus form."""
     c = F.col("_c")
-    buckets = b.groupBy("band_idx", "band_hash").agg(
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("_c")
     )
     return (

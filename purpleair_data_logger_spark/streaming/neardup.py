@@ -140,10 +140,20 @@ def run_incremental_neardup_stream(
     fold_every: int | None = None,
     recent_window_batches: int | None = None,
     max_base_bucket_size: int | None = None,
+    skew_check: bool = False,
 ):
     """File-source streaming ingest dedup: parquet-in → per-batch
     `neardup_against_index` → pairs + fresh parquet-out, availableNow
     termination. Returns the streaming query handle.
+
+    ``skew_check`` (opt-in; requires ``fold_every``) is the LSH form's
+    staleness loop, symmetric to the prefix stream's ``drift_check``:
+    after EVERY fold, `dedup.lsh_index_skew_report` over the
+    just-folded index lands batch_id-tagged in ``{out}/skew`` — a
+    boilerplate family accumulating across folds shows up as a growing
+    ``max_bucket_size`` / ``candidate_pairs`` per band, the signal to
+    enable ``max_base_bucket_size`` or run upstream exact dedup,
+    BEFORE every subsequent ingest pays the quadratic bucket.
 
     ``fold_every`` / ``recent_window_batches``: the index-maintenance
     options from the module docstring (mutually exclusive). LSH band
@@ -158,6 +168,12 @@ def run_incremental_neardup_stream(
     re-apply the cap so the growing index never regrows an over-cap
     bucket silently."""
     _check_maintenance_args(fold_every, recent_window_batches)
+    if skew_check and fold_every is None:
+        raise ValueError(
+            "skew_check requires fold_every: without folds the index "
+            "is immutable and the skew report is a constant — run "
+            "dedup.lsh_bucket_skew_report batch-side instead"
+        )
     base_index, base_sh = build_base_artifacts(
         base_df, id_col, text_col,
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
@@ -233,6 +249,14 @@ def run_incremental_neardup_stream(
                 st["index"] = idx2.localCheckpoint()
                 st["sh"] = sh2.localCheckpoint()
                 st["pending"] = []
+                if skew_check:
+                    from purpleair_data_logger_spark.operators.dedup import (  # noqa: PLC0415
+                        lsh_index_skew_report,
+                    )
+
+                    lsh_index_skew_report(st["index"]).withColumn(
+                        "batch_id", F.lit(batch_id)
+                    ).write.mode("append").parquet(f"{out_dir}/skew")
         if recent_window_batches is not None:
             fresh_c = fresh_df.select(id_col, text_col).localCheckpoint()
             add_idx, add_sh = _fresh_rows(fresh_c)

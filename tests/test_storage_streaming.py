@@ -2729,6 +2729,60 @@ def test_streaming_prefix_drift_check_surfaces_rebuild_signal(spark, tmp_path):
     assert max(r["prefix_postings"] for r in flagged) >= 2
 
 
+def test_streaming_lsh_skew_check_surfaces_growing_bucket(spark, tmp_path):
+    """The LSH form's staleness loop (symmetric to the prefix stream's
+    drift_check): boilerplate-wrapped documents — same long template,
+    small distinct payloads, Jaccard below the dedup threshold so each
+    stays FRESH and is folded — accumulate in shared band buckets
+    across folds. With skew_check=True every fold writes
+    `dedup.lsh_index_skew_report` over the just-folded index to
+    {out}/skew, so the growing max_bucket_size / candidate_pairs
+    surface batch-by-batch instead of silently charging every later
+    ingest."""
+    from purpleair_data_logger_spark.streaming.neardup import (
+        run_incremental_neardup_stream,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, " ".join(f"basea{i}" for i in range(30))),
+            (2, " ".join(f"baseb{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    template = " ".join(f"tmpl{i}" for i in range(40))
+    fam = {
+        300 + k: template + " " + " ".join(f"pay{k}x{i}" for i in range(8))
+        for k in range(3)
+    }
+    src = str(tmp_path / "sk_src")
+    _write_one_doc_batches(spark, src, fam)
+    out = str(tmp_path / "sk_out")
+    q = run_incremental_neardup_stream(
+        spark, src, base, out, str(tmp_path / "sk_ckpt"),
+        threshold=0.95, num_hashes=16, bands=4, shingle_n=3,
+        fold_every=1, skew_check=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    # every family member stayed fresh (template J ~= 0.77 < 0.95)
+    fresh = {r["doc_id"] for r in spark.read.parquet(f"{out}/fresh").collect()}
+    assert fresh == {300, 301, 302}
+    skew = spark.read.parquet(f"{out}/skew").collect()
+    by_batch: dict[int, list] = {}
+    for r in skew:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    assert sorted(by_batch) == [0, 1, 2]  # one report per fold
+    def worst(bid):
+        return max(r["max_bucket_size"] for r in by_batch[bid])
+    # the boilerplate family accumulates: by the last fold some band
+    # bucket holds multiple template docs and the report shows growth
+    assert worst(2) >= 2
+    assert worst(2) >= worst(0)
+    assert any(
+        r["candidate_pairs"] >= 1 for r in by_batch[2]
+    )
+
+
 def test_neardup_maintenance_args_validation():
     """fold_every and recent_window_batches are mutually exclusive
     (both would emit duplicate pairs) and must be positive; the check
@@ -2754,6 +2808,10 @@ def test_neardup_maintenance_args_validation():
     with pytest.raises(ValueError, match="drift_check requires fold_every"):
         run_incremental_prefix_stream(
             None, "s", None, "o", "c", drift_check=True
+        )
+    with pytest.raises(ValueError, match="skew_check requires fold_every"):
+        run_incremental_neardup_stream(
+            None, "s", None, "o", "c", skew_check=True
         )
 
 
