@@ -65,6 +65,22 @@ RECENT_WINDOW_RUNS = 10
 #: guarded by the factor alone instead of silently inheriting the
 #: wider waiver.
 JITTER_BASELINE_SEC = 1.0
+#: Third tripwire (VERDICT r12 #1): the per-query dual bound goes
+#: permanently quiet once a creeping regression outlives the
+#: RECENT_WINDOW_RUNS recent window — the bad times become the
+#: recent-era baseline and only the (unasserted) all-time ratio column
+#: still shows it. So the stable-subset subtotal — a frozen r1-era row
+#: set, comparable across every round — is ALSO asserted against the
+#: all-time best subtotal, using the rolling MEDIAN of the newest
+#: CREEP_WINDOW same-sf runs (run under test included) so a single
+#: cold/contended draw cannot trip it. Identical-code history spans
+#: 16.8-25.4 s (worst single run 1.51x the all-time best; r12's
+#: host-era shift sat at 1.14-1.35x), so 1.8x is outside everything
+#: ambient ever measured while a sustained 2x creep trips within
+#: CREEP_WINDOW runs of completing. Unlike the recent window this
+#: bound never self-heals: the all-time best only ratchets down.
+CREEP_FACTOR = 1.8
+CREEP_WINDOW = 3
 
 #: COMMITTED evidence-row classification (ADVICE r7: the guard must
 #: not read `evidence_legs` from the run-under-test — that lets any
@@ -82,7 +98,12 @@ EVIDENCE_PREFIX = "xover_"
 def is_evidence(name: str) -> bool:
     return name in PINNED_EVIDENCE_LEGS or name.startswith(EVIDENCE_PREFIX)
 
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+#: BENCH_COMPARE_ROOT exists for the pure-JSON unit tests (synthetic
+#: BENCH_HISTORY.jsonl + artifacts in a tmp dir); production runs never
+#: set it.
+REPO_ROOT = os.environ.get("BENCH_COMPARE_ROOT") or os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))
+)
 
 
 def load_bench(path: str) -> tuple[dict | None, str]:
@@ -282,12 +303,50 @@ def main() -> None:
                     f"min {now['queries'].get(name, float('nan')):.3f}, "
                     f"median {med:.3f} (x{med / b if b else 0:.2f}){mark}"
                 )
+    # Third tripwire (see CREEP_FACTOR): stable-subset subtotal trend
+    # vs the all-time best subtotal. Skipped for explicit-baseline
+    # invocations (caller chose the comparison set) and when either the
+    # run under test or the history predates the stable_subset_sec
+    # field.
+    creep = None
+    if not explicit and now.get("stable_subset_sec") is not None:
+        hist_benches = [b for tag, b in sources if tag.startswith("history#")]
+        stables = [
+            b for b in hist_benches if b.get("stable_subset_sec") is not None
+        ]
+        if stables:
+            import statistics
+
+            best_stable = min(b["stable_subset_sec"] for b in stables)
+            stables.sort(key=lambda b: b.get("wall_clock_unix", 0))
+            window = [b["stable_subset_sec"] for b in stables[-(CREEP_WINDOW - 1):]]
+            window.append(now["stable_subset_sec"])
+            med = statistics.median(window)
+            ratio = med / best_stable if best_stable else 0.0
+            print(
+                f"creep guard: stable-subset median of last {len(window)} "
+                f"runs {med:.3f}s vs all-time best {best_stable:.3f}s "
+                f"(x{ratio:.2f}, bound x{CREEP_FACTOR})"
+            )
+            if med > CREEP_FACTOR * best_stable:
+                creep = (med, best_stable, ratio)
     if regressions:
         print(f"\nREGRESSIONS (> {REGRESSION_FACTOR}x best prior; sub-"
               f"{JITTER_BASELINE_SEC}s baselines also need "
               f"> +{ABS_REGRESSION_SEC}s):")
         for name, b, n in regressions:
             print(f"  {name}: {b:.3f} -> {n:.3f}")
+        raise SystemExit(1)
+    if creep is not None:
+        med, best_stable, ratio = creep
+        print(
+            f"\nSTABLE-SUBSET CREEP: rolling median {med:.3f}s is "
+            f"x{ratio:.2f} the all-time best subtotal {best_stable:.3f}s "
+            f"(bound x{CREEP_FACTOR}) — a sustained slowdown has been "
+            "absorbed into the recent per-query window; bisect the "
+            "stable-subset rows against the round where the subtotal "
+            "left its historical band"
+        )
         raise SystemExit(1)
     print("no regressions")
 

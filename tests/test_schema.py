@@ -181,3 +181,66 @@ def test_bench_compare_midrange_factor_only(tmp_path):
     r = subprocess.run([sys.executable, script, paths["bad"], paths["base"]],
                        capture_output=True, text=True)
     assert r.returncode == 1 and "mid" in r.stdout
+
+
+def test_bench_compare_creep_tripwire(tmp_path):
+    """VERDICT r12 #1: the per-query dual baseline goes quiet once a
+    creeping regression outlives the 10-run recent window (the bad
+    times BECOME the recent baseline). The third tripwire asserts the
+    rolling median of the stable-subset subtotal against the all-time
+    best subtotal (CREEP_FACTOR) — it never self-heals. Synthetic
+    histories: (a) the measured r12 host-era pattern stays green,
+    (b) a 12-run creep that the dual bound waives trips the creep
+    guard."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "bench_compare.py")
+
+    def run_case(root, hist_rows, now_row):
+        root.mkdir(exist_ok=True)
+        with open(root / "BENCH_HISTORY.jsonl", "w") as fh:
+            for row in hist_rows:
+                fh.write(json.dumps(row) + "\n")
+        now_p = root / "now.json"
+        now_p.write_text(json.dumps(now_row))
+        env = dict(os.environ, BENCH_COMPARE_ROOT=str(root))
+        return subprocess.run([sys.executable, script, str(now_p)],
+                              capture_output=True, text=True, env=env)
+
+    def entry(ts, q_sec, stable):
+        return {"metric": "m", "value": 1, "unit": "sec", "sf": 0.1,
+                "run_id": f"r{ts}", "wall_clock_unix": ts,
+                "queries": {"q": q_sec}, "stable_subset_sec": stable}
+
+    # (a) host-era shift (r12 evidence): early quiet-host runs at the
+    # all-time best, recent runs co-elevated ~1.15-1.35x on identical
+    # code. Median of last 3 = ~20.5/16.8 = 1.22x < 1.8x -> green.
+    hist_a = [entry(1000 + i, 1.0, 16.8 + 0.1 * i) for i in range(5)]
+    hist_a += [entry(2000 + i, 1.3, 19.5 + 0.5 * i) for i in range(4)]
+    now_a = dict(entry(3000, 1.35, 20.5), run_id="now_a")
+    r = run_case(tmp_path / "a", hist_a, now_a)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "creep guard:" in r.stdout
+    assert "no regressions" in r.stdout
+
+    # (b) a slow creep: 5 good runs (q=1.0, stable=17), then 12 runs
+    # drifting q 1.9->3.4 / stable 19->35. The newest 10 runs all have
+    # q >= 2.1, so now q=3.6 is only 1.06x the recent-window best
+    # (dual bound quiet: trips all-time 3.6x but NOT recent), yet the
+    # stable-subset median of the last 3 runs [33.6, 35.0, 36.0] = 35.0
+    # is 2.06x the all-time best 17 -> creep trips, exit 1.
+    hist_b = [entry(1000 + i, 1.0, 17.0) for i in range(5)]
+    hist_b += [entry(2000 + i, 1.9 + 0.14 * i, 19.0 + 1.46 * i)
+               for i in range(12)]
+    now_b = dict(entry(3000, 3.6, 36.0), run_id="now_b")
+    r = run_case(tmp_path / "b", hist_b, now_b)
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "STABLE-SUBSET CREEP" in r.stdout
+    # and the per-query dual bound really was quiet (the point of the
+    # third tripwire): no REGRESSIONS block in the output
+    assert "REGRESSIONS" not in r.stdout
