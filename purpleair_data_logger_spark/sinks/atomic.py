@@ -59,10 +59,21 @@ store root:
 from __future__ import annotations
 
 import os
-import shutil
 import socket
 import time
 import uuid
+
+from .. import fsio
+
+#: Injectable filesystem binding (VERDICT r12 #3). Module-global so
+#: the whole protocol swaps at once; PosixFS delegates 1:1 to
+#: os/shutil so the audited race semantics are byte-identical. Every
+#: entry point calls `fsio.require(FS)` — a binding without atomic
+#: rename / O_EXCL (an object store) fails loudly with
+#: `FilesystemCapabilityError` before any mutation; the
+#: manifest-commit object-store variant is documented in fsio.py and
+#: SCALE.md.
+FS = fsio.POSIX
 
 STAGING_SUFFIX = "__staging"
 RETIRED_SUFFIX = "__retired"
@@ -95,14 +106,14 @@ def staging_path(live: str) -> str:
 
 def is_committed(staged: str) -> bool:
     """The staging write finished: Spark wrote its _SUCCESS marker."""
-    return os.path.exists(os.path.join(staged, SUCCESS_FILE))
+    return FS.exists(os.path.join(staged, SUCCESS_FILE))
 
 
 def _partition_entries(root: str) -> list[str]:
     return sorted(
         e
-        for e in os.listdir(root)
-        if "=" in e and os.path.isdir(os.path.join(root, e))
+        for e in FS.listdir(root)
+        if "=" in e and FS.isdir(os.path.join(root, e))
     )
 
 
@@ -113,24 +124,25 @@ def commit(live: str) -> None:
     crash at any point, including mid-partition (where a retired dir
     may exist with or without its replacement already in place).
     """
+    fsio.require(FS)
     staged = staging_path(live)
     if not is_committed(staged):
         raise RuntimeError(
             f"refusing to commit {staged}: no {SUCCESS_FILE} commit record "
             "(the staging write did not finish)"
         )
-    os.makedirs(live, exist_ok=True)
+    FS.makedirs(live, exist_ok=True)
     for entry in _partition_entries(staged):
         live_e = os.path.join(live, entry)
         staged_e = os.path.join(staged, entry)
         retired_e = live_e + RETIRED_SUFFIX
-        if os.path.isdir(live_e):
-            if os.path.isdir(retired_e):  # double-crash leftover
-                shutil.rmtree(retired_e)
-            os.rename(live_e, retired_e)
-        os.rename(staged_e, live_e)
-        if os.path.isdir(retired_e):
-            shutil.rmtree(retired_e)
+        if FS.isdir(live_e):
+            if FS.isdir(retired_e):  # double-crash leftover
+                FS.rmtree(retired_e)
+            FS.rename(live_e, retired_e)
+        FS.rename(staged_e, live_e)
+        if FS.isdir(retired_e):
+            FS.rmtree(retired_e)
     # Sweep retired leftovers from a PREVIOUS crash inside this loop:
     # a death between a partition's swap-in and its retired-dir
     # removal leaves ``<part>__retired`` behind with the partition no
@@ -143,8 +155,8 @@ def commit(live: str) -> None:
     # commit record is retracted, so a crash mid-sweep re-runs it.
     _restore_retired(live)
     # Commit complete: retract the commit record, then the empty husk.
-    os.remove(os.path.join(staged, SUCCESS_FILE))
-    shutil.rmtree(staged)
+    FS.remove(os.path.join(staged, SUCCESS_FILE))
+    FS.rmtree(staged)
 
 
 def heal(live: str) -> str | None:
@@ -154,12 +166,13 @@ def heal(live: str) -> str | None:
     * staging dir without it → roll back (drop the partial staging,
       restore any retired partition the old state still owns).
     """
+    fsio.require(FS)
     staged = staging_path(live)
-    if os.path.isdir(staged):
+    if FS.isdir(staged):
         if is_committed(staged):
             commit(live)
             return "rolled_forward"
-        shutil.rmtree(staged)
+        FS.rmtree(staged)
         _restore_retired(live)
         return "rolled_back"
     return _restore_retired(live)
@@ -171,7 +184,7 @@ def _lease_path(base: str) -> str:
 
 def _lease_owner(base: str) -> str | None:
     try:
-        with open(_lease_path(base)) as f:
+        with FS.open_read(_lease_path(base)) as f:
             return f.read().strip() or None
     except OSError:
         return None
@@ -179,7 +192,7 @@ def _lease_owner(base: str) -> str | None:
 
 def _lease_fresh(base: str, ttl: float) -> bool:
     try:
-        return time.time() - os.stat(_lease_path(base)).st_mtime <= ttl
+        return time.time() - FS.getmtime(_lease_path(base)) <= ttl
     except OSError:
         return False
 
@@ -203,17 +216,16 @@ def acquire_lease(
     Returns the writer token recorded in the lease; pass it back to
     `snapshot_commit` / `heal_snapshot` to prove ownership.
     """
+    fsio.require(FS)
     writer_id = writer_id or f"{socket.gethostname()}:{os.getpid()}:{uuid.uuid4().hex[:8]}"
-    os.makedirs(base, exist_ok=True)
+    FS.makedirs(base, exist_ok=True)
     lease = _lease_path(base)
 
     def _try_create() -> bool:
         try:
-            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            FS.create_exclusive(lease, writer_id + "\n")
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            f.write(writer_id + "\n")
         return True
 
     if _try_create():
@@ -226,13 +238,13 @@ def acquire_lease(
     # Stale: reclaim race-safely — one winner renames it aside.
     reclaimed = lease + ".reclaimed." + uuid.uuid4().hex
     try:
-        os.rename(lease, reclaimed)
+        FS.rename(lease, reclaimed)
     except FileNotFoundError:
         raise SnapshotLeaseHeld(
             f"lost the stale-lease reclaim race under {base}; retry"
         ) from None
     try:
-        os.remove(reclaimed)
+        FS.remove(reclaimed)
     except FileNotFoundError:
         pass  # a concurrent gc_orphans collected the aside already
     if not _try_create():
@@ -279,17 +291,17 @@ def release_lease(base: str, owner: str | None = None) -> bool:
     lease = _lease_path(base)
     if owner is None:
         try:
-            os.remove(lease)
+            FS.remove(lease)
         except FileNotFoundError:
             return False
         return True
     aside = lease + ".releasing." + uuid.uuid4().hex
     try:
-        os.rename(lease, aside)
+        FS.rename(lease, aside)
     except FileNotFoundError:
         return False  # already reclaimed+released by someone else
     try:
-        with open(aside) as f:
+        with FS.open_read(aside) as f:
             actual = f.read().strip() or None
     except FileNotFoundError:
         # a concurrent gc_orphans collected the aside (only possible
@@ -297,19 +309,19 @@ def release_lease(base: str, owner: str | None = None) -> bool:
         return False
     if actual == owner:
         try:
-            os.remove(aside)
+            FS.remove(aside)
         except FileNotFoundError:
             pass
         return True
     # Not ours: restore it without clobbering any newer lease.
     try:
-        os.link(aside, lease)
+        FS.link(aside, lease)
     except FileExistsError:
         pass  # a third writer already created a fresh lease
     except FileNotFoundError:
         return False  # aside gc'd mid-restore: the stale lease is gone
     try:
-        os.remove(aside)
+        FS.remove(aside)
     except FileNotFoundError:
         pass
     return False
@@ -325,7 +337,7 @@ def snapshot_heartbeat(base: str) -> bool:
     background heartbeat whose exception would mask the real error
     (ADVICE r7)."""
     try:
-        os.utime(_lease_path(base))
+        FS.utime(_lease_path(base))
     except FileNotFoundError:
         return False
     return True
@@ -351,15 +363,15 @@ def snapshot_begin(
     token = acquire_lease(base, writer_id, lease_ttl)
     pending = os.path.join(base, SNAPSHOT_PENDING)
     committed = os.path.join(base, SNAPSHOT_COMMIT)
-    if os.path.exists(pending) or os.path.exists(committed):
+    if FS.exists(pending) or FS.exists(committed):
         release_lease(base, owner=token)
         raise RuntimeError(
             f"snapshot already in progress under {base}; heal_snapshot first"
         )
     tmp = pending + ".tmp." + uuid.uuid4().hex
-    with open(tmp, "w") as f:
+    with FS.open_write(tmp) as f:
         f.write("\n".join(os.path.relpath(l, base) for l in lives) + "\n")
-    os.replace(tmp, pending)
+    FS.replace(tmp, pending)
     return token
 
 
@@ -389,7 +401,7 @@ def snapshot_commit(base: str, *, writer_id: str | None = None) -> None:
             f"{writer_id!r} — lease was reclaimed mid-staging; abort"
         )
     pending = os.path.join(base, SNAPSHOT_PENDING)
-    if not os.path.exists(pending):
+    if not FS.exists(pending):
         raise RuntimeError(f"no {SNAPSHOT_PENDING} under {base}")
     lives = _snapshot_members(base, pending)
     not_ready = [l for l in lives if not is_committed(staging_path(l))]
@@ -398,10 +410,10 @@ def snapshot_commit(base: str, *, writer_id: str | None = None) -> None:
             f"refusing snapshot commit: incomplete staging for {not_ready}"
         )
     committed = os.path.join(base, SNAPSHOT_COMMIT)
-    os.replace(pending, committed)  # THE all-or-none flip
+    FS.replace(pending, committed)  # THE all-or-none flip
     for l in lives:
         commit(l)
-    os.remove(committed)
+    FS.remove(committed)
     # Ownership-verified: tokenless callers release the owner read at
     # entry, so a lease reclaimed mid-commit is never deleted here.
     release_lease(base, owner=writer_id if writer_id is not None else owner)
@@ -431,10 +443,11 @@ def heal_snapshot(
     lease is a crashed writer's and is reclaimed (removed) as part of
     the heal.
     """
+    fsio.require(FS)
     committed = os.path.join(base, SNAPSHOT_COMMIT)
     pending = os.path.join(base, SNAPSHOT_PENDING)
     heal_token: str | None = None
-    if os.path.exists(committed) or os.path.exists(pending):
+    if FS.exists(committed) or FS.exists(pending):
         owner = _lease_owner(base)
         if (
             owner is not None
@@ -469,10 +482,10 @@ def heal_snapshot(
     # lease on EVERY exit — leaking it would block all writers for a
     # full lease TTL (ADVICE r8).
     try:
-        if os.path.exists(committed):
+        if FS.exists(committed):
             for l in _snapshot_members(base, committed):
                 staged = staging_path(l)
-                if os.path.isdir(staged):
+                if FS.isdir(staged):
                     if is_committed(staged):
                         commit(l)
                     elif _partition_entries(staged):
@@ -481,18 +494,18 @@ def heal_snapshot(
                             f"{SUCCESS_FILE} despite the committed snapshot marker"
                         )
                     else:  # husk: crash between _SUCCESS retraction and rmtree
-                        shutil.rmtree(staged)
+                        FS.rmtree(staged)
                 else:
                     _restore_retired(l)
-            os.remove(committed)
+            FS.remove(committed)
             return "rolled_forward"
-        if os.path.exists(pending):
+        if FS.exists(pending):
             for l in _snapshot_members(base, pending):
                 staged = staging_path(l)
-                if os.path.isdir(staged):
-                    shutil.rmtree(staged)
+                if FS.isdir(staged):
+                    FS.rmtree(staged)
                 _restore_retired(l)
-            os.remove(pending)
+            FS.remove(pending)
             return "rolled_back"
         return None
     finally:
@@ -524,8 +537,9 @@ def gc_orphans(base: str, *, ttl: float = DEFAULT_LEASE_TTL) -> list[str]:
     + this sweep together are the complete reader-side recovery cycle
     (pinned exhaustively in tests/test_staging_gc.py).
     """
+    fsio.require(FS)
     removed: list[str] = []
-    if not os.path.isdir(base):
+    if not FS.isdir(base):
         return removed
     now = time.time()
     temp_prefixes = (
@@ -533,9 +547,9 @@ def gc_orphans(base: str, *, ttl: float = DEFAULT_LEASE_TTL) -> list[str]:
         SNAPSHOT_LEASE + ".reclaimed.",
         SNAPSHOT_LEASE + ".releasing.",
     )
-    for entry in sorted(os.listdir(base)):
+    for entry in sorted(FS.listdir(base)):
         path = os.path.join(base, entry)
-        if not os.path.isfile(path) or not entry.startswith(temp_prefixes):
+        if not FS.isfile(path) or not entry.startswith(temp_prefixes):
             continue
         try:
             # mtime guard. Caveat (r10 self-review): rename(2)
@@ -547,9 +561,9 @@ def gc_orphans(base: str, *, ttl: float = DEFAULT_LEASE_TTL) -> list[str]:
             # guards), and only an already-stale (i.e. reclaimable)
             # lease's aside can ever look stale here. A fresh lease's
             # aside carries a fresh mtime and is never touched.
-            if now - os.path.getmtime(path) <= ttl:
+            if now - FS.getmtime(path) <= ttl:
                 continue  # a live writer's in-flight window
-            os.remove(path)
+            FS.remove(path)
             removed.append(path)
         except FileNotFoundError:
             continue  # lost a concurrent-gc race: already gone
@@ -558,14 +572,14 @@ def gc_orphans(base: str, *, ttl: float = DEFAULT_LEASE_TTL) -> list[str]:
     # acquire_lease uses (one winner; losers see FileNotFoundError).
     lease = _lease_path(base)
     if (
-        os.path.exists(lease)
+        FS.exists(lease)
         and not _lease_fresh(base, ttl)
-        and not os.path.exists(os.path.join(base, SNAPSHOT_PENDING))
-        and not os.path.exists(os.path.join(base, SNAPSHOT_COMMIT))
+        and not FS.exists(os.path.join(base, SNAPSHOT_PENDING))
+        and not FS.exists(os.path.join(base, SNAPSHOT_COMMIT))
     ):
         aside = lease + ".reclaimed." + uuid.uuid4().hex
         try:
-            os.rename(lease, aside)
+            FS.rename(lease, aside)
         except FileNotFoundError:
             pass  # a writer or another gc got there first
         else:
@@ -579,18 +593,18 @@ def gc_orphans(base: str, *, ttl: float = DEFAULT_LEASE_TTL) -> list[str]:
             # newer lease). The few-syscalls window is the same
             # documented residual as release_lease's.
             try:
-                fresh = now - os.path.getmtime(aside) <= ttl
+                fresh = now - FS.getmtime(aside) <= ttl
             except FileNotFoundError:
                 fresh = False  # another gc removed it: nothing to do
             if fresh:
                 try:
-                    os.link(aside, lease)
+                    FS.link(aside, lease)
                 except FileExistsError:
                     pass  # an even newer lease already exists
                 except FileNotFoundError:
                     pass
             try:
-                os.remove(aside)
+                FS.remove(aside)
                 if not fresh:
                     removed.append(lease)
             except FileNotFoundError:
@@ -599,7 +613,7 @@ def gc_orphans(base: str, *, ttl: float = DEFAULT_LEASE_TTL) -> list[str]:
 
 
 def _snapshot_members(base: str, marker: str) -> list[str]:
-    with open(marker) as f:
+    with FS.open_read(marker) as f:
         rels = [line.strip() for line in f if line.strip()]
     return [os.path.join(base, r) for r in rels]
 
@@ -608,17 +622,17 @@ def _restore_retired(live: str) -> str | None:
     """Put back any partition that was renamed aside but whose
     replacement never landed (defensive: `commit` normally removes
     these itself)."""
-    if not os.path.isdir(live):
+    if not FS.isdir(live):
         return None
     action = None
-    for entry in sorted(os.listdir(live)):
+    for entry in sorted(FS.listdir(live)):
         if not entry.endswith(RETIRED_SUFFIX):
             continue
         retired_e = os.path.join(live, entry)
         live_e = retired_e[: -len(RETIRED_SUFFIX)]
-        if os.path.isdir(live_e):
-            shutil.rmtree(retired_e)
+        if FS.isdir(live_e):
+            FS.rmtree(retired_e)
         else:
-            os.rename(retired_e, live_e)
+            FS.rename(retired_e, live_e)
         action = "restored_retired"
     return action

@@ -39,6 +39,31 @@ next tick re-records the fold from its manifest and finishes deleting
 its source files (underscore-prefixed files are invisible to parquet
 readers by convention).
 
+Crash-window hardening (ADVICE r12, closed r13):
+
+- fold names come from the next FREE ``fold_NNNNNN`` index on disk —
+  max over existing fold dirs (ours, torn, or foreign squatters),
+  staging leftovers, and recorded state — never ``len(folds)``, so a
+  torn fold dir that `heal_lake` skipped can no longer wedge every
+  subsequent tick on a rename collision;
+- the fold manifest and the staging dir are fsynced before the
+  rename, and the lake dir after it, so a power cut cannot commit the
+  rename while forgetting the manifest the heal path depends on;
+- each deleting tick also sweeps leftover source files of ALREADY
+  recorded folds (a crash between `_save_folded` and the delete loop
+  used to leak them forever — reads stayed correct, but the buffer
+  regrew the small-files problem). The sweep runs only under
+  ``delete_folded=True``, so keep-sources callers are untouched.
+
+Filesystem binding (VERDICT r12 #3): every file op goes through the
+`fsio` seam and each public entry point calls `fsio.require` first —
+an object-store binding without atomic rename fails LOUDLY with
+`FilesystemCapabilityError` instead of corrupting silently mid-"copy".
+The manifest-commit variant for object stores is documented in
+`fsio.py` and SCALE.md. (Spark itself writes the staging parquet via
+its own JVM path — the seam governs the protocol's metadata and
+commit ops, which is where the atomicity assumptions live.)
+
 Scale shape: each tick's cost is O(files folded) — the buffer is
 bounded by fold cadence × micro-batch rate, the lake grows by one
 O(target_files) fold dir per tick, and nothing ever re-reads or
@@ -50,19 +75,22 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
+import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .. import fsio
 
 _FOLDED_STATE = "_folded.json"
 _FOLD_MANIFEST = "_FOLDED_SOURCES.json"
 _STAGING_PREFIX = "_staging_fold_"
+_FOLD_NAME_RE = re.compile(r"fold_(\d{6,})$")
 
 
-def _read_log_entries(log_file: str) -> list[str]:
+def _read_log_entries(log_file: str, fs: fsio.PosixFS = fsio.POSIX) -> list[str]:
     """Data-file paths listed by one sink-log file (v1 JSON lines)."""
     out: list[str] = []
-    with open(log_file) as fh:
+    with fs.open_read(log_file) as fh:
         for line in fh:
             line = line.strip()
             if not line or line == "v1":
@@ -83,14 +111,14 @@ def _read_log_entries(log_file: str) -> list[str]:
     return out
 
 
-def _sink_log(sink_path: str) -> dict[int, tuple[bool, str]]:
+def _sink_log(sink_path: str, fs: fsio.PosixFS = fsio.POSIX) -> dict[int, tuple[bool, str]]:
     """batch id → (is_compact, log-file path), one entry per batch id
     (a ``.compact`` supersedes a plain file of the same id)."""
     meta = os.path.join(sink_path, "_spark_metadata")
-    if not os.path.isdir(meta):
+    if not fs.isdir(meta):
         return {}
     by_id: dict[int, tuple[bool, str]] = {}
-    for name in os.listdir(meta):
+    for name in fs.listdir(meta):
         if name.startswith(".") or name.endswith(".crc"):
             continue
         is_compact = name.endswith(".compact")
@@ -105,12 +133,12 @@ def _sink_log(sink_path: str) -> dict[int, tuple[bool, str]]:
     return by_id
 
 
-def _sink_committed_files(sink_path: str) -> list[str]:
+def _sink_committed_files(sink_path: str, fs: fsio.PosixFS = fsio.POSIX) -> list[str]:
     """The sink log's authoritative CURRENT file set: every add listed
     by the latest ``.compact`` (which replays all history) plus all
     later plain entries — correct even after Spark deletes superseded
     plain log files. Order is log order; duplicates collapse."""
-    log = _sink_log(sink_path)
+    log = _sink_log(sink_path, fs=fs)
     if not log:
         return []
     compacts = [b for b, (c, _) in log.items() if c]
@@ -118,69 +146,97 @@ def _sink_committed_files(sink_path: str) -> list[str]:
     seen: set[str] = set()
     out: list[str] = []
     for bid in sorted(b for b in log if b >= start):
-        for p in _read_log_entries(log[bid][1]):
+        for p in _read_log_entries(log[bid][1], fs=fs):
             if p not in seen:
                 seen.add(p)
                 out.append(p)
     return out
 
 
-def _hot_tail_files(sink_path: str, keep_last_batches: int) -> set[str]:
+def _hot_tail_files(
+    sink_path: str, keep_last_batches: int, fs: fsio.PosixFS = fsio.POSIX
+) -> set[str]:
     """Files attributed to the newest ``keep_last_batches`` log
     entries — the conservative hot tail the fold never touches. A
     ``.compact`` entry in the tail re-lists history, which only makes
     the tail LARGER (under-folding for one tick), never smaller."""
-    log = _sink_log(sink_path)
+    log = _sink_log(sink_path, fs=fs)
     hot: set[str] = set()
     for bid in sorted(log)[-keep_last_batches:] if log else []:
-        hot.update(_read_log_entries(log[bid][1]))
+        hot.update(_read_log_entries(log[bid][1], fs=fs))
     return hot
 
 
-def _load_folded(lake_path: str) -> dict:
+def _load_folded(lake_path: str, fs: fsio.PosixFS = fsio.POSIX) -> dict:
     p = os.path.join(lake_path, _FOLDED_STATE)
-    if not os.path.exists(p):
-        return {"files": [], "folds": []}
-    with open(p) as fh:
+    if not fs.exists(p):
+        return {"files": [], "folds": [], "pending_delete": []}
+    with fs.open_read(p) as fh:
         state = json.load(fh)
     state.setdefault("files", [])
     state.setdefault("folds", [])
+    state.setdefault("pending_delete", [])
     return state
 
 
-def _save_folded(lake_path: str, state: dict) -> None:
-    os.makedirs(lake_path, exist_ok=True)
+def _save_folded(lake_path: str, state: dict, fs: fsio.PosixFS = fsio.POSIX) -> None:
+    fs.makedirs(lake_path, exist_ok=True)
     tmp = os.path.join(lake_path, _FOLDED_STATE + ".tmp")
-    with open(tmp, "w") as fh:
+    with fs.open_write(tmp) as fh:
         json.dump(state, fh, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(lake_path, _FOLDED_STATE))
+    fs.fsync_file(tmp)
+    fs.replace(tmp, os.path.join(lake_path, _FOLDED_STATE))
+    fs.fsync_dir(lake_path)
 
 
-def heal_lake(lake_path: str) -> None:
+def _next_fold_index(lake_path: str, state: dict, fs: fsio.PosixFS = fsio.POSIX) -> int:
+    """Next FREE fold index: one past the max over every fold-shaped
+    name on disk (committed, torn, foreign squatter, or abandoned
+    staging) and every recorded fold. ``len(folds)`` was wrong twice
+    over (ADVICE r12): a torn fold dir heal_lake skips isn't in state,
+    and a foreign ``fold_000007`` squatter isn't ours — either made
+    the tick's rename collide forever."""
+    top = -1
+    if fs.isdir(lake_path):
+        for name in fs.listdir(lake_path):
+            if name.startswith(_STAGING_PREFIX):
+                name = name[len(_STAGING_PREFIX) :]
+            m = _FOLD_NAME_RE.match(name)
+            if m:
+                top = max(top, int(m.group(1)))
+    for f in state["folds"]:
+        m = _FOLD_NAME_RE.match(f["dir"])
+        if m:
+            top = max(top, int(m.group(1)))
+    return top + 1
+
+
+def heal_lake(lake_path: str, *, fs: fsio.PosixFS = fsio.POSIX) -> None:
     """Remove abandoned staging dirs; re-record any fold dir that
     committed (rename done) before its watermark write landed, from
     the manifest the fold carries INSIDE itself — and finish deleting
     that fold's source files (the crash-window leak, code-review r12).
     Fold-named dirs without a readable manifest are skipped, never a
-    crash."""
-    if not os.path.isdir(lake_path):
+    crash (`_next_fold_index` keeps them from wedging later ticks)."""
+    fsio.require(fs)
+    if not fs.isdir(lake_path):
         return
-    state = _load_folded(lake_path)
+    state = _load_folded(lake_path, fs=fs)
     known = {f["dir"] for f in state["folds"]}
     folded = set(state["files"])
     changed = False
-    for name in sorted(os.listdir(lake_path)):
+    for name in sorted(fs.listdir(lake_path)):
         full = os.path.join(lake_path, name)
         if name.startswith(_STAGING_PREFIX):
-            shutil.rmtree(full, ignore_errors=True)
+            fs.rmtree(full, ignore_errors=True)
             continue
-        if not (name.startswith("fold_") and os.path.isdir(full)):
+        if not (name.startswith("fold_") and fs.isdir(full)):
             continue
         if name in known:
             continue
         manifest = os.path.join(full, _FOLD_MANIFEST)
         try:
-            with open(manifest) as fh:
+            with fs.open_read(manifest) as fh:
                 sources = json.load(fh)
         except (OSError, ValueError):
             continue  # not one of ours (or torn) — leave it alone
@@ -188,13 +244,56 @@ def heal_lake(lake_path: str) -> None:
         folded.update(sources)
         for p in sources:  # finish the interrupted source deletion
             try:
-                os.remove(p)
+                fs.remove(p)
             except OSError:
                 pass
         changed = True
     if changed:
         state["files"] = sorted(folded)
-        _save_folded(lake_path, state)
+        _save_folded(lake_path, state, fs=fs)
+
+
+def _sweep_pending_deletes(
+    lake_path: str, state: dict, fs: fsio.PosixFS = fsio.POSIX
+) -> None:
+    """Finish the PREVIOUS tick's interrupted source deletion (ADVICE
+    r12: a crash between `_save_folded` and the delete loop leaked the
+    folded buffer files permanently — heal_lake only finishes deletion
+    for folds it newly re-records). The fold tick records its delete
+    intent in ``state['pending_delete']`` BEFORE deleting and clears
+    it after, so this sweep is O(one crash window's files), never
+    O(every file ever folded). Runs only on deleting ticks; reads
+    never delete."""
+    if not state["pending_delete"]:
+        return
+    for p in state["pending_delete"]:
+        try:
+            fs.remove(p)
+        except OSError:
+            pass
+    state["pending_delete"] = []
+    _save_folded(lake_path, state, fs=fs)
+
+
+def vacuum_lake(lake_path: str, *, fs: fsio.PosixFS = fsio.POSIX) -> int:
+    """One-shot retroactive sweep: delete EVERY still-on-disk source
+    file recorded as folded (``state['files']``). O(all files ever
+    folded) — for manual/periodic cleanup of leaks that predate the
+    ``pending_delete`` ledger, not for the per-tick path. Returns the
+    number of files removed."""
+    fsio.require(fs)
+    if not fs.isdir(lake_path):
+        return 0
+    state = _load_folded(lake_path, fs=fs)
+    removed = 0
+    for p in state["files"]:
+        if fs.exists(p):
+            try:
+                fs.remove(p)
+                removed += 1
+            except OSError:
+                pass
+    return removed
 
 
 def fold_closed_batches(
@@ -205,6 +304,7 @@ def fold_closed_batches(
     keep_last_batches: int = 1,
     target_files: int = 1,
     delete_folded: bool = True,
+    fs: fsio.PosixFS = fsio.POSIX,
 ) -> int:
     """One maintenance tick: compact every CLOSED sink file into the
     lake. Closed = committed to the sink's ``_spark_metadata`` log,
@@ -213,29 +313,32 @@ def fold_closed_batches(
     log entry is durable, but the stream owner may still be serving
     readers the raw path for its freshest batch). Returns the number
     of FILES folded; 0 is a normal idle tick."""
+    fsio.require(fs)
     if keep_last_batches < 1:
         raise ValueError(
             f"keep_last_batches must be >= 1 (the in-flight guard), "
             f"got {keep_last_batches}"
         )
-    heal_lake(lake_path)
-    committed = _sink_committed_files(sink_path)
+    heal_lake(lake_path, fs=fs)
+    committed = _sink_committed_files(sink_path, fs=fs)
+    state = _load_folded(lake_path, fs=fs)
+    if delete_folded:
+        _sweep_pending_deletes(lake_path, state, fs=fs)
     if not committed:
         return 0
-    state = _load_folded(lake_path)
     folded = set(state["files"])
-    hot = _hot_tail_files(sink_path, keep_last_batches)
+    hot = _hot_tail_files(sink_path, keep_last_batches, fs=fs)
     files = [
         p
         for p in committed
-        if p not in folded and p not in hot and os.path.exists(p)
+        if p not in folded and p not in hot and fs.exists(p)
     ]
     if not files:
         return 0
-    fold_name = f"fold_{len(state['folds']):06d}"
+    fold_name = f"fold_{_next_fold_index(lake_path, state, fs=fs):06d}"
     staging = os.path.join(lake_path, _STAGING_PREFIX + fold_name)
     final = os.path.join(lake_path, fold_name)
-    shutil.rmtree(staging, ignore_errors=True)
+    fs.rmtree(staging, ignore_errors=True)
     (
         spark.read.parquet(*files)
         .coalesce(target_files)
@@ -244,24 +347,41 @@ def fold_closed_batches(
         .parquet(staging)
     )
     # the manifest rides inside the fold, BEFORE the atomic rename:
-    # heal_lake can always finish a fold from the fold alone
-    with open(os.path.join(staging, _FOLD_MANIFEST), "w") as fh:
+    # heal_lake can always finish a fold from the fold alone. fsync
+    # manifest + staging dir first, and the lake dir after — rename
+    # is atomic but NOT durable without them (ADVICE r12).
+    manifest = os.path.join(staging, _FOLD_MANIFEST)
+    with fs.open_write(manifest) as fh:
         json.dump(sorted(files), fh)
-    os.replace(staging, final)  # the single atomic commit point
+    fs.fsync_file(manifest)
+    fs.fsync_dir(staging)
+    fs.replace(staging, final)  # the single atomic commit point
+    fs.fsync_dir(lake_path)
     state["folds"].append({"dir": fold_name, "n_files": len(files)})
     state["files"] = sorted(folded | set(files))
-    _save_folded(lake_path, state)
+    # record the delete intent WITH the fold commit: a crash anywhere
+    # inside the delete loop is finished by the next tick's
+    # _sweep_pending_deletes instead of leaking the buffer files
+    state["pending_delete"] = sorted(files) if delete_folded else []
+    _save_folded(lake_path, state, fs=fs)
     if delete_folded:
         for p in files:
             try:
-                os.remove(p)
+                fs.remove(p)
             except OSError:
                 pass
+        state["pending_delete"] = []
+        _save_folded(lake_path, state, fs=fs)
     return len(files)
 
 
 def read_stream_output(
-    spark: SparkSession, sink_path: str, lake_path: str
+    spark: SparkSession,
+    sink_path: str,
+    lake_path: str,
+    *,
+    schema=None,
+    fs: fsio.PosixFS = fsio.POSIX,
 ) -> DataFrame:
     """The read surface for a compacted streaming sink: compacted lake
     folds ∪ the buffer's not-yet-folded committed files. Matches a
@@ -269,28 +389,46 @@ def read_stream_output(
     the fold lifecycle (pinned in tests); in-flight files — on disk
     but absent from the sink log — are excluded exactly as the sink
     log itself excludes them. Robust to Spark compacting/cleaning its
-    own sink log: both sides are tracked per file path."""
-    heal_lake(lake_path)
+    own sink log: both sides are tracked per file path.
+
+    ``schema`` handles the nothing-committed-yet edge (ADVICE r12): a
+    fresh stream that has written its ``_spark_metadata`` log but no
+    committed data file cannot have its schema inferred — with
+    ``schema`` given an empty DataFrame of that shape is returned,
+    without it the error names the situation instead of surfacing
+    Spark's bare 'unable to infer schema'."""
+    fsio.require(fs)
+    heal_lake(lake_path, fs=fs)
     state = (
-        _load_folded(lake_path)
-        if os.path.isdir(lake_path)
+        _load_folded(lake_path, fs=fs)
+        if fs.isdir(lake_path)
         else {"files": [], "folds": []}
     )
     folded = set(state["files"])
     tail = [
         p
-        for p in _sink_committed_files(sink_path)
-        if p not in folded and os.path.exists(p)
+        for p in _sink_committed_files(sink_path, fs=fs)
+        if p not in folded and fs.exists(p)
     ]
     parts = []
     for f in state["folds"]:
         d = os.path.join(lake_path, f["dir"])
-        if os.path.isdir(d):
+        if fs.isdir(d):
             parts.append(spark.read.parquet(d))
     if tail:
         parts.append(spark.read.parquet(*tail))
     if not parts:
-        return spark.read.parquet(sink_path).limit(0)
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        try:
+            return spark.read.parquet(sink_path).limit(0)
+        except Exception as exc:  # AnalysisException: no data files yet
+            raise RuntimeError(
+                f"streaming sink {sink_path} has no committed data files "
+                "and no compacted folds — a fresh stream before its first "
+                "batch. Pass schema= to read_stream_output to get an "
+                "empty DataFrame of the expected shape."
+            ) from exc
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

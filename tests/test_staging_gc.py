@@ -53,21 +53,27 @@ class _Injector:
         self.ops += 1
 
     def install(self, mp: pytest.MonkeyPatch):
-        for name in _PATCHED:
-            real = getattr(os, name)
+        # r13: the module's file ops route through the injectable
+        # `fsio` seam (atomic.FS), so the crash gate wraps the SEAM's
+        # mutation methods — the same five syscall boundaries as
+        # before (rename/replace/remove/link/rmtree), now proving the
+        # protocol stays crash-safe THROUGH the seam.
+        from purpleair_data_logger_spark import fsio
 
-            def wrapped(*a, __real=real, **k):
-                self._gate()
-                return __real(*a, **k)
+        injector = self
 
-            mp.setattr(atomic.os, name, wrapped)
-        real_rmtree = shutil.rmtree
+        class GatedFS(fsio.PosixFS):
+            pass
 
-        def wrapped_rmtree(*a, **k):
-            self._gate()
-            return real_rmtree(*a, **k)
+        for name in _PATCHED + ("rmtree",):
+            real = getattr(fsio.PosixFS, name)
 
-        mp.setattr(atomic.shutil, "rmtree", wrapped_rmtree)
+            def wrapped(self, *a, __real=real, **k):
+                injector._gate()
+                return __real(self, *a, **k)
+
+            setattr(GatedFS, name, wrapped)
+        mp.setattr(atomic, "FS", GatedFS())
 
 
 def _mk_table(base, name, *, staged_success=True):

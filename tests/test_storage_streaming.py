@@ -3131,3 +3131,118 @@ def test_streaming_pack_offsets_continue_across_batches(spark, tmp_path):
             want[did] = (s, start, start // 16)
             cum[s] = start + tok
     assert got == want
+
+
+def _mk_synthetic_sink(spark, tmp_path, n_batches, rows_per_batch=5):
+    """A FileStreamSink-shaped directory built by hand: one parquet
+    part file per batch plus a v1 ``_spark_metadata`` log listing it —
+    the exact format `compaction._read_log_entries` parses. Lets the
+    fold-tick edge cases run without standing up a streaming query."""
+    import json as _json
+    import os
+    import shutil as _sh
+
+    sink = str(tmp_path / "syn_sink")
+    meta = os.path.join(sink, "_spark_metadata")
+    os.makedirs(meta, exist_ok=True)
+    per_batch = {}
+    for b in range(n_batches):
+        tmp = str(tmp_path / f"syn_tmp_{b}")
+        spark.createDataFrame(
+            [(b * 100 + i, i) for i in range(rows_per_batch)],
+            "doc_id long, v long",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(sink, f"part-{b:05d}.snappy.parquet")
+        _sh.copy(os.path.join(tmp, part), dst)
+        with open(os.path.join(meta, str(b)), "w") as fh:
+            fh.write("v1\n" + _json.dumps({"path": dst, "action": "add"}) + "\n")
+        per_batch[b] = dst
+    return sink, per_batch
+
+
+def test_compaction_fold_name_skips_squatters_and_torn_dirs(spark, tmp_path):
+    """ADVICE r12: fold names came from len(state['folds']), so a torn
+    fold dir heal_lake skips (or a foreign squatter) collided with the
+    next tick's rename FOREVER. Names now come from the next free
+    fold_NNNNNN index across disk and state."""
+    import json as _json
+    import os
+
+    from purpleair_data_logger_spark.streaming import compaction as C
+
+    sink, per_batch = _mk_synthetic_sink(spark, tmp_path, 3)
+    lake = str(tmp_path / "syn_lake")
+    # plant a torn fold dir (no readable manifest — heal skips it) and
+    # a foreign squatter at a high index BEFORE the first tick
+    os.makedirs(os.path.join(lake, "fold_000000"), exist_ok=True)
+    os.makedirs(os.path.join(lake, "fold_000007"), exist_ok=True)
+    n = C.fold_closed_batches(spark, sink, lake, keep_last_batches=1)
+    assert n == 2  # batches 0-1 fold, batch 2 is the hot tail
+    state = _json.load(open(os.path.join(lake, "_folded.json")))
+    assert [f["dir"] for f in state["folds"]] == ["fold_000008"]
+    # the torn dirs are untouched, the tick did not wedge
+    assert os.path.isdir(os.path.join(lake, "fold_000000"))
+    assert os.path.isdir(os.path.join(lake, "fold_000007"))
+    got = {tuple(r) for r in C.read_stream_output(spark, sink, lake).collect()}
+    want = {(b * 100 + i, i) for b in range(3) for i in range(5)}
+    assert got == want
+
+
+def test_compaction_pending_delete_sweep_closes_leak(spark, tmp_path):
+    """ADVICE r12: a crash between `_save_folded` and the delete loop
+    leaked the folded buffer files permanently (heal only finishes
+    deletion for folds it newly re-records). The fold now commits its
+    delete intent in state['pending_delete']; the next deleting tick
+    sweeps it. The sweep is bounded to the crash window, and
+    `vacuum_lake` handles pre-ledger leaks retroactively."""
+    import json as _json
+    import os
+
+    from purpleair_data_logger_spark.streaming import compaction as C
+
+    sink, per_batch = _mk_synthetic_sink(spark, tmp_path, 3)
+    lake = str(tmp_path / "syn_lake2")
+    assert C.fold_closed_batches(spark, sink, lake, keep_last_batches=1) == 2
+    state_path = os.path.join(lake, "_folded.json")
+    state = _json.load(open(state_path))
+    assert state["pending_delete"] == []  # normal tick clears it
+
+    # simulate the crash: folded sources back on disk, intent recorded
+    leaked = [per_batch[0], per_batch[1]]
+    src = per_batch[2]
+    import shutil as _sh
+    for p in leaked:
+        _sh.copy(src, p)
+    state["pending_delete"] = sorted(leaked)
+    with open(state_path, "w") as fh:
+        _json.dump(state, fh)
+    # an idle deleting tick finishes the interrupted deletion
+    assert C.fold_closed_batches(spark, sink, lake, keep_last_batches=3) == 0
+    assert not any(os.path.exists(p) for p in leaked)
+    assert _json.load(open(state_path))["pending_delete"] == []
+
+    # pre-ledger leak (state['files'] entry on disk, no pending record)
+    _sh.copy(src, leaked[0])
+    assert C.vacuum_lake(lake) == 1
+    assert not os.path.exists(leaked[0])
+
+
+def test_read_stream_output_fresh_sink_schema_fallback(spark, tmp_path):
+    """ADVICE r12: a fresh stream with a _spark_metadata log but zero
+    committed data files used to surface Spark's bare 'unable to infer
+    schema'. With schema= the read returns an empty frame of that
+    shape; without it the error names the situation."""
+    import os
+
+    import pytest as _pytest
+
+    from purpleair_data_logger_spark.streaming import compaction as C
+
+    sink = str(tmp_path / "fresh_sink")
+    os.makedirs(os.path.join(sink, "_spark_metadata"), exist_ok=True)
+    lake = str(tmp_path / "fresh_lake")
+    df = C.read_stream_output(spark, sink, lake, schema="doc_id long, v long")
+    assert df.count() == 0 and df.columns == ["doc_id", "v"]
+    with _pytest.raises(RuntimeError, match="no committed data files"):
+        C.read_stream_output(spark, sink, lake)
