@@ -209,6 +209,178 @@ def sample_frames(
     return df.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("bands", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+#: Average-hash geometry: 64 "pixels" → 64 bits → 8 bands of 8 bits.
+#: Bands double as the LSH keys (see `phash_neardup_pairs`), so the
+#: pigeonhole recall contract below depends on these two constants.
+PHASH_PIXELS = 64
+PHASH_BANDS = 8
+
+
+def thumbnail_image(payload: bytes, media_type: str, n_pixels: int) -> list:
+    """Real thumbnailer entry point — STUB: a production deployment
+    decodes the image (PIL/ffmpeg keyframe) and downsamples to an
+    ``n_pixels`` grayscale strip, the classic aHash preprocessing.
+    Decode libs absent here; pass thumbnailer=fake_thumbnailer."""
+    raise NotImplementedError(
+        "perceptual-hash thumbnailing requires PIL/ffmpeg, not present in "
+        "this container; pass thumbnailer=fake_thumbnailer for the "
+        "deterministic test path"
+    )
+
+
+def fake_thumbnailer(payload: bytes, media_type: str, n_pixels: int) -> list:
+    """Deterministic stand-in for decode+downsample: the payload's
+    utf-8 code points sampled at ``n_pixels`` strided positions — a
+    LOCALITY-PRESERVING fake (unlike `fake_decoder`'s digest, which
+    avalanches): a small substitution edit to the payload moves only
+    the sampled positions it touches, so perceptually-near payloads
+    land Hamming-near, which is the property the real decoder has and
+    the near-dup rung needs. Same (payload, media_type, n) → pixel
+    list contract a real thumbnailer plugs into."""
+    s = (payload or b"").decode("utf-8", errors="replace")
+    n = len(s)
+    if n == 0:
+        return [0] * n_pixels
+    return [ord(s[(k * n) // n_pixels]) for k in range(n_pixels)]
+
+
+def perceptual_hash(
+    df: DataFrame,
+    *,
+    thumbnailer: Callable[[bytes, str, int], list] = thumbnail_image,
+    n_pixels: int = PHASH_PIXELS,
+    n_bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual signature via `mapInPandas`:
+    thumbnail → bit k = (pixel_k · n_pixels ≥ Σ pixels), integer-exact
+    (no float mean), packed little-endian into ``n_bands`` byte-sized
+    band values. The bands ARE the LSH keys downstream. NULL payload →
+    NULL bands (SQL NULL propagation; such rows can never be
+    candidates). 1:1 with inputs, one Arrow pass, O(n_pixels)/row."""
+    if n_pixels % n_bands != 0:
+        raise ValueError(f"n_pixels {n_pixels} not divisible by n_bands {n_bands}")
+    width = n_pixels // n_bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, mt in zip(pdf["payload"], pdf["media_type"]):
+                if p is None:
+                    out.append(None)
+                    continue
+                px = thumbnailer(p, mt, n_pixels)
+                tot = sum(px)
+                bits = [1 if v * n_pixels >= tot else 0 for v in px]
+                out.append(
+                    [
+                        sum(bits[b * width + j] << j for j in range(width))
+                        for b in range(n_bands)
+                    ]
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "bands": out})
+
+    return df.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    *,
+    thumbnailer: Callable[[bytes, str, int], list] = thumbnail_image,
+    max_hamming: int = 6,
+    max_bucket_size: int | None = None,
+    n_pixels: int = PHASH_PIXELS,
+    n_bands: int = PHASH_BANDS,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs over a media column — the
+    multimodal rung of the dedup ladder (VERDICT r12 missing #3),
+    reusing the banded-LSH discipline of `operators.dedup`:
+
+    1. `perceptual_hash` signatures (one Arrow stage);
+    2. band equi-join candidates — each band value is an LSH bucket
+       key, so candidate cost is collision-bounded, NEVER all-pairs;
+       ``max_bucket_size`` applies `dedup.keep_buckets_within_cap`
+       (the degenerate-boilerplate cap, e.g. blank images) before the
+       self-join, bounding the worst bucket to cap·(cap−1)/2;
+    3. verify candidates by exact Hamming distance over the packed
+       bands (JVM-side ``zip_with``/``bit_count``, no Python).
+
+    RECALL CONTRACT (pigeonhole): a pair with Hamming distance
+    < ``n_bands`` differs in fewer bits than there are bands, so at
+    least one band matches exactly and the pair IS a candidate —
+    recall 1 for every pair with distance ≤ n_bands−1 (absent the
+    cap, whose drops are the documented boilerplate trade). The
+    default ``max_hamming=6`` sits inside that guarantee.
+
+    100 TB pattern: the signature plan is referenced three times
+    (band explode + both verify sides), and Spark recomputes shared
+    subplans — so at scale compute `perceptual_hash` ONCE, persist it
+    (the signature table is ~40 bytes/row, the persistable artifact of
+    the `dedup.lsh_banded` convention), and pass it as ``signatures``
+    so the real decoder runs exactly once per payload. ``df`` may then
+    be None; the default recompute path is for small/one-shot corpora.
+
+    Returns (media_id_1, media_id_2, hamming), id_1 < id_2.
+    """
+    from purpleair_data_logger_spark.operators.dedup import (
+        keep_buckets_within_cap,
+    )
+
+    ph = (
+        signatures
+        if signatures is not None
+        else perceptual_hash(
+            df, thumbnailer=thumbnailer, n_pixels=n_pixels, n_bands=n_bands
+        )
+    ).filter(F.col("bands").isNotNull())
+    long = ph.select(
+        "media_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    if max_bucket_size is not None:
+        long = keep_buckets_within_cap(
+            long, max_bucket_size, keys=("band_idx", "band_val")
+        )
+    a, b = long.alias("a"), long.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_1"),
+            F.col("b.media_id").alias("media_id_2"),
+        )
+        .distinct()
+    )
+    h1 = ph.select(
+        F.col("media_id").alias("media_id_1"), F.col("bands").alias("_b1")
+    )
+    h2 = ph.select(
+        F.col("media_id").alias("media_id_2"), F.col("bands").alias("_b2")
+    )
+    hamming = F.aggregate(
+        F.zip_with("_b1", "_b2", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x.cast("int"),
+    ).cast("int")
+    return (
+        cands.join(h1, "media_id_1")
+        .join(h2, "media_id_2")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("media_id_1", "media_id_2", "hamming")
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -433,3 +433,93 @@ def ann_index_append(spark, sf_dir):
     )
 
 
+
+
+_PHASH_NEARDUP_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000, translate(text, 'e', '3')
+  FROM documents WHERE doc_id %% 7 = 0),
+px AS (
+  SELECT media_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN length(text) = 0 THEN list_transform(range(0,64), k -> 0)
+              ELSE list_transform(range(0,64), k ->
+                unicode(substr(text, CAST((k*length(text))//64 AS INT)+1, 1)))
+         END AS p
+  FROM m),
+bands AS (
+  SELECT media_id,
+         list_transform(range(0,8), b ->
+           CAST(list_sum(list_transform(range(0,8), j ->
+             CASE WHEN p[CAST(8*b+j AS INT)+1]*64 >= list_sum(p)
+                  THEN 1<<CAST(j AS INT) ELSE 0 END)) AS INT)) AS bd
+  FROM px WHERE p IS NOT NULL),
+long AS (
+  SELECT media_id, CAST(r.b AS INT) AS b, bd[CAST(r.b AS INT)+1] AS v
+  FROM bands, range(0,8) r(b)),
+kept AS (
+  SELECT l.* FROM long l
+  JOIN (SELECT b, v FROM long GROUP BY b, v HAVING count(*) <= %(cap)d) c
+  USING (b, v)),
+cand AS (
+  SELECT DISTINCT l1.media_id AS id1, l2.media_id AS id2
+  FROM kept l1
+  JOIN kept l2 ON l1.b = l2.b AND l1.v = l2.v AND l1.media_id < l2.media_id),
+ham AS (
+  SELECT c.id1 AS media_id_1, c.id2 AS media_id_2,
+         CAST(list_sum(list_transform(range(0,8), i ->
+           bit_count(xor(b1.bd[CAST(i AS INT)+1],
+                         b2.bd[CAST(i AS INT)+1])))) AS INT) AS hamming
+  FROM cand c
+  JOIN bands b1 ON b1.media_id = c.id1
+  JOIN bands b2 ON b2.media_id = c.id2)
+SELECT media_id_1, media_id_2, hamming FROM ham WHERE hamming <= %(ham)d
+""" % {"cap": 48, "ham": 6}
+
+
+@register(
+    "multimodal_phash_neardup",
+    _PHASH_NEARDUP_ORACLE,
+    "north-star multimodal near-dup: perceptual-hash (aHash) banded LSH "
+    "over the stub-decoder seam, bucket-capped, Hamming-verified "
+    "(VERDICT r12 missing #3)",
+)
+def multimodal_phash_neardup(spark, sf_dir):
+    """The multimodal rung of the dedup ladder: average-hash perceptual
+    signatures over binary payloads (locality-preserving fake
+    thumbnailer — the injectable seam a real PIL/ffmpeg decoder plugs
+    into), banded into 8 LSH bucket keys, degenerate buckets capped
+    BEFORE the candidate self-join (`dedup.keep_buckets_within_cap`),
+    candidates Hamming-verified JVM-side (zip_with + bit_count — no
+    Python past the one Arrow signature stage).
+
+    The corpus plants deterministic perceptual near-dups: every 7th
+    document reappears as a leetspeak substitution edit ('e'→'3'),
+    which preserves length so the strided thumbnail stays aligned —
+    Hamming-small by construction, exactly how a re-encoded/
+    lightly-edited image lands near its original under a real aHash.
+    The oracle replays the ENTIRE pipeline (thumbnail arithmetic from
+    text code points, integer-exact mean bits, band packing, the
+    bucket-size HAVING cap, candidate join, Hamming verify) in DuckDB.
+
+    Pigeonhole recall contract: max_hamming=6 < 8 bands, so every
+    qualifying pair shares at least one exact band — recall 1 absent
+    the cap; the cap's drops are the documented boilerplate trade
+    (pinned with a planted blank-payload family in test_llm_ops)."""
+    from purpleair_data_logger_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.translate("text", "e", "3").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(variants)
+    media = mm.attach_binary_payload(corpus, "doc_id", "text")
+    return mm.phash_neardup_pairs(
+        media,
+        thumbnailer=mm.fake_thumbnailer,
+        max_hamming=6,
+        max_bucket_size=48,
+    )

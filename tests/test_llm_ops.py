@@ -1386,3 +1386,144 @@ def test_rerank_real_scorer_is_stubbed():
 
     with pytest.raises(NotImplementedError, match="model runtime"):
         rk.cross_encode("q", "d")
+
+
+def _py_phash(text: str, n_pixels: int = 64, n_bands: int = 8):
+    """Reference signature: same arithmetic as `mm.perceptual_hash`,
+    computed driver-side for brute-force truth."""
+    px = mm.fake_thumbnailer(text.encode("utf-8"), "text/plain", n_pixels)
+    tot = sum(px)
+    bits = [1 if v * n_pixels >= tot else 0 for v in px]
+    w = n_pixels // n_bands
+    return [sum(bits[b * w + j] << j for j in range(w)) for b in range(n_bands)]
+
+
+def _py_hamming(s1, s2):
+    return sum(bin(a ^ b).count("1") for a, b in zip(s1, s2))
+
+
+def test_phash_neardup_recall_contract_vs_bruteforce(spark):
+    """Pigeonhole recall contract: with 8 bands, EVERY pair at Hamming
+    distance <= 7 shares at least one exact band, so absent the bucket
+    cap the banded candidates contain all such pairs — the operator's
+    verified output at max_hamming=7 must EQUAL the brute-force
+    all-pairs truth (ids and distances)."""
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the long trip",
+        "sphinx of black quartz judge my vow before the winter ends",
+        "how vexingly quick daft zebras jump over fences at midnight",
+    ]
+    docs = []
+    for i, t in enumerate(base):
+        docs.append((i * 10, t))
+        docs.append((i * 10 + 1, t.replace("e", "3")))       # near
+        docs.append((i * 10 + 2, t.replace("o", "0")))       # near
+        docs.append((i * 10 + 3, t[::-1]))                   # far
+    truth = {}
+    for i, (ida, ta) in enumerate(docs):
+        sa = _py_phash(ta)
+        for idb, tb in docs[i + 1:]:
+            h = _py_hamming(sa, _py_phash(tb))
+            if h <= 7:
+                truth[(min(ida, idb), max(ida, idb))] = h
+    assert truth, "fixture must plant at least one near pair"
+    media = mm.attach_binary_payload(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    got = {
+        (r["media_id_1"], r["media_id_2"]): r["hamming"]
+        for r in mm.phash_neardup_pairs(
+            media, thumbnailer=mm.fake_thumbnailer, max_hamming=7
+        ).collect()
+    }
+    assert got == truth
+
+
+def test_phash_bucket_cap_drops_planted_blank_family(spark):
+    """The degenerate-bucket cap on the multimodal rung: a planted
+    family of identical payloads (blank-image analogue) collapses into
+    one bucket per band; with the cap on, its quadratic pair set is
+    dropped BEFORE the candidate join while an unrelated small near-dup
+    pair survives — `keep_buckets_within_cap` semantics end-to-end."""
+    family = [(1000 + i, "boilerplate cookie banner text " * 3) for i in range(40)]
+    # distinct payloads, phash-identical (delta-1 code-point edit flips
+    # no aHash bit on this text): the genuine near-dup the cap must keep
+    pair = [
+        (1, "a perfectly distinctive sentence about volcanic geology"),
+        (2, "a perfectly distinctive sentence about volcanic geolpgy"),
+    ]
+    media = mm.attach_binary_payload(
+        spark.createDataFrame(family + pair, "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    uncapped = mm.phash_neardup_pairs(
+        media, thumbnailer=mm.fake_thumbnailer, max_hamming=7
+    )
+    capped = mm.phash_neardup_pairs(
+        media, thumbnailer=mm.fake_thumbnailer, max_hamming=7,
+        max_bucket_size=10,
+    )
+    fam_ids = {i for i, _ in family}
+    un = {(r[0], r[1]) for r in uncapped.select("media_id_1", "media_id_2").collect()}
+    cp = {(r[0], r[1]) for r in capped.select("media_id_1", "media_id_2").collect()}
+    assert sum(1 for a, b in un if a in fam_ids and b in fam_ids) == 40 * 39 // 2
+    assert not any(a in fam_ids and b in fam_ids for a, b in cp)
+    assert (1, 2) in un and (1, 2) in cp  # the real near-dup survives the cap
+
+
+def test_phash_null_and_empty_payload_contract(spark):
+    """NULL payload -> NULL bands, never a candidate (SQL NULL
+    propagation); empty payload -> all-zero pixels -> deterministic
+    all-ones signature, so two empties are exact phash dups."""
+    rows = [(1, "some text"), (2, None), (3, ""), (4, "")]
+    media = mm.attach_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string"), "doc_id", "text"
+    )
+    ph = {r["media_id"]: r["bands"] for r in mm.perceptual_hash(
+        media, thumbnailer=mm.fake_thumbnailer
+    ).collect()}
+    assert ph[2] is None
+    assert ph[3] == ph[4] == [255] * 8
+    pairs = mm.phash_neardup_pairs(
+        media, thumbnailer=mm.fake_thumbnailer, max_hamming=7
+    ).collect()
+    got = {(r["media_id_1"], r["media_id_2"], r["hamming"]) for r in pairs}
+    assert (3, 4, 0) in got
+    assert not any(2 in (a, b) for a, b, _ in got)
+
+
+def test_phash_real_thumbnailer_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.thumbnail_image(b"bytes", "image/png", 64)
+    with pytest.raises(ValueError):
+        mm.perceptual_hash(None, n_pixels=60, n_bands=8)
+
+
+def test_phash_neardup_precomputed_signatures_parity(spark):
+    """The 100 TB path decodes ONCE: a persisted `perceptual_hash`
+    artifact passed via signatures= must give identical pairs to the
+    recompute path (df may be omitted entirely)."""
+    docs = [(i, f"document number {i} with some shared boilerplate text")
+            for i in range(20)]
+    docs += [(100 + i, t.replace("e", "3")) for i, (j, t) in enumerate(docs[:5])]
+    media = mm.attach_binary_payload(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    sigs = mm.perceptual_hash(media, thumbnailer=mm.fake_thumbnailer).persist()
+    try:
+        via_sigs = {
+            tuple(r) for r in mm.phash_neardup_pairs(
+                None, max_hamming=7, signatures=sigs
+            ).collect()
+        }
+        recompute = {
+            tuple(r) for r in mm.phash_neardup_pairs(
+                media, thumbnailer=mm.fake_thumbnailer, max_hamming=7
+            ).collect()
+        }
+    finally:
+        sigs.unpersist()
+    assert via_sigs == recompute and via_sigs

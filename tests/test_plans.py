@@ -1342,3 +1342,14 @@ def test_rerank_crossencoder_candidate_bounded_plan(spark, sf):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "BroadcastHashJoin" in plan
     assert E.count(plan, "WindowGroupLimit") >= 1
+
+
+def test_multimodal_phash_neardup_plan(spark, sf):
+    """The multimodal near-dup rung must stay collision-bounded: band
+    equi-join (never a cartesian/BNLJ all-pairs), one Arrow signature
+    stage (MapInPandas), zero row-at-a-time Python."""
+    plan = _plan(spark, sf, "multimodal_phash_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert E.count(plan, "MapInPandas") >= 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
