@@ -523,3 +523,61 @@ def multimodal_phash_neardup(spark, sf_dir):
         max_hamming=6,
         max_bucket_size=48,
     )
+
+
+_PHASH_CLUSTER_ORACLE = (
+    _PHASH_NEARDUP_ORACLE.replace("WITH m AS", "WITH RECURSIVE m AS")
+    .rpartition("SELECT media_id_1")[0]
+    + """,
+edges AS (
+  SELECT media_id_1 AS u, media_id_2 AS v FROM ham WHERE hamming <= 6
+  UNION
+  SELECT media_id_2, media_id_1 FROM ham WHERE hamming <= 6),
+cc(node, root) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, cc.root FROM cc JOIN edges e ON e.u = cc.node),
+comp AS (SELECT node, min(root) AS cluster_id FROM cc GROUP BY node)
+SELECT m.media_id,
+       coalesce(comp.cluster_id, m.media_id) AS cluster_id,
+       coalesce(comp.cluster_id, m.media_id) = m.media_id AS keep
+FROM m LEFT JOIN comp ON comp.node = m.media_id
+"""
+)
+
+
+@register(
+    "multimodal_phash_dedup",
+    _PHASH_CLUSTER_ORACLE,
+    "north-star multimodal dedup decision: phash pairs -> connected "
+    "components -> canonical survivor per media cluster",
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """The multimodal ladder completed to the DECISION stage: the
+    `multimodal_phash_neardup` pairs resolved to clusters (min-label
+    propagation over edge-incident nodes only) with one canonical
+    survivor per cluster — `clusters.cluster_dedup` composed over the
+    perceptual-hash pair generator, the same final step the text
+    ladder takes in `neardup_cluster_dedup`. Output is the full media
+    assignment (media_id, cluster_id, keep); the oracle replays the
+    whole chain, components included, as a recursive CTE."""
+    from purpleair_data_logger_spark.operators import clusters as cl
+    from purpleair_data_logger_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.translate("text", "e", "3").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(variants)
+    media = mm.attach_binary_payload(corpus, "doc_id", "text")
+    pairs = mm.phash_neardup_pairs(
+        media,
+        thumbnailer=mm.fake_thumbnailer,
+        max_hamming=6,
+        max_bucket_size=48,
+    )
+    ids = corpus.select(F.col("doc_id").alias("media_id"))
+    return cl.cluster_dedup(
+        ids, "media_id", pairs, src_col="media_id_1", dst_col="media_id_2"
+    )
