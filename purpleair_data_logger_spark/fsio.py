@@ -18,16 +18,19 @@ filesystem that cannot declare the needed capabilities raises the
 named :class:`FilesystemCapabilityError` BEFORE any mutation, turning
 the silent-corruption mode into a refusal.
 
-Object-store variant (documented, not implemented — see SCALE.md
-"Maintenance-path filesystem contract"): replace the dir-rename commit
-with MANIFEST-COMMIT — write the fold under its final unique name
-(uniqueness from the fold index, no staging rename), make visibility
-flow ONLY from an atomically-updated manifest (`_folded.json` via
-conditional PUT / a log service), and have the read path trust the
-manifest alone rather than directory existence. The compaction state
-file already is such a manifest; the remaining work is a
-`ManifestCommitFS` whose `replace` is a conditional-PUT CAS, which
-slots into this seam without touching the protocol modules.
+Object-store variant — IMPLEMENTED for the compaction tick
+(`streaming/compaction.py`, ``commit_mode="manifest"``): the fold is
+written under its final unique name (no staging rename), visibility
+flows ONLY from the atomically-swapped `_folded.json` state file
+(conditional PUT / generation-precondition on a real store — the
+:data:`ATOMIC_FILE_PUT` capability), the read path trusts the state
+file alone, and heal DELETES unrecorded fold dirs instead of adopting
+them (the state swap is the commit, so an unrecorded dir is an
+uncommitted write whose sources were never deleted). The mode is
+recorded in the lake's state and enforced per lake. `sinks/atomic.py`
+remains rename-bound (its multi-table swap semantics genuinely need
+rename; on an object store use a real table format instead, per
+COVERAGE.md).
 
 Durability note (ADVICE r13 input): POSIX `rename` is atomic but not
 durable — a power cut can forget a committed rename unless the file
@@ -46,9 +49,18 @@ import shutil
 ATOMIC_RENAME = "atomic_rename"
 EXCLUSIVE_CREATE = "exclusive_create"
 CONSISTENT_LISTING = "consistent_listing"
+#: Atomic whole-object put/overwrite of a SINGLE small file — the one
+#: primitive every real object store has (S3 conditional PUT / GCS
+#: generation precondition), and all the manifest-commit compaction
+#: mode needs: visibility flows from one atomically-swapped state
+#: file, never from directory renames or listings.
+ATOMIC_FILE_PUT = "atomic_file_put"
 REQUIRED_CAPABILITIES = frozenset(
     {ATOMIC_RENAME, EXCLUSIVE_CREATE, CONSISTENT_LISTING}
 )
+#: What `streaming/compaction.py` needs per commit_mode.
+RENAME_COMMIT_CAPS = REQUIRED_CAPABILITIES
+MANIFEST_COMMIT_CAPS = frozenset({ATOMIC_FILE_PUT})
 
 
 class FilesystemCapabilityError(RuntimeError):
@@ -65,8 +77,9 @@ def require(fs: "PosixFS", needed: frozenset = REQUIRED_CAPABILITIES) -> None:
             f"{type(fs).__name__} lacks required filesystem capabilities "
             f"{sorted(missing)} — the rename-based maintenance protocol "
             "would corrupt silently here. Use a POSIX/HDFS-backed path, "
-            "or implement the manifest-commit variant documented in "
-            "purpleair_data_logger_spark/fsio.py and SCALE.md."
+            "or — for streaming-sink compaction on an object store — the "
+            "manifest-commit mode (fold_closed_batches(..., "
+            'commit_mode="manifest"), needs only atomic_file_put).'
         )
 
 
@@ -76,7 +89,7 @@ class PosixFS:
     method mirrors its os-level namesake's contract exactly."""
 
     def capabilities(self) -> frozenset:
-        return REQUIRED_CAPABILITIES
+        return REQUIRED_CAPABILITIES | {ATOMIC_FILE_PUT}
 
     # --- namespace ---
     def listdir(self, path: str) -> list:

@@ -56,13 +56,23 @@ Crash-window hardening (ADVICE r12, closed r13):
   ``delete_folded=True``, so keep-sources callers are untouched.
 
 Filesystem binding (VERDICT r12 #3): every file op goes through the
-`fsio` seam and each public entry point calls `fsio.require` first —
-an object-store binding without atomic rename fails LOUDLY with
-`FilesystemCapabilityError` instead of corrupting silently mid-"copy".
-The manifest-commit variant for object stores is documented in
-`fsio.py` and SCALE.md. (Spark itself writes the staging parquet via
-its own JVM path — the seam governs the protocol's metadata and
-commit ops, which is where the atomicity assumptions live.)
+`fsio` seam and each public entry point runs the capability check for
+the lake's COMMIT MODE (recorded in the state file, pinned per lake):
+
+* ``rename`` (default, POSIX/HDFS) — staged write + atomic dir rename
+  as the commit point; requires atomic rename / O_EXCL / consistent
+  listing, refused loudly (`FilesystemCapabilityError`) otherwise;
+* ``manifest`` (object stores) — the fold is written under its FINAL
+  unique name and the atomic swap of ``_folded.json`` IS the commit
+  (conditional PUT on a real store); readers trust the state file
+  alone, heal DELETES unrecorded fold dirs (uncommitted writes whose
+  sources were never deleted), and only `fsio.ATOMIC_FILE_PUT` is
+  required — no dir rename, no O_EXCL, no listing-consistency on the
+  read path.
+
+(Spark itself writes the fold parquet via its own JVM path — the seam
+governs the protocol's metadata and commit ops, which is where the
+atomicity assumptions live.)
 
 Scale shape: each tick's cost is O(files folded) — the buffer is
 bounded by fold cadence × micro-batch rate, the lake grows by one
@@ -170,13 +180,47 @@ def _hot_tail_files(
 def _load_folded(lake_path: str, fs: fsio.PosixFS = fsio.POSIX) -> dict:
     p = os.path.join(lake_path, _FOLDED_STATE)
     if not fs.exists(p):
-        return {"files": [], "folds": [], "pending_delete": []}
+        return {"files": [], "folds": [], "pending_delete": [],
+                "commit_mode": "rename"}
     with fs.open_read(p) as fh:
         state = json.load(fh)
     state.setdefault("files", [])
     state.setdefault("folds", [])
     state.setdefault("pending_delete", [])
+    state.setdefault("commit_mode", "rename")
     return state
+
+
+def _has_state(lake_path: str, fs: fsio.PosixFS) -> bool:
+    return fs.exists(os.path.join(lake_path, _FOLDED_STATE))
+
+
+def _resolve_mode(
+    state: dict, commit_mode: str | None, has_state: bool
+) -> str:
+    """Per-lake commit-mode pin: the mode is recorded in the state
+    file at the first save and every later caller must match — mixing
+    rename-commit and manifest-commit semantics on one lake would
+    make heal adopt another mode's garbage (or GC its commits)."""
+    recorded = state["commit_mode"] if has_state else None
+    if commit_mode is None:
+        return recorded or "rename"
+    if commit_mode not in ("rename", "manifest"):
+        raise ValueError(f"unknown commit_mode {commit_mode!r}")
+    if recorded is not None and recorded != commit_mode:
+        raise ValueError(
+            f"lake was committed with commit_mode={recorded!r}; "
+            f"refusing {commit_mode!r} (one mode per lake)"
+        )
+    return commit_mode
+
+
+def _mode_caps(mode: str) -> frozenset:
+    return (
+        fsio.RENAME_COMMIT_CAPS
+        if mode == "rename"
+        else fsio.MANIFEST_COMMIT_CAPS
+    )
 
 
 def _save_folded(lake_path: str, state: dict, fs: fsio.PosixFS = fsio.POSIX) -> None:
@@ -211,17 +255,36 @@ def _next_fold_index(lake_path: str, state: dict, fs: fsio.PosixFS = fsio.POSIX)
     return top + 1
 
 
-def heal_lake(lake_path: str, *, fs: fsio.PosixFS = fsio.POSIX) -> None:
-    """Remove abandoned staging dirs; re-record any fold dir that
-    committed (rename done) before its watermark write landed, from
-    the manifest the fold carries INSIDE itself — and finish deleting
-    that fold's source files (the crash-window leak, code-review r12).
+def heal_lake(
+    lake_path: str,
+    *,
+    fs: fsio.PosixFS = fsio.POSIX,
+    commit_mode: str | None = None,
+) -> None:
+    """Crash recovery, per the lake's recorded commit mode
+    (``commit_mode`` is only a hint for a lake whose FIRST fold
+    crashed before any state file existed; a recorded mode wins).
+
+    ``rename`` mode (the commit point is the staging→final dir
+    rename): remove abandoned staging dirs; re-record any fold dir
+    that committed before its watermark write landed, from the
+    manifest the fold carries INSIDE itself — and finish deleting that
+    fold's source files (the crash-window leak, code-review r12).
     Fold-named dirs without a readable manifest are skipped, never a
-    crash (`_next_fold_index` keeps them from wedging later ticks)."""
-    fsio.require(fs)
+    crash (`_next_fold_index` keeps them from wedging later ticks).
+
+    ``manifest`` mode (the commit point is the atomic state-file
+    swap): an unrecorded fold dir is an UNCOMMITTED write — its source
+    files were never deleted and the write may be torn — so heal
+    DELETES it; the next tick refolds the same sources under a fresh
+    name. No adoption, no dir renames, no listing-consistency
+    dependence on the read path (readers trust the state file alone).
+    """
+    state = _load_folded(lake_path, fs=fs)
+    mode = _resolve_mode(state, commit_mode, _has_state(lake_path, fs))
+    fsio.require(fs, _mode_caps(mode))  # refuse BEFORE any mutation
     if not fs.isdir(lake_path):
         return
-    state = _load_folded(lake_path, fs=fs)
     known = {f["dir"] for f in state["folds"]}
     folded = set(state["files"])
     changed = False
@@ -233,6 +296,15 @@ def heal_lake(lake_path: str, *, fs: fsio.PosixFS = fsio.POSIX) -> None:
         if not (name.startswith("fold_") and fs.isdir(full)):
             continue
         if name in known:
+            continue
+        if mode == "manifest":
+            # an unrecorded dir with OUR naming shape is an uncommitted
+            # write (the state swap never happened) — roll it back; the
+            # sources were never deleted, the next tick refolds them.
+            # Foreign fold_* dirs outside the fold_NNNNNN shape are
+            # left alone (the protocol never writes such names).
+            if _FOLD_NAME_RE.match(name):
+                fs.rmtree(full, ignore_errors=True)
             continue
         manifest = os.path.join(full, _FOLD_MANIFEST)
         try:
@@ -281,10 +353,12 @@ def vacuum_lake(lake_path: str, *, fs: fsio.PosixFS = fsio.POSIX) -> int:
     folded) — for manual/periodic cleanup of leaks that predate the
     ``pending_delete`` ledger, not for the per-tick path. Returns the
     number of files removed."""
-    fsio.require(fs)
+    state = _load_folded(lake_path, fs=fs)
+    fsio.require(
+        fs, _mode_caps(_resolve_mode(state, None, _has_state(lake_path, fs)))
+    )
     if not fs.isdir(lake_path):
         return 0
-    state = _load_folded(lake_path, fs=fs)
     removed = 0
     for p in state["files"]:
         if fs.exists(p):
@@ -305,6 +379,7 @@ def fold_closed_batches(
     target_files: int = 1,
     delete_folded: bool = True,
     fs: fsio.PosixFS = fsio.POSIX,
+    commit_mode: str | None = None,
 ) -> int:
     """One maintenance tick: compact every CLOSED sink file into the
     lake. Closed = committed to the sink's ``_spark_metadata`` log,
@@ -312,16 +387,30 @@ def fold_closed_batches(
     ``keep_last_batches`` log entries (the conservative hot tail — the
     log entry is durable, but the stream owner may still be serving
     readers the raw path for its freshest batch). Returns the number
-    of FILES folded; 0 is a normal idle tick."""
-    fsio.require(fs)
+    of FILES folded; 0 is a normal idle tick.
+
+    ``commit_mode`` (pinned per lake at first fold, None = recorded):
+
+    * ``"rename"`` (default) — POSIX/HDFS: staged write, fsync, one
+      atomic dir rename as the commit point;
+    * ``"manifest"`` — object stores: the fold is written under its
+      FINAL unique name, and the atomic swap of the state file IS the
+      commit (conditional PUT on a real store — only the
+      `fsio.ATOMIC_FILE_PUT` capability is required; no dir rename,
+      no O_EXCL, and readers never depend on listings).
+    """
     if keep_last_batches < 1:
         raise ValueError(
             f"keep_last_batches must be >= 1 (the in-flight guard), "
             f"got {keep_last_batches}"
         )
-    heal_lake(lake_path, fs=fs)
+    pre = _load_folded(lake_path, fs=fs)
+    mode = _resolve_mode(pre, commit_mode, _has_state(lake_path, fs))
+    fsio.require(fs, _mode_caps(mode))
+    heal_lake(lake_path, fs=fs, commit_mode=mode)
     committed = _sink_committed_files(sink_path, fs=fs)
     state = _load_folded(lake_path, fs=fs)
+    state["commit_mode"] = mode
     if delete_folded:
         _sweep_pending_deletes(lake_path, state, fs=fs)
     if not committed:
@@ -336,9 +425,12 @@ def fold_closed_batches(
     if not files:
         return 0
     fold_name = f"fold_{_next_fold_index(lake_path, state, fs=fs):06d}"
-    staging = os.path.join(lake_path, _STAGING_PREFIX + fold_name)
     final = os.path.join(lake_path, fold_name)
-    fs.rmtree(staging, ignore_errors=True)
+    if mode == "rename":
+        staging = os.path.join(lake_path, _STAGING_PREFIX + fold_name)
+        fs.rmtree(staging, ignore_errors=True)
+    else:
+        staging = final  # manifest mode: write at the final name
     (
         spark.read.parquet(*files)
         .coalesce(target_files)
@@ -346,17 +438,22 @@ def fold_closed_batches(
         .option("compression", "zstd")
         .parquet(staging)
     )
-    # the manifest rides inside the fold, BEFORE the atomic rename:
-    # heal_lake can always finish a fold from the fold alone. fsync
-    # manifest + staging dir first, and the lake dir after — rename
-    # is atomic but NOT durable without them (ADVICE r12).
+    # the manifest rides inside the fold: heal_lake (rename mode) can
+    # always finish a fold from the fold alone, and audits can map any
+    # fold back to its sources in either mode
     manifest = os.path.join(staging, _FOLD_MANIFEST)
     with fs.open_write(manifest) as fh:
         json.dump(sorted(files), fh)
     fs.fsync_file(manifest)
-    fs.fsync_dir(staging)
-    fs.replace(staging, final)  # the single atomic commit point
-    fs.fsync_dir(lake_path)
+    if mode == "rename":
+        # fsync staging dir first and the lake dir after — rename is
+        # atomic but NOT durable without them (ADVICE r12)
+        fs.fsync_dir(staging)
+        fs.replace(staging, final)  # the single atomic commit point
+        fs.fsync_dir(lake_path)
+    # manifest mode: no rename — the _save_folded swap below is THE
+    # commit; a crash before it leaves an unrecorded dir that heal
+    # rolls back, never a half-visible fold
     state["folds"].append({"dir": fold_name, "n_files": len(files)})
     state["files"] = sorted(folded | set(files))
     # record the delete intent WITH the fold commit: a crash anywhere
@@ -397,7 +494,14 @@ def read_stream_output(
     ``schema`` given an empty DataFrame of that shape is returned,
     without it the error names the situation instead of surfacing
     Spark's bare 'unable to infer schema'."""
-    fsio.require(fs)
+    pre = (
+        _load_folded(lake_path, fs=fs)
+        if fs.isdir(lake_path)
+        else {"files": [], "folds": [], "commit_mode": "rename"}
+    )
+    fsio.require(
+        fs, _mode_caps(_resolve_mode(pre, None, _has_state(lake_path, fs)))
+    )
     heal_lake(lake_path, fs=fs)
     state = (
         _load_folded(lake_path, fs=fs)

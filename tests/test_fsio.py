@@ -25,8 +25,31 @@ def test_require_names_missing_capabilities():
         fsio.require(ObjectStoreLikeFS())
     msg = str(e.value)
     assert fsio.ATOMIC_RENAME in msg and fsio.EXCLUSIVE_CREATE in msg
-    assert "manifest-commit" in msg  # points at the documented variant
+    assert "manifest" in msg  # points at the implemented variant
     fsio.require(fsio.POSIX)  # the POSIX binding passes
+
+
+def test_manifest_commit_capability_sets():
+    """The per-mode capability split: rename mode needs the full POSIX
+    triple, manifest mode ONLY atomic single-file put — a put-only
+    binding passes the manifest contract and is refused by the rename
+    one; POSIX passes both."""
+
+    class PutOnlyFS(fsio.PosixFS):
+        def capabilities(self):
+            return frozenset({fsio.ATOMIC_FILE_PUT})
+
+    fsio.require(PutOnlyFS(), fsio.MANIFEST_COMMIT_CAPS)
+    with pytest.raises(fsio.FilesystemCapabilityError):
+        fsio.require(PutOnlyFS(), fsio.RENAME_COMMIT_CAPS)
+    fsio.require(fsio.POSIX, fsio.RENAME_COMMIT_CAPS)
+    fsio.require(fsio.POSIX, fsio.MANIFEST_COMMIT_CAPS)
+    # rename-mode compaction on a put-only binding refuses up front
+    with pytest.raises(fsio.FilesystemCapabilityError):
+        C.fold_closed_batches(
+            None, "/nonexistent/s", "/nonexistent/l",
+            fs=PutOnlyFS(), commit_mode="rename",
+        )
 
 
 def test_compaction_entry_points_refuse_object_store(tmp_path):
