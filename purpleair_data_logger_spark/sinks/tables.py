@@ -384,8 +384,50 @@ class SensorTableStore:
             },
         )
 
-    def _add_policy(self, proc_name: str, table: str, config: dict) -> bool:
-        if table not in S.TABLE_NAMES:
+    def add_stream_compaction_policy(
+        self,
+        sink_name: str,
+        *,
+        sink_path: str,
+        lake_path: str,
+        keep_last_batches: int = 1,
+        target_files: int = 1,
+        commit_mode: str | None = None,
+    ) -> bool:
+        """Register a streaming-sink compaction policy: each
+        `run_policies` tick runs `streaming.compaction.
+        fold_closed_batches` over ``sink_path`` → ``lake_path``, so the
+        small-files tick shares the one scheduled maintenance entry
+        point with retention and compression instead of needing its own
+        scheduler slot. ``sink_name`` is a free-form label (stream
+        sinks are not one of the nine store tables); add-if-absent per
+        (kind, label) like the other policies. ``commit_mode`` pins the
+        lake's commit protocol ("rename" POSIX/HDFS, "manifest" object
+        stores) exactly as `fold_closed_batches` documents."""
+        if commit_mode not in (None, "rename", "manifest"):
+            raise ValueError(f"unknown commit_mode {commit_mode!r}")
+        return self._add_policy(
+            "policy_stream_compaction",
+            sink_name,
+            {
+                "sink_path": sink_path,
+                "lake_path": lake_path,
+                "keep_last_batches": int(keep_last_batches),
+                "target_files": int(target_files),
+                "commit_mode": commit_mode,
+            },
+            validate_table=False,
+        )
+
+    def _add_policy(
+        self,
+        proc_name: str,
+        table: str,
+        config: dict,
+        *,
+        validate_table: bool = True,
+    ) -> bool:
+        if validate_table and table not in S.TABLE_NAMES:
             raise ValueError(f"unknown table {table!r}")
         policies = self._load_policies()
         for p in policies:
@@ -423,7 +465,8 @@ class SensorTableStore:
         maintenance tick (Timescale's background job runner; here the
         caller owns scheduling, e.g. one Airflow/cron task). Returns
         {f"{proc_name}:{table}": outcome} — dropped partition dirs for
-        retention, compacted partition count for compression."""
+        retention, compacted partition count for compression, files
+        folded for stream compaction."""
         results: dict[str, object] = {}
         for p in self._load_policies():
             key = f"{p['proc_name']}:{p['table']}"
@@ -437,6 +480,20 @@ class SensorTableStore:
                     after_days=p["config"]["after_days"],
                     target_partitions=p["config"]["target_partitions"],
                     now=now,
+                )
+            elif p["proc_name"] == "policy_stream_compaction":
+                from purpleair_data_logger_spark.streaming import (
+                    compaction as _compaction,
+                )
+
+                cfg = p["config"]
+                results[key] = _compaction.fold_closed_batches(
+                    self.spark,
+                    cfg["sink_path"],
+                    cfg["lake_path"],
+                    keep_last_batches=cfg["keep_last_batches"],
+                    target_files=cfg["target_files"],
+                    commit_mode=cfg.get("commit_mode"),
                 )
         return results
 

@@ -3398,3 +3398,49 @@ def test_compaction_manifest_mode_crash_rolls_back_uncommitted(spark, tmp_path):
         tuple(r)
         for r in C.read_stream_output(spark, sink, lake, fs=ofs).collect()
     } == truth
+
+
+def test_stream_compaction_policy_runs_on_maintenance_tick(spark, tmp_path):
+    """The streaming-sink compaction tick registers in the F8 policy
+    catalog and runs under the same `run_policies` maintenance entry
+    point as retention/compression — no second scheduler slot.
+    Add-if-absent, persisted across store instances, label shows in
+    the catalog read, the tick folds closed batches and is idempotent
+    when nothing new closes."""
+    import os
+
+    from purpleair_data_logger_spark.streaming import compaction as C
+
+    sink, per_batch = _mk_synthetic_sink(spark, tmp_path, 3)
+    lake = str(tmp_path / "pol_lake")
+    store = _store(spark, tmp_path)
+    assert (
+        store.add_stream_compaction_policy(
+            "pack_sink", sink_path=sink, lake_path=lake, keep_last_batches=1
+        )
+        is True
+    )
+    assert (
+        store.add_stream_compaction_policy(
+            "pack_sink", sink_path=sink, lake_path=lake
+        )
+        is False  # add-if-absent on (kind, label)
+    )
+    with pytest.raises(ValueError, match="commit_mode"):
+        store.add_stream_compaction_policy(
+            "other", sink_path=sink, lake_path=lake, commit_mode="bogus"
+        )
+    rows = store.policy_catalog("policy_stream_compaction").collect()
+    assert [(r["proc_name"], r["table_name"]) for r in rows] == [
+        ("policy_stream_compaction", "pack_sink")
+    ]
+
+    # a fresh store instance sees the persisted policy and runs it
+    store2 = SensorTableStore(spark, store.base_path, cluster_partitions=2)
+    results = store2.run_policies()
+    assert results["policy_stream_compaction:pack_sink"] == 2  # batches 0-1
+    assert not os.path.exists(per_batch[0])
+    got = {tuple(r) for r in C.read_stream_output(spark, sink, lake).collect()}
+    assert got == {(b * 100 + i, i) for b in range(3) for i in range(5)}
+    # idle tick: nothing new closed
+    assert store2.run_policies()["policy_stream_compaction:pack_sink"] == 0
