@@ -479,6 +479,36 @@ SELECT media_id_1, media_id_2, hamming FROM ham WHERE hamming <= %(ham)d
 """ % {"cap": 48, "ham": 6}
 
 
+def _phash_corpus(spark, sf_dir):
+    """The planted perceptual-near-dup corpus BOTH phash queries (and
+    both %-formatted oracle constants) are defined over — one place to
+    change the variant scheme so the pair query and the dedup decision
+    built on it can never drift apart. Every 7th document reappears as
+    a leetspeak substitution edit ('e'->'3'): length-preserving, so the
+    strided thumbnail stays aligned and the variant lands Hamming-near
+    its original."""
+    d = _t(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.translate("text", "e", "3").alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(variants)
+
+
+def _phash_pairs(spark, sf_dir):
+    from purpleair_data_logger_spark.operators import multimodal as mm
+
+    media = mm.attach_binary_payload(
+        _phash_corpus(spark, sf_dir), "doc_id", "text"
+    )
+    return mm.phash_neardup_pairs(
+        media,
+        thumbnailer=mm.fake_thumbnailer,
+        max_hamming=6,
+        max_bucket_size=48,
+    )
+
+
 @register(
     "multimodal_phash_neardup",
     _PHASH_NEARDUP_ORACLE,
@@ -508,21 +538,7 @@ def multimodal_phash_neardup(spark, sf_dir):
     qualifying pair shares at least one exact band — recall 1 absent
     the cap; the cap's drops are the documented boilerplate trade
     (pinned with a planted blank-payload family in test_llm_ops)."""
-    from purpleair_data_logger_spark.operators import multimodal as mm
-
-    d = _t(spark, sf_dir, "documents")
-    variants = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.translate("text", "e", "3").alias("text"),
-    )
-    corpus = d.select("doc_id", "text").unionByName(variants)
-    media = mm.attach_binary_payload(corpus, "doc_id", "text")
-    return mm.phash_neardup_pairs(
-        media,
-        thumbnailer=mm.fake_thumbnailer,
-        max_hamming=6,
-        max_bucket_size=48,
-    )
+    return _phash_pairs(spark, sf_dir)
 
 
 _PHASH_CLUSTER_ORACLE = (
@@ -562,22 +578,11 @@ def multimodal_phash_dedup(spark, sf_dir):
     assignment (media_id, cluster_id, keep); the oracle replays the
     whole chain, components included, as a recursive CTE."""
     from purpleair_data_logger_spark.operators import clusters as cl
-    from purpleair_data_logger_spark.operators import multimodal as mm
 
-    d = _t(spark, sf_dir, "documents")
-    variants = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.translate("text", "e", "3").alias("text"),
+    pairs = _phash_pairs(spark, sf_dir)
+    ids = _phash_corpus(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id")
     )
-    corpus = d.select("doc_id", "text").unionByName(variants)
-    media = mm.attach_binary_payload(corpus, "doc_id", "text")
-    pairs = mm.phash_neardup_pairs(
-        media,
-        thumbnailer=mm.fake_thumbnailer,
-        max_hamming=6,
-        max_bucket_size=48,
-    )
-    ids = corpus.select(F.col("doc_id").alias("media_id"))
     return cl.cluster_dedup(
         ids, "media_id", pairs, src_col="media_id_1", dst_col="media_id_2"
     )

@@ -460,13 +460,24 @@ class SensorTableStore:
             df = df.filter(F.col("proc_name") == proc_name)
         return df
 
-    def run_policies(self, *, now=None) -> dict[str, object]:
+    def run_policies(self, *, now=None, stream_fs=None) -> dict[str, object]:
         """Execute every registered policy once — the scheduled
         maintenance tick (Timescale's background job runner; here the
         caller owns scheduling, e.g. one Airflow/cron task). Returns
         {f"{proc_name}:{table}": outcome} — dropped partition dirs for
         retention, compacted partition count for compression, files
-        folded for stream compaction."""
+        folded for stream compaction.
+
+        ``stream_fs``: filesystem binding handed to the
+        stream-compaction ticks (the store's own nine tables are
+        rename-bound by design, but a stream lake registered with
+        ``commit_mode="manifest"`` lives on an object store whose
+        binding must be injected here — without it the default POSIX
+        binding would see no sink log on a remote path and quietly
+        report 0 files folded forever, code-review r13)."""
+        from purpleair_data_logger_spark import fsio as _fsio
+
+        stream_fs = stream_fs or _fsio.POSIX
         results: dict[str, object] = {}
         for p in self._load_policies():
             key = f"{p['proc_name']}:{p['table']}"
@@ -494,6 +505,7 @@ class SensorTableStore:
                     keep_last_batches=cfg["keep_last_batches"],
                     target_files=cfg["target_files"],
                     commit_mode=cfg.get("commit_mode"),
+                    fs=stream_fs,
                 )
         return results
 

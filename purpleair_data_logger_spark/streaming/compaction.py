@@ -56,8 +56,11 @@ Crash-window hardening (ADVICE r12, closed r13):
   ``delete_folded=True``, so keep-sources callers are untouched.
 
 Filesystem binding (VERDICT r12 #3): every file op goes through the
-`fsio` seam and each public entry point runs the capability check for
-the lake's COMMIT MODE (recorded in the state file, pinned per lake):
+`fsio` seam and each MUTATING entry point (`fold_closed_batches`,
+`heal_lake`, `vacuum_lake`) runs the capability check for the lake's
+COMMIT MODE (recorded in the state file, pinned per lake at the first
+tick, BEFORE the first fold can crash); `read_stream_output` is
+read-only and exempt:
 
 * ``rename`` (default, POSIX/HDFS) — staged write + atomic dir rename
   as the commit point; requires atomic rename / O_EXCL / consistent
@@ -279,12 +282,26 @@ def heal_lake(
     DELETES it; the next tick refolds the same sources under a fresh
     name. No adoption, no dir renames, no listing-consistency
     dependence on the read path (readers trust the state file alone).
+
+    Healing is an OWNER-side action (the fold ticker, or an operator
+    running this function): it deletes and re-records. Readers never
+    heal — both crash shapes leave reads correct by construction (see
+    `read_stream_output`) — so heal never races a reader; the single
+    maintenance owner is serialized with itself.
     """
     state = _load_folded(lake_path, fs=fs)
     mode = _resolve_mode(state, commit_mode, _has_state(lake_path, fs))
     fsio.require(fs, _mode_caps(mode))  # refuse BEFORE any mutation
     if not fs.isdir(lake_path):
         return
+    _heal_into(lake_path, state, mode, fs)
+
+
+def _heal_into(lake_path: str, state: dict, mode: str, fs: fsio.PosixFS) -> dict:
+    """`heal_lake`'s body over an already-loaded state dict, so the
+    fold tick loads the state file and lists the lake ONCE per tick
+    (each is a remote round-trip on an object store). Mutates and
+    persists ``state`` if anything changed; returns it either way."""
     known = {f["dir"] for f in state["folds"]}
     folded = set(state["files"])
     changed = False
@@ -323,6 +340,7 @@ def heal_lake(
     if changed:
         state["files"] = sorted(folded)
         _save_folded(lake_path, state, fs=fs)
+    return state
 
 
 def _sweep_pending_deletes(
@@ -404,13 +422,19 @@ def fold_closed_batches(
             f"keep_last_batches must be >= 1 (the in-flight guard), "
             f"got {keep_last_batches}"
         )
-    pre = _load_folded(lake_path, fs=fs)
-    mode = _resolve_mode(pre, commit_mode, _has_state(lake_path, fs))
-    fsio.require(fs, _mode_caps(mode))
-    heal_lake(lake_path, fs=fs, commit_mode=mode)
-    committed = _sink_committed_files(sink_path, fs=fs)
     state = _load_folded(lake_path, fs=fs)
+    mode = _resolve_mode(state, commit_mode, _has_state(lake_path, fs))
+    fsio.require(fs, _mode_caps(mode))
     state["commit_mode"] = mode
+    if not _has_state(lake_path, fs):
+        # pin the mode BEFORE any fold can crash: a first fold dying
+        # pre-commit must not leave a mode-less lake that a later
+        # hint-less heal would recover under the WRONG mode (rename
+        # heal adopts what manifest heal must roll back)
+        _save_folded(lake_path, state, fs=fs)
+    if fs.isdir(lake_path):
+        state = _heal_into(lake_path, state, mode, fs)
+    committed = _sink_committed_files(sink_path, fs=fs)
     if delete_folded:
         _sweep_pending_deletes(lake_path, state, fs=fs)
     if not committed:
@@ -458,8 +482,13 @@ def fold_closed_batches(
     state["files"] = sorted(folded | set(files))
     # record the delete intent WITH the fold commit: a crash anywhere
     # inside the delete loop is finished by the next tick's
-    # _sweep_pending_deletes instead of leaking the buffer files
-    state["pending_delete"] = sorted(files) if delete_folded else []
+    # _sweep_pending_deletes instead of leaking the buffer files. A
+    # keep-sources tick PRESERVES any crashed prior tick's ledger
+    # (its sweep is skipped, so clearing here would wipe the intent
+    # while the files still sit on disk — the exact leak the ledger
+    # closes)
+    if delete_folded:
+        state["pending_delete"] = sorted(files)
     _save_folded(lake_path, state, fs=fs)
     if delete_folded:
         for p in files:
@@ -493,21 +522,18 @@ def read_stream_output(
     committed data file cannot have its schema inferred — with
     ``schema`` given an empty DataFrame of that shape is returned,
     without it the error names the situation instead of surfacing
-    Spark's bare 'unable to infer schema'."""
-    pre = (
-        _load_folded(lake_path, fs=fs)
-        if fs.isdir(lake_path)
-        else {"files": [], "folds": [], "commit_mode": "rename"}
-    )
-    fsio.require(
-        fs, _mode_caps(_resolve_mode(pre, None, _has_state(lake_path, fs)))
-    )
-    heal_lake(lake_path, fs=fs)
-    state = (
-        _load_folded(lake_path, fs=fs)
-        if fs.isdir(lake_path)
-        else {"files": [], "folds": []}
-    )
+    Spark's bare 'unable to infer schema'.
+
+    Reads are strictly READ-ONLY: no healing, no capability
+    requirement (the contract guards mutation paths). Both crash
+    shapes leave reads correct by construction — a rename-mode fold
+    that committed before its watermark write is invisible to the lake
+    side while its sources are still committed in the sink log (read
+    from the tail); a manifest-mode fold whose state swap never
+    happened is likewise invisible with its sources intact. Crash GC
+    belongs to the owner's tick, so a reader never races the ticker's
+    in-progress fold (code-review r13)."""
+    state = _load_folded(lake_path, fs=fs)
     folded = set(state["files"])
     tail = [
         p

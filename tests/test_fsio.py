@@ -53,13 +53,16 @@ def test_manifest_commit_capability_sets():
 
 
 def test_compaction_entry_points_refuse_object_store(tmp_path):
+    """Every MUTATING entry point refuses a capability-less binding
+    before touching anything. `read_stream_output` is deliberately
+    absent: reads are read-only and exempt from the contract (both
+    crash shapes leave reads correct without healing — code-review
+    r13)."""
     bad = ObjectStoreLikeFS()
     with pytest.raises(fsio.FilesystemCapabilityError):
         C.heal_lake(str(tmp_path / "lake"), fs=bad)
     with pytest.raises(fsio.FilesystemCapabilityError):
         C.fold_closed_batches(None, str(tmp_path / "s"), str(tmp_path / "l"), fs=bad)
-    with pytest.raises(fsio.FilesystemCapabilityError):
-        C.read_stream_output(None, str(tmp_path / "s"), str(tmp_path / "l"), fs=bad)
     with pytest.raises(fsio.FilesystemCapabilityError):
         C.vacuum_lake(str(tmp_path / "lake"), fs=bad)
 

@@ -3338,10 +3338,12 @@ def test_compaction_manifest_mode_object_store_lifecycle(spark, tmp_path):
 def test_compaction_manifest_mode_crash_rolls_back_uncommitted(spark, tmp_path):
     """Manifest-mode crash semantics: a fold dir on disk but absent
     from the state file is an UNCOMMITTED write (the state swap IS the
-    commit) — heal DELETES it instead of adopting it, its sources are
-    refolded by the next tick, and reads never see the torn rows.
-    Foreign fold_* dirs outside the fold_NNNNNN protocol shape are
-    left alone in both modes."""
+    commit) — readers simply never see it (reads trust the state file
+    alone and never heal, so a reader cannot race the ticker's
+    in-progress fold), the OWNER's next tick deletes it and refolds
+    its sources under a fresh committed name. Foreign fold_* dirs
+    outside the fold_NNNNNN protocol shape are left alone in both
+    modes."""
     import json as _json
     import os
     import shutil as _sh
@@ -3375,22 +3377,24 @@ def test_compaction_manifest_mode_crash_rolls_back_uncommitted(spark, tmp_path):
     foreign = os.path.join(lake, "fold_junk_not_ours")
     os.makedirs(foreign, exist_ok=True)
 
-    # the read path heals first: the torn dir is rolled back, its rows
-    # never double-count, the foreign dir survives
+    # reads are read-only: the torn dir is INVISIBLE (state file rules)
+    # but stays on disk — its rows never appear, nothing double-counts
     got = {
         tuple(r)
         for r in C.read_stream_output(spark, sink, lake, fs=ofs).collect()
     }
     assert got == truth
-    assert not os.path.isdir(torn)
-    assert os.path.isdir(foreign)
+    assert os.path.isdir(torn)  # reader did not GC — owner's job
     assert os.path.exists(per_batch[2])  # sources intact for refold
 
-    # the next tick refolds batch 2 under a fresh committed name
+    # the OWNER's next tick heals (torn dir rolled back, foreign dir
+    # survives) and refolds batch 2 under a fresh committed name
     assert (
         C.fold_closed_batches(spark, sink, lake, keep_last_batches=1, fs=ofs)
         == 1
     )
+    assert not os.path.isdir(torn)
+    assert os.path.isdir(foreign)
     state = _json.load(open(os.path.join(lake, "_folded.json")))
     assert per_batch[2] in state["files"]
     assert not os.path.exists(per_batch[2])
@@ -3444,3 +3448,132 @@ def test_stream_compaction_policy_runs_on_maintenance_tick(spark, tmp_path):
     assert got == {(b * 100 + i, i) for b in range(3) for i in range(5)}
     # idle tick: nothing new closed
     assert store2.run_policies()["policy_stream_compaction:pack_sink"] == 0
+
+
+def test_compaction_keep_sources_tick_preserves_crash_ledger(spark, tmp_path):
+    """Code-review r13: a delete_folded=False tick that folds
+    something used to persist pending_delete=[] — wiping a crashed
+    prior tick's delete intent while its files still sat on disk,
+    reintroducing the permanent leak the ledger closes. The ledger
+    must survive keep-sources ticks and be swept by the next deleting
+    tick."""
+    import json as _json
+    import os
+    import shutil as _sh
+
+    from purpleair_data_logger_spark.streaming import compaction as C
+
+    sink, per_batch = _mk_synthetic_sink(spark, tmp_path, 4)
+    lake = str(tmp_path / "ledger_lake")
+    assert C.fold_closed_batches(spark, sink, lake, keep_last_batches=2) == 2
+
+    # simulate the crash: folded sources back on disk, intent recorded
+    state_path = os.path.join(lake, "_folded.json")
+    state = _json.load(open(state_path))
+    crashed = [per_batch[0], per_batch[1]]
+    for p in crashed:
+        _sh.copy(per_batch[3], p)
+    state["pending_delete"] = sorted(crashed)
+    with open(state_path, "w") as fh:
+        _json.dump(state, fh)
+
+    # a KEEP-SOURCES tick folds batch 2 — and must not touch the ledger
+    assert (
+        C.fold_closed_batches(
+            spark, sink, lake, keep_last_batches=1, delete_folded=False
+        )
+        == 1
+    )
+    after = _json.load(open(state_path))
+    assert after["pending_delete"] == sorted(crashed)  # intent preserved
+    assert all(os.path.exists(p) for p in crashed)
+    assert os.path.exists(per_batch[2])  # keep-sources kept its own too
+
+    # the next DELETING tick finishes the crashed deletion; the
+    # keep-sources fold's files are not in the ledger and survive
+    assert C.fold_closed_batches(spark, sink, lake, keep_last_batches=4) == 0
+    assert not any(os.path.exists(p) for p in crashed)
+    assert os.path.exists(per_batch[2])
+    assert _json.load(open(state_path))["pending_delete"] == []
+
+
+def test_compaction_first_tick_pins_mode_before_crash(spark, tmp_path):
+    """Code-review r13: the commit mode is persisted BEFORE the first
+    fold is attempted, so a first fold that dies pre-commit cannot
+    leave a mode-less lake that a later hint-less heal would recover
+    under the WRONG mode (rename heal ADOPTS exactly what manifest
+    heal must ROLL BACK — on a POSIX-capable binding both are
+    possible, and adoption would deliberately delete source files the
+    manifest protocol still owns)."""
+    import json as _json
+    import os
+
+    from purpleair_data_logger_spark.streaming import compaction as C
+
+    sink, per_batch = _mk_synthetic_sink(spark, tmp_path, 3)
+    lake = str(tmp_path / "pin_lake")
+
+    real_save = C._save_folded
+    calls = {"n": 0}
+
+    def crashing_save(lake_path, state, fs=C.fsio.POSIX):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the fold-commit swap — die mid-tick
+            raise RuntimeError("simulated crash at the commit point")
+        real_save(lake_path, state, fs=fs)
+
+    C._save_folded = crashing_save
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            C.fold_closed_batches(
+                spark, sink, lake, keep_last_batches=1,
+                commit_mode="manifest",
+            )
+    finally:
+        C._save_folded = real_save
+
+    # the pin landed before the crash; the fold dir is on disk but
+    # UNCOMMITTED, and its sources were never deleted
+    state = _json.load(open(os.path.join(lake, "_folded.json")))
+    assert state["commit_mode"] == "manifest" and state["folds"] == []
+    torn = [
+        n for n in os.listdir(lake) if C._FOLD_NAME_RE.match(n)
+    ]
+    assert torn  # the crashed write is there
+    assert all(os.path.exists(per_batch[b]) for b in (0, 1, 2))
+
+    # a HINT-LESS heal resolves the recorded manifest mode and rolls
+    # the torn dir back instead of adopting it under rename semantics
+    C.heal_lake(lake)
+    assert not any(
+        C._FOLD_NAME_RE.match(n) for n in os.listdir(lake)
+    )
+    assert all(os.path.exists(per_batch[b]) for b in (0, 1, 2))
+
+    # the retry tick folds the same sources under the pinned mode
+    assert C.fold_closed_batches(spark, sink, lake, keep_last_batches=1) == 2
+    got = {tuple(r) for r in C.read_stream_output(spark, sink, lake).collect()}
+    assert got == {(b * 100 + i, i) for b in range(3) for i in range(5)}
+
+
+def test_stream_compaction_policy_injects_fs(spark, tmp_path):
+    """Code-review r13: a manifest-mode stream lake lives on an object
+    store whose binding must reach the policy tick — run_policies
+    passes ``stream_fs`` through to fold_closed_batches (the store's
+    own nine tables stay rename-bound by design)."""
+    import json as _json
+    import os
+
+    from purpleair_data_logger_spark.streaming import compaction as C
+
+    sink, per_batch = _mk_synthetic_sink(spark, tmp_path, 3)
+    lake = str(tmp_path / "pol_obj_lake")
+    store = _store(spark, tmp_path)
+    assert store.add_stream_compaction_policy(
+        "obj_sink", sink_path=sink, lake_path=lake, commit_mode="manifest"
+    )
+    results = store.run_policies(stream_fs=_SimulatedObjectStoreFS())
+    assert results["policy_stream_compaction:obj_sink"] == 2
+    state = _json.load(open(os.path.join(lake, "_folded.json")))
+    assert state["commit_mode"] == "manifest"
+    assert not any(n.startswith(C._STAGING_PREFIX) for n in os.listdir(lake))
