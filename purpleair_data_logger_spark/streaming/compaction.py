@@ -77,6 +77,17 @@ read-only and exempt:
 governs the protocol's metadata and commit ops, which is where the
 atomicity assumptions live.)
 
+CONCURRENCY CONTRACT: one maintenance owner per lake. The fold tick
+and heal act on a loaded-then-acted-on state snapshot, so two
+overlapping ticks could GC each other's in-progress work (in manifest
+mode heal deletes what it believes uncommitted). Readers are safe by
+construction — `read_stream_output` never heals or mutates — so the
+only serialization the protocol needs is what the policy scheduler
+already provides: one `run_policies` task per store. Crash-kill of
+the single owner at ANY mutation point is recovered by the next
+tick's heal (pinned by the exhaustive crash sweep in
+test_storage_streaming).
+
 Scale shape: each tick's cost is O(files folded) — the buffer is
 bounded by fold cadence × micro-batch rate, the lake grows by one
 O(target_files) fold dir per tick, and nothing ever re-reads or

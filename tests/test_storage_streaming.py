@@ -3577,3 +3577,120 @@ def test_stream_compaction_policy_injects_fs(spark, tmp_path):
     state = _json.load(open(os.path.join(lake, "_folded.json")))
     assert state["commit_mode"] == "manifest"
     assert not any(n.startswith(C._STAGING_PREFIX) for n in os.listdir(lake))
+
+
+def test_compaction_crash_sweep_heals_at_every_mutation_point(spark, tmp_path):
+    """Systematic crash injection over the WHOLE fold protocol, both
+    commit modes: the tick is killed immediately before each mutating
+    seam operation in turn (every makedirs/open_write/replace/remove/
+    rmtree — the full commit-relevant surface), then the owner heals
+    with the mode hint and retries. Invariants at every crash point:
+    the reader returns exactly the pre-crash truth (no lost rows, no
+    double rows), every source file recorded as folded is really
+    deleted after the next deleting tick, and no staging debris
+    survives. This is the `sinks/atomic` crash-suite discipline
+    applied to `streaming/compaction` (code-review r13 follow-up)."""
+    import json as _json
+    import os
+    import shutil as _sh
+
+    from purpleair_data_logger_spark import fsio
+    from purpleair_data_logger_spark.streaming import compaction as C
+
+    class _Boom(RuntimeError):
+        pass
+
+    MUTATORS = {
+        "open_write", "replace", "remove", "rmtree", "rename",
+        "create_exclusive", "makedirs",
+    }
+
+    class CountingFS:
+        """Delegates to POSIX; raises _Boom immediately BEFORE the
+        ``crash_at``-th mutating op (0-based), counting otherwise."""
+
+        def __init__(self, crash_at=None):
+            self._inner = fsio.PosixFS()
+            self.count = 0
+            self.crash_at = crash_at
+
+        def __getattr__(self, name):
+            attr = getattr(self._inner, name)
+            if callable(attr) and name in MUTATORS:
+                def wrap(*a, **kw):
+                    if self.crash_at is not None and self.count == self.crash_at:
+                        raise _Boom(f"crash before {name} #{self.count}")
+                    self.count += 1
+                    return attr(*a, **kw)
+                return wrap
+            return attr
+
+    truth = {(b * 100 + i, i) for b in range(3) for i in range(5)}
+    pristine, per_batch = _mk_synthetic_sink(spark, tmp_path, 3)
+    meta_src = os.path.join(pristine, "_spark_metadata")
+
+    def clone(tag):
+        """Fresh sink per crash point (ticks delete source files), log
+        paths rewritten to the clone — no Spark write needed."""
+        sink = str(tmp_path / tag / "sink")
+        os.makedirs(os.path.join(sink, "_spark_metadata"))
+        mapping = {}
+        for src in per_batch.values():
+            dst = os.path.join(sink, os.path.basename(src))
+            _sh.copy(src, dst)
+            mapping[src] = dst
+        for name in os.listdir(meta_src):
+            with open(os.path.join(meta_src, name)) as fh:
+                txt = fh.read()
+            for s_, d_ in mapping.items():
+                txt = txt.replace(s_, d_)
+            with open(os.path.join(sink, "_spark_metadata", name), "w") as fh:
+                fh.write(txt)
+        return sink
+
+    for mode in ("rename", "manifest"):
+        # discover this mode's mutation-op count from one clean tick
+        sink = clone(f"{mode}_probe")
+        lake = str(tmp_path / f"{mode}_probe" / "lake")
+        counter = CountingFS()
+        assert (
+            C.fold_closed_batches(
+                spark, sink, lake, keep_last_batches=1,
+                fs=counter, commit_mode=mode,
+            )
+            == 2
+        )
+        total = counter.count
+        assert total >= 5  # the sweep is real, not vacuous
+
+        for k in range(total):
+            tag = f"{mode}_k{k}"
+            sink = clone(tag)
+            lake = str(tmp_path / tag / "lake")
+            with pytest.raises(_Boom):
+                C.fold_closed_batches(
+                    spark, sink, lake, keep_last_batches=1,
+                    fs=CountingFS(crash_at=k), commit_mode=mode,
+                )
+            # owner recovery: heal with the mode hint (a pre-pin crash
+            # leaves no recorded mode), then retry the tick
+            C.heal_lake(lake, commit_mode=mode)
+            C.fold_closed_batches(
+                spark, sink, lake, keep_last_batches=1, commit_mode=mode
+            )
+            got = {
+                tuple(r)
+                for r in C.read_stream_output(spark, sink, lake).collect()
+            }
+            assert got == truth, f"{tag}: rows diverged after heal+retry"
+            # one more deleting tick sweeps any pending ledger; then
+            # every recorded-folded source must be gone and no staging
+            # debris left
+            C.fold_closed_batches(
+                spark, sink, lake, keep_last_batches=1, commit_mode=mode
+            )
+            state = _json.load(open(os.path.join(lake, "_folded.json")))
+            assert not any(os.path.exists(p) for p in state["files"]), tag
+            assert not any(
+                n.startswith(C._STAGING_PREFIX) for n in os.listdir(lake)
+            ), tag
