@@ -381,6 +381,138 @@ def phash_neardup_pairs(
     )
 
 
+def phash_index(
+    df: DataFrame,
+    *,
+    thumbnailer: Callable[[bytes, str, int], list] = thumbnail_image,
+    n_pixels: int = PHASH_PIXELS,
+    n_bands: int = PHASH_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """(band index, signature table) for a media corpus — the
+    persistable artifacts of the cross-side phash forms, the
+    multimodal analog of `dedup.lsh_banded` output + shingle table:
+
+    * index: (base_media_id, band_idx, band_val) — persist bucketed on
+      the band key so every ingest's candidate join plans with zero
+      base-side exchanges;
+    * sigs: (base_media_id, _b_base array<int>) — the packed bands for
+      Hamming verify, ~40 bytes/row, persist bucketed on the id.
+
+    Banding is per-row content hashing (no corpus-global state like
+    the prefix index's frozen df order), so appending new rows to both
+    artifacts IS the rebuild — append ≡ rebuild holds by construction.
+    """
+    sigs = (
+        perceptual_hash(
+            df, thumbnailer=thumbnailer, n_pixels=n_pixels, n_bands=n_bands
+        )
+        .filter(F.col("bands").isNotNull())
+        .select(
+            F.col("media_id").alias("base_media_id"),
+            F.col("bands").alias("_b_base"),
+        )
+    )
+    index = sigs.select(
+        "base_media_id", F.posexplode("_b_base").alias("band_idx", "band_val")
+    )
+    return index, sigs
+
+
+def phash_against_index(
+    new_df: DataFrame,
+    base_index: DataFrame,
+    base_sigs: DataFrame,
+    *,
+    thumbnailer: Callable[[bytes, str, int], list] = thumbnail_image,
+    max_hamming: int = 6,
+    max_base_bucket_size: int | None = None,
+    n_pixels: int = PHASH_PIXELS,
+    n_bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """Perceptual-hash near-dups of a NEW media batch against
+    PRECOMPUTED base-corpus artifacts (`phash_index` output) — the
+    steady-state multimodal ingest shape ("is this image already in
+    the corpus?"), the analog of `dedup.neardup_against_index`. Only
+    the new batch pays decode+signature cost; candidates are the
+    cross-side band collisions (never new×new, base×base, or
+    all-pairs); verify is exact Hamming over the packed bands,
+    JVM-side. Same pigeonhole recall contract as
+    `phash_neardup_pairs`: distance < n_bands shares a band.
+
+    ``max_base_bucket_size`` drops over-cap BASE buckets (blank-image
+    families) before the cross-side join — the cross-side form of the
+    degenerate-bucket ceiling; in steady state cap the persisted index
+    once at build/append time instead of per ingest.
+
+    Returns (new_media_id, base_media_id, hamming); self-pairs (same
+    id on both sides) are excluded.
+    """
+    from purpleair_data_logger_spark.operators.dedup import (
+        keep_buckets_within_cap,
+    )
+
+    ph_new = perceptual_hash(
+        new_df, thumbnailer=thumbnailer, n_pixels=n_pixels, n_bands=n_bands
+    ).filter(F.col("bands").isNotNull())
+    bn = ph_new.select(
+        F.col("media_id").alias("new_media_id"),
+        F.posexplode("bands").alias("band_idx", "band_val"),
+    )
+    if max_base_bucket_size is not None:
+        base_index = keep_buckets_within_cap(
+            base_index, max_base_bucket_size, keys=("band_idx", "band_val")
+        )
+    cands = (
+        bn.join(base_index, on=["band_idx", "band_val"])
+        .filter(F.col("new_media_id") != F.col("base_media_id"))
+        .select("new_media_id", "base_media_id")
+        .distinct()
+    )
+    hn = ph_new.select(
+        F.col("media_id").alias("new_media_id"), F.col("bands").alias("_b_new")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "_b_new", "_b_base", lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x.cast("int"),
+    ).cast("int")
+    return (
+        cands.join(hn, "new_media_id")
+        .join(base_sigs, "base_media_id")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("new_media_id", "base_media_id", "hamming")
+    )
+
+
+def phash_neardup_between(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    *,
+    thumbnailer: Callable[[bytes, str, int], list] = thumbnail_image,
+    max_hamming: int = 6,
+    max_base_bucket_size: int | None = None,
+    n_pixels: int = PHASH_PIXELS,
+    n_bands: int = PHASH_BANDS,
+) -> DataFrame:
+    """`phash_against_index` with the base artifacts computed inline —
+    the one-shot incremental form (the analog of
+    `dedup.neardup_lsh_between`). In steady state persist the
+    artifacts with `phash_index` and call `phash_against_index` so the
+    base corpus is never re-decoded."""
+    base_index, base_sigs = phash_index(
+        base_df, thumbnailer=thumbnailer, n_pixels=n_pixels, n_bands=n_bands
+    )
+    return phash_against_index(
+        new_df, base_index, base_sigs,
+        thumbnailer=thumbnailer, max_hamming=max_hamming,
+        max_base_bucket_size=max_base_bucket_size,
+        n_pixels=n_pixels, n_bands=n_bands,
+    )
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

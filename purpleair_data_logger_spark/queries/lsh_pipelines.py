@@ -541,6 +541,67 @@ def multimodal_phash_neardup(spark, sf_dir):
     return _phash_pairs(spark, sf_dir)
 
 
+_PHASH_BETWEEN_ORACLE = (
+    _PHASH_NEARDUP_ORACLE.partition("kept AS (")[0]
+    + """lb AS (SELECT * FROM long WHERE media_id < 10000000),
+ln AS (SELECT * FROM long WHERE media_id >= 10000000),
+kept AS (
+  SELECT l.* FROM lb l
+  JOIN (SELECT b, v FROM lb GROUP BY b, v HAVING count(*) <= 48) c
+  USING (b, v)),
+cand AS (
+  SELECT DISTINCT n.media_id AS nid, k.media_id AS bid
+  FROM ln n JOIN kept k ON n.b = k.b AND n.v = k.v),
+ham AS (
+  SELECT c.nid AS new_media_id, c.bid AS base_media_id,
+         CAST(list_sum(list_transform(range(0,8), i ->
+           bit_count(xor(b1.bd[CAST(i AS INT)+1],
+                         b2.bd[CAST(i AS INT)+1])))) AS INT) AS hamming
+  FROM cand c
+  JOIN bands b1 ON b1.media_id = c.nid
+  JOIN bands b2 ON b2.media_id = c.bid)
+SELECT new_media_id, base_media_id, hamming FROM ham WHERE hamming <= 6
+"""
+)
+
+
+@register(
+    "multimodal_phash_between",
+    _PHASH_BETWEEN_ORACLE,
+    "north-star multimodal ingest dedup: new media batch vs an existing "
+    "corpus's phash index, base buckets capped, Hamming-verified",
+)
+def multimodal_phash_between(spark, sf_dir):
+    """The cross-side multimodal form — "is this image already in the
+    corpus?" — the per-ingest (and per-micro-batch: `streaming/
+    phash.py`) body of the multimodal dedup ladder. New side = the
+    planted leetspeak variants, base = every original document's
+    payload; only the new batch pays decode+signature cost against the
+    persistable `multimodal.phash_index` artifacts, candidates are the
+    cross-side band collisions (never all-pairs), the degenerate-
+    bucket cap applies to the BASE index (the steady-state placement),
+    and verification is exact JVM-side Hamming. The oracle replays the
+    full chain with the band/long CTEs shared textually with
+    `multimodal_phash_neardup`'s oracle, split cross-side by the id
+    space. Streaming parity is pinned in
+    test_storage_streaming (stream == this operator bit-exact)."""
+    from purpleair_data_logger_spark.operators import multimodal as mm
+
+    d = _t(spark, sf_dir, "documents")
+    base = mm.attach_binary_payload(d.select("doc_id", "text"), "doc_id", "text")
+    variants = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.translate("text", "e", "3").alias("text"),
+    )
+    new = mm.attach_binary_payload(variants, "doc_id", "text")
+    return mm.phash_neardup_between(
+        new, base,
+        thumbnailer=mm.fake_thumbnailer,
+        max_hamming=6,
+        max_base_bucket_size=48,
+    )
+
+
 _PHASH_CLUSTER_ORACLE = (
     _PHASH_NEARDUP_ORACLE.replace("WITH m AS", "WITH RECURSIVE m AS")
     .rpartition("SELECT media_id_1")[0]

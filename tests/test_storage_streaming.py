@@ -3694,3 +3694,108 @@ def test_compaction_crash_sweep_heals_at_every_mutation_point(spark, tmp_path):
             assert not any(
                 n.startswith(C._STAGING_PREFIX) for n in os.listdir(lake)
             ), tag
+
+
+def test_streaming_phash_matches_batch_cross_side(spark, tmp_path, sf_dir):
+    """The multimodal streaming ingest dedup finds exactly the pairs
+    the batch `phash_neardup_between` finds on the same (new, base)
+    media split, with the new side delivered across two micro-batches
+    — and routes only genuinely-new media to the fresh sink. Banding
+    is per-row content hashing, so the stream's per-batch mining is
+    identical to the batch cross-side join restricted to that batch's
+    rows (no frozen-order subtlety)."""
+    from pyspark.sql import functions as F
+
+    from purpleair_data_logger_spark import io as pio
+    from purpleair_data_logger_spark.operators import multimodal as mm
+    from purpleair_data_logger_spark.streaming.phash import (
+        run_incremental_phash_stream,
+    )
+
+    docs = pio.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant cross-side near-dups: every 7th doc's leetspeak variant
+    # goes to the NEW side, everything original stays in the base
+    base = mm.attach_binary_payload(docs, "doc_id", "text")
+    new_docs = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.translate("text", "e", "3").alias("text"),
+    )
+    new = mm.attach_binary_payload(new_docs, "doc_id", "text")
+
+    src = str(tmp_path / "ph_src")
+    new.filter(F.col("media_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    new.filter(F.col("media_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "ph_out")
+    q = run_incremental_phash_stream(
+        spark, src, base, out, str(tmp_path / "ph_ckpt"),
+        thumbnailer=mm.fake_thumbnailer, max_hamming=6,
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    got = {
+        (r["new_doc_id"], r["base_doc_id"], r["hamming"])
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    want = {
+        (r["new_media_id"], r["base_media_id"], r["hamming"])
+        for r in mm.phash_neardup_between(
+            new, base, thumbnailer=mm.fake_thumbnailer, max_hamming=6
+        ).collect()
+    }
+    assert got == want and want  # exact parity; fixture plants dups
+
+    fresh = {
+        r["media_id"] for r in spark.read.parquet(f"{out}/fresh").collect()
+    }
+    matched = {p[0] for p in want}
+    all_new = {r["media_id"] for r in new.collect()}
+    assert fresh == all_new - matched
+
+
+def test_streaming_phash_fold_every_keeps_index_current(spark, tmp_path):
+    """The multimodal fold hook: media 101 arrives fresh (no base
+    near-dup), its exact copies 102 and 103 arrive in LATER
+    micro-batches — with fold_every=1 the index tracks the growing
+    corpus, so 102 pairs against the folded 101; 102 is then NOT fresh
+    and never folds, so 103 pairs against 101 only (the fresh-only
+    fold rule, same contract as the text LSH stream)."""
+    from purpleair_data_logger_spark.operators import multimodal as mm
+    from purpleair_data_logger_spark.streaming.phash import (
+        run_incremental_phash_stream,
+    )
+
+    t = "The quick brown fox jumps over the lazy dog near the river. " * 4
+    base = spark.createDataFrame(
+        [(1, "Completely unrelated base corpus payload text here. " * 5)],
+        "doc_id long, text string",
+    )
+    base_media = mm.attach_binary_payload(base, "doc_id", "text")
+    src = str(tmp_path / "phf_src")
+    for mid in (101, 102, 103):
+        mm.attach_binary_payload(
+            spark.createDataFrame([(mid, t)], "doc_id long, text string"),
+            "doc_id", "text",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "phf_out")
+    q = run_incremental_phash_stream(
+        spark, src, base_media, out, str(tmp_path / "phf_ckpt"),
+        thumbnailer=mm.fake_thumbnailer, max_hamming=6,
+        fold_every=1, max_files_per_trigger=1,
+    )
+    q.awaitTermination(240)
+    pairs = {
+        (r["new_doc_id"], r["base_doc_id"], r["hamming"])
+        for r in spark.read.parquet(f"{out}/pairs").collect()
+    }
+    assert pairs == {(102, 101, 0), (103, 101, 0)}
+    fresh = {
+        r["media_id"] for r in spark.read.parquet(f"{out}/fresh").collect()
+    }
+    assert fresh == {101}
