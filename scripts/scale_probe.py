@@ -68,6 +68,7 @@ PROBE = [
     ("neardup_lsh_verified", ("x1", "x3", "x10"), 2),
     ("knn_lsh_bucketed", ("x1", "x3", "x10"), 2),
     ("multimodal_phash_neardup", ("x1", "x3", "x10"), 2),
+    ("multimodal_phash_between", ("x1", "x3", "x10"), 2),
     ("jaccard_neardup_blocked", ("x1", "x3"), 1),
 ]
 
@@ -150,7 +151,11 @@ def fit_exponent(points: list[tuple[int, float]]) -> float:
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
 
 
-def run(scales: dict[str, str], draws_cap: int | None = None) -> dict:
+def run(
+    scales: dict[str, str],
+    draws_cap: int | None = None,
+    only: set | None = None,
+) -> dict:
     from purpleair_data_logger_spark import catalog
     from purpleair_data_logger_spark.session import get_spark
 
@@ -164,6 +169,8 @@ def run(scales: dict[str, str], draws_cap: int | None = None) -> dict:
         ).save()
     results: dict[str, dict] = {}
     for name, q_scales, draws in PROBE:
+        if only is not None and name not in only:
+            continue
         if draws_cap:
             draws = min(draws, draws_cap)
         row: dict[str, float] = {}
@@ -192,6 +199,12 @@ def main() -> None:
     ap.add_argument("--skip-generate", action="store_true")
     ap.add_argument("--draws", type=int, default=None)
     ap.add_argument("--out", default="SCALE_PROBE.json")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated PROBE names to (re)run; results MERGE "
+        "into an existing --out instead of replacing it",
+    )
     args = ap.parse_args()
     scales = {"x1": BASE}
     for tiles in (3, 10):
@@ -202,7 +215,13 @@ def main() -> None:
                 shutil.rmtree(d)
             print(f"generating {d} ({tiles} tiles)...", flush=True)
             generate(tiles, d)
-    results = run(scales, args.draws)
+    only = set(args.only.split(",")) if args.only else None
+    results = run(scales, args.draws, only)
+    if only and os.path.exists(args.out):
+        with open(args.out) as fh:
+            prior = json.load(fh)
+        prior.get("results", {}).update(results)
+        results = prior["results"]
     payload = {
         "base": BASE,
         "sizes": SIZES,
