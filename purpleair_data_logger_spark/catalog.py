@@ -309,6 +309,12 @@ _GATE_RETIRED: dict[str, str] = {
     "median_value_by_event_type": "p50 special case of value_percentiles_by_event_type (still rotating); 3 green rounds",
     "event_value_histogram": "width_bucket groupBy; cover m4_downsample_15min + value_percentiles_by_event_type (its own defer-note family); 3 green rounds",
 }
+# r14 retirement candidate (blocked this round by the no-gate-history
+# guard — the r13 registrations have no CORRECTNESS_r*.json row yet):
+# multimodal_phash_neardup is a strict subset of multimodal_phash_dedup
+# (the decision stage replays the entire pair chain, then adds
+# components) and shares its oracle CTEs with multimodal_phash_between;
+# retiring it restores headroom 50 -> 51 once r13's gate artifact lands.
 
 #: The driver records the first GATE_WINDOW rows of all_queries() per
 #: round; an oracled query may go at most FRESHNESS_HORIZON_ROUNDS

@@ -1630,3 +1630,60 @@ def dq_report_events(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+WITH o AS (SELECT doc_id, text, TRUE AS in_old FROM documents),
+n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN translate(text, 'a', '4')
+              ELSE text END AS text,
+         TRUE AS in_new
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 20000000, text, TRUE FROM documents WHERE doc_id % 17 = 0),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN in_old IS NULL THEN 'added'
+              WHEN in_new IS NULL THEN 'removed'
+              WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id, change FROM j WHERE change <> 'unchanged'
+""",
+    "north-star corpus lifecycle: snapshot diff between two builds -> "
+    "(doc_id, added/removed/changed), the incremental-retraining driver",
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """`corpus_lake.diff_corpus` over two deterministic corpus builds:
+    the new snapshot drops every 13th doc (removed), rewrites every
+    11th survivor's text (changed, null-safe IS DISTINCT FROM
+    comparison), and appends a +20M-id copy of every 17th doc (added).
+    Output is O(changes), never O(corpus) — at scale both snapshots
+    come out of `write_corpus` with deterministic routing, stored
+    bucketed on doc_id, and the one full-outer join plans with zero
+    exchanges. The operator is the executable form of corpus_lake's
+    "diffable across builds" layout promise; a pipeline re-embeds and
+    re-packs exactly added ∪ changed and retires removed."""
+    from purpleair_data_logger_spark.sinks.corpus_lake import diff_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.translate("text", "a", "4")
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return diff_corpus(d, new, "doc_id", compare_cols=["text"])

@@ -187,3 +187,67 @@ def read_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Read a corpus lake; partition columns come back as columns and
     predicates on them prune directories (asserted in tests)."""
     return spark.read.parquet(path)
+
+
+def diff_corpus(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    *,
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """What changed between two corpus builds: (id, change) with
+    change in {'added', 'removed', 'changed'} (+ 'unchanged' only when
+    ``include_unchanged=True``) — the deterministic-layout promise of
+    this module ("diffable across builds") made executable, and the
+    driver of incremental retraining / cache invalidation decisions:
+    re-embed and re-pack exactly the added ∪ changed set, retire the
+    removed set.
+
+    ``compare_cols`` defaults to every column the two sides share
+    (minus the id), compared null-safely — a doc counts as 'changed'
+    only when some compared column is DISTINCT FROM its old value, so
+    NULL→NULL is unchanged and NULL→value is changed, both engines'
+    IS DISTINCT FROM semantics.
+
+    100 TB shape: one full-outer equi-join on the id — with both
+    snapshots written by `write_corpus` (deterministic routing), store
+    them bucketed on the id and the join plans with zero exchanges;
+    output is O(changes), never O(corpus) (unless
+    ``include_unchanged``, the audit path). Ids are assumed unique per
+    side (the corpus PK); duplicate ids fan out exactly as a SQL FULL
+    JOIN would."""
+    common = set(old_df.columns) & set(new_df.columns) - {id_col}
+    cols = (
+        list(compare_cols) if compare_cols is not None else sorted(common)
+    )
+    missing = [c for c in cols if c not in common]
+    if missing:
+        raise ValueError(
+            f"compare_cols {missing} not present on both sides"
+        )
+    o = old_df.select(
+        F.col(id_col).alias("_id"),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new_df.select(
+        F.col(id_col).alias("_id"),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    j = o.join(n, "_id", "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(F.col("_id").alias(id_col), change.alias("change"))
+    if not include_unchanged:
+        out = out.filter(F.col("change") != "unchanged")
+    return out

@@ -243,3 +243,61 @@ def test_zorder_key_three_dimensions(spark):
         corpus_lake.zorder_key("x", "y", "w", bits=22)
     with pytest.raises(ValueError):
         corpus_lake.zorder_key("x")
+
+
+def test_diff_corpus_null_safe_and_flags(spark):
+    """diff_corpus classifies added/removed/changed with null-safe
+    column comparison (NULL->NULL unchanged, NULL->value changed) and
+    NULL ids never misclassify (presence flags, not id-null checks);
+    include_unchanged opts into the audit path; unknown compare_cols
+    refuse by name."""
+    import pytest
+
+    from purpleair_data_logger_spark.sinks.corpus_lake import diff_corpus
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, None, "x"),
+            (3, "c", "x"),
+            (4, "d", "x"),
+            (None, "e", "x"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", "x"),      # unchanged
+            (2, None, "x"),     # unchanged (NULL == NULL null-safely)
+            (3, None, "x"),     # changed (value -> NULL)
+            (5, "f", "x"),      # added
+            (None, "g", "x"),   # added (NULL id, present only via flag)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r["doc_id"], r["change"])
+        for r in diff_corpus(old, new, "doc_id").collect()
+    }
+    assert got == {
+        (3, "changed"),
+        (4, "removed"),
+        (None, "removed"),
+        (5, "added"),
+        (None, "added"),
+    }
+    with_unchanged = {
+        (r["doc_id"], r["change"])
+        for r in diff_corpus(
+            old, new, "doc_id", include_unchanged=True
+        ).collect()
+    }
+    assert (1, "unchanged") in with_unchanged
+    assert (2, "unchanged") in with_unchanged  # null-safe equality
+    # restricting compare_cols ignores other columns' drift
+    only_lang = diff_corpus(old, new, "doc_id", compare_cols=["lang"])
+    assert {
+        (r["doc_id"], r["change"]) for r in only_lang.collect()
+    } == {(4, "removed"), (None, "removed"), (5, "added"), (None, "added")}
+    with pytest.raises(ValueError, match="nope"):
+        diff_corpus(old, new, "doc_id", compare_cols=["nope"])
