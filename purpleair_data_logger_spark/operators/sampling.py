@@ -315,3 +315,84 @@ def temporal_split(
         .when(c >= F.lit(cutoff).cast("timestamp"), F.lit("test"))
         .otherwise(F.lit("embargo")),
     )
+
+
+def temperature_budgets(
+    df: DataFrame,
+    token_col: str,
+    stratum_col: str,
+    *,
+    total_budget: int,
+    alpha: float,
+) -> DataFrame:
+    """Temperature-rebalanced mixture budgets (the mT5/multilingual
+    sampling rule): stratum d's share of ``total_budget`` is
+    n_d^alpha / SUM n_e^alpha over its natural token count n_d.
+    alpha=1 is proportional (natural mixture), alpha->0 approaches
+    uniform; the standard 0.2-0.7 range upweights low-resource
+    strata without letting the head domains drown them.
+
+    One row per stratum: (stratum, stratum_tokens, share, budget,
+    budget_capped). ``budget`` is the raw temperature allocation
+    (largest-remainder-free floor, so SUM budget <= total_budget);
+    ``budget_capped`` = min(budget, stratum_tokens) — an upweighted
+    low-resource stratum can be allocated more tokens than it has, and
+    whether to close that gap by repetition (sampling with
+    replacement, epochs over the small stratum) is a trainer-side
+    decision this operator surfaces rather than hides: the difference
+    ``budget - budget_capped`` is the repetition demand.
+
+    Scale: one map-side-combinable groupBy to |strata| rows, then
+    driver-free normalization via a single-row broadcast aggregate —
+    the corpus is scanned once, the arithmetic runs on a
+    domains-sized frame."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    per = df.groupBy(stratum_col).agg(
+        F.sum(F.col(token_col)).cast("long").alias("stratum_tokens")
+    )
+    pw = F.pow(F.col("stratum_tokens").cast("double"), F.lit(float(alpha)))
+    tot = per.agg(F.sum(pw).alias("_z"))
+    share = pw / F.col("_z")
+    budget = F.floor(F.lit(int(total_budget)) * share).cast("long")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            stratum_col,
+            "stratum_tokens",
+            share.alias("share"),
+            budget.alias("budget"),
+            F.least(budget, F.col("stratum_tokens")).alias("budget_capped"),
+        )
+    )
+
+
+def temperature_token_sample(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    stratum_col: str,
+    *,
+    total_budget: int,
+    alpha: float,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """`temperature_budgets` composed with `token_budget_sample`: the
+    end-to-end temperature mixture — compute each stratum's
+    alpha-rebalanced token budget, then materialize the deterministic
+    whole-bucket selection against it. The budget table is |strata|
+    rows, so the intermediate collect is a documented driver-sized
+    calibration (the `similarity.py` quantizer discipline), never a
+    corpus collect. Capped budgets are used (a corpus builder cannot
+    repeat documents; the repetition demand stays visible in
+    `temperature_budgets` output)."""
+    rows = temperature_budgets(
+        df, token_col, stratum_col,
+        total_budget=total_budget, alpha=alpha,
+    ).collect()
+    budgets = {r[stratum_col]: int(r["budget_capped"]) for r in rows}
+    return token_budget_sample(
+        df, id_col, token_col, stratum_col, budgets, n_buckets=n_buckets
+    )

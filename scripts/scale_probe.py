@@ -169,8 +169,12 @@ def run(
         ).save()
     results: dict[str, dict] = {}
     for name, q_scales, draws in PROBE:
-        if only is not None and name not in only:
-            continue
+        if only is not None:
+            if name not in only:
+                continue
+            # an explicit --only run probes every scale dir provided,
+            # including --extra-tiles legs beyond the row's default
+            q_scales = tuple(scales)
         if draws_cap:
             draws = min(draws, draws_cap)
         row: dict[str, float] = {}
@@ -202,15 +206,28 @@ def main() -> None:
     ap.add_argument(
         "--only",
         default=None,
-        help="comma-separated PROBE names to (re)run; results MERGE "
-        "into an existing --out instead of replacing it",
+        help="comma-separated PROBE names to (re)run at EVERY provided "
+        "scale; results MERGE into an existing --out instead of "
+        "replacing it",
+    )
+    ap.add_argument(
+        "--extra-tiles",
+        type=int,
+        default=None,
+        help="also generate and probe an xN tiling beyond the default "
+        "x3/x10 (e.g. 30) — for chasing whether a high-marginal row's "
+        "exponent creeps at larger scale",
     )
     args = ap.parse_args()
     scales = {"x1": BASE}
-    for tiles in (3, 10):
+    tile_set = [3, 10] + (
+        [args.extra_tiles] if args.extra_tiles else []
+    )
+    for tiles in tile_set:
         d = os.path.join(PROBE_ROOT, f"x{tiles}")
         scales[f"x{tiles}"] = d
-        if not args.skip_generate:
+        SIZES.setdefault(f"x{tiles}", tiles)
+        if not args.skip_generate or not os.path.isdir(d):
             if os.path.isdir(d):
                 shutil.rmtree(d)
             print(f"generating {d} ({tiles} tiles)...", flush=True)

@@ -636,3 +636,58 @@ def test_substring_search_short_docs_skip_gram_pass(spark):
         for r in substring_search(docs, "doc_id", "text", "needle").collect()
     }
     assert got == {3: 1, 4: 1}
+
+
+def test_temperature_budgets_and_sample(spark):
+    """mT5-style temperature mixture: alpha=1 reproduces the natural
+    proportions, alpha=0.5 upweights the low-resource stratum (and
+    surfaces its repetition demand when the allocation exceeds its
+    supply), and the composed sampler never exceeds a stratum's capped
+    budget. Exact expectations: n=(900,100), total=500 ->
+    alpha=1: (450,50); alpha=0.5: weights (30,10) -> (375,125),
+    b capped at 100 with repetition demand 25."""
+    import pytest
+
+    from purpleair_data_logger_spark.operators import sampling as smp
+
+    rows = [(i, "a", 100) for i in range(9)] + [(100, "b", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tok long")
+
+    nat = {
+        r["domain"]: (r["budget"], r["budget_capped"])
+        for r in smp.temperature_budgets(
+            df, "n_tok", "domain", total_budget=500, alpha=1.0
+        ).collect()
+    }
+    assert nat == {"a": (450, 450), "b": (50, 50)}
+
+    hot = {
+        r["domain"]: (r["stratum_tokens"], r["budget"], r["budget_capped"])
+        for r in smp.temperature_budgets(
+            df, "n_tok", "domain", total_budget=500, alpha=0.5
+        ).collect()
+    }
+    assert hot == {"a": (900, 375, 375), "b": (100, 125, 100)}
+    # repetition demand = budget - budget_capped = 25 for b, visible
+
+    picked = smp.temperature_token_sample(
+        df, "doc_id", "n_tok", "domain",
+        total_budget=500, alpha=0.5, n_buckets=4,
+    )
+    per = {
+        r["domain"]: r["tok"]
+        for r in picked.groupBy("domain")
+        .agg(F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    assert per.get("a", 0) <= 375 and per.get("b", 0) <= 100
+    assert per.get("b", 0) == 100  # capped budget fully realizable
+
+    with pytest.raises(ValueError, match="alpha"):
+        smp.temperature_budgets(
+            df, "n_tok", "domain", total_budget=500, alpha=0.0
+        )
+    with pytest.raises(ValueError, match="total_budget"):
+        smp.temperature_budgets(
+            df, "n_tok", "domain", total_budget=-1, alpha=0.5
+        )
