@@ -245,22 +245,28 @@ def _seeded_minima(
     (portable, DuckDB-replayable) or xxhash64 (fast). One copy of the
     family construction, so the oracle SQL can never desynchronize
     from half of it (code-review r10)."""
+    # Seeded-minima expressions are built as ONE F.expr each instead of
+    # a ~6-call Column chain (r13, guide §4 applied to the DRIVER-side
+    # boundary: each PySpark Column operation is a Py4J round-trip
+    # measured at ~1-10 ms on this host, and the 64-seed family was
+    # paying ~400 round-trips per query CONSTRUCTION — inside bench's
+    # timed region and repeated per run). The SQL text parses to the
+    # identical Catalyst expression (exact int64 multiply/add/mod), so
+    # plans and values are unchanged.
     if hash_family == "md5":
         hashed = ex.withColumn(
             "_h", md5_long(F.col("_sh")) % F.lit(MERSENNE_P31)
         )
         seeded = [
-            F.min(
-                (F.col("_h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P31)
+            F.expr(
+                f"min((_h * {a}L + {b}L) % {MERSENNE_P31}L)"
             ).alias(f"{alias_prefix}{i}")
             for i, (a, b) in enumerate(affine_seeds(num_hashes))
         ]
     elif hash_family == "xxhash64":
         hashed = ex.withColumn("_h", F.xxhash64(F.col("_sh")))
         seeded = [
-            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(
-                f"{alias_prefix}{i}"
-            )
+            F.expr(f"min(xxhash64(_h, {i}))").alias(f"{alias_prefix}{i}")
             for i in range(num_hashes)
         ]
     else:
@@ -340,19 +346,21 @@ def lsh_banded(
         shingle_n=shingle_n,
         hash_family=hash_family,
     )
+    # One F.expr per band key instead of a per-column F.col chain —
+    # same driver-side Py4J economy as `_seeded_minima` (r13); the SQL
+    # parses to the identical md5/xxhash64 expression.
     if hash_family == "md5":
         def band_key(b: int) -> Column:
-            return F.md5(
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-                )
+            cols = ", ".join(
+                f"_mh{b * rows_per_band + r}" for r in range(rows_per_band)
             )
+            return F.expr(f"md5(concat_ws(',', {cols}))")
     else:
         def band_key(b: int) -> Column:
-            return F.xxhash64(
-                *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            cols = ", ".join(
+                f"_mh{b * rows_per_band + r}" for r in range(rows_per_band)
             )
+            return F.expr(f"xxhash64({cols})")
     return sig.select(
         F.col(id_col),
         F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
@@ -741,6 +749,19 @@ def minhash_lsh_candidates(
         shingle_n=shingle_n,
         hash_family=hash_family,
     )
+    # Materialize the band index ONCE before the self-join (r13, guide
+    # §1.2/§2.4): without this the whole signature pipeline (shingle
+    # explode → per-shingle hash → 64-min aggregate → banding) is
+    # compiled into BOTH join sides and EXECUTED TWICE — the plan
+    # showed 2 parquet scans / 6 HashAggregates / 0 ReusedExchange.
+    # A lazy localCheckpoint stores the (id, band_idx, band_hash) rows
+    # (the small index representation, ~bands rows/doc) at first use;
+    # both join sides then scan the stored RDD. Lazy, so plan-census
+    # tooling that never executes still compiles without running jobs.
+    # Cluster runs that must survive executor loss persist the banded
+    # index explicitly (`lsh_index_append` consumes it prebuilt) —
+    # the same trade recorded for `clusters._checkpointer`.
+    banded = banded.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         banded = keep_buckets_within_cap(banded, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -911,19 +932,27 @@ def simhash_fingerprints(
         h = ex.select(F.col(id_col), F.xxhash64(F.col("_tok")).alias("_h"))
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
+    # Vote and fingerprint expressions as single F.expr strings (r13):
+    # the per-bit Column chains were ~900 driver Py4J round-trips per
+    # query construction (see `_seeded_minima`'s note); the SQL parses
+    # to identical expressions — shiftleft(1L, 63) wraps to Long.MIN
+    # exactly as the old -(1<<63) literal did.
     votes = h.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(_h, {i}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"_v{i}")
             for i in range(n_bits)
         ]
     )
-    fp = F.lit(0).cast("long")
-    for i in range(n_bits):
-        fp = fp + F.when(
-            F.col(f"_v{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    fp = F.expr(
+        " + ".join(
+            f"(CASE WHEN _v{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for i in range(n_bits)
+        )
+    )
     return votes.select(F.col(id_col), fp.alias("fp"))
 
 
@@ -967,6 +996,10 @@ def simhash_neardup_candidates(
             )
         ).alias("band_idx", "band_val"),
     )
+    # Same double-compute elimination as `minhash_lsh_candidates`
+    # (r13): materialize the band rows once; both self-join sides scan
+    # the stored index instead of re-running the fingerprint pipeline.
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
         b,
@@ -1401,6 +1434,12 @@ def prefix_filter_neardups(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("_dfc"))
     )
+    # NOT checkpointed (r13 A/B): materializing the prefix table once
+    # for the self-join — the `minhash_lsh_candidates` fix — measured
+    # 15-30% SLOWER here. The prefix rows are an exploded token table
+    # (far wider than the banded LSH index), so storing + twice
+    # re-scanning them costs more than recomputing the codegen
+    # pipeline, whose two copies share the parquet scan.
     pref = _prefix_table(sets, dft, t_pct)
     cands = _prefix_candidates(
         pref, pref, t_pct, "_ida", "_idb",

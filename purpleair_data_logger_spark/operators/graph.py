@@ -102,6 +102,20 @@ def pagerank(
         .withColumn("rank", F.lit(int(scale)).cast("long"))
     )
     teleport = int(scale) * (100 - damping_pct) // 100
+    # Zero-share rows for every node, materialized ONCE: unioning them
+    # into the share stream makes the per-round aggregate see every
+    # node (nodes receiving nothing sum to 0 and keep the teleport
+    # term), which replaces the old per-round left join from the node
+    # set — one equi-join + one map-side-combinable aggregate per
+    # round is the message-passing minimum (optimization guide §2.4:
+    # the join and its per-round broadcast build were a second
+    # exchange the aggregate can absorb). Σ(shares)+0 ≡
+    # coalesce(Σshares, 0), so ranks are bit-identical.
+    zero_shares = ckpt(
+        ranks.select("node").withColumn(
+            "_share", F.lit(0).cast("long")
+        )
+    )
     for _ in range(n_iter):
         shares = (
             adj.join(ranks, F.col("u") == F.col("node"))
@@ -110,20 +124,14 @@ def pagerank(
                 F.expr("rank DIV _deg").alias("_share"),
             )
         )
-        contrib = shares.groupBy("node").agg(F.sum("_share").alias("_in"))
-        # Nodes receiving nothing this round (directed graphs only)
-        # keep the teleport term: left join from the node set.
         ranks = ckpt(
-            ranks.select("node")
-            .join(contrib, "node", "left")
-            .select(
-                "node",
+            zero_shares.union(shares)
+            .groupBy("node")
+            .agg(
                 (
                     F.lit(teleport)
-                    + F.expr(
-                        f"(coalesce(_in, 0L) * {damping_pct}) DIV 100"
-                    )
-                ).alias("rank"),
+                    + F.expr(f"(sum(_share) * {damping_pct}) DIV 100")
+                ).alias("rank")
             )
         )
     return ranks
@@ -278,6 +286,12 @@ def bfs_hops(
         nxt = ckpt(nxt)
         if nxt.isEmpty():
             break
+        # Re-checkpointing the accumulated set each round costs
+        # O(hops²) writes in theory, but the measured alternative (a
+        # lazily-growing union of per-round checkpoints) was 2-4x
+        # SLOWER at sf0.1: every later round's anti-join re-scans k
+        # stored RDDs instead of one, and the convergence probe pays
+        # the same union again (r13 A/B, kept the materialized form).
         settled = ckpt(settled.unionByName(nxt))
         frontier = nxt
     return settled

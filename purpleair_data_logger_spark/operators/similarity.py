@@ -25,6 +25,23 @@ def as_double_array(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def lit_double_array(values: list[float]) -> Column:
+    """Literal array<double> in ONE Py4J call (r13, guide §4 applied to
+    the driver-side boundary): ``F.array(*[F.lit(x) …])`` costs one
+    round-trip per element (~1-10 ms each on this host — a 64-dim
+    centroid literal was ~100 ms of pure driver latency, and query
+    CONSTRUCTION is inside bench's timed region), while one
+    ``F.expr("array(…D)")`` parses JVM-side in ~1 ms total. Python
+    ``repr`` emits shortest-round-trip doubles, so the parsed literals
+    are bit-identical (verified for subnormals/π/1e-300). Non-finite
+    values fall back to the per-element path (SQL has no inf/nan
+    double literal)."""
+    vals = [float(v) for v in values]
+    if all(v == v and abs(v) != float("inf") for v in vals):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
 def dot(a: Column, b: Column) -> Column:
     """JVM-side dot product: zip_with multiply + aggregate sum."""
     return F.aggregate(
@@ -615,8 +632,8 @@ def sq8_codes(
     numeric contract) — exposed as a Column so composed operators
     (`knn_ivf_quantized`) can encode inline on an already-projected
     vector column without a second corpus scan."""
-    mn_arr = F.array(*[F.lit(float(m)) for m in mins])
-    sp_arr = F.array(*[F.lit(float(s)) for s in spans])
+    mn_arr = lit_double_array(mins)
+    sp_arr = lit_double_array(spans)
 
     def _code(x, i):
         mn = F.element_at(mn_arr, i + 1)
@@ -813,7 +830,11 @@ def _unit_centroids(centroids: list[list[float]]) -> list[list[float]]:
 
 
 def nearest_lists_exact(
-    vec_col: Column, centroids: list[list[float]], m: int
+    vec_col: Column,
+    centroids: list[list[float]],
+    m: int,
+    *,
+    vec_norm: Column | None = None,
 ) -> Column:
     """SQL-replayable top-``m`` centroid assignment (VERDICT r11 #3):
     per-centroid cosine as ordered JVM folds — the `knn_bruteforce`
@@ -822,15 +843,44 @@ def nearest_lists_exact(
     The numpy-matmul `nearest_lists` is faster per batch but its SIMD
     summation order is engine-private, which is what kept the
     index-append row rows-only; this variant trades one Arrow stage
-    for a codegen projection whose ranking an oracle can replay.
-    Returns array<int> of list ids; equivalence with `nearest_lists`
-    on non-pathological (no exact cosine tie) corpora is pinned in
-    tests/test_llm_ops.py."""
+    for a plan whose ranking an oracle can replay. Returns array<int>
+    of list ids; equivalence with `nearest_lists` on non-pathological
+    (no exact cosine tie) corpora is pinned in tests/test_llm_ops.py.
+
+    r13 optimization (guide §4.1/§1.2): the original form evaluated
+    ``cosine(vec, lit_centroid)`` per centroid — THREE interpreted
+    higher-order folds each (the dot plus BOTH norms), so one 64-dim
+    row against 16 centroids paid ~48 interpreted 64-element folds.
+    Value-identically reduced to 16: each centroid's norm is a
+    driver-side Python literal (same left-to-right ``0.0 + x·x``
+    accumulation then ``sqrt`` — IEEE-double-identical to the JVM
+    fold), and callers pass ``vec_norm`` — the `l2_norm` of the vector
+    computed ONCE in an upstream projection (an expensive alias
+    referenced 16× is not collapsed into consumers, so it is evaluated
+    once per row). Without ``vec_norm`` the old inline per-centroid
+    norm is used (same value either way). A fully-unrolled literal
+    multiply-add chain was measured instead and REJECTED: 16×64×2
+    terms blow Janino's 64 KB method limit, the projection falls back
+    to interpreted eval, and the query runs 3.5× SLOWER than the fold
+    form (25.4 s vs 7.3 s same-host; the `lsh_band_signatures`
+    docstring records the same cliff for hyperplane signatures)."""
+    import math
+
+    if vec_norm is None:
+        vec_norm = l2_norm(vec_col)
+
+    def _cnorm(c: list[float]) -> float:
+        acc = 0.0
+        for x in c:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
+
     pairs = F.array(
         *[
             F.struct(
-                cosine(
-                    vec_col, F.array(*[F.lit(float(x)) for x in c])
+                (
+                    dot(vec_col, lit_double_array(c))
+                    / (vec_norm * F.lit(_cnorm(c)))
                 ).alias("s"),
                 F.lit(i).cast("int").alias("i"),
             )
@@ -879,22 +929,27 @@ def build_ivf_sq8_index(
     Output: (neighbor_id, _cc array<int>, list_id int).
     """
     mins, spans = calibration
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("_cv"),
+    )
     if exact_assign:
-        assign = nearest_lists_exact(F.col("_cv"), centroids, n_assign)
+        # r13: hoist the vector norm into its own projection so the 16
+        # per-centroid cosines share ONE fold evaluation per row
+        # instead of re-folding it per centroid (see
+        # `nearest_lists_exact`'s optimization note).
+        base = base.withColumn("_cvnorm", l2_norm(F.col("_cv")))
+        assign = nearest_lists_exact(
+            F.col("_cv"), centroids, n_assign, vec_norm=F.col("_cvnorm")
+        )
     else:
         assign = nearest_lists(
             F.col("_cv"), _unit_centroids(centroids), n_assign
         )
-    return (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            as_double_array(vec_col).alias("_cv"),
-        )
-        .select(
-            "neighbor_id",
-            sq8_codes(F.col("_cv"), mins, spans).alias("_cc"),
-            F.explode(assign).alias("list_id"),
-        )
+    return base.select(
+        "neighbor_id",
+        sq8_codes(F.col("_cv"), mins, spans).alias("_cc"),
+        F.explode(assign).alias("list_id"),
     )
 
 
@@ -968,8 +1023,8 @@ def calibration_drift(
     Output: (pos, cal_min, cal_span, new_min, new_max, drift_frac,
     needs_reencode), ordered by pos.
     """
-    mn_arr = F.array(*[F.lit(float(m)) for m in mins])
-    sp_arr = F.array(*[F.lit(float(s)) for s in spans])
+    mn_arr = lit_double_array(mins)
+    sp_arr = lit_double_array(spans)
     agg = (
         new_vecs.select(
             F.posexplode(as_double_array(vec_col)).alias("pos", "v")
