@@ -52,7 +52,13 @@ def _checkpointer(df_sample: DataFrame, checkpoint_dir: str | None):
     recomputes its own partitions from the checkpoint files.
     """
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint()
+        # Lazy (r13): every per-round ckpt here is immediately followed
+        # by the convergence-probe action (sum/checksum collect), which
+        # materializes-and-stores the round in the SAME job — eager=True
+        # was paying one extra job per round just to materialize first.
+        # Lineage is still truncated at materialization, so per-round
+        # plans stay shallow.
+        return lambda df: df.localCheckpoint(eager=False)
     sc = df_sample.sparkSession.sparkContext
     sc.setCheckpointDir(checkpoint_dir)
     return lambda df: df.checkpoint(eager=True)
@@ -199,11 +205,15 @@ def connected_components_star(
         )
 
     def checksum(e: DataFrame):
-        row = e.select(
-            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
-        ).distinct().agg(
+        # `e` is always `small_star` output here, which is already
+        # distinct with u > v on every row (see small_star: both union
+        # legs emit (larger, min-smaller-neighbor) pairs), so the old
+        # greatest/least + distinct re-canonicalization was a per-round
+        # no-op costing one extra exchange + aggregate (r13). Same
+        # (n, s) values, one map-side-combined aggregate.
+        row = e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("a") * 1000003 + F.col("b")).alias("s"),
+            F.sum(F.col("u") * 1000003 + F.col("v")).alias("s"),
         ).collect()[0]
         return (row["n"], row["s"])
 

@@ -340,6 +340,15 @@ def phash_neardup_pairs(
             df, thumbnailer=thumbnailer, n_pixels=n_pixels, n_bands=n_bands
         )
     ).filter(F.col("bands").isNotNull())
+    # Materialize the signature table once (r13, guide §1.2/§2.4): it
+    # is referenced three times below (band explode + both verify
+    # sides), and Spark compiles shared subplans into each consumer —
+    # the decode+hash Arrow stage ran 3x. A lazy localCheckpoint stores
+    # the ~40 B/row signatures at first use; all three consumers scan
+    # the stored rows. Same trade as `dedup.minhash_lsh_candidates`'s
+    # band index; at real scale persist the table and pass
+    # ``signatures`` instead (docstring above).
+    ph = ph.localCheckpoint(eager=False)
     long = ph.select(
         "media_id", F.posexplode("bands").alias("band_idx", "band_val")
     )
@@ -411,6 +420,11 @@ def phash_index(
             F.col("media_id").alias("base_media_id"),
             F.col("bands").alias("_b_base"),
         )
+        # Materialize once (r13): the index below derives from sigs, so
+        # consumers of the (index, sigs) pair otherwise run the
+        # decode+hash Arrow stage once per artifact. Lazy, so callers
+        # that persist the artifacts still control when it runs.
+        .localCheckpoint(eager=False)
     )
     index = sigs.select(
         "base_media_id", F.posexplode("_b_base").alias("band_idx", "band_val")
@@ -451,9 +465,15 @@ def phash_against_index(
         keep_buckets_within_cap,
     )
 
-    ph_new = perceptual_hash(
-        new_df, thumbnailer=thumbnailer, n_pixels=n_pixels, n_bands=n_bands
-    ).filter(F.col("bands").isNotNull())
+    ph_new = (
+        perceptual_hash(
+            new_df, thumbnailer=thumbnailer, n_pixels=n_pixels, n_bands=n_bands
+        )
+        .filter(F.col("bands").isNotNull())
+        # Materialize once (r13): referenced by both the band explode
+        # and the Hamming-verify fetch — see `phash_neardup_pairs`.
+        .localCheckpoint(eager=False)
+    )
     bn = ph_new.select(
         F.col("media_id").alias("new_media_id"),
         F.posexplode("bands").alias("band_idx", "band_val"),

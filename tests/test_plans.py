@@ -1347,9 +1347,26 @@ def test_rerank_crossencoder_candidate_bounded_plan(spark, sf):
 def test_multimodal_phash_neardup_plan(spark, sf):
     """The multimodal near-dup rung must stay collision-bounded: band
     equi-join (never a cartesian/BNLJ all-pairs), one Arrow signature
-    stage (MapInPandas), zero row-at-a-time Python."""
+    stage (MapInPandas), zero row-at-a-time Python.
+
+    r13: the signature table is materialized once (localCheckpoint) so
+    the decode+hash Arrow stage stops running 3x — the final plan's
+    lineage is truncated at the stored signatures, so the Arrow stage
+    is pinned on the SIGNATURE stage's own plan (same corpus, same
+    operator) and the final plan is pinned Python-free + equi-join
+    only."""
+    from purpleair_data_logger_spark.operators import multimodal as mm
+    from purpleair_data_logger_spark.queries.lsh_pipelines import (
+        _phash_corpus,
+    )
+
+    media = mm.attach_binary_payload(_phash_corpus(spark, sf), "doc_id", "text")
+    sig_plan = E.formatted_plan(
+        mm.perceptual_hash(media, thumbnailer=mm.fake_thumbnailer)
+    )
+    assert E.count(sig_plan, "MapInPandas") >= 1
+    assert "BatchEvalPython" not in sig_plan
     plan = _plan(spark, sf, "multimodal_phash_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert E.count(plan, "MapInPandas") >= 1
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
