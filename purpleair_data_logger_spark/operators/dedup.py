@@ -1238,10 +1238,25 @@ def _prefix_sets(
     df: DataFrame, id_col: str, text_col: str, sep: str,
     shingle_n: int | None,
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("_pid"),
-        _prefix_elems(text_col, sep, shingle_n).alias("toks"),
-    ).filter(F.col("_pid").isNotNull() & F.col("toks").isNotNull())
+    # Materialized ONCE (lazy localCheckpoint — r13, guide §1.2/§2.4):
+    # a side's set table feeds up to FOUR consumers (the df-frequency
+    # aggregate, the prefix table on each self-join side, and the two
+    # verify set fetches), and Spark inlines the subtree into each, so
+    # the upstream distinct + tokenize pipeline was compiled and
+    # EXECUTED up to 6x per query (plan showed 6 parquet scans). The
+    # r13 A/B that REJECTED checkpointing the exploded prefix table
+    # (see `prefix_filter_neardups`) accepts it here: sets are one
+    # row per doc (the narrow artifact), and the measured win is
+    # exact 4.86 -> 3.01 s / incremental 3.99 -> 2.29 s at sf0.1.
+    # In production these rows ARE the persisted PrefixIndex artifact.
+    return (
+        df.select(
+            F.col(id_col).alias("_pid"),
+            _prefix_elems(text_col, sep, shingle_n).alias("toks"),
+        )
+        .filter(F.col("_pid").isNotNull() & F.col("toks").isNotNull())
+        .localCheckpoint(eager=False)
+    )
 
 
 def _prefix_table(
@@ -1434,12 +1449,13 @@ def prefix_filter_neardups(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("_dfc"))
     )
-    # NOT checkpointed (r13 A/B): materializing the prefix table once
+    # The PREFIX table is NOT checkpointed (r13 A/B): materializing it
     # for the self-join — the `minhash_lsh_candidates` fix — measured
     # 15-30% SLOWER here. The prefix rows are an exploded token table
     # (far wider than the banded LSH index), so storing + twice
     # re-scanning them costs more than recomputing the codegen
-    # pipeline, whose two copies share the parquet scan.
+    # pipeline. What IS materialized once is the upstream SETS table
+    # (`_prefix_sets`): one row per doc, shared by all consumers.
     pref = _prefix_table(sets, dft, t_pct)
     cands = _prefix_candidates(
         pref, pref, t_pct, "_ida", "_idb",

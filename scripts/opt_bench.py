@@ -36,9 +36,14 @@ def main() -> int:
     ap.add_argument("--suffix", default="before")
     args = ap.parse_args()
 
+    qs = catalog.all_queries()
+    unknown = [n for n in args.queries if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
     spark = get_spark("opt-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = catalog.all_queries()
 
     # Warm the JVM/parquet caches the same way bench.py does.
     qs["reconstruction_join"].fn(spark, args.sf).write.format("noop").mode(
@@ -55,6 +60,7 @@ def main() -> int:
             q.fn(spark, args.sf).write.format("noop").mode("overwrite").save()
             secs.append(round(time.perf_counter() - t0, 3))
         out[name] = {"min": min(secs), "runs": secs}
+        print(f"## {name}: min={min(secs)} runs={secs}", flush=True)
         if args.explain_dir:
             os.makedirs(args.explain_dir, exist_ok=True)
             buf = io.StringIO()
