@@ -1165,7 +1165,13 @@ def edit_distance_neardups(
     probe = F.lit(False)
     for c in (text_col, len_col, *block_cols):
         probe = probe | F.col(c).isNull()
-    base = df.filter(~probe).select(
+    # The banded-DP probe must not inherit a few-partition scan: at
+    # sf0.1 the single-row-group parquet left the broadcast join's
+    # probe side (where every candidate pays the levenshtein) running
+    # in ONE task while 31 cores idled — measured 4.48 -> 0.60 s with
+    # the repartition (r13, guide §2.6 stragglers). No-op at scale,
+    # where the scan already exceeds defaultParallelism.
+    base = parallelize_small_scan(df.filter(~probe), id_col).select(
         F.col(id_col),
         *block_cols,
         F.col(len_col).cast("long").alias("_len"),

@@ -899,14 +899,17 @@ def test_snapshot_diff_one_full_outer_join_codegen_compare(spark, sf):
 
 
 def test_substring_search_index_prune_shape(spark, sf):
-    """Grep-at-scale: the candidate pass must be a distinct-gram
-    explode (Generate) semi-joined against the BROADCAST query-gram
-    set — never a corpus-wide LIKE without pruning, never a cartesian;
-    exact verify runs on candidates via a second semi join."""
+    """Grep-at-scale: the full-coverage candidate test (every query
+    gram present) is ONE codegen projection — array_intersect of the
+    doc's gram array with the literal query-gram array (r13: the old
+    distinct-gram explode + broadcast semi-join + per-doc coverage
+    aggregate shuffled ~len(text) rows per doc for the same candidate
+    set). No explode, no exchange, no join, no Python; the exact
+    contains verify rides the same scan."""
     plan = _plan(spark, sf, "substring_search_trigram")
-    assert "Generate" in plan
-    assert "LeftSemi" in plan
-    assert E.count(plan, "BroadcastHashJoin") >= 1
+    assert "array_intersect" in plan
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
