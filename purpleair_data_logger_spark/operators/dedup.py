@@ -71,7 +71,13 @@ def jaccard_pairs_blocked(
     Output: (doc_id_a, doc_id_b, jaccard) with doc_id_a < doc_id_b and
     jaccard >= threshold.
     """
-    t = df.select(
+    # The per-pair verify (array_intersect/union over full token sets)
+    # must not inherit a few-partition scan: locally the block
+    # self-join's probe side ran in ONE task (single-row-group
+    # parquet; measured 3.53 -> 0.55 s at sf0.1 with the spread —
+    # r13, guide §2.6). No-op at scale, where the scan already
+    # exceeds defaultParallelism.
+    t = parallelize_small_scan(df, id_col).select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         _token_set(text_col).alias("toks"),
@@ -565,13 +571,26 @@ def neardup_against_index(
         .filter(F.col("new_doc_id") != F.col("base_doc_id"))
         .select("new_doc_id", "base_doc_id")
         .distinct()
+        # Materialized once (r13): feeds both verify-side semi-joins
+        # below plus the fetch joins — without this the whole
+        # cross-side band join recompiles into each consumer.
+        .localCheckpoint(eager=False)
     )
-    sn = new_df.select(
+    # Build/fetch shingle sets ONLY for docs in a candidate pair (r13,
+    # guide §8): the id semi-joins prune both sides before the
+    # array-building projection / artifact fetch — candidates ≪ corpus
+    # at every scale (see `_fetch_candidate_shingles`).
+    sn = new_df.join(
+        cands.select(F.col("new_doc_id").alias(id_col)), id_col, "left_semi"
+    ).select(
         F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh_a")
+    )
+    sb = base_shingles.join(
+        cands.select("base_doc_id"), "base_doc_id", "left_semi"
     )
     j = (
         cands.join(sn, on=F.col("new_doc_id") == F.col("_sid")).drop("_sid")
-        .join(base_shingles, on="base_doc_id")
+        .join(sb, on="base_doc_id")
     )
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
@@ -782,6 +801,50 @@ def minhash_lsh_candidates(
     )
 
 
+def _fetch_candidate_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    cands: DataFrame,
+    left_col: str = "doc_id_a",
+    right_col: str = "doc_id_b",
+) -> DataFrame:
+    """Attach both sides' shingle sets to the candidate pairs — the
+    shared verify-fetch stage of `neardup_lsh_verified` /
+    `containment_lsh_verified`.
+
+    The shingle tables are built ONLY for documents that appear in a
+    candidate pair (r13, guide §8 "decide with small rows"): a cheap
+    id semi-join prunes the corpus BEFORE the array-building
+    projection, instead of materializing every document's shingle set
+    into each fetch join's hash relation. At sf0.1 that is 257
+    candidate pairs against 5,000 docs — measured 1.81 -> 0.30 s for
+    the whole verified query; at 100 TB candidates ≪ corpus by many
+    more orders. The candidate set itself is materialized once
+    (lazy localCheckpoint) since it feeds both semi-joins and the
+    outer fetch join.
+    """
+    cands = cands.localCheckpoint(eager=False)
+
+    def side(pair_col: str, out_col: str) -> DataFrame:
+        ids = cands.select(F.col(pair_col).alias(id_col))
+        src = df.join(ids, id_col, "left_semi")
+        return src.select(
+            F.col(id_col).alias("_sid"),
+            shingles(text_col, shingle_n).alias(out_col),
+        )
+
+    return (
+        cands.join(
+            side(left_col, "_sh_a"), on=F.col(left_col) == F.col("_sid")
+        )
+        .drop("_sid")
+        .join(side(right_col, "_sh_b"), on=F.col(right_col) == F.col("_sid"))
+        .drop("_sid")
+    )
+
+
 def neardup_lsh_verified(
     df: DataFrame,
     id_col: str,
@@ -818,21 +881,7 @@ def neardup_lsh_verified(
         hash_family=hash_family,
         max_bucket_size=max_bucket_size,
     )
-    s = df.select(
-        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh")
-    )
-    j = (
-        cands.join(
-            s.select(F.col("_sid"), F.col("_sh").alias("_sh_a")),
-            on=F.col("doc_id_a") == F.col("_sid"),
-        )
-        .drop("_sid")
-        .join(
-            s.select(F.col("_sid"), F.col("_sh").alias("_sh_b")),
-            on=F.col("doc_id_b") == F.col("_sid"),
-        )
-        .drop("_sid")
-    )
+    j = _fetch_candidate_shingles(df, id_col, text_col, shingle_n, cands)
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     union = F.size(F.array_union(F.col("_sh_a"), F.col("_sh_b")))
     jac = F.round(inter.cast("double") / union.cast("double"), 4)
@@ -879,21 +928,7 @@ def containment_lsh_verified(
         num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
         hash_family=hash_family, max_bucket_size=max_bucket_size,
     )
-    s = df.select(
-        F.col(id_col).alias("_sid"), shingles(text_col, shingle_n).alias("_sh")
-    )
-    j = (
-        cands.join(
-            s.select(F.col("_sid"), F.col("_sh").alias("_sh_a")),
-            on=F.col("doc_id_a") == F.col("_sid"),
-        )
-        .drop("_sid")
-        .join(
-            s.select(F.col("_sid"), F.col("_sh").alias("_sh_b")),
-            on=F.col("doc_id_b") == F.col("_sid"),
-        )
-        .drop("_sid")
-    )
+    j = _fetch_candidate_shingles(df, id_col, text_col, shingle_n, cands)
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
     smaller = F.least(F.size("_sh_a"), F.size("_sh_b"))
     cont = F.round(inter.cast("double") / smaller.cast("double"), 4)

@@ -483,7 +483,15 @@ def cosine_neardup_pairs(
     `cosine_neardup_lsh_verified` is the scale composition. Output:
     (vec_id_a, vec_id_b, cosine_sim rounded to 4).
     """
-    t = df.select(
+    from purpleair_data_logger_spark.operators.dedup import (
+        parallelize_small_scan,
+    )
+
+    # The per-pair dot/norm verify must not inherit a few-partition
+    # scan: locally the block self-join's probe side ran in ONE task
+    # (single-row-group parquet; measured 2.71 -> 0.52 s at sf0.1 with
+    # the spread — r13, guide §2.6). No-op at scale.
+    t = parallelize_small_scan(df, id_col).select(
         F.col(id_col),
         F.col(block_col).alias("_blk"),
         as_double_array(vec_col).alias("_v"),

@@ -1575,7 +1575,12 @@ def countmin_token_counts(spark, sf_dir):
     """
     from purpleair_data_logger_spark.operators import sketches as sk
 
-    d = _t(spark, sf_dir, "documents")
+    # Spread the few-partition scan before the token explode (r13,
+    # guide §2.6): the depth-way md5 bucketing (4 hashes per token)
+    # and the exact-count explode both otherwise run in ONE task over
+    # the single-row-group parquet. No-op at scale
+    # (`dd.parallelize_small_scan`).
+    d = dd.parallelize_small_scan(_t(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(F.explode(tx.tokens("text")).alias("tok"))
     sketch = sk.countmin_table(toks, "tok", width=2048, depth=4)
     exact = (

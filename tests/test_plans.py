@@ -101,11 +101,20 @@ def test_neardup_lsh_verified_no_quadratic_join(spark, sf):
     """The scale-safe near-dup pipeline must generate pairs only via the
     banded equi-join — no cartesian/nested-loop node anywhere, and the
     self-join key is the (band_idx, band_hash) pair, never a
-    low-cardinality blocking column."""
+    low-cardinality blocking column.
+
+    r13: the candidate set is materialized once before the verify
+    fetch (`dedup._fetch_candidate_shingles`), so the band join lives
+    in the candidate stage's own plan — pinned on the
+    `minhash_lsh_candidates` row, whose plan IS that stage; the
+    verified query's final plan is pinned equi-join-only and
+    Python-free."""
+    cand_plan = _plan(spark, sf, "minhash_lsh_candidates")
+    assert "band_hash" in cand_plan  # the equi-join key bounding pairs
+    assert "CartesianProduct" not in cand_plan
     plan = _plan(spark, sf, "neardup_lsh_verified")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "band_hash" in plan  # the equi-join key that bounds pair generation
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
