@@ -1290,13 +1290,23 @@ def _prefix_sets(
     # row per doc (the narrow artifact), and the measured win is
     # exact 4.86 -> 3.01 s / incremental 3.99 -> 2.29 s at sf0.1.
     # In production these rows ARE the persisted PrefixIndex artifact.
+    # Stored SERIALIZED (r13): the deserialized default would hold
+    # millions of live token-String objects per block (each doc's full
+    # element array), which inflates every GC for the rest of the
+    # session; serialized blocks are a few compact byte arrays. The
+    # per-consumer deserialization is one codegen-adjacent pass over
+    # rows the consumer was reading anyway. (PySpark naming: plain
+    # MEMORY_AND_DISK is the SERIALIZED level; the JVM-side default
+    # for localCheckpoint is the deserialized MEMORY_AND_DISK_DESER.)
+    from pyspark import StorageLevel
+
     return (
         df.select(
             F.col(id_col).alias("_pid"),
             _prefix_elems(text_col, sep, shingle_n).alias("toks"),
         )
         .filter(F.col("_pid").isNotNull() & F.col("toks").isNotNull())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
 
 

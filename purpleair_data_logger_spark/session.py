@@ -40,6 +40,17 @@ def get_spark(app_name: str = "purpleair-spark", *, shuffle_partitions: int | No
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Long-running sessions (bench: ~190 queries x 2 draws in one
+        # JVM; a production driver: days) accumulate localCheckpoint
+        # blocks from the materialize-once stages (band/sets/signature
+        # tables): ContextCleaner frees a block only after a JVM GC
+        # collects its RDD handle, and the default periodic-GC interval
+        # (30 min) exceeds a whole bench run — blocks piled up until
+        # late-session queries paid multi-second GC/storage pressure
+        # (r13: ingest draws [20.0, 27.4, ...] healing to 4.5 under
+        # retries). One driver-side System.gc() a minute is noise-level
+        # cost and keeps storage bounded by LIVE queries only.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
