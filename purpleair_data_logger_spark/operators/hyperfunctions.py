@@ -416,7 +416,18 @@ def asap_smooth(
         if buf is not None and len(buf):
             yield _smooth(buf)
 
-    pre = df.filter(F.col(value_col).isNotNull()).select(
+    # NULL key/ts rows are unplaceable and dropped (the `_placeable`
+    # family contract, and exactly what `lttb_downsample` does). Found
+    # by the r14 fuzz twin: the r13 `_spread_by_key` change hashes NULL
+    # keys into their own partition, where pandas `groupby` (which
+    # drops NaN keys) left `_smooth` with zero groups and
+    # `pd.concat([])` raised — before the spread, NULL-key rows rode a
+    # mixed partition and were dropped silently by the same groupby.
+    pre = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
         key_col, ts_col, F.col(value_col).cast("double").alias(value_col)
     )
     return (

@@ -113,10 +113,16 @@ def pii_scrub(spark, sf_dir):
     "benchmark_contamination",
     """
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-    g AS (SELECT doc_id, unnest(list_distinct(list_transform(
-            range(1, greatest(len(w)-3, 1)+1),
-            i -> array_to_string(w[i:i+3], ' ')))) AS ng
-          FROM t),
+    -- DISTINCT at (doc_id, ng) granularity, not just list_distinct per
+    -- row: the operator counts each document's DISTINCT shared n-grams,
+    -- and a duplicated document row (fuzz-injected PK violation) must
+    -- not double-count them (r14 fuzz twin at sf0.001; identical on
+    -- PK-clean data).
+    g AS (SELECT DISTINCT doc_id, ng FROM (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                range(1, greatest(len(w)-3, 1)+1),
+                i -> array_to_string(w[i:i+3], ' ')))) AS ng
+            FROM t)),
     b AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0)
     SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
     FROM g JOIN b USING (ng) WHERE g.doc_id % 50 <> 0 GROUP BY 1
