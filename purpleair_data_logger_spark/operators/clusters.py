@@ -38,6 +38,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# r14 negative result (VERDICT r13 #6): planning the fixpoint ROUNDS
+# with AQE disabled (scoped spark.sql.adaptive.enabled=false around
+# the loops, restored after) was built and A/B'd twice. A sequential
+# per-trial toggle suggested a 12-15% win on bfs/star, but the
+# properly interleaved same-JVM A/B (mode alternating per draw, the
+# r13 methodology) showed the opposite — star 3.29 -> 4.54 s, bfs
+# 3.05 -> 3.27 s min-of-4: without AQE every round runs at the full
+# static shuffle-partition width (64-task rounds over frontier-sized
+# data) and the extra tasks cost more than the removed per-stage
+# barriers. Reverted; numbers in OPTIMIZATION_r14.md. The first
+# probe's "win" was an order effect (AQE legs always ran second,
+# inheriting the session's accumulated GC pressure).
+
 
 def _checkpointer(df_sample: DataFrame, checkpoint_dir: str | None):
     """Per-round lineage truncation strategy.
@@ -57,10 +70,18 @@ def _checkpointer(df_sample: DataFrame, checkpoint_dir: str | None):
         # materializes-and-stores the round in the SAME job — eager=True
         # was paying one extra job per round just to materialize first.
         # Lineage is still truncated at materialization, so per-round
-        # plans stay shallow.
-        return lambda df: df.localCheckpoint(eager=False)
+        # plans stay shallow. Via the shared seam (r14): with
+        # SPARK_GRAFT_CHECKPOINT_DIR set, rounds checkpoint reliably
+        # even when the caller passed no explicit directory.
+        from purpleair_data_logger_spark.materialize import materialize_once
+
+        return materialize_once
+    from purpleair_data_logger_spark import materialize
+
     sc = df_sample.sparkSession.sparkContext
     sc.setCheckpointDir(checkpoint_dir)
+    # the context's checkpoint dir just changed under the seam's cache
+    materialize._dir_set_for = None
     return lambda df: df.checkpoint(eager=True)
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from purpleair_data_logger_spark.materialize import materialize_once
+
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: md5-digest groupBy; canonical row = min id.
@@ -571,11 +573,13 @@ def neardup_against_index(
         .filter(F.col("new_doc_id") != F.col("base_doc_id"))
         .select("new_doc_id", "base_doc_id")
         .distinct()
-        # Materialized once (r13): feeds both verify-side semi-joins
-        # below plus the fetch joins — without this the whole
-        # cross-side band join recompiles into each consumer.
-        .localCheckpoint(eager=False)
     )
+    # Materialized once (r13): feeds both verify-side semi-joins
+    # below plus the fetch joins — without this the whole
+    # cross-side band join recompiles into each consumer. Routed
+    # through the injectable seam (r14): local ckpt for bench/tests,
+    # reliable checkpoint files under SPARK_GRAFT_CHECKPOINT_DIR.
+    cands = materialize_once(cands)
     # Build/fetch shingle sets ONLY for docs in a candidate pair (r13,
     # guide §8): the id semi-joins prune both sides before the
     # array-building projection / artifact fetch — candidates ≪ corpus
@@ -773,14 +777,15 @@ def minhash_lsh_candidates(
     # explode → per-shingle hash → 64-min aggregate → banding) is
     # compiled into BOTH join sides and EXECUTED TWICE — the plan
     # showed 2 parquet scans / 6 HashAggregates / 0 ReusedExchange.
-    # A lazy localCheckpoint stores the (id, band_idx, band_hash) rows
+    # A lazy materialization stores the (id, band_idx, band_hash) rows
     # (the small index representation, ~bands rows/doc) at first use;
     # both join sides then scan the stored RDD. Lazy, so plan-census
     # tooling that never executes still compiles without running jobs.
-    # Cluster runs that must survive executor loss persist the banded
-    # index explicitly (`lsh_index_append` consumes it prebuilt) —
-    # the same trade recorded for `clusters._checkpointer`.
-    banded = banded.localCheckpoint(eager=False)
+    # Via the injectable seam (r14): cluster runs set
+    # SPARK_GRAFT_CHECKPOINT_DIR for executor-loss-safe checkpoint
+    # files (or persist the banded index explicitly —
+    # `lsh_index_append` consumes it prebuilt).
+    banded = materialize_once(banded)
     if max_bucket_size is not None:
         banded = keep_buckets_within_cap(banded, max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -822,10 +827,10 @@ def _fetch_candidate_shingles(
     candidate pairs against 5,000 docs — measured 1.81 -> 0.30 s for
     the whole verified query; at 100 TB candidates ≪ corpus by many
     more orders. The candidate set itself is materialized once
-    (lazy localCheckpoint) since it feeds both semi-joins and the
+    (`materialize_once` seam) since it feeds both semi-joins and the
     outer fetch join.
     """
-    cands = cands.localCheckpoint(eager=False)
+    cands = materialize_once(cands)
 
     def side(pair_col: str, out_col: str) -> DataFrame:
         ids = cands.select(F.col(pair_col).alias(id_col))
@@ -1034,7 +1039,7 @@ def simhash_neardup_candidates(
     # Same double-compute elimination as `minhash_lsh_candidates`
     # (r13): materialize the band rows once; both self-join sides scan
     # the stored index instead of re-running the fingerprint pipeline.
-    banded = banded.localCheckpoint(eager=False)
+    banded = materialize_once(banded)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
         b,
@@ -1279,34 +1284,29 @@ def _prefix_sets(
     df: DataFrame, id_col: str, text_col: str, sep: str,
     shingle_n: int | None,
 ) -> DataFrame:
-    # Materialized ONCE (lazy localCheckpoint — r13, guide §1.2/§2.4):
-    # a side's set table feeds up to FOUR consumers (the df-frequency
-    # aggregate, the prefix table on each self-join side, and the two
-    # verify set fetches), and Spark inlines the subtree into each, so
-    # the upstream distinct + tokenize pipeline was compiled and
-    # EXECUTED up to 6x per query (plan showed 6 parquet scans). The
-    # r13 A/B that REJECTED checkpointing the exploded prefix table
-    # (see `prefix_filter_neardups`) accepts it here: sets are one
-    # row per doc (the narrow artifact), and the measured win is
-    # exact 4.86 -> 3.01 s / incremental 3.99 -> 2.29 s at sf0.1.
-    # In production these rows ARE the persisted PrefixIndex artifact.
-    # Stored SERIALIZED (r13): the deserialized default would hold
+    # Materialized ONCE (lazy — r13, guide §1.2/§2.4): a side's set
+    # table feeds up to FOUR consumers (the df-frequency aggregate, the
+    # prefix table on each self-join side, and the two verify set
+    # fetches), and Spark inlines the subtree into each, so the
+    # upstream distinct + tokenize pipeline was compiled and EXECUTED
+    # up to 6x per query (plan showed 6 parquet scans). The r13 A/B
+    # that REJECTED checkpointing the exploded prefix table (see
+    # `prefix_filter_neardups`) accepts it here: sets are one row per
+    # doc (the narrow artifact), and the measured win is exact
+    # 4.86 -> 3.01 s / incremental 3.99 -> 2.29 s at sf0.1. In
+    # production these rows ARE the persisted PrefixIndex artifact.
+    # serialized=True (r13): the deserialized default would hold
     # millions of live token-String objects per block (each doc's full
     # element array), which inflates every GC for the rest of the
     # session; serialized blocks are a few compact byte arrays. The
     # per-consumer deserialization is one codegen-adjacent pass over
-    # rows the consumer was reading anyway. (PySpark naming: plain
-    # MEMORY_AND_DISK is the SERIALIZED level; the JVM-side default
-    # for localCheckpoint is the deserialized MEMORY_AND_DISK_DESER.)
-    from pyspark import StorageLevel
-
-    return (
+    # rows the consumer was reading anyway.
+    return materialize_once(
         df.select(
             F.col(id_col).alias("_pid"),
             _prefix_elems(text_col, sep, shingle_n).alias("toks"),
-        )
-        .filter(F.col("_pid").isNotNull() & F.col("toks").isNotNull())
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        ).filter(F.col("_pid").isNotNull() & F.col("toks").isNotNull()),
+        serialized=True,
     )
 
 

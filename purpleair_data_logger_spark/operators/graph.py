@@ -273,6 +273,8 @@ def bfs_hops(
         .withColumn("hops", F.lit(0).cast("long"))
     )
     frontier = settled
+    # r14: planning these rounds with AQE off was A/B'd and REVERTED —
+    # see the negative-result note at the top of `operators/clusters`.
     for hop in range(1, max_hops + 1):
         nxt = (
             adj.join(

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from purpleair_data_logger_spark.materialize import materialize_once
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -343,12 +345,12 @@ def phash_neardup_pairs(
     # Materialize the signature table once (r13, guide §1.2/§2.4): it
     # is referenced three times below (band explode + both verify
     # sides), and Spark compiles shared subplans into each consumer —
-    # the decode+hash Arrow stage ran 3x. A lazy localCheckpoint stores
+    # the decode+hash Arrow stage ran 3x. A lazy materialization stores
     # the ~40 B/row signatures at first use; all three consumers scan
     # the stored rows. Same trade as `dedup.minhash_lsh_candidates`'s
     # band index; at real scale persist the table and pass
     # ``signatures`` instead (docstring above).
-    ph = ph.localCheckpoint(eager=False)
+    ph = materialize_once(ph)
     long = ph.select(
         "media_id", F.posexplode("bands").alias("band_idx", "band_val")
     )
@@ -411,7 +413,7 @@ def phash_index(
     the prefix index's frozen df order), so appending new rows to both
     artifacts IS the rebuild — append ≡ rebuild holds by construction.
     """
-    sigs = (
+    sigs = materialize_once(
         perceptual_hash(
             df, thumbnailer=thumbnailer, n_pixels=n_pixels, n_bands=n_bands
         )
@@ -424,7 +426,6 @@ def phash_index(
         # consumers of the (index, sigs) pair otherwise run the
         # decode+hash Arrow stage once per artifact. Lazy, so callers
         # that persist the artifacts still control when it runs.
-        .localCheckpoint(eager=False)
     )
     index = sigs.select(
         "base_media_id", F.posexplode("_b_base").alias("band_idx", "band_val")
@@ -465,14 +466,13 @@ def phash_against_index(
         keep_buckets_within_cap,
     )
 
-    ph_new = (
+    ph_new = materialize_once(
         perceptual_hash(
             new_df, thumbnailer=thumbnailer, n_pixels=n_pixels, n_bands=n_bands
         )
         .filter(F.col("bands").isNotNull())
         # Materialize once (r13): referenced by both the band explode
         # and the Hamming-verify fetch — see `phash_neardup_pairs`.
-        .localCheckpoint(eager=False)
     )
     bn = ph_new.select(
         F.col("media_id").alias("new_media_id"),

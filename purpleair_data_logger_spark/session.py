@@ -50,7 +50,13 @@ def get_spark(app_name: str = "purpleair-spark", *, shuffle_partitions: int | No
         # (r13: ingest draws [20.0, 27.4, ...] healing to 4.5 under
         # retries). One driver-side System.gc() a minute is noise-level
         # cost and keeps storage bounded by LIVE queries only.
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # Env-overridable (ADVICE r13): large production driver heaps
+        # without checkpoint pressure can relax it (e.g.
+        # SPARK_GRAFT_PERIODIC_GC=30min restores Spark's default).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
