@@ -538,6 +538,7 @@ def neardup_against_index(
     shingle_n: int = 3,
     hash_family: str = "xxhash64",
     max_base_bucket_size: int | None = None,
+    new_index: DataFrame | None = None,
 ) -> DataFrame:
     """`neardup_lsh_between` against PRECOMPUTED base-corpus artifacts —
     the steady-state ingest shape where only the new batch pays
@@ -558,12 +559,24 @@ def neardup_against_index(
     This is also the per-micro-batch body of the STREAMING incremental
     dedup (`streaming/neardup.py`), where the artifacts are computed
     once at stream start and every trigger joins against them.
+
+    ``new_index`` (r14): a precomputed (new_doc_id, band_idx,
+    band_hash) table for the NEW side, when the caller already has one
+    — e.g. both sides were banded in a single fused pipeline because
+    they are filters of the same parent table
+    (`neardup_incremental_batch`). Must be `lsh_banded` output over
+    ``new_df`` with the same banding parameters; None (default)
+    computes it here.
     """
-    bn = lsh_banded(
-        new_df, id_col, text_col,
-        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
-        hash_family=hash_family,
-    ).select(F.col(id_col).alias("new_doc_id"), "band_idx", "band_hash")
+    bn = (
+        new_index
+        if new_index is not None
+        else lsh_banded(
+            new_df, id_col, text_col,
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
+            hash_family=hash_family,
+        ).select(F.col(id_col).alias("new_doc_id"), "band_idx", "band_hash")
+    )
     if max_base_bucket_size is not None:
         base_index = keep_buckets_within_cap(
             base_index, max_base_bucket_size

