@@ -391,6 +391,7 @@ def cosine_neardup_lsh_verified(
     bands: int = 8,
     dim: int = 64,
     max_bucket_size: int | None = None,
+    fetch_vectors_by_id: bool = False,
 ) -> DataFrame:
     """Embedding near-dup mining, 100 TB composition: banded hyperplane
     LSH candidates → exact cosine verify on candidates only.
@@ -420,27 +421,73 @@ def cosine_neardup_lsh_verified(
 
     Output matches `cosine_neardup_pairs`: (vec_id_a, vec_id_b,
     cosine_sim rounded to 4).
+
+    r14 restructure (guide §1.2/§2.4 + §2.6): the signature table —
+    (id, vector, band array) — is computed in ONE Arrow matmul pass
+    over the SPREAD scan (`parallelize_small_scan`: the single-row-
+    group local parquet otherwise serializes the matmul AND everything
+    downstream into one task) and materialized once; both band-join
+    sides scan the stored rows, so the Arrow stage runs 1x instead of
+    2x and the final plan is Python-free.
+
+    ``fetch_vectors_by_id`` (r14, VERDICT r13 #1 — the guide §8
+    "decide with small rows, move big rows once" form): when True, the
+    band self-join and the candidate dedup carry IDS ONLY and vectors
+    are fetched once per candidate member (id semi-join + fetch join);
+    when False (default) the vectors ride the band join. The trade is
+    a measured CROSSOVER in candidate volume, not a universal win —
+    x1/x3/x10 scale probe, min-of-2 noop (SCALE_PROBE.md):
+
+        scale    vectors-ride (False)   ids-only (True)
+        x1       1.68 s                 3.14 s
+        x3       2.39 s                 4.59 s
+        x10      21.3 s                 8.8 s     (exp 1.12 vs 0.45)
+
+    At this fixture's band density a random pair collides with p ≈ 3%
+    (79k candidate pairs from 2.1k vectors at sf0.1), so candidate
+    VOLUME grows quadratically; once the pair table's payload shuffle
+    (2 vectors x 550 B per pair — ~7 GB at x10) outweighs two extra
+    joins, ids-only wins and keeps winning. Local/bench default stays
+    False (the driver benches sf0.1, left of the crossover); cluster
+    deployments mining real corpora run True — at 100 TB the pair
+    table's vector payload is the dominant shuffle by orders of
+    magnitude. Both forms return identical rows (same candidates, same
+    verify arithmetic; parity pinned in tests/test_llm_ops.py).
     """
+    from purpleair_data_logger_spark.materialize import materialize_once
+    from purpleair_data_logger_spark.operators.dedup import (
+        keep_buckets_within_cap,
+        parallelize_small_scan,
+    )
+
     planes = random_hyperplanes(dim, n_planes)
-    t = df.select(
-        F.col(id_col),
-        as_double_array(vec_col).alias("_v"),
-    ).select(
-        id_col,
-        "_v",
-        F.posexplode(lsh_band_signatures(F.col("_v"), planes, bands)).alias(
-            "band_idx", "band_val"
-        ),
+    base = parallelize_small_scan(
+        df.select(F.col(id_col), F.col(vec_col)), id_col
+    ).select(F.col(id_col), as_double_array(vec_col).alias("_v"))
+    # One Arrow matmul pass over the spread scan, materialized once —
+    # every consumer scans the stored rows (r13 this ran 2x, once per
+    # band-join side, and inherited the scan's single partition).
+    carry = [] if fetch_vectors_by_id else ["_v"]
+    stored = materialize_once(
+        base.select(
+            id_col,
+            *carry,
+            lsh_band_signatures(F.col("_v"), planes, bands).alias("_bands"),
+        )
+    )
+    t = stored.select(
+        id_col, *carry, F.posexplode("_bands").alias("band_idx", "band_val")
     )
     if max_bucket_size is not None:
-        from purpleair_data_logger_spark.operators.dedup import (
-            keep_buckets_within_cap,
-        )
-
         t = keep_buckets_within_cap(
             t, max_bucket_size, keys=("band_idx", "band_val")
         )
     a, b = t.alias("a"), t.alias("b")
+    pair_cols = (
+        []
+        if fetch_vectors_by_id
+        else [F.col("a._v").alias("_va"), F.col("b._v").alias("_vb")]
+    )
     pairs = (
         a.join(
             b,
@@ -453,12 +500,38 @@ def cosine_neardup_lsh_verified(
         .select(
             F.col(f"a.{id_col}").alias("vec_id_a"),
             F.col(f"b.{id_col}").alias("vec_id_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
+            *pair_cols,
         )
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
-    sim = dot(F.col("_va"), F.col("_vb")) / (l2_norm(F.col("_va")) * l2_norm(F.col("_vb")))
+    if fetch_vectors_by_id:
+        # Materialized once: feeds both id semi-joins + fetch joins.
+        pairs = materialize_once(pairs)
+
+        # Norms stay INLINE in the verify expression (not hoisted into
+        # the fetch projection): a hoisted norm column lets Catalyst
+        # infer isnotnull(norm) from the threshold filter and push the
+        # whole 64-element fold BELOW the candidate semi-join — every
+        # corpus row would pay it (r14 plan dump).
+        def side(pair_col: str, vec_out: str) -> DataFrame:
+            ids = pairs.select(F.col(pair_col).alias(id_col))
+            return base.join(ids, id_col, "left_semi").select(
+                F.col(id_col).alias("_sid"), F.col("_v").alias(vec_out)
+            )
+
+        pairs = (
+            pairs.join(
+                side("vec_id_a", "_va"), on=F.col("vec_id_a") == F.col("_sid")
+            )
+            .drop("_sid")
+            .join(
+                side("vec_id_b", "_vb"), on=F.col("vec_id_b") == F.col("_sid")
+            )
+            .drop("_sid")
+        )
+    sim = dot(F.col("_va"), F.col("_vb")) / (
+        l2_norm(F.col("_va")) * l2_norm(F.col("_vb"))
+    )
     return (
         pairs.select("vec_id_a", "vec_id_b", sim.alias("_sim"))
         .filter(F.col("_sim") >= threshold)

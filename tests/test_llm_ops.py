@@ -135,6 +135,29 @@ def test_knn_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.8, f"knn_ivf recall {recall:.2f} < 0.8 (hit {len(e & a)}/{len(e)})"
 
 
+def test_cosine_lsh_fetch_modes_identical_rows(spark, sf_dir):
+    """r14: `fetch_vectors_by_id=True` (ids-only band join + candidate
+    vector fetch — the at-scale form right of the measured crossover,
+    see the operator docstring) must return EXACTLY the rows of the
+    default vectors-ride form: same candidates by construction (same
+    band signatures, same dedup keys) and the same verify arithmetic
+    on the same double-cast vectors."""
+    em = load_table(spark, sf_dir, "embeddings")
+
+    def run(ids_only: bool):
+        return sorted(
+            (r["vec_id_a"], r["vec_id_b"], r["cosine_sim"])
+            for r in sim.cosine_neardup_lsh_verified(
+                em, "vec_id", "embedding", threshold=0.4,
+                n_planes=36, bands=12, fetch_vectors_by_id=ids_only,
+            ).collect()
+        )
+
+    rows_default = run(False)
+    assert rows_default  # the wide threshold yields real pairs
+    assert run(True) == rows_default
+
+
 def test_cosine_neardup_lsh_verified_recall_and_precision(spark, sf_dir):
     """The embedding near-dup scale path: every returned pair must be a
     true ≥-threshold pair (exact verify ⇒ precision 1.0), and recall vs
