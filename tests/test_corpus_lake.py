@@ -186,7 +186,17 @@ def test_zordered_layout_skips_on_both_dimensions(spark, tmp_path):
     df = spark.createDataFrame(rows, "id long, x long, y long").coalesce(1)
 
     z_path = str(tmp_path / "zorder")
-    corpus_lake.write_zordered(df, z_path, zorder_cols=("x", "y"), bits=6)
+    # This test pins a PHYSICAL-LAYOUT property whose granularity is
+    # file count (write_zordered derives it from shuffle partitions,
+    # = 2 in the fast test session): pin 16 range partitions so the
+    # row-group stats assertions below measure the clustering, not the
+    # session's partition default. Restored after the write.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        corpus_lake.write_zordered(df, z_path, zorder_cols=("x", "y"), bits=6)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     x_path = str(tmp_path / "xsort")
     (
         df.repartitionByRange(16, "x")
