@@ -70,6 +70,14 @@ PROBE = [
     ("multimodal_phash_neardup", ("x1", "x3", "x10"), 2),
     ("multimodal_phash_between", ("x1", "x3", "x10"), 2),
     ("jaccard_neardup_blocked", ("x1", "x3"), 1),
+    # r14 refresh set (VERDICT r13 #5): rows whose operators were
+    # re-shaped in r13 batches 3-6 / r14 after the committed
+    # SCALE_PROBE.md was recorded.
+    ("neardup_prefix_filter_exact", ("x1", "x3", "x10"), 2),
+    ("edit_distance_neardups", ("x1", "x3", "x10"), 2),
+    ("m4_lttb_downsample_events", ("x1", "x3", "x10"), 2),
+    ("embedding_neardup_lsh_verified", ("x1", "x3", "x10"), 2),
+    ("neardup_incremental_batch", ("x1", "x3", "x10"), 2),
 ]
 
 SIZES = {"x1": 1, "x3": 3, "x10": 10}
